@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship fact-assembly pipeline at sf0.001;
+``queries()`` maps every implemented SURVEY §2 operator to a (spark,
+sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB-equivalent
+ANSI SQL.  Column names and types are aligned on both sides; money sums go
+through DECIMAL(18,2) so they are order-independent (see
+logistream_data_pipeline_aws_spark.plans.analytics).
 """
 
 from __future__ import annotations
@@ -13,26 +14,212 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from logistream_data_pipeline_aws_spark.plans import analytics as A
+from logistream_data_pipeline_aws_spark.plans import warehouse as W
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full fact key pipeline (dims built in-plan, 5-way
+    broadcast lookup join) on sf0.001."""
+    return W.fact_lineitem(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+
+_REVENUE_SQL = "l_extendedprice * (1.0 - l_discount)"
+
+
+def _dsum(expr: str, alias: str, scale: int = 6) -> str:
+    # Scale 6 makes the double->decimal cast exact for every derived money
+    # measure (2dp x 2dp x 2dp), so Spark and DuckDB sums are bit-identical.
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE) AS {alias}"
+
+
+# CTE fragments reused by several oracles (must mirror plans/warehouse.py
+# exactly: same dedup, same ORDER BY for row_number key assignment).
+_BRANDS_CTE = (
+    "brands AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY brand_name) AS BIGINT) AS brand_key, brand_name "
+    "FROM (SELECT DISTINCT p_brand AS brand_name FROM part))"
+)
+_TYPES_CTE = (
+    "types AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.type_name, t.brand_name) AS BIGINT) AS type_key, "
+    "t.type_name, t.brand_name, b.brand_key "
+    "FROM (SELECT DISTINCT p_type AS type_name, p_brand AS brand_name FROM part) t "
+    "LEFT JOIN brands b USING (brand_name))"
+)
+_STATUS_CTE = (
+    "status AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY order_status, order_priority, return_flag) AS BIGINT) AS status_key, "
+    "order_status, order_priority, return_flag "
+    "FROM (SELECT DISTINCT UPPER(TRIM(o.o_orderstatus)) AS order_status, "
+    "UPPER(TRIM(o.o_orderpriority)) AS order_priority, UPPER(TRIM(l.l_returnflag)) AS return_flag "
+    "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey))"
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- warehouse dimension builds (SURVEY §2 P1/A1/A2/A3/J1/J2, keygen)
+        "dim_region": W.dim_region,
+        "dim_geography": W.dim_geography,
+        "dim_brand": W.dim_brand,
+        "dim_product_type": W.dim_product_type,
+        "dim_product": W.dim_product,
+        "dim_customer": W.dim_customer,
+        "dim_junk_status": W.dim_junk_status,
+        "dim_date": W.dim_date,
+        # -- fact assembly (J3-J7, P2, F1-F8) and bucketed-load profile (P4)
+        "fact_lineitem": W.fact_lineitem,
+        "fact_bucket_profile": W.fact_bucket_profile,
+        # -- analytics surface (A5-A8) + headline queries
+        "a5_profit_by_hierarchy": A.a5_profit_by_hierarchy,
+        "a5_profit_rollup": A.a5_profit_rollup,
+        "a6_sales_trend": A.a6_sales_trend,
+        "a6_sales_trend_mom": A.a6_sales_trend_mom,
+        "a7_schedule_adherence": A.a7_schedule_adherence,
+        "a8_returns_by_nation": A.a8_returns_by_nation,
+        "q1_pricing_summary": A.q1_pricing_summary,
+        "top_customers": A.top_customers,
+        "events_hourly": A.events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dim_region": (
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY r_regionkey) AS BIGINT) AS region_key, "
+            "r_regionkey, r_name FROM region"
+        ),
+        "dim_geography": (
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n.n_nationkey) AS BIGINT) AS geo_key, "
+            "n.n_nationkey, n.n_name AS nation_name, r.r_name AS region_name "
+            "FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey"
+        ),
+        "dim_brand": f"WITH {_BRANDS_CTE} SELECT brand_key, brand_name FROM brands",
+        "dim_product_type": (
+            f"WITH {_BRANDS_CTE}, {_TYPES_CTE} "
+            "SELECT type_key, type_name, brand_name, brand_key FROM types"
+        ),
+        "dim_product": (
+            f"WITH {_BRANDS_CTE}, {_TYPES_CTE} "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY p.p_partkey) AS BIGINT) AS product_key, "
+            "p.p_partkey, p.p_name AS product_name, p.p_brand AS brand_name, "
+            "p.p_type AS type_name, p.p_retailprice AS product_price, t.type_key "
+            "FROM part p LEFT JOIN types t "
+            "ON p.p_type = t.type_name AND p.p_brand = t.brand_name"
+        ),
+        "dim_customer": (
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY c.c_custkey) AS BIGINT) AS customer_key, "
+            "c.c_custkey, c.c_name AS customer_name, UPPER(TRIM(c.c_mktsegment)) AS segment, "
+            "n.n_name AS nation_name, r.r_name AS region_name, c.c_acctbal "
+            "FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "LEFT JOIN region r ON n.n_regionkey = r.r_regionkey"
+        ),
+        "dim_junk_status": (
+            f"WITH {_STATUS_CTE} "
+            "SELECT status_key, order_status, order_priority, return_flag FROM status"
+        ),
+        "dim_date": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS date_actual FROM orders "
+            "UNION SELECT CAST(l_shipdate AS DATE) FROM lineitem) "
+            "SELECT CAST(strftime(date_actual, '%Y%m%d') AS INTEGER) AS date_key, date_actual, "
+            "CAST(year(date_actual) AS INTEGER) AS year, CAST(month(date_actual) AS INTEGER) AS month, "
+            "monthname(date_actual) AS month_name, dayname(date_actual) AS day_of_week, "
+            "CAST(quarter(date_actual) AS INTEGER) AS quarter "
+            "FROM d WHERE date_actual IS NOT NULL"
+        ),
+        "fact_lineitem": (
+            "WITH products AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) AS BIGINT) AS product_key, p_partkey FROM part), "
+            "customers AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_key, c_custkey FROM customer), "
+            f"{_STATUS_CTE} "
+            "SELECT l.l_orderkey, l.l_linenumber, p.product_key, c.customer_key, s.status_key, "
+            "CAST(strftime(CAST(o.o_orderdate AS DATE), '%Y%m%d') AS INTEGER) AS order_date_key, "
+            "CAST(strftime(CAST(l.l_shipdate AS DATE), '%Y%m%d') AS INTEGER) AS ship_date_key, "
+            "CAST(l.l_partkey AS VARCHAR) || '_' || CAST(l.l_suppkey AS VARCHAR) AS part_supp_key, "
+            "l.l_quantity AS quantity, l.l_extendedprice AS sales, l.l_discount AS discount_rate, "
+            f"{_REVENUE_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} AS revenue "
+            "FROM lineitem l "
+            "LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "LEFT JOIN products p ON l.l_partkey = p.p_partkey "
+            "LEFT JOIN customers c ON o.o_custkey = c.c_custkey "
+            "LEFT JOIN status s ON UPPER(TRIM(o.o_orderstatus)) = s.order_status "
+            "AND UPPER(TRIM(o.o_orderpriority)) = s.order_priority "
+            "AND UPPER(TRIM(l.l_returnflag)) = s.return_flag"
+        ),
+        "fact_bucket_profile": (
+            "SELECT CAST(l_orderkey % 20 AS INTEGER) AS bucket, COUNT(*) AS n_rows, "
+            f"{_dsum(_REVENUE_SQL, 'revenue')} "
+            "FROM lineitem GROUP BY 1"
+        ),
+        "a5_profit_by_hierarchy": (
+            "SELECT p.p_brand, p.p_type, "
+            + _dsum("l.l_extendedprice * (1.0 - l.l_discount)", "total_revenue")
+            + ", COUNT(*) AS n_items "
+            "FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey "
+            "GROUP BY p.p_brand, p.p_type"
+        ),
+        "a5_profit_rollup": (
+            "SELECT p.p_brand, p.p_type, "
+            + _dsum("l.l_extendedprice * (1.0 - l.l_discount)", "total_revenue")
+            + ", COUNT(*) AS n_items "
+            "FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey "
+            "GROUP BY ROLLUP(p.p_brand, p.p_type)"
+        ),
+        "a6_sales_trend": (
+            "SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+            "CAST(month(o_orderdate) AS INTEGER) AS order_month, "
+            + _dsum("o_totalprice", "total_sales")
+            + ", COUNT(*) AS n_orders FROM orders GROUP BY 1, 2"
+        ),
+        "a6_sales_trend_mom": (
+            "WITH m AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+            "CAST(month(o_orderdate) AS INTEGER) AS order_month, "
+            + _dsum("o_totalprice", "total_sales")
+            + ", COUNT(*) AS n_orders FROM orders GROUP BY 1, 2) "
+            "SELECT order_year, order_month, total_sales, "
+            "total_sales - LAG(total_sales) OVER (ORDER BY order_year, order_month) AS mom_delta "
+            "FROM m"
+        ),
+        "a7_schedule_adherence": (
+            "SELECT l.l_linestatus, "
+            "CAST(SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time, "
+            "COUNT(*) AS n_total, "
+            "ROUND(CAST(SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS adherence_rate "
+            "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY l.l_linestatus"
+        ),
+        "a8_returns_by_nation": (
+            "SELECT n.n_name AS nation_name, COUNT(*) AS n_returned_items, "
+            + _dsum("l.l_extendedprice * (1.0 - l.l_discount)", "returned_revenue")
+            + " FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE l.l_returnflag = 'R' GROUP BY n.n_name"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            + _dsum("l_quantity", "sum_qty", scale=6)
+            + ", " + _dsum("l_extendedprice", "sum_base_price")
+            + ", " + _dsum("l_extendedprice * (1.0 - l_discount)", "sum_disc_price")
+            + ", " + _dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", "sum_charge")
+            + ", COUNT(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_customers": (
+            "WITH rev AS (SELECT o.o_custkey, "
+            + _dsum("l.l_extendedprice * (1.0 - l.l_discount)", "total_revenue")
+            + ", COUNT(*) AS n_items "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY o.o_custkey) "
+            "SELECT c.c_custkey, c.c_name AS customer_name, r.total_revenue, r.n_items "
+            "FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey "
+            "ORDER BY r.total_revenue DESC, c.c_custkey LIMIT 10"
+        ),
+        "events_hourly": (
+            "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, "
+            "COUNT(*) AS n_events, "
+            + _dsum("value", "total_value", scale=4)
+            + ", COUNT(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY 1, 2"
+        ),
+    }

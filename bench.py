@@ -1,0 +1,72 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``; each query is forced end-to-end with the
+noop sink (full pipeline execution, no driver collect).  Prints
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E  # noqa: E402
+from logistream_data_pipeline_aws_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "fact_lineitem",
+    "q1_pricing_summary",
+    "a5_profit_rollup",
+    "a6_sales_trend",
+    "a7_schedule_adherence",
+    "a8_returns_by_nation",
+    "top_customers",
+    "events_hourly",
+    "dim_date",
+    "dim_customer",
+]
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("logistream-bench")
+    qs = E.queries()
+
+    # JVM/codegen warmup on the smallest scale so timings measure the
+    # engine, not classloading.
+    run_query(qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        run_query(qs[name](spark, sf_dir))
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

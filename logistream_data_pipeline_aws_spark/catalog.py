@@ -1,0 +1,233 @@
+"""Logical table registry — the engine's stand-in for the Glue Data Catalog.
+
+The reference resolves tables through AWS Glue
+(``create_dynamic_frame.from_catalog(database=..., table_name=...).toDF()``,
+etl_jobs/glue_master_etl.py GE:100-103) with crawler-inferred schemas
+(README.md RM:86).  Here the catalog is explicit: every logical table name
+maps to a fixed ``StructType`` (never ``inferSchema`` in the engine proper)
+and a path resolver, and ``register_views`` binds them as temp views so the
+whole analytics surface is reachable from ``spark.sql``.
+
+Two table families:
+
+- **testdata tables** — the driver-generated TPC-H-ish star schema at
+  ``/root/testdata/sf*/`` (region nation customer supplier part orders
+  lineitem events documents embeddings), parquet.
+- **reference-shaped tables** — ``rawdata`` (order line items, the 33
+  ETL-touched columns of the 58-column DataCo CSV) and ``processed_routes``
+  (flattened GeoJSON routes, 5 columns per LJ:24), used by the
+  reference-parity warehouse build and its unit tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# --------------------------------------------------------------------------
+# testdata (TPC-H-ish) schemas — fixed, mirroring the parquet footers
+# --------------------------------------------------------------------------
+
+TESTDATA_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+# --------------------------------------------------------------------------
+# reference-shaped staging schemas (FIXTURES.md §A1/§A3; types per the
+# warehouse DDL data_warehouse/ddl_snowflake_schema.sql DS:1-102)
+# --------------------------------------------------------------------------
+
+RAWDATA_SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.IntegerType()),
+        T.StructField("order_item_id", T.IntegerType()),
+        T.StructField("order_customer_id", T.IntegerType()),
+        T.StructField("customer_id", T.IntegerType()),
+        T.StructField("customer_fname", T.StringType()),
+        T.StructField("customer_lname", T.StringType()),
+        T.StructField("customer_email", T.StringType()),
+        T.StructField("customer_city", T.StringType()),
+        T.StructField("customer_state", T.StringType()),
+        T.StructField("customer_segment", T.StringType()),
+        T.StructField("customer_country", T.StringType()),
+        T.StructField("department_id", T.IntegerType()),
+        T.StructField("department_name", T.StringType()),
+        T.StructField("category_id", T.IntegerType()),
+        T.StructField("category_name", T.StringType()),
+        T.StructField("product_card_id", T.IntegerType()),
+        T.StructField("product_name", T.StringType()),
+        T.StructField("product_image", T.StringType()),
+        T.StructField("order_item_product_price", T.DecimalType(10, 2)),
+        T.StructField("shipping_mode", T.StringType()),
+        T.StructField("delivery_status", T.StringType()),
+        T.StructField("order_status", T.StringType()),
+        T.StructField("order_date_dateorders", T.StringType()),
+        T.StructField("shipping_date_dateorders", T.StringType()),
+        T.StructField("order_city", T.StringType()),
+        T.StructField("order_state", T.StringType()),
+        T.StructField("order_country", T.StringType()),
+        T.StructField("order_region", T.StringType()),
+        T.StructField("market", T.StringType()),
+        T.StructField("latitude_src", T.DoubleType()),
+        T.StructField("longitude_src", T.DoubleType()),
+        T.StructField("latitude_dest", T.DoubleType()),
+        T.StructField("longitude_dest", T.DoubleType()),
+        T.StructField("sales", T.DecimalType(10, 2)),
+        T.StructField("order_item_quantity", T.IntegerType()),
+        T.StructField("order_profit_per_order", T.DecimalType(10, 2)),
+        T.StructField("order_item_discount_rate", T.DecimalType(10, 2)),
+        T.StructField("days_for_shipping_real", T.IntegerType()),
+        T.StructField("days_for_shipment_scheduled", T.IntegerType()),
+        T.StructField("late_delivery_risk", T.IntegerType()),
+    ]
+)
+
+PROCESSED_ROUTES_SCHEMA = T.StructType(
+    [
+        T.StructField("origin_lat", T.DoubleType()),
+        T.StructField("origin_long", T.DoubleType()),
+        T.StructField("dest_lat", T.DoubleType()),
+        T.StructField("dest_long", T.DoubleType()),
+        T.StructField("shape_wkt", T.StringType()),
+    ]
+)
+
+
+def table_path(name: str, sf_dir: str = DEFAULT_SF_DIR) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one testdata table with its fixed schema (no inference).
+
+    Column pruning + predicate pushdown reach the parquet scan because the
+    read is a plain declarative ``spark.read.parquet`` — downstream
+    ``select``/``filter`` land in ``PushedFilters`` / ``ReadSchema``.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader refuses to widen to its microsecond TimestampType;
+    it is read as raw nanos (``nanosAsLong``) and floored to micros —
+    session-local, set at read time so any SparkSession works.
+    """
+    if name not in TESTDATA_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TESTDATA_SCHEMAS)}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in TESTDATA_SCHEMAS["events"].fields
+            ]
+        )
+        raw = spark.read.schema(raw_schema).parquet(table_path(name, sf_dir))
+        from pyspark.sql import functions as F
+
+        # integer div: ns epoch (~1.7e18) exceeds double's 53-bit mantissa
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(table_path(name, sf_dir))
+
+
+def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TESTDATA_SCHEMAS}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Bind every testdata table as a temp view (spark.sql surface, §3.3)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,99 @@
+"""Generic dimension builders (SURVEY §7 phase 2).
+
+Every dimension in the reference follows one shape
+(etl_jobs/glue_master_etl.py GE:109-241): ``select/alias -> dropDuplicates
+-> [left join parent dim for its key] -> write``, with the surrogate key
+assigned by the warehouse.  Here the whole shape is one function and the
+key is generated in-plan.
+
+Specializations:
+- ``build_junk_dimension`` — all distinct combos of low-cardinality flags
+  (dim_execution_status, GE:166-172 / DS:63-68).
+- ``build_date_dimension`` — union of date columns, distinct, yyyymmdd int
+  key + the full DS:55-59 calendar attributes the reference declared but
+  never populated (GE:183-198; SURVEY §1.5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logistream_data_pipeline_aws_spark.functions.dates import with_calendar, date_key
+from logistream_data_pipeline_aws_spark.functions.keys import with_sequential_key
+from logistream_data_pipeline_aws_spark.operators.dedup import dedup_first
+
+
+def build_dimension(
+    df: DataFrame,
+    attrs: Mapping[str, Column | str],
+    natural_key: Sequence[str],
+    key_name: str,
+    parent: DataFrame | None = None,
+    parent_on: Sequence[str] | None = None,
+) -> DataFrame:
+    """Project+rename -> deterministic dedup -> optional parent-key join ->
+    sequential surrogate key.
+
+    ``attrs`` maps output column name -> source column/expression (the
+    GE select/alias block).  ``natural_key`` columns must exist in the
+    *output* names and uniquely identify a dimension row; they double as
+    the key-assignment ordering, so keys are reproducible run-over-run.
+    The parent join (hierarchy chaining, GE:123/GE:135) broadcasts the
+    parent side — dims are small by construction.
+    """
+    cols = [
+        (F.col(v) if isinstance(v, str) else v).alias(k) for k, v in attrs.items()
+    ]
+    dim = df.select(*cols)
+    dim = dedup_first(dim, keys=list(natural_key), tiebreak=list(natural_key))
+    if parent is not None:
+        dim = dim.join(F.broadcast(parent), on=list(parent_on or []), how="left")
+    return with_sequential_key(dim, key_name, order_by=list(natural_key))
+
+
+def build_junk_dimension(
+    df: DataFrame,
+    flags: Mapping[str, Column | str],
+    key_name: str = "status_key",
+    normalize: bool = True,
+) -> DataFrame:
+    """Distinct combinations of low-cardinality flag columns.
+
+    ``normalize=True`` applies the reference's upper/trim key hygiene
+    (GE:166-172 normalizes via later joins, GE:305-307) *inside* the
+    dimension so the fact lookup is a plain equi-join.
+    """
+    cols = []
+    for out, src in flags.items():
+        c = F.col(src) if isinstance(src, str) else src
+        if normalize:
+            c = F.upper(F.trim(c))
+        cols.append(c.alias(out))
+    names = list(flags.keys())
+    dim = df.select(*cols).dropDuplicates()
+    return with_sequential_key(dim, key_name, order_by=names)
+
+
+def build_date_dimension(
+    dfs_and_cols: Sequence[tuple[DataFrame, Column | str]],
+    key_name: str = "date_key",
+) -> DataFrame:
+    """Union the date domains of several columns -> one calendar dimension.
+
+    Matches GE:180-198 (order-date ∪ ship-date, distinct, yyyymmdd key)
+    plus the DS:55-59 calendar columns.  The union/distinct shuffle is over
+    *dates only* — tiny at any fact scale.
+    """
+    parts = []
+    for df, col in dfs_and_cols:
+        c = F.col(col) if isinstance(col, str) else col
+        parts.append(df.select(F.to_date(c).alias("date_actual")))
+    dates = parts[0]
+    for p in parts[1:]:
+        dates = dates.union(p)
+    dates = dates.where(F.col("date_actual").isNotNull()).distinct()
+    dates = dates.withColumn(key_name, date_key(F.col("date_actual")))
+    return with_calendar(dates, "date_actual")

@@ -1,0 +1,233 @@
+"""The analytics/BI query surface (SURVEY §2.4 A5-A8 + headline queries).
+
+The reference's aggregation layer lives in Power BI over Redshift
+(documentation/Project_Report.pdf pp.16-18, README.md RM:146-158); the four
+canonical dashboard queries map onto the testdata star schema as:
+
+- A5 hierarchical profit rollup  -> revenue by brand -> type (plus a true
+  ``ROLLUP`` variant, the idiomatic upgrade noted in SURVEY §2.4)
+- A6 time-series sales trend     -> monthly sum of o_totalprice
+- A7 schedule adherence %        -> on-time ship share per linestatus
+- A8 late-order volume by geo    -> returned-lineitem count per nation
+
+Determinism contract with the DuckDB oracle: SUM over doubles is
+order-dependent in the last ulp, so every money-sum is computed as
+``SUM(CAST(x AS DECIMAL(18,2)))`` (exact, associative, order-independent)
+and cast back to double; ratios divide two exact quantities once.  Every
+computed column is aliased identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logistream_data_pipeline_aws_spark.catalog import load_table
+
+
+def dsum(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """Order-independent money sum: decimal-exact, surfaced as double.
+
+    Scale 6 covers the exact decimal width of every derived measure here
+    (2dp price × 2dp discount factor × 2dp tax factor) so the double ->
+    decimal cast is exact — no round-half ties to diverge on between
+    engines — and decimal addition is associative, so partial aggregation
+    order can't perturb the result.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(30,{scale})")).cast("double").alias(alias)
+
+
+def _revenue() -> Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+# -- A5: hierarchical profit rollup ----------------------------------------
+
+
+def a5_profit_by_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by brand -> type (Treemap query, PR p.16): fact ⋈ broadcast
+    dim -> partial+final hash aggregation."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    return (
+        lineitem.join(F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+                      lineitem.l_partkey == part.p_partkey, "left")
+        .groupBy("p_brand", "p_type")
+        .agg(
+            dsum(_revenue(), "total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select("p_brand", "p_type", "total_revenue", "n_items")
+    )
+
+
+def a5_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True ROLLUP over the hierarchy: (brand,type) + (brand) + grand
+    total, NULL-filled subtotal rows — one pass, grouping-sets expansion."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    return (
+        lineitem.join(F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+                      lineitem.l_partkey == part.p_partkey, "left")
+        .rollup("p_brand", "p_type")
+        .agg(dsum(_revenue(), "total_revenue"), F.count(F.lit(1)).alias("n_items"))
+        .select("p_brand", "p_type", "total_revenue", "n_items")
+    )
+
+
+# -- A6: time-series sales trend -------------------------------------------
+
+
+def a6_sales_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total sales by year/month (dashboard p.2 trend, PR pp.16-17)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(dsum("o_totalprice", "total_sales"), F.count(F.lit(1)).alias("n_orders"))
+        .select("order_year", "order_month", "total_sales", "n_orders")
+    )
+
+
+def a6_sales_trend_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month delta via LAG over the monthly trend — the one
+    genuinely windowed analytic in the surface (reference has none,
+    SURVEY §2.5; this is the BI-layer's implicit time intelligence)."""
+    from pyspark.sql import Window
+
+    monthly = a6_sales_trend(spark, sf_dir)
+    w = Window.orderBy("order_year", "order_month")
+    return monthly.select(
+        "order_year",
+        "order_month",
+        "total_sales",
+        (F.col("total_sales") - F.lag("total_sales", 1).over(w)).alias("mom_delta"),
+    )
+
+
+# -- A7: schedule adherence -------------------------------------------------
+
+
+def a7_schedule_adherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of line items shipped within 30 days of order, per
+    linestatus (adherence measure analog, PR pp.17-18: days_real vs
+    days_scheduled per shipping_mode)."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    on_time = F.when(
+        F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        lineitem.join(orders.select("o_orderkey", "o_orderdate"),
+                      lineitem.l_orderkey == orders.o_orderkey, "left")
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(on_time).alias("n_on_time"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            "l_linestatus",
+            "n_on_time",
+            "n_total",
+            F.round(F.col("n_on_time") / F.col("n_total"), 6).alias("adherence_rate"),
+        )
+    )
+
+
+# -- A8: late/returned volume by geography ---------------------------------
+
+
+def a8_returns_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-lineitem volume per customer nation (map bubble query,
+    PR p.18: late_risk=1 count per country).  Filter is pushed below the
+    joins; nation/region sides broadcast."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"), "inner")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_returned_items"),
+            dsum(_revenue(), "returned_revenue"),
+        )
+        .select("nation_name", "n_returned_items", "returned_revenue")
+    )
+
+
+# -- headline benchmark queries --------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical scan-heavy
+    aggregate — filter pushdown + column pruning + partial aggregation
+    are the whole game."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "count_order",
+        )
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Top-k customers by revenue: big-big join then ordered limit
+    (TopK physical operator — no global sort materialization).
+    Deterministic tiebreak on c_custkey."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    return (
+        lineitem.join(orders.select("o_orderkey", "o_custkey"),
+                      lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_custkey")
+        .agg(dsum(_revenue(), "total_revenue"), F.count(F.lit(1)).alias("n_items"))
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .select(F.col("c_custkey"), F.col("c_name").alias("customer_name"),
+                "total_revenue", "n_items")
+        .orderBy(F.col("total_revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events table, batch form —
+    the same window()+agg the streaming path runs incrementally
+    (streaming.pipeline); epoch-aligned hourly buckets."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value", scale=4),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .select("window_start", "event_type", "n_events", "total_value", "n_users")
+    )

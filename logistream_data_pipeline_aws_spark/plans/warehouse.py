@@ -1,0 +1,277 @@
+"""Warehouse build over the TPC-H-ish testdata (FIXTURES.md §B mapping).
+
+Re-expresses every dimension/fact build of the reference ETL
+(etl_jobs/glue_master_etl.py GE:109-348) on the driver's star schema:
+
+- product hierarchy dept←cat←product  ->  brand ← type ← part
+- geography snowflake                  ->  region ← nation
+- customer dim                         ->  customer (+nation,region chain)
+- junk status dim (GE:166-172)         ->  distinct (o_orderstatus,
+                                           o_orderpriority, l_returnflag)
+- date dim union (GE:180-198)          ->  o_orderdate ∪ l_shipdate
+- fact 5-way key pipeline (GE:314-327) ->  lineitem ⋈ dims
+
+Determinism contract (drives the DuckDB oracle): surrogate keys are
+``row_number() OVER (ORDER BY natural key)`` cast to long; every computed
+column is aliased; aggregate sums go through DECIMAL(18,2) so they are
+order-independent (see plans.analytics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logistream_data_pipeline_aws_spark.catalog import load_table
+from logistream_data_pipeline_aws_spark.functions.dates import date_key
+from logistream_data_pipeline_aws_spark.functions.keys import with_sequential_key
+from logistream_data_pipeline_aws_spark.functions.normalize import composite_key, norm_key
+from logistream_data_pipeline_aws_spark.operators.dimensions import (
+    build_date_dimension,
+    build_dimension,
+    build_junk_dimension,
+)
+from logistream_data_pipeline_aws_spark.operators.fact import KeyLookup, assemble_fact
+
+
+# -- dimensions -------------------------------------------------------------
+
+
+def dim_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smallest dim: project + sequential surrogate key (GE:109-114 shape)."""
+    region = load_table(spark, "region", sf_dir)
+    return with_sequential_key(
+        region.select("r_regionkey", "r_name"), "region_key", ["r_regionkey"]
+    ).select("region_key", "r_regionkey", "r_name")
+
+
+def dim_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation ⋈ region hierarchy chain (J1 analog of dim_geography,
+    GE:222-241)."""
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    geo = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select(
+            nation.n_nationkey,
+            nation.n_name.alias("nation_name"),
+            region.r_name.alias("region_name"),
+        )
+    )
+    return with_sequential_key(geo, "geo_key", ["n_nationkey"]).select(
+        "geo_key", "n_nationkey", "nation_name", "region_name"
+    )
+
+
+def dim_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top of the product hierarchy (dim_department analog, GE:109-114):
+    select/alias -> dedup -> keygen."""
+    part = load_table(spark, "part", sf_dir)
+    return build_dimension(
+        part,
+        attrs={"brand_name": "p_brand"},
+        natural_key=["brand_name"],
+        key_name="brand_key",
+    ).select("brand_key", "brand_name")
+
+
+def dim_product_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid hierarchy with parent-key chaining (dim_category analog,
+    GE:118-124: dedup then left join parent for its surrogate key)."""
+    part = load_table(spark, "part", sf_dir)
+    brands = dim_brand(spark, sf_dir)
+    dim = build_dimension(
+        part,
+        attrs={"type_name": "p_type", "brand_name": "p_brand"},
+        natural_key=["type_name", "brand_name"],
+        key_name="type_key",
+        parent=brands,
+        parent_on=["brand_name"],
+    )
+    return dim.select("type_key", "type_name", "brand_name", "brand_key")
+
+
+def dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaf of the hierarchy (dim_product analog, GE:129-138)."""
+    part = load_table(spark, "part", sf_dir)
+    types = dim_product_type(spark, sf_dir)
+    dim = build_dimension(
+        part,
+        attrs={
+            "p_partkey": "p_partkey",
+            "product_name": "p_name",
+            "brand_name": "p_brand",
+            "type_name": "p_type",
+            "product_price": "p_retailprice",
+        },
+        natural_key=["p_partkey"],
+        key_name="product_key",
+        parent=types.select("type_key", "type_name", "brand_name"),
+        parent_on=["type_name", "brand_name"],
+    )
+    return dim.select(
+        "product_key", "p_partkey", "product_name", "brand_name", "type_name",
+        "product_price", "type_key",
+    )
+
+
+def dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer dim over the snowflake chain customer←nation←region
+    (dim_customer analog, GE:141-162; snowflake per DS:13/DS:23)."""
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    geo = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left").select(
+        nation.n_nationkey,
+        nation.n_name.alias("nation_name"),
+        region.r_name.alias("region_name"),
+    )
+    dim = (
+        customer.join(F.broadcast(geo), customer.c_nationkey == geo.n_nationkey, "left")
+        .select(
+            "c_custkey",
+            F.col("c_name").alias("customer_name"),
+            norm_key("c_mktsegment").alias("segment"),
+            "nation_name",
+            "region_name",
+            "c_acctbal",
+        )
+    )
+    return with_sequential_key(dim, "customer_key", ["c_custkey"]).select(
+        "customer_key", "c_custkey", "customer_name", "segment",
+        "nation_name", "region_name", "c_acctbal",
+    )
+
+
+def dim_junk_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Junk dimension: all distinct combos of 3 low-cardinality flags
+    (dim_execution_status analog, GE:166-172 / DS:63-68), keys normalized
+    upper/trim like GE:305-307."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    flags = lineitem.join(
+        orders.select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+        lineitem.l_orderkey == orders.o_orderkey,
+        "left",
+    )
+    return build_junk_dimension(
+        flags,
+        flags={
+            "order_status": "o_orderstatus",
+            "order_priority": "o_orderpriority",
+            "return_flag": "l_returnflag",
+        },
+        key_name="status_key",
+    ).select("status_key", "order_status", "order_priority", "return_flag")
+
+
+def dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date dim: union of order-date and ship-date domains, distinct,
+    yyyymmdd int key + full calendar attrs (GE:180-198 + DS:55-59,
+    closing the reference's unpopulated-columns gap, SURVEY §1.5)."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    dim = build_date_dimension(
+        [(orders, "o_orderdate"), (lineitem, "l_shipdate")], key_name="date_key"
+    )
+    return dim.select(
+        "date_key",
+        "date_actual",
+        F.col("year").cast("int").alias("year"),
+        F.col("month").cast("int").alias("month"),
+        "month_name",
+        "day_of_week",
+        F.col("quarter").cast("int").alias("quarter"),
+    )
+
+
+# -- fact -------------------------------------------------------------------
+
+
+def fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact key pipeline (GE:294-348 analog).
+
+    Physical plan: lineitem scan -> narrow key derivations -> ONE
+    co-partitioned join to orders (the only big-big join; at 100 TB this
+    is a shuffle on the natural key, optionally avoided by bucketing both
+    tables on orderkey) -> four BROADCAST hash joins against the small
+    dims -> final projection.  The fact side never shuffles for the dim
+    lookups (SURVEY §4.4).
+    """
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+
+    products = dim_product(spark, sf_dir).select("product_key", "p_partkey")
+    customers = dim_customer(spark, sf_dir).select("customer_key", "c_custkey")
+    status = dim_junk_status(spark, sf_dir)
+
+    # J4 analog: differing column names, big-big equi join on the natural key.
+    enriched = lineitem.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"),
+        lineitem.l_orderkey == orders.o_orderkey,
+        "left",
+    )
+
+    derived = {
+        # P2/F1-F3: date keys computed in-row, no dim join needed
+        "order_date_key": date_key(F.to_date("o_orderdate")),
+        "ship_date_key": date_key(F.to_date("l_shipdate")),
+        # F5: composite natural key analog (route key concat, GE:296-299)
+        "part_supp_key": composite_key("l_partkey", "l_suppkey"),
+        # F4/J6: normalized status flags for the junk-dim lookup
+        "norm_order_status": norm_key("o_orderstatus"),
+        "norm_order_priority": norm_key("o_orderpriority"),
+        "norm_return_flag": norm_key("l_returnflag"),
+        # measure: revenue (per-row arithmetic, deterministic)
+        "revenue": F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+    }
+
+    lookups = [
+        KeyLookup(products, ["l_partkey"], ["p_partkey"], ["product_key"]),  # J3
+        KeyLookup(customers, ["o_custkey"], ["c_custkey"], ["customer_key"]),  # J4
+        KeyLookup(  # J6/J7: 3-column normalized junk-status lookup
+            status,
+            ["norm_order_status", "norm_order_priority", "norm_return_flag"],
+            ["order_status", "order_priority", "return_flag"],
+            ["status_key"],
+        ),
+    ]
+
+    fact = assemble_fact(
+        enriched,
+        lookups,
+        derived=derived,
+        project=[
+            "l_orderkey",
+            "l_linenumber",
+            "product_key",
+            "customer_key",
+            "status_key",
+            "order_date_key",
+            "ship_date_key",
+            "part_supp_key",
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("sales"),
+            F.col("l_discount").alias("discount_rate"),
+            F.col("revenue").alias("revenue"),
+        ],
+    )
+    return fact
+
+
+def fact_bucket_profile(spark: SparkSession, sf_dir: str, n_buckets: int = 20) -> DataFrame:
+    """Bucketed-load profile (P4/F6/F7 analog of GE:352-362): rows and
+    revenue per modulo bucket of the order key.  The reference runs one
+    filtered job per bucket; here it's a single hash aggregation."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    return (
+        lineitem.withColumn("bucket", F.pmod(F.col("l_orderkey"), F.lit(n_buckets)).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select("bucket", "n_rows", "revenue")
+    )

@@ -1,0 +1,72 @@
+"""Read/write helpers replacing the reference's S1-S8 edge operators
+(SURVEY §2.1).
+
+- Catalog CSV scans (GE:100-103, GE:204-207) -> schema'd ``read_csv`` /
+  ``read_parquet`` (parquet is the engine's native staging format: columnar,
+  predicate pushdown + column pruning for free — the single biggest
+  physical upgrade over the reference's CSV staging, SURVEY §4.2).
+- TRUNCATE-then-append soft overwrite (GE:46-59 + GE:71-85) ->
+  ``write_table(mode="overwrite")``; batching/bucketed JDBC loads ->
+  ``functions.keys.write_bucketed``.
+- Lambda S3 JSON get/put (LJ:17-24) -> ``read_json(multiline=True)`` and
+  ``write_table(fmt="csv", header=True)``.
+
+Paths are plain Hadoop-FS URIs: ``file:/...`` locally, ``s3a://...`` on a
+cluster — same code either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan with an explicit schema — the engine never infers
+    (SURVEY §1.3); crawler-style inference is a CLI concern, not an
+    engine one."""
+    return spark.read.options(header=str(header).lower(), **options).schema(schema).csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    multiline: bool = True,
+) -> DataFrame:
+    r = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Sink with overwrite ≡ the reference's TRUNCATE+append (GE:113 etc.).
+
+    ``partition_by`` yields hive-style directory partitioning so downstream
+    scans get partition pruning — the scale story for date-keyed facts.
+    """
+    w = df.write.mode(mode).options(**options)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    getattr(w, fmt)(path)

@@ -1,0 +1,46 @@
+"""GeoJSON flattening (SURVEY §2.8 N1-N5, F9-F10) incl. the LJ:40 bug fix:
+dest_long must be the last point's longitude, not a copy of dest_lat."""
+
+from __future__ import annotations
+
+import json
+
+from logistream_data_pipeline_aws_spark.sources.geojson import (
+    flatten_geojson_routes,
+    read_geojson,
+)
+
+FEATURES = {
+    "type": "FeatureCollection",
+    "features": [
+        {
+            "type": "Feature",
+            "geometry": {
+                "type": "LineString",
+                "coordinates": [[-80.1, 25.7], [-81.0, 26.5], [-82.3, 27.9]],
+            },
+        },
+        {
+            "type": "Feature",
+            "geometry": {"type": "LineString", "coordinates": [[10.0, 20.0], [30.5, 40.25]]},
+        },
+    ],
+}
+
+
+def test_flatten_routes(spark, tmp_path):
+    p = tmp_path / "routes.geojson"
+    p.write_text(json.dumps(FEATURES))
+    feats = read_geojson(spark, str(p))
+    assert feats.count() == 2
+    out = {r.shape_wkt: r for r in flatten_geojson_routes(feats).collect()}
+
+    wkt1 = "LINESTRING(-80.1 25.7, -81 26.5, -82.3 27.9)"
+    r1 = out[wkt1]
+    # coordinates are [lon, lat]; origin = first point, dest = last point
+    assert (r1.origin_lat, r1.origin_long) == (25.7, -80.1)
+    assert (r1.dest_lat, r1.dest_long) == (27.9, -82.3)  # NOT (27.9, 27.9): LJ:40 bug fixed
+
+    wkt2 = "LINESTRING(10 20, 30.5 40.25)"
+    r2 = out[wkt2]
+    assert (r2.origin_lat, r2.origin_long, r2.dest_lat, r2.dest_long) == (20.0, 10.0, 40.25, 30.5)
