@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from logistream_data_pipeline_aws_spark.plans import analytics as A
+from logistream_data_pipeline_aws_spark.plans import extensions as X
 from logistream_data_pipeline_aws_spark.plans import warehouse as W
 
 
@@ -80,11 +81,211 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": A.q1_pricing_summary,
         "top_customers": A.top_customers,
         "events_hourly": A.events_hourly,
+        # -- training-data pipeline extensions (dedup / similarity / text /
+        #    multimodal / JSON)
+        "dedup_exact": X.dedup_exact,
+        "dedup_minhash_lsh": X.dedup_minhash_lsh,
+        "dedup_simhash": X.dedup_simhash,
+        "dedup_simhash_pairs": X.dedup_simhash_pairs,
+        "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
+        "dedup_embedding": X.dedup_embedding,
+        "similarity_topk": X.similarity_topk,
+        "similarity_ann_lsh": X.similarity_ann_lsh,
+        "text_stats": X.text_stats,
+        "lang_id": X.lang_id,
+        "doc_fingerprints": X.doc_fingerprints,
+        "multimodal_meta": X.multimodal_meta,
+        "events_json_kv": X.events_json_kv,
+    }
+
+
+# -- extension oracle fragments ---------------------------------------------
+
+_TOKENS = "string_split_regex(trim(text), '\\s+')"
+# distinct word 3-shingles (k=3): mirrors functions.text.word_shingles
+_SHINGLES = (
+    "CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(range(0, len(tk) - 2), "
+    "i -> array_to_string(tk[(i+1):(i+3)], ' '))) ELSE [] END"
+)
+# left-fold double dot product: mirrors functions.vectors.dot
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (u, v) -> u + v)"
+    )
+
+
+def _cosine(va: str, vb: str) -> str:
+    return (
+        f"CASE WHEN sqrt({_dot(va, va)}) > 0 AND sqrt({_dot(vb, vb)}) > 0 "
+        f"THEN {_dot(va, vb)} / (sqrt({_dot(va, va)}) * sqrt({_dot(vb, vb)})) END"
+    )
+
+
+_MINHASH_SIG = "[" + ", ".join(
+    f"list_min(list_transform(sh, x -> md5('{s}|' || x)))" for s in range(12)
+) + "]"
+
+_BANDS = "[" + ", ".join(
+    f"md5('{j}#' || array_to_string(sig[{j * 3 + 1}:{j * 3 + 3}], ''))" for j in range(4)
+) + "]"
+
+# pairs (a<b) from each multi-doc bucket, as in dedup_family._pairs_from_sorted_ids
+_PAIRS_FROM_BUCKETS = (
+    "SELECT DISTINCT p[1] AS id_a, p[2] AS id_b FROM ("
+    "SELECT unnest(flatten(list_transform(ids, (x, i) -> "
+    "list_transform(ids[(i+1):], y -> [x, y])))) AS p FROM buckets)"
+)
+
+_TOKEN_HASH = "('0x' || substr(md5(t), 1, 7))::BIGINT"
+
+_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(28)
+)
+_SIMHASH_FP = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(28))
+
+_SIMHASH_CTE = (
+    "ex AS (SELECT doc_id, unnest(list_transform("
+    + _TOKENS
+    + f", t -> {_TOKEN_HASH})) AS h FROM documents), "
+    f"v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM ex GROUP BY doc_id), "
+    f"fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM v)"
+)
+
+_SW = {
+    "en": "['the','a','of','and','to','in','is','it','you','that']",
+    "de": "['der','die','das','und','ist','ich','nicht','ein','mit','zu']",
+    "es": "['el','la','de','que','y','en','un','por','con','una']",
+    "fr": "['le','la','de','et','un','une','est','pour','que','dans']",
+}
+
+
+def _sw_hits(lang: str) -> str:
+    return f"CAST(len(list_filter(tk, t -> list_contains({_SW[lang]}, lower(t)))) AS BIGINT)"
+
+
+def _ext_oracles() -> dict[str, str]:
+    jaccard = (
+        "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+        "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)"
+    )
+    return {
+        "dedup_exact": (
+            "SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash, "
+            "MIN(doc_id) AS keep_id, COUNT(*) AS n_docs FROM documents "
+            "GROUP BY 1"
+        ),
+        "dedup_minhash_lsh": (
+            "WITH tok AS (SELECT doc_id, " + _TOKENS + " AS tk FROM documents), "
+            f"sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM tok), "
+            "base AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0), "
+            f"sig AS (SELECT doc_id, sh, {_MINHASH_SIG} AS sig FROM base), "
+            f"banded AS (SELECT doc_id, unnest({_BANDS}) AS band_hash FROM sig), "
+            "buckets AS (SELECT band_hash, list_sort(list(DISTINCT doc_id)) AS ids "
+            "FROM banded GROUP BY band_hash HAVING COUNT(DISTINCT doc_id) > 1), "
+            f"cand AS ({_PAIRS_FROM_BUCKETS}) "
+            f"SELECT c.id_a, c.id_b, {jaccard} AS jaccard "
+            "FROM cand c JOIN base a ON c.id_a = a.doc_id JOIN base b ON c.id_b = b.doc_id "
+            f"WHERE {jaccard} >= 0.2"
+        ),
+        "dedup_simhash": (
+            f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM fp"
+        ),
+        "dedup_simhash_pairs": (
+            f"WITH {_SIMHASH_CTE}, "
+            "bk AS (SELECT doc_id, unnest(["
+            + ", ".join(
+                f"'{j}#' || CAST((simhash >> {7 * j}) & 127 AS VARCHAR)" for j in range(4)
+            )
+            + "]) AS band_key FROM fp), "
+            "buckets AS (SELECT band_key, list_sort(list(DISTINCT doc_id)) AS ids "
+            "FROM bk GROUP BY band_key HAVING COUNT(DISTINCT doc_id) > 1), "
+            f"cand AS ({_PAIRS_FROM_BUCKETS}) "
+            "SELECT c.id_a, c.id_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+            "FROM cand c JOIN fp a ON c.id_a = a.doc_id JOIN fp b ON c.id_b = b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
+        "dedup_ngram_jaccard": (
+            "WITH tok AS (SELECT doc_id, source, " + _TOKENS + " AS tk FROM documents), "
+            f"shx AS (SELECT doc_id, source, {_SHINGLES} AS sh FROM tok), "
+            "base AS (SELECT doc_id, source AS block, sh FROM shx WHERE len(sh) > 0) "
+            f"SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b, {jaccard} AS jaccard "
+            "FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id "
+            f"WHERE {jaccard} >= 0.2"
+        ),
+        "dedup_embedding": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            f"round({_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            f"WHERE round({_cosine('a.embedding', 'b.embedding')}, 6) >= 0.4"
+        ),
+        "similarity_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10), "
+            "scored AS (SELECT q.query_id, e.vec_id AS candidate_id, "
+            f"round({_cosine('q.qv', 'e.embedding')}, 6) AS cos_sim "
+            "FROM q, embeddings e WHERE q.query_id <> e.vec_id), "
+            "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY cos_sim DESC, candidate_id) AS INTEGER) AS rank FROM scored) "
+            "SELECT query_id, candidate_id, cos_sim, rank FROM ranked WHERE rank <= 5"
+        ),
+        "similarity_ann_lsh": (
+            "WITH b AS (SELECT vec_id, embedding, CAST("
+            + " + ".join(
+                f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+                for i in range(4)
+            )
+            + " AS BIGINT) AS bucket FROM embeddings), "
+            "q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10), "
+            "scored AS (SELECT q.query_id, c.vec_id AS candidate_id, "
+            f"round({_cosine('q.qv', 'c.embedding')}, 6) AS cos_sim "
+            "FROM q JOIN b c USING (bucket) WHERE q.query_id <> c.vec_id), "
+            "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY cos_sim DESC, candidate_id) AS INTEGER) AS rank FROM scored) "
+            "SELECT query_id, candidate_id, cos_sim, rank FROM ranked WHERE rank <= 5"
+        ),
+        "text_stats": (
+            "WITH tok AS (SELECT doc_id, text, " + _TOKENS + " AS tk FROM documents), "
+            "m AS (SELECT doc_id, text, tk, CAST(len(tk) AS DOUBLE) AS n_tok, "
+            "CAST(len(list_filter(tk, t -> regexp_matches(t, '^[A-Za-z]+$'))) AS DOUBLE) AS n_alpha, "
+            f"CAST({_sw_hits('en')} AS DOUBLE) AS sw FROM tok) "
+            "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_regex_tokens, "
+            "CAST(length(text) AS BIGINT) AS n_chars_actual, "
+            "round(least(n_tok / 64.0, 1.0) * (0.5 + 0.3 * (CASE WHEN n_tok > 0 THEN n_alpha / n_tok ELSE 0.0 END) "
+            "+ 0.2 * least(sw / 4.0, 1.0)), 6) AS quality "
+            "FROM m"
+        ),
+        "lang_id": (
+            "WITH tok AS (SELECT doc_id, lang, " + _TOKENS + " AS tk FROM documents), "
+            "h AS (SELECT doc_id, lang, "
+            + ", ".join(f"{_sw_hits(lg)} AS hits_{lg}" for lg in ("en", "de", "es", "fr"))
+            + " FROM tok) "
+            "SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr, "
+            "CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en' "
+            "WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de' "
+            "WHEN hits_es >= hits_fr THEN 'es' ELSE 'fr' END AS predicted_lang "
+            "FROM h"
+        ),
+        "doc_fingerprints": (
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+            "FROM documents"
+        ),
+        "multimodal_meta": (
+            "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "md5(text) AS checksum FROM documents"
+        ),
+        "events_json_kv": (
+            "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value "
+            "FROM events GROUP BY 1"
+        ),
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = _ext_oracles()
+    out.update({
         "dim_region": (
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY r_regionkey) AS BIGINT) AS region_key, "
             "r_regionkey, r_name FROM region"
@@ -222,4 +423,5 @@ def oracle_sql() -> dict[str, str]:
             + ", COUNT(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY 1, 2"
         ),
-    }
+    })
+    return out

@@ -1,0 +1,98 @@
+"""Text-analysis column helpers for large-scale training-data pipelines.
+
+All pure Catalyst expressions (split / transform / filter / aggregate /
+md5 / conv) — no Python UDFs, so they run JVM-side inside whole-stage
+codegen and scale linearly with partitions.  Cross-engine determinism
+(DuckDB oracle) is part of the design: token hashing goes through md5 hex
+prefixes (identical in any engine) rather than murmur3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword sets for the language-ID heuristic.
+# Deliberately tiny + hard-coded: the point is the *operator shape*
+# (token-set membership scoring at scale), not lexicographic coverage.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "una"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "pour", "que", "dans"],
+}
+
+# A BPE-ish pre-tokenization pattern: letter runs, digit runs, single
+# punctuation marks (identical regex semantics in Spark/Java and DuckDB/RE2
+# for this class-only pattern).
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization: ``split(trim(x), '\\s+')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def regex_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / punct)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0))).cast("long")
+
+
+def word_shingles(tok: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) from a token array.
+
+    Shorter-than-k docs yield an empty set.
+    """
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - k),
+        lambda i: F.array_join(F.slice(tok, i + 1, k), " "),
+    )
+    return F.when(F.size(tok) >= k, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_hash28(tok: Column) -> Column:
+    """Deterministic 28-bit token hash: first 7 hex chars of md5.
+
+    Engine-portable (md5 is md5 everywhere); 28 bits keeps downstream
+    bit arithmetic inside a signed 64-bit lane with room to spare.
+    """
+    return F.conv(F.substring(F.md5(tok), 1, 7), 16, 10).cast("long")
+
+
+def stopword_hits(tok: Column, lang: str) -> Column:
+    """How many tokens (with repeats) are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tok, lambda t: F.array_contains(sw, F.lower(t)))).cast("long")
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lower, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint = md5 of the normalized text."""
+    return F.md5(normalized_text(col))
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length saturation x alpha
+    ratio x (mild) stopword presence.  Pure per-row arithmetic."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tok = tokens(c)
+    n_tok = F.size(tok).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    alpha = F.size(F.filter(tok, lambda t: t.rlike("^[A-Za-z]+$"))).cast("double")
+    alpha_ratio = F.when(n_tok > 0, alpha / n_tok).otherwise(F.lit(0.0))
+    sw = stopword_hits(tok, "en").cast("double")
+    sw_score = F.least(sw / F.lit(4.0), F.lit(1.0))
+    return F.round(len_score * (F.lit(0.5) + F.lit(0.3) * alpha_ratio + F.lit(0.2) * sw_score), 6)

@@ -1,0 +1,242 @@
+"""Large-scale document deduplication — the LLM-training-data operator set.
+
+Five strategies, all expressed as distributed DataFrame plans (no driver
+loops, no UDFs); each notes its 100 TB shape:
+
+- **exact**       hash-groupBy on a content fingerprint.  One shuffle on
+                  the md5 key; skew-free (hashes are uniform).
+- **minhash-LSH** shingle -> minhash signature -> banded bucket join ->
+                  exact-Jaccard verify.  Candidate generation is an
+                  explode + shuffle on band hashes (uniformly distributed);
+                  the verify join is keyed by doc id.  Cost is
+                  O(docs x shingles) map-side + O(candidate pairs) — never
+                  O(n²).
+- **simhash**     per-token hashes -> bitwise majority -> fingerprint;
+                  near-dup pairs via band blocking + hamming check.
+- **ngram-Jaccard** exact word-shingle Jaccard within blocking keys
+                  (O(block²) — callers must block).
+- **embedding**   cosine >= threshold pairs; brute force here, the
+                  LSH-bucketed scale path is operators.similarity.
+
+Hashing is md5-based (engine-portable, deterministic) rather than
+murmur3 so every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logistream_data_pipeline_aws_spark.functions.text import (
+    fingerprint,
+    token_hash28,
+    tokens,
+    word_shingles,
+)
+from logistream_data_pipeline_aws_spark.functions.vectors import cosine
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup groups: one row per distinct normalized content, with
+    the surviving (minimum) id and the duplicate count."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select("content_hash", "keep_id", "n_docs")
+    )
+
+
+def _pairs_from_sorted_ids(ids: Column) -> Column:
+    """All (a,b) combinations, a<b, from a sorted id array."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k_shingle: int = 3, n_hashes: int = 12
+) -> DataFrame:
+    """(id, shingles, sig): distinct word shingles + minhash signature.
+
+    minhash_s(doc) = min over shingles of md5("s|" + shingle) — the hex
+    min is a valid uniform permutation sample, and identical in any
+    engine.  Docs shorter than k_shingle words are dropped (no shingles).
+    """
+    sh = word_shingles(tokens(text_col), k_shingle)
+    base = df.select(F.col(id_col).alias("doc_id"), sh.alias("shingles")).where(
+        F.size("shingles") > 0
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("shingles", lambda x, s=s: F.md5(F.concat(F.lit(f"{s}|"), x)))
+            )
+            for s in range(n_hashes)
+        ]
+    )
+    return base.withColumn("sig", sig)
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """Banded LSH: docs sharing any band hash become a candidate pair.
+
+    The band index is baked into the hash, so one groupBy(band_hash)
+    covers all bands; buckets are md5-uniform -> no shuffle skew.
+    """
+    r = n_hashes // bands
+    band_hashes = F.array(
+        *[
+            F.md5(F.concat(F.lit(f"{j}#"), F.concat_ws("", F.slice("sig", j * r + 1, r))))
+            for j in range(bands)
+        ]
+    )
+    return (
+        sig_df.select("doc_id", F.explode(band_hashes).alias("band_hash"))
+        .groupBy("band_hash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full minhash-LSH dedup: candidates via banding, then *exact*
+    shingle-Jaccard verification (no false positives).  Output:
+    (id_a, id_b, jaccard) for pairs >= threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes)
+    cands = lsh_candidate_pairs(sigs, n_hashes, bands)
+    sh = sigs.select("doc_id", "shingles")
+    a = sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a")
+    b = sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b")
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = inter / union
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 28
+) -> DataFrame:
+    """SimHash: per-token 28-bit hashes -> bitwise majority vote ->
+    fingerprint.  Explode + groupBy keeps it one shuffle on doc id and
+    gives an exact SQL mirror; at scale the explode is map-local and the
+    aggregation combines map-side."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(tokens(text_col), token_hash28)).alias("h"),
+    )
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{j}")
+        for j in range(n_bits)
+    ]
+    voted = ex.groupBy("doc_id").agg(*bit_votes)
+    fp: Column = F.lit(0).cast("long")
+    for j in range(n_bits):
+        fp = fp + F.when(F.col(f"_b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return voted.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    fp_df: DataFrame, n_bits: int = 28, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs from simhash fingerprints: band blocking (any pair
+    within hamming <= bands-1 shares >= 1 exact band) then hamming check."""
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{j}#"),
+                F.shiftright(F.col("simhash"), j * width).bitwiseAND(F.lit(mask)).cast("string"),
+            )
+            for j in range(bands)
+        ]
+    )
+    pairs = (
+        fp_df.select("doc_id", F.explode(band_keys).alias("band_key"))
+        .groupBy("band_key")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+    a = fp_df.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fp_a"))
+    b = fp_df.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fp_b"))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    k_shingle: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard between all doc pairs sharing a blocking
+    key (O(block²) — the blocking column bounds the quadratic term; at
+    scale use a cheap key like language+length-bucket)."""
+    sh = word_shingles(tokens(text_col), k_shingle)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(block_col).alias("block"), sh.alias("sh")
+    ).where(F.size("sh") > 0)
+    a = base.select(F.col("block"), F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("block"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = a.join(b, "block").where(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select(
+            "block", "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs.  Brute-force all-pairs here
+    (exact); the bucketed/ANN path for billions of rows is
+    operators.similarity.ann_topk — same scoring expression, LSH-sharded
+    join instead of a cross join."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    cos = cosine(F.col("v_a"), F.col("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The Spark-side machinery — schemas, Arrow-batched ``mapInPandas``
+transforms, partition shaping — is real and tested; the *codec* step is
+stubbed (this container has no image/audio libraries): ``decode_image``
+falls back to a clearly-marked deterministic fake when PIL is absent, and
+the fake derives metadata purely from the payload bytes so tests are
+reproducible.
+
+Scale shape: payloads stay in executor memory as Arrow binary buffers;
+``mapInPandas`` streams record batches (bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``), so a 100 TB corpus of
+media blobs flows through without ever materializing a partition as
+Python objects row-by-row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # codec gate: not installed in this container
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("checksum", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+def with_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach typed metadata to a binary column — JVM-side expressions
+    only (length + md5), no Python in the hot path."""
+    p = F.col(payload_col)
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.length(p).cast("long").alias("n_bytes"),
+            F.md5(p).alias("checksum"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for an image codec: derives (width, height,
+    mean_byte) from the payload alone.  NOT a real decode — replace with
+    PIL when available."""
+    n = len(payload)
+    width = 1 + (n % 64)
+    height = 1 + (n // 64) % 64
+    mean = float(sum(payload) / n) if n else 0.0
+    return width, height, mean
+
+
+def extract_image_features(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    With PIL installed this would open each payload; here the codec is
+    the deterministic fake (``_fake_decode``).  The plumbing — binary
+    columns through ``mapInPandas`` record batches — is the real,
+    scale-relevant part.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if _HAVE_PIL:
+                raise NotImplementedError(
+                    "real codec path not implemented; this container has no "
+                    "image libraries — extend here with PIL.Image.open"
+                )
+            feats = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
+                    "mean_byte": [f[2] for f in feats],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """'Frame sampling' plumbing for video payloads: emits one row per
+    sampled offset (explode on a JVM-computed offset sequence) — the
+    real frame decode would replace the identity payload slice."""
+    n = F.length("payload").cast("long")
+    offsets = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes))
+    return df.select(
+        "media_id",
+        F.posexplode(offsets).alias("frame_idx", "byte_offset"),
+    )

@@ -1,0 +1,87 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths with identical scoring (functions.vectors.cosine):
+
+- ``brute_force_topk`` — exact: broadcast the (small) query set against
+  the full corpus; per-query top-k via a partitioned window.  The corpus
+  side streams — scales to any corpus size as long as the query set
+  broadcasts.
+- ``ann_topk`` — approximate: both sides bucketed by sign-pattern LSH
+  (functions.vectors.sign_bucket); the join is an equi-join on the
+  bucket id, so at scale it shuffles only on a uniform small key and
+  each probe touches one bucket's partition instead of the full corpus.
+  Recall < 1 by construction (single-probe); multi-probe = union over
+  neighboring buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from logistream_data_pipeline_aws_spark.functions.vectors import cosine, sign_bucket
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("candidate_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cos_sim", "rank")
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    return _topk(scored, k)
+
+
+def ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_bits: int = 12,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("c_vec"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    return _topk(scored, k)

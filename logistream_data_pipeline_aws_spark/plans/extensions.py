@@ -1,0 +1,154 @@
+"""Training-data pipeline queries over documents / embeddings / events
+(SURVEY §7 phase X): the dedup family, similarity search, text analysis,
+multimodal metadata, and JSON extraction — each with an exact DuckDB
+oracle (md5-based hashing + left-fold vector math keep every engine
+bit-identical)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logistream_data_pipeline_aws_spark.catalog import load_table
+from logistream_data_pipeline_aws_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
+    quality_score,
+    regex_token_count,
+    stopword_hits,
+    token_count,
+    tokens,
+)
+from logistream_data_pipeline_aws_spark.operators import dedup_family as D
+from logistream_data_pipeline_aws_spark.operators import similarity as S
+
+
+# -- dedup family -----------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.exact_duplicates(docs, "doc_id", "text")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.minhash_near_duplicates(
+        docs, "doc_id", "text", k_shingle=3, n_hashes=12, bands=4, threshold=0.2
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.simhash_fingerprints(docs, "doc_id", "text", n_bits=28)
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    fps = D.simhash_fingerprints(docs, "doc_id", "text", n_bits=28)
+    return D.simhash_near_duplicates(fps, n_bits=28, bands=4, max_hamming=3)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="source", k_shingle=3, threshold=0.2
+    )
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return D.embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.4)
+
+
+# -- similarity search ------------------------------------------------------
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.brute_force_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    # 4 sign bits -> 16 buckets: sized so each bucket holds enough of the
+    # 500-vector fixture to make top-5 meaningful; at corpus scale raise
+    # n_bits so bucket size stays roughly constant (buckets ~= 2^n_bits).
+    return S.ann_topk(queries, emb, "vec_id", "embedding", k=5, n_bits=4)
+
+
+# -- text analysis ----------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        regex_token_count("text").alias("n_regex_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = tokens(F.col("text"))
+    hits = {lg: stopword_hits(tok, lg).alias(f"hits_{lg}") for lg in STOPWORDS}
+    out = docs.select("doc_id", "lang", *hits.values())
+    e, d, s, f_ = (F.col(f"hits_{lg}") for lg in ("en", "de", "es", "fr"))
+    predicted = (
+        F.when((e >= d) & (e >= s) & (e >= f_), "en")
+        .when((d >= s) & (d >= f_), "de")
+        .when(s >= f_, "es")
+        .otherwise("fr")
+    )
+    return out.select(
+        "doc_id", "lang", "hits_en", "hits_de", "hits_es", "hits_fr",
+        predicted.alias("predicted_lang"),
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# -- multimodal + JSON ------------------------------------------------------
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: build payloads from document text (the
+    container has no media files), attach JVM-side typed metadata."""
+    from logistream_data_pipeline_aws_spark.operators.multimodal import with_media_meta
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return with_media_meta(media).select(
+        "media_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+def events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the events props column + aggregation."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            "event_type",
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+        )
+        .select("k", "n_events", "total_value")
+    )

@@ -1,0 +1,122 @@
+"""Unit tests for the training-data pipeline operators: dedup family,
+similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logistream_data_pipeline_aws_spark.operators import dedup_family as D
+from logistream_data_pipeline_aws_spark.operators import similarity as S
+from logistream_data_pipeline_aws_spark.operators.multimodal import (
+    extract_image_features,
+    sample_frames,
+    with_media_meta,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "THE  quick   brown fox jumps over the lazy dog "),  # normalized dup of 1
+    (4, "the quick brown fox jumps over the sleepy dog"),  # near dup (1 word)
+    (5, "completely different content about spark engines here"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_exact_duplicates(docs):
+    out = D.exact_duplicates(docs, "doc_id", "text")
+    groups = {r.keep_id: r.n_docs for r in out.collect()}
+    # 1,2,3 collapse (md5 of normalized text); 4 and 5 stand alone
+    assert groups[1] == 3
+    assert groups[4] == 1
+    assert groups[5] == 1
+
+
+def test_minhash_near_duplicates(docs):
+    # bands=6 (r=2): with these fixed md5 'permutations' the jaccard-0.56
+    # near-dup pair (1,4) lands in a shared band — deterministic, verified
+    # against a pure-python minhash replica
+    pairs = D.minhash_near_duplicates(
+        docs, "doc_id", "text", k_shingle=3, n_hashes=12, bands=6, threshold=0.2
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # identical shingle sets
+    assert (1, 4) in got and 0.2 <= got[(1, 4)] < 1.0  # near dup caught
+    assert all(5 not in p for p in got)  # unrelated doc never pairs
+
+
+def test_simhash_fingerprints_and_pairs(docs):
+    fps = D.simhash_fingerprints(docs, "doc_id", "text")
+    vals = {r.doc_id: r.simhash for r in fps.collect()}
+    assert vals[1] == vals[2]  # same tokens -> same fingerprint
+    assert vals[1] != vals[5]
+    pairs = D.simhash_near_duplicates(fps, max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert all(5 not in p for p in got)
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(i, t, "blockA" if i < 5 else "blockB") for i, t in DOCS],
+        ["doc_id", "text", "src"],
+    )
+    pairs = D.ngram_jaccard_pairs(df, "doc_id", "text", "src", threshold=0.2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 4) in got
+    # doc 5 is in another block: never compared even if similar
+    assert all(5 not in p for p in got)
+
+
+def test_embedding_near_duplicates_and_topk(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),  # ~same direction as 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    pairs = D.embedding_near_duplicates(df, "vec_id", "embedding", threshold=0.95)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2)}
+
+    topk = S.brute_force_topk(df.where("vec_id = 1"), df, "vec_id", "embedding", k=2)
+    rows = sorted(topk.collect(), key=lambda r: r.rank)
+    assert [r.candidate_id for r in rows] == [2, 3]  # nearest then orthogonal
+    assert rows[0].cos_sim > 0.99
+
+
+def test_ann_bucket_restricts_candidates(spark):
+    vecs = [
+        (1, [1.0, 1.0]),
+        (2, [0.9, 0.8]),  # same sign bucket as 1
+        (3, [-1.0, 1.0]),  # different bucket: invisible to query 1
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = S.ann_topk(df.where("vec_id = 1"), df, "vec_id", "embedding", k=5, n_bits=2)
+    assert [r.candidate_id for r in out.collect()] == [2]
+
+
+def test_multimodal_meta_and_features(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"x" * 100))], ["media_id", "payload"]
+    )
+    meta = {r.media_id: r.meta for r in with_media_meta(media).collect()}
+    assert meta[1].n_bytes == 3
+    assert meta[1].checksum == "900150983cd24fb0d6963f7d28e17f72"  # md5("abc")
+
+    feats = {r.media_id: r for r in extract_image_features(media).collect()}
+    assert feats[1].n_bytes == 3
+    assert feats[1].width == 4 and feats[1].height == 1  # deterministic fake codec
+    assert abs(feats[1].mean_byte - (97 + 98 + 99) / 3) < 1e-9
+
+    frames = sample_frames(media.where("media_id = 2"), every_n_bytes=40)
+    assert [r.byte_offset for r in frames.collect()] == [0, 40, 80]
