@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- fact assembly (J3-J7, P2, F1-F8) and bucketed-load profile (P4)
         "fact_lineitem": W.fact_lineitem,
         "fact_bucket_profile": W.fact_bucket_profile,
+        "dev_sample_cap": W.dev_sample_cap,
         # -- analytics surface (A5-A8) + headline queries
         "a5_profit_by_hierarchy": A.a5_profit_by_hierarchy,
         "a5_profit_rollup": A.a5_profit_rollup,
@@ -96,6 +97,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": X.doc_fingerprints,
         "multimodal_meta": X.multimodal_meta,
         "events_json_kv": X.events_json_kv,
+        # -- structured streaming (drained via availableNow; same semantics
+        #    as the batch window aggregate, so it shares an exact oracle)
+        "events_stream_hourly": X.events_stream_hourly,
     }
 
 
@@ -274,6 +278,12 @@ def _ext_oracles() -> dict[str, str]:
             "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "md5(text) AS checksum FROM documents"
         ),
+        "events_stream_hourly": (
+            "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value "
+            "FROM events GROUP BY 1, 2"
+        ),
         "events_json_kv": (
             "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, "
             "COUNT(*) AS n_events, "
@@ -345,6 +355,10 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN status s ON UPPER(TRIM(o.o_orderstatus)) = s.order_status "
             "AND UPPER(TRIM(o.o_orderpriority)) = s.order_priority "
             "AND UPPER(TRIM(l.l_returnflag)) = s.return_flag"
+        ),
+        "dev_sample_cap": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+            "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500"
         ),
         "fact_bucket_profile": (
             "SELECT CAST(l_orderkey % 20 AS INTEGER) AS bucket, COUNT(*) AS n_rows, "

@@ -136,6 +136,47 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming surface as a driver-checkable query: file-source
+    stream over the events table -> watermarked tumbling window ->
+    drained with availableNow into a memory sink.  A single-file source
+    is one micro-batch, so the watermark drops nothing and the result is
+    exactly the batch events_hourly aggregate (same oracle)."""
+    import os
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        run_available_now,
+        windowed_aggregate,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as raw int64
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # the file source lists a directory; pathGlobFilter narrows it to the
+    # events table (single-file "tables" can't be streamed by direct path)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = windowed_aggregate(stream, "1 hour", "2 hours")
+    name = f"events_stream_{uuid.uuid4().hex[:8]}"
+    run_available_now(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
 def events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction over the events props column + aggregation."""
     events = load_table(spark, "events", sf_dir)

@@ -201,8 +201,17 @@ def fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
 
-    products = dim_product(spark, sf_dir).select("product_key", "p_partkey")
-    customers = dim_customer(spark, sf_dir).select("customer_key", "c_custkey")
+    # Slim key maps: key assignment is identical to dim_product/dim_customer
+    # (row_number over the same unique natural key) but skips their
+    # hierarchy/snowflake joins the fact doesn't consume — one scan per
+    # side table instead of three (Catalyst can't prune those left joins
+    # away because uniqueness of the parent keys isn't provable).
+    products = with_sequential_key(
+        load_table(spark, "part", sf_dir).select("p_partkey"), "product_key", ["p_partkey"]
+    )
+    customers = with_sequential_key(
+        load_table(spark, "customer", sf_dir).select("c_custkey"), "customer_key", ["c_custkey"]
+    )
     status = dim_junk_status(spark, sf_dir)
 
     # J4 analog: differing column names, big-big equi join on the natural key.
@@ -257,6 +266,20 @@ def fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return fact
+
+
+def dev_sample_cap(spark: SparkSession, sf_dir: str, n: int = 500) -> DataFrame:
+    """Dev-scale row cap (SURVEY §2.1 S3: ``limit(500).cache()``,
+    GE:104).  The reference's limit keeps *arbitrary* rows; for a
+    deterministic, oracle-checkable surface this is an ordered top-N
+    (TopK physical operator — no global sort materialization), which is
+    what a dev cap should have been anyway."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    return (
+        lineitem.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(n)
+    )
 
 
 def fact_bucket_profile(spark: SparkSession, sf_dir: str, n_buckets: int = 20) -> DataFrame:

@@ -70,3 +70,13 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     getattr(w, fmt)(path)
+
+
+def write_if_nonempty(df: DataFrame, path: str, **kwargs) -> bool:
+    """Empty-input write guard (SURVEY §2.2 P5, GE:72-74): skip the sink
+    when there are no rows.  ``isEmpty`` evaluates a 1-row limit, not a
+    full count."""
+    if df.isEmpty():
+        return False
+    write_table(df, path, **kwargs)
+    return True

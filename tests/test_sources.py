@@ -1,0 +1,71 @@
+"""Source/sink operators: schema'd CSV/JSON reads, overwrite sink,
+empty-write guard, bucketed write, JDBC URL normalization (S1-S9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logistream_data_pipeline_aws_spark.functions.keys import write_bucketed
+from logistream_data_pipeline_aws_spark.sources.io import (
+    read_csv,
+    write_if_nonempty,
+    write_table,
+)
+from logistream_data_pipeline_aws_spark.sources.jdbc import (
+    DEFAULT_OPTIONS,
+    normalize_jdbc_url,
+)
+
+
+def test_read_csv_with_schema(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name\n1,alpha\n2,beta\n")
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("name", T.StringType())]
+    )
+    df = read_csv(spark, str(p), schema)
+    assert df.schema == schema
+    assert {(r.id, r.name) for r in df.collect()} == {(1, "alpha"), (2, "beta")}
+
+
+def test_write_table_overwrite_semantics(spark, tmp_path):
+    out = str(tmp_path / "t")
+    write_table(spark.range(10), out)
+    write_table(spark.range(3), out)  # overwrite == TRUNCATE+append (S6)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_write_if_nonempty_guard(spark, tmp_path):
+    out = str(tmp_path / "guarded")
+    empty = spark.range(5).where(F.col("id") < 0)
+    assert write_if_nonempty(empty, out) is False
+    assert write_if_nonempty(spark.range(5), out) is True
+    assert spark.read.parquet(out).count() == 5
+
+
+def test_write_bucketed_single_pass(spark, tmp_path):
+    out = str(tmp_path / "bucketed")
+    df = spark.range(1000).withColumn("k", F.col("id") % 100)
+    write_bucketed(df, "k", n_buckets=8, path=out)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.select("id").distinct().count() == 1000
+
+
+def test_normalize_jdbc_url():
+    assert (
+        normalize_jdbc_url("jdbc:redshift://host:5439/mydb?user=x")
+        == "jdbc:redshift://host:5439/mydb"
+    )
+    assert (
+        normalize_jdbc_url("jdbc:postgresql://host:5432", default_db="dev")
+        == "jdbc:postgresql://host:5432/dev"
+    )
+    assert normalize_jdbc_url("jdbc:redshift://h:5439/db/") == "jdbc:redshift://h:5439/db"
+    with pytest.raises(ValueError):
+        normalize_jdbc_url("not a url")
+    # the reference's connection tuning survives as writer properties
+    assert DEFAULT_OPTIONS["batchsize"] == "10000"
+    assert DEFAULT_OPTIONS["loginTimeout"] == "15"

@@ -1,0 +1,91 @@
+"""Structured Streaming tests (SURVEY §5.2 item 5): file-source streams
+drained with availableNow; windowed aggregation, stream-static join,
+foreachBatch sink, and the applyInPandasWithState sessionizer."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+    EVENTS_STREAM_SCHEMA,
+    foreach_batch_append,
+    read_events_stream,
+    run_available_now,
+    sessionize,
+    stream_static_join,
+    windowed_aggregate,
+)
+
+
+def _ts(h: int, m: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+EVENTS = [
+    (1, _ts(0, 5), 100, "click", 1.0, "{}"),
+    (2, _ts(0, 20), 100, "click", 2.0, "{}"),
+    (3, _ts(0, 55), 200, "view", 3.0, "{}"),
+    (4, _ts(1, 10), 100, "click", 4.0, "{}"),   # >30min gap for user 100
+    (5, _ts(1, 30), 200, "view", 5.0, "{}"),
+]
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_in"))
+    spark.createDataFrame(EVENTS, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    return d
+
+
+def test_windowed_aggregate_stream(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    agg = windowed_aggregate(stream, "1 hour", "2 hours")
+    run_available_now(agg, "t_windows", output_mode="complete")
+    rows = {(r.window_start.hour, r.event_type): r for r in spark.table("t_windows").collect()}
+    assert rows[(0, "click")].n_events == 2
+    assert rows[(0, "click")].total_value == 3.0
+    assert rows[(1, "click")].n_events == 1
+    assert rows[(0, "view")].n_events == 1
+
+
+def test_stream_static_join(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    dim = spark.createDataFrame(
+        [(100, "gold"), (200, "silver")], ["user_id", "tier"]
+    )
+    joined = stream_static_join(stream, dim, on="user_id")
+    run_available_now(joined.select("event_id", "tier"), "t_joined", output_mode="append")
+    got = {r.event_id: r.tier for r in spark.table("t_joined").collect()}
+    assert got == {1: "gold", 2: "gold", 3: "silver", 4: "gold", 5: "silver"}
+
+
+def test_foreach_batch_append(spark, events_dir, tmp_path):
+    out = str(tmp_path / "fact_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, events_dir)
+    q = foreach_batch_append(stream.where(F.col("event_type") == "click"), out, ckpt)
+    q.awaitTermination(60)
+    written = spark.read.parquet(out)
+    assert written.count() == 3
+    assert {r.event_id for r in written.collect()} == {1, 2, 4}
+
+
+def test_sessionize_closes_on_gap(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    sessions = sessionize(stream)
+    run_available_now(sessions, "t_sessions", output_mode="append")
+    rows = spark.table("t_sessions").collect()
+    # within the single micro-batch, user 100 has a >30min gap at event 4:
+    # the first session (events 1,2) closes and is emitted; open sessions
+    # stay in state (would emit on timeout in a live stream)
+    by_user = {(r.user_id): r for r in rows}
+    assert by_user[100].n_events == 2
+    assert by_user[100].total_value == 3.0
+    assert by_user[100].session_start.minute == 5
+    assert by_user[100].session_end.minute == 20
