@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from logistream_data_pipeline_aws_spark.plans import analytics as A
 from logistream_data_pipeline_aws_spark.plans import extensions as X
+from logistream_data_pipeline_aws_spark.plans import sql_views as V
 from logistream_data_pipeline_aws_spark.plans import warehouse as W
 
 
@@ -82,6 +83,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": A.q1_pricing_summary,
         "top_customers": A.top_customers,
         "events_hourly": A.events_hourly,
+        # -- the spark.sql front door (§3.3): same plans via the SQL parser
+        "sql_profit_by_hierarchy": V.sql_profit_by_hierarchy,
+        "sql_shipping_priority": V.sql_shipping_priority,
+        "sql_local_supplier_volume": V.sql_local_supplier_volume,
         # -- training-data pipeline extensions (dedup / similarity / text /
         #    multimodal / JSON)
         "dedup_exact": X.dedup_exact,
@@ -420,6 +425,38 @@ def oracle_sql() -> dict[str, str]:
             + ", COUNT(*) AS count_order "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "sql_profit_by_hierarchy": (
+            "SELECT p.p_brand, p.p_type, "
+            + _dsum("l.l_extendedprice * (1.0 - l.l_discount)", "total_revenue")
+            + ", COUNT(*) AS n_items "
+            "FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey "
+            "GROUP BY p.p_brand, p.p_type"
+        ),
+        "sql_shipping_priority": (
+            "SELECT l.l_orderkey, "
+            + _dsum("l.l_extendedprice * (1.0 - l.l_discount)", "revenue")
+            + ", CAST(strftime(CAST(o.o_orderdate AS DATE), '%Y%m%d') AS INTEGER) AS order_date_key, "
+            "o.o_orderpriority "
+            "FROM customer c "
+            "JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00' "
+            "AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00' "
+            "GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority "
+            "ORDER BY revenue DESC, l.l_orderkey LIMIT 10"
+        ),
+        "sql_local_supplier_volume": (
+            "SELECT n.n_name AS nation_name, "
+            + _dsum("l.l_extendedprice * (1.0 - l.l_discount)", "revenue")
+            + " FROM customer c "
+            "JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'ASIA' GROUP BY n.n_name"
         ),
         "top_customers": (
             "WITH rev AS (SELECT o.o_custkey, "

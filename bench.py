@@ -44,8 +44,10 @@ def main() -> None:
     qs = E.queries()
 
     # JVM/codegen warmup on the smallest scale so timings measure the
-    # engine, not classloading.
+    # engine, not classloading — include the join+window plan shapes the
+    # headline queries compile.
     run_query(qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+    run_query(qs["fact_lineitem"](spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     total = 0.0

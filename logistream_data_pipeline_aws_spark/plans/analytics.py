@@ -45,18 +45,32 @@ def _revenue() -> Column:
 # -- A5: hierarchical profit rollup ----------------------------------------
 
 
-def a5_profit_by_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue by brand -> type (Treemap query, PR p.16): fact ⋈ broadcast
-    dim -> partial+final hash aggregation."""
+def _revenue_by_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregation-before-join: collapse the fact to one row per
+    part key *before* touching the dimension.  Decimal sums and counts
+    decompose exactly, so the final result is identical — but the join
+    probes |part| rows instead of |lineitem| rows.  At 100 TB this is
+    the difference between joining 600 B rows and 200 M."""
     lineitem = load_table(spark, "lineitem", sf_dir)
+    return lineitem.groupBy("l_partkey").agg(
+        F.sum(_revenue().cast("decimal(30,6)")).alias("_rev"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+
+
+def a5_profit_by_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by brand -> type (Treemap query, PR p.16): partial
+    aggregate per part key, broadcast dim join, final rollup to the
+    hierarchy level."""
     part = load_table(spark, "part", sf_dir)
     return (
-        lineitem.join(F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
-                      lineitem.l_partkey == part.p_partkey, "left")
+        _revenue_by_partkey(spark, sf_dir)
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"), "left")
         .groupBy("p_brand", "p_type")
         .agg(
-            dsum(_revenue(), "total_revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.sum("_rev").cast("double").alias("total_revenue"),
+            F.sum("_n").alias("n_items"),
         )
         .select("p_brand", "p_type", "total_revenue", "n_items")
     )
@@ -64,14 +78,18 @@ def a5_profit_by_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def a5_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True ROLLUP over the hierarchy: (brand,type) + (brand) + grand
-    total, NULL-filled subtotal rows — one pass, grouping-sets expansion."""
-    lineitem = load_table(spark, "lineitem", sf_dir)
+    total, NULL-filled subtotal rows — grouping-sets expansion over the
+    pre-aggregated per-part rows, not the raw fact."""
     part = load_table(spark, "part", sf_dir)
     return (
-        lineitem.join(F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
-                      lineitem.l_partkey == part.p_partkey, "left")
+        _revenue_by_partkey(spark, sf_dir)
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"), "left")
         .rollup("p_brand", "p_type")
-        .agg(dsum(_revenue(), "total_revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(
+            F.sum("_rev").cast("double").alias("total_revenue"),
+            F.sum("_n").alias("n_items"),
+        )
         .select("p_brand", "p_type", "total_revenue", "n_items")
     )
 
@@ -149,18 +167,27 @@ def a8_returns_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     customer = load_table(spark, "customer", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
-    return (
+    # filter pushed to the scan, then pre-aggregate per order key before
+    # the join chain: the orders join probes ~|orders| rows, not |lineitem|
+    per_order = (
         lineitem.where(F.col("l_returnflag") == "R")
-        .join(orders.select("o_orderkey", "o_custkey"),
-              lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(_revenue().cast("decimal(30,6)")).alias("_rev"),
+        )
+    )
+    return (
+        per_order.join(orders.select("o_orderkey", "o_custkey"),
+                       per_order.l_orderkey == orders.o_orderkey, "inner")
         .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
               F.col("o_custkey") == F.col("c_custkey"), "inner")
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"), "inner")
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.count(F.lit(1)).alias("n_returned_items"),
-            dsum(_revenue(), "returned_revenue"),
+            F.sum("_n").alias("n_returned_items"),
+            F.sum("_rev").cast("double").alias("returned_revenue"),
         )
         .select("nation_name", "n_returned_items", "returned_revenue")
     )

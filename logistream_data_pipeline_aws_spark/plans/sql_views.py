@@ -1,0 +1,103 @@
+"""The SQL surface (SURVEY §3.3): the reference's two external SQL
+consumers (Athena ad-hoc validation, Redshift dashboard queries) collapse
+to one path here — ``spark.sql`` over registered views.
+
+``register_warehouse_views`` binds the base tables *and* the analytic
+queries as named views, so a SQL user sees the same objects the Python
+API builds; the ``sql_*`` query functions below run the canonical
+dashboard queries through the SQL parser end-to-end (proving parser →
+analyzer → optimizer parity with the DataFrame plans — Catalyst compiles
+both to the same physical plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from logistream_data_pipeline_aws_spark.catalog import register_views
+
+# Named analytic views over the base tables — the dashboard SQL a BI tool
+# would issue against the reference's Redshift schema (RM:146-158),
+# retargeted at the star-schema testdata.
+ANALYTIC_VIEWS: dict[str, str] = {
+    "v_profit_by_hierarchy": """
+        SELECT p.p_brand, p.p_type,
+               CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, p.p_type
+    """,
+    "v_sales_trend": """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(month(o_orderdate) AS INT) AS order_month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_sales,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+    """,
+    "v_returns_by_nation": """
+        SELECT n.n_name AS nation_name, COUNT(*) AS n_returned_items,
+               CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS returned_revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY n.n_name
+    """,
+}
+
+
+def register_warehouse_views(spark: SparkSession, sf_dir: str) -> None:
+    register_views(spark, sf_dir)
+    for name, sql in ANALYTIC_VIEWS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+
+
+def sql_profit_by_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 through the SQL front door — must hash-match the DataFrame
+    version (`a5_profit_by_hierarchy`) and therefore shares its oracle."""
+    register_warehouse_views(spark, sf_dir)
+    return spark.sql("SELECT * FROM v_profit_by_hierarchy")
+
+
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape: 3-way join, filtered both sides, grouped revenue,
+    ordered top-10 — the canonical 'shipping priority' dashboard query."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+               CAST(date_format(o.o_orderdate, 'yyyyMMdd') AS INT) AS order_date_key,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape: 6-way snowflake join with a same-nation predicate
+    between two dimension legs — the hardest join-ordering case in the
+    surface; Catalyst broadcast-plans all dim legs."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation_name,
+               CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        """
+    )

@@ -149,9 +149,15 @@ def dim_junk_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     upper/trim like GE:305-307."""
     lineitem = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
-    flags = lineitem.join(
+    # pre-aggregate before the join: distinct (orderkey, returnflag) pairs
+    # are ~order-cardinality, so the join probes a fraction of the fact
+    # rows; the observed-combo set is unchanged (orders unique per key).
+    # At 100 TB this is the difference between shuffling the fact table
+    # and shuffling a near-dimension-sized pair set.
+    pairs = lineitem.select("l_orderkey", "l_returnflag").distinct()
+    flags = pairs.join(
         orders.select("o_orderkey", "o_orderstatus", "o_orderpriority"),
-        lineitem.l_orderkey == orders.o_orderkey,
+        pairs.l_orderkey == orders.o_orderkey,
         "left",
     )
     return build_junk_dimension(

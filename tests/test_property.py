@@ -1,0 +1,58 @@
+"""Property-based tests (hypothesis): parsing and dedup invariants hold
+for arbitrary inputs, not just fixtures."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from logistream_data_pipeline_aws_spark.functions.dates import parse_raw_date
+from logistream_data_pipeline_aws_spark.operators.dedup import dedup_first
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_slow
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=datetime.datetime(1990, 1, 1),
+            max_value=datetime.datetime(2035, 12, 31),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_parse_raw_date_roundtrip(spark, dts):
+    raws = [(f"{d.month}/{d.day}/{d.year} {d.hour}:{d.minute}",) for d in dts]
+    df = spark.createDataFrame(raws, ["raw"])
+    out = [r.d for r in df.select(parse_raw_date("raw").alias("d")).collect()]
+    assert out == [d.date() for d in dts]
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # key
+            st.integers(min_value=-100, max_value=100),  # tiebreak/payload
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedup_first_invariants(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {(r.k, r.v) for r in dedup_first(df, ["k"], ["v"]).collect()}
+    expected = {}
+    for k, v in rows:
+        if k not in expected or v < expected[k]:
+            expected[k] = v
+    # exactly one survivor per key, and it's the minimum under the tiebreak
+    assert out == {(k, v) for k, v in expected.items()}

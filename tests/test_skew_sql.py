@@ -1,0 +1,79 @@
+"""Skew operators (result-equivalence with unsalted plans) + the
+spark.sql view surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logistream_data_pipeline_aws_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+)
+from logistream_data_pipeline_aws_spark.plans import sql_views as V
+from tests.conftest import SF_SMALL
+
+
+def _skewed_df(spark):
+    # key "hot" holds 90% of rows — the aggregation-skew shape
+    hot = spark.range(900).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v"), F.col("id").alias("rowid")
+    )
+    cold = spark.range(100).select(
+        F.concat(F.lit("c"), (F.col("id") % 10).cast("string")).alias("k"),
+        F.col("id").alias("v"),
+        (F.col("id") + 1000).alias("rowid"),
+    )
+    return hot.union(cold)
+
+
+def test_salted_aggregate_matches_direct(spark):
+    df = _skewed_df(spark)
+    direct = {
+        (r.k): (r.total, r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        (r.k): (r.total, r.n)
+        for r in salted_aggregate(
+            df, ["k"], {"total": F.col("v"), "n": F.lit(1)}, salt_source="rowid"
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_join_matches_direct(spark):
+    probe = _skewed_df(spark)
+    build = spark.createDataFrame(
+        [("hot", "H"), ("c1", "C1"), ("c2", "C2")], ["k", "label"]
+    )
+    direct = {(r.rowid, r.label) for r in probe.join(build, "k").collect()}
+    salted = {
+        (r.rowid, r.label)
+        for r in salted_join(probe, build, ["k"], salt_source="rowid").collect()
+    }
+    assert salted == direct
+
+
+def test_sql_surface_matches_dataframe_plan(spark):
+    from logistream_data_pipeline_aws_spark.plans.analytics import (
+        a5_profit_by_hierarchy,
+    )
+
+    sql_out = {
+        (r.p_brand, r.p_type): (r.total_revenue, r.n_items)
+        for r in V.sql_profit_by_hierarchy(spark, SF_SMALL).collect()
+    }
+    df_out = {
+        (r.p_brand, r.p_type): (r.total_revenue, r.n_items)
+        for r in a5_profit_by_hierarchy(spark, SF_SMALL).collect()
+    }
+    assert sql_out == df_out  # SQL front door == DataFrame plan, bit-exact
+
+
+def test_sql_joins_run(spark):
+    assert V.sql_shipping_priority(spark, SF_SMALL).count() <= 10
+    vol = V.sql_local_supplier_volume(spark, SF_SMALL)
+    assert vol.count() > 0
+    assert vol.columns == ["nation_name", "revenue"]

@@ -54,6 +54,21 @@ def test_write_bucketed_single_pass(spark, tmp_path):
     assert back.select("id").distinct().count() == 1000
 
 
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Hive-style partitioning -> partition pruning at the scan (the
+    date-keyed fact layout for 100 TB: a year/month filter must not
+    touch other partitions' files)."""
+    out = str(tmp_path / "fact_by_year")
+    df = spark.range(1000).withColumn("year", 2020 + F.col("id") % 4)
+    write_table(df, out, partition_by=["year"])
+    back = spark.read.parquet(out).where(F.col("year") == 2021)
+    assert back.count() == 250
+    import re
+
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*= 2021", plan)  # pruned scan
+
+
 def test_normalize_jdbc_url():
     assert (
         normalize_jdbc_url("jdbc:redshift://host:5439/mydb?user=x")
