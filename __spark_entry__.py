@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- analytics surface (A5-A8) + headline queries
         "a5_profit_by_hierarchy": A.a5_profit_by_hierarchy,
         "a5_profit_rollup": A.a5_profit_rollup,
+        "a5_profit_cube": A.a5_profit_cube,
+        "segment_region_pivot": A.segment_region_pivot,
         "a6_sales_trend": A.a6_sales_trend,
         "a6_sales_trend_mom": A.a6_sales_trend_mom,
         "a7_schedule_adherence": A.a7_schedule_adherence,
@@ -383,6 +385,24 @@ def oracle_sql() -> dict[str, str]:
             + ", COUNT(*) AS n_items "
             "FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey "
             "GROUP BY ROLLUP(p.p_brand, p.p_type)"
+        ),
+        "a5_profit_cube": (
+            "SELECT p.p_brand, p.p_type, "
+            + _dsum("l.l_extendedprice * (1.0 - l.l_discount)", "total_revenue")
+            + ", COUNT(*) AS n_items "
+            "FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey "
+            "GROUP BY CUBE(p.p_brand, p.p_type)"
+        ),
+        "segment_region_pivot": (
+            "SELECT r.r_name AS region_name, "
+            + ", ".join(
+                f"COUNT(*) FILTER (WHERE c.c_mktsegment = '{s}') AS {s}"
+                for s in ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+            )
+            + " FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name"
         ),
         "a6_sales_trend": (
             "SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, "

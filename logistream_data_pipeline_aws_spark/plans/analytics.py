@@ -94,6 +94,45 @@ def a5_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a5_profit_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the hierarchy: every grouping-set combination including
+    type-without-brand — the full OLAP slice surface in one pass."""
+    part = load_table(spark, "part", sf_dir)
+    return (
+        _revenue_by_partkey(spark, sf_dir)
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"), "left")
+        .cube("p_brand", "p_type")
+        .agg(
+            F.sum("_rev").cast("double").alias("total_revenue"),
+            F.sum("_n").alias("n_items"),
+        )
+        .select("p_brand", "p_type", "total_revenue", "n_items")
+    )
+
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def segment_region_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: customer counts per region x market segment (the BI
+    crosstab shape).  Explicit pivot values keep the plan one-pass —
+    without them Spark needs an extra distinct scan to discover columns."""
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    geo = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        customer.join(F.broadcast(geo.select("n_nationkey", "r_name")),
+                      customer.c_nationkey == F.col("n_nationkey"))
+        .groupBy(F.col("r_name").alias("region_name"))
+        .pivot("c_mktsegment", SEGMENTS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, SEGMENTS)
+        .select("region_name", *SEGMENTS)
+    )
+
+
 # -- A6: time-series sales trend -------------------------------------------
 
 
