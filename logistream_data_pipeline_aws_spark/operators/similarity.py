@@ -33,6 +33,46 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def center_embeddings_by_group(
+    df: DataFrame, group_col: str, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-group mean-centering of embedding vectors via grouped
+    ``applyInPandas`` — the third Arrow-batch shape (alongside
+    ``mapInPandas`` in multimodal and ``applyInPandasWithState`` in
+    streaming).  Needs whole-group context (the mean), which no
+    per-row expression has; each group is one Arrow batch, shuffled by
+    the group key — group size, not table size, bounds executor memory."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, df.schema[group_col].dataType),
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("centered", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf[vec_col].map(np.asarray))
+        centered = mat - mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                id_col: pdf[id_col],
+                "centered": list(map(list, centered.astype(float))),
+            }
+        )
+
+    return (
+        df.select(group_col, id_col, vec_col)
+        .groupBy(group_col)
+        .applyInPandas(center, schema=out_schema)
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,

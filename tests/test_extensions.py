@@ -105,6 +105,48 @@ def test_ann_bucket_restricts_candidates(spark):
     assert [r.candidate_id for r in out.collect()] == [2]
 
 
+def test_center_embeddings_by_group(spark):
+    import numpy as np
+
+    vecs = [
+        (0, 1, [1.0, 3.0]),
+        (0, 2, [3.0, 5.0]),
+        (1, 3, [10.0, 10.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["label", "vec_id", "embedding"]).select(
+        "label", "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = {r.vec_id: r.centered for r in S.center_embeddings_by_group(
+        df, "label", "vec_id", "embedding"
+    ).collect()}
+    assert out[1] == [-1.0, -1.0] and out[2] == [1.0, 1.0]  # centered on [2,4]
+    assert out[3] == [0.0, 0.0]  # singleton group centers to zero
+    assert np.allclose(np.add(out[1], out[2]), 0.0)
+
+
+def test_write_warehouse_roundtrip(spark, tmp_path):
+    from logistream_data_pipeline_aws_spark.plans.reference_pipeline import (
+        build_warehouse,
+        write_warehouse,
+    )
+    from logistream_data_pipeline_aws_spark.sources.geojson import (
+        flatten_geojson_routes,
+        read_geojson,
+    )
+    from tests.fixtures import ROUTES_GEOJSON, make_rawdata
+
+    import json as _json
+
+    geo = tmp_path / "routes.geojson"
+    geo.write_text(_json.dumps(ROUTES_GEOJSON))
+    wh = build_warehouse(make_rawdata(spark), flatten_geojson_routes(read_geojson(spark, str(geo))))
+    out = str(tmp_path / "wh")
+    write_warehouse(wh, out, fact_buckets=4)
+    fact_back = spark.read.parquet(f"{out}/fact_supplychain_events")
+    assert fact_back.count() == wh["fact_supplychain_events"].count()
+    assert spark.read.parquet(f"{out}/dim_date").count() == wh["dim_date"].count()
+
+
 def test_multimodal_meta_and_features(spark):
     media = spark.createDataFrame(
         [(1, bytearray(b"abc")), (2, bytearray(b"x" * 100))], ["media_id", "payload"]
