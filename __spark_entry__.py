@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": X.doc_fingerprints,
         "multimodal_meta": X.multimodal_meta,
         "events_json_kv": X.events_json_kv,
+        "user_sessions": X.user_sessions,
         # -- structured streaming (drained via availableNow; same semantics
         #    as the batch window aggregate, so it shares an exact oracle)
         "events_stream_hourly": X.events_stream_hourly,
@@ -290,6 +291,18 @@ def _ext_oracles() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "user_sessions": (
+            # gaps-and-islands mirror of session_window on second-truncated ts
+            "WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value FROM events), "
+            "marked AS (SELECT user_id, ts_s, value, CASE WHEN ts_s - LAG(ts_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts_s) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM e), "
+            "islands AS (SELECT user_id, ts_s, value, SUM(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts_s ROWS UNBOUNDED PRECEDING) AS sid FROM marked) "
+            "SELECT user_id, MIN(ts_s) AS session_start, MAX(ts_s) AS session_end, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value "
+            "FROM islands GROUP BY user_id, sid"
         ),
         "events_json_kv": (
             "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, "

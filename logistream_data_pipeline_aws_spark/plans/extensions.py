@@ -177,6 +177,29 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization (30-min gap) over events,
+    batch form — the declarative counterpart of the stateful
+    ``streaming.pipeline.sessionize``.  Timestamps are truncated to
+    seconds first so the session boundaries are engine-exact (the oracle
+    mirrors this with gaps-and-islands window SQL on the same truncated
+    values).  Session end is reported as max(ts), not window.end (which
+    Spark pads by the gap)."""
+    events = load_table(spark, "events", sf_dir)
+    sec = F.date_trunc("second", F.col("ts"))
+    return (
+        events.select("user_id", sec.alias("ts_s"), "value")
+        .groupBy(F.session_window("ts_s", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.min("ts_s").alias("session_start"),
+            F.max("ts_s").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
+
+
 def events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction over the events props column + aggregation."""
     events = load_table(spark, "events", sf_dir)

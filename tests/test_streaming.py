@@ -76,6 +76,44 @@ def test_foreach_batch_append(spark, events_dir, tmp_path):
     assert {r.event_id for r in written.collect()} == {1, 2, 4}
 
 
+def test_watermark_finalizes_and_drops_late_data(spark, tmp_path):
+    """Watermark semantics, pinned empirically (Spark's late-drop is
+    best-effort): a straggler arriving while its window's state is still
+    alive MERGES; once the watermark evicts the window, later stragglers
+    are DROPPED and the window never re-emits (exactly-once append
+    output)."""
+    import time
+
+    d = str(tmp_path / "late_in")
+    batches = [
+        [(1, _ts(0, 10), 1, "click", 1.0, "{}"), (2, _ts(10, 0), 1, "click", 1.0, "{}")],
+        # straggler below the 08:00 watermark but window-0 state is alive -> merges
+        [(3, _ts(0, 30), 1, "click", 1.0, "{}"), (4, _ts(10, 30), 1, "click", 1.0, "{}")],
+        # straggler after window-0 eviction -> dropped by the watermark
+        [(5, _ts(0, 45), 1, "click", 1.0, "{}")],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.2)  # distinct mtimes -> deterministic file->batch order
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = windowed_aggregate(stream, "1 hour", "2 hours")
+    q = run_available_now(agg, "t_late", output_mode="append")
+    dropped = sum(
+        (p["stateOperators"][0]["numRowsDroppedByWatermark"] if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1  # the post-eviction straggler
+    rows = spark.table("t_late").collect()
+    counts = {r.window_start.hour: r.n_events for r in rows}
+    assert counts[0] == 2  # emitted once, incl. the pre-eviction straggler
+    assert len([r for r in rows if r.window_start.hour == 0]) == 1  # never re-emitted
+    assert 10 not in counts  # still-open window withheld in append mode
+
+
 def test_sessionize_closes_on_gap(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     sessions = sessionize(stream)
