@@ -89,9 +89,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_profit_by_hierarchy": V.sql_profit_by_hierarchy,
         "sql_shipping_priority": V.sql_shipping_priority,
         "sql_local_supplier_volume": V.sql_local_supplier_volume,
+        "sql_product_profit_by_nation_year": V.sql_product_profit_by_nation_year,
         # -- training-data pipeline extensions (dedup / similarity / text /
         #    multimodal / JSON)
         "dedup_exact": X.dedup_exact,
+        "dedup_survivors": X.dedup_survivors,
+        "dedup_fuzzy_levenshtein": X.dedup_fuzzy_levenshtein,
+        "events_value_quantiles": X.events_value_quantiles,
         "dedup_minhash_lsh": X.dedup_minhash_lsh,
         "dedup_simhash": X.dedup_simhash,
         "dedup_simhash_pairs": X.dedup_simhash_pairs,
@@ -186,6 +190,39 @@ def _ext_oracles() -> dict[str, str]:
             "SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash, "
             "MIN(doc_id) AS keep_id, COUNT(*) AS n_docs FROM documents "
             "GROUP BY 1"
+        ),
+        "dedup_survivors": (
+            "WITH keeps AS (SELECT MIN(doc_id) AS doc_id FROM documents "
+            "GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) "
+            "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d "
+            "WHERE EXISTS (SELECT 1 FROM keeps k WHERE k.doc_id = d.doc_id)"
+        ),
+        "dedup_fuzzy_levenshtein": (
+            "WITH base AS (SELECT doc_id, source AS block, "
+            "substring(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 32) AS prefix "
+            "FROM documents) "
+            "SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_distance "
+            "FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id "
+            "WHERE levenshtein(a.prefix, b.prefix) <= 8"
+        ),
+        "events_value_quantiles": (
+            "SELECT event_type, "
+            "round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50, "
+            "round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS p90, "
+            "COUNT(*) AS n_events "
+            "FROM events GROUP BY event_type"
+        ),
+        "sql_product_profit_by_nation_year": (
+            "SELECT n.n_name AS nation_name, CAST(year(o.o_orderdate) AS INTEGER) AS order_year, "
+            + _dsum("l.l_extendedprice * (1.0 - l.l_discount)", "profit")
+            + " FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "WHERE p.p_name LIKE '%a%' "
+            "GROUP BY n.n_name, year(o.o_orderdate)"
         ),
         "dedup_minhash_lsh": (
             "WITH tok AS (SELECT doc_id, " + _TOKENS + " AS tk FROM documents), "

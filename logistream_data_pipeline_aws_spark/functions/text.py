@@ -9,6 +9,7 @@ prefixes (identical in any engine) rather than murmur3.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -82,6 +83,40 @@ def normalized_text(col: Column | str) -> Column:
 def fingerprint(col: Column | str) -> Column:
     """Content fingerprint = md5 of the normalized text."""
     return F.md5(normalized_text(col))
+
+
+def quality_score_pandas(text_col: Column | str) -> Column:
+    """Vectorized scalar ``@pandas_udf`` form of ``quality_score`` —
+    kept as the reference implementation of the 'Python when you must'
+    path (Arrow batches, ~10-100x over row-at-a-time UDFs) and pinned
+    equal to the pure-expression version by test.  Production code should
+    prefer ``quality_score``: it stays in whole-stage codegen."""
+    from pyspark.sql.functions import pandas_udf
+
+    en = set(STOPWORDS["en"])
+
+    @pandas_udf("double")
+    def score(texts: pd.Series) -> pd.Series:
+        def one(t: str | None) -> float:
+            toks = (t or "").strip().split()
+            n = len(toks) if toks else 1  # split('') -> [''] parity
+            if (t or "").strip() == "":
+                toks, n = [""], 1
+            len_score = min(n / 64.0, 1.0)
+            alpha = sum(1 for x in toks if x.isalpha() and x.isascii())
+            alpha_ratio = alpha / n if n > 0 else 0.0
+            sw = sum(1 for x in toks if x.lower() in en)
+            sw_score = min(sw / 4.0, 1.0)
+            raw = len_score * (0.5 + 0.3 * alpha_ratio + 0.2 * sw_score)
+            # HALF_UP to match Spark's F.round (Python round() is half-even)
+            import math
+
+            return math.floor(raw * 1e6 + 0.5) / 1e6
+
+        return texts.map(one)
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return score(c)
 
 
 def quality_score(text_col: Column | str) -> Column:

@@ -61,6 +61,64 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.4)
 
 
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply exact dedup: keep only the surviving row per content group
+    via LEFT SEMI join against the keep-ids (and the dropped rows would
+    be the LEFT ANTI complement).  Semi/anti joins are how dedup results
+    get *applied* to a corpus at scale — no row payload crosses the
+    shuffle, just the keys."""
+    docs = load_table(spark, "documents", sf_dir)
+    keeps = D.exact_duplicates(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return (
+        docs.join(keeps, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup by edit distance on normalized text prefixes,
+    blocked by source (same O(block²) discipline as ngram_jaccard —
+    levenshtein is quadratic per pair, so the prefix caps the cost)."""
+    docs = load_table(spark, "documents", sf_dir)
+    from logistream_data_pipeline_aws_spark.functions.text import normalized_text
+
+    base = docs.select(
+        "doc_id",
+        F.col("source").alias("block"),
+        F.substring(normalized_text("text"), 1, 32).alias("prefix"),
+    )
+    a = base.select(F.col("block"), F.col("doc_id").alias("id_a"), F.col("prefix").alias("p_a"))
+    b = base.select(F.col("block"), F.col("doc_id").alias("id_b"), F.col("prefix").alias("p_b"))
+    return (
+        a.join(b, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "block", "id_a", "id_b",
+            F.levenshtein("p_a", "p_b").cast("int").alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") <= 8)
+    )
+
+
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (the BI 'p50/p90
+    latency' shape).  Exact percentile needs a per-group sort — at 100 TB
+    prefer approx_percentile (t-digest sketch, map-side combinable); this
+    exact form is the oracle-checkable baseline."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("event_type", "p50", "p90", "n_events")
+    )
+
+
 # -- similarity search ------------------------------------------------------
 
 

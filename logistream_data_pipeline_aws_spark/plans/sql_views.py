@@ -82,6 +82,26 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shape: 4-way join + date-part extraction + LIKE filter,
+    grouped two ways — the 'profit attribution' dashboard query."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation_name,
+               CAST(year(o.o_orderdate) AS INT) AS order_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%a%'
+        GROUP BY n.n_name, year(o.o_orderdate)
+        """
+    )
+
+
 def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shape: 6-way snowflake join with a same-nation predicate
     between two dimension legs — the hardest join-ordering case in the

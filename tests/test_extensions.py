@@ -105,6 +105,23 @@ def test_ann_bucket_restricts_candidates(spark):
     assert [r.candidate_id for r in out.collect()] == [2]
 
 
+def test_quality_score_pandas_matches_expression(spark, docs):
+    """The Arrow-vectorized pandas UDF and the pure-Catalyst expression
+    must agree — the UDF is documentation of the slow path, not a fork."""
+    from logistream_data_pipeline_aws_spark.functions.text import (
+        quality_score,
+        quality_score_pandas,
+    )
+
+    out = docs.select(
+        "doc_id",
+        quality_score("text").alias("expr_score"),
+        quality_score_pandas("text").alias("udf_score"),
+    ).collect()
+    for r in out:
+        assert abs(r.expr_score - r.udf_score) < 1e-9, r
+
+
 def test_center_embeddings_by_group(spark):
     import numpy as np
 

@@ -54,6 +54,32 @@ def test_write_bucketed_single_pass(spark, tmp_path):
     assert back.select("id").distinct().count() == 1000
 
 
+def test_csv_corrupt_record_handling(spark, tmp_path):
+    """Ingestion robustness: PERMISSIVE mode NULLs malformed fields and
+    captures the raw line; DROPMALFORMED removes the row — the two knobs
+    a crawler-less pipeline needs for dirty feeds."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,qty\n1,10\nnot_an_int,20\n3,30\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    permissive = read_csv(spark, str(p), schema, mode="PERMISSIVE",
+                          columnNameOfCorruptRecord="_corrupt_record").cache()
+    assert permissive.count() == 3
+    bad = permissive.where(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and bad[0].id is None and "not_an_int" in bad[0]._corrupt_record
+
+    clean_schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("qty", T.IntegerType())]
+    )
+    dropped = read_csv(spark, str(p), clean_schema, mode="DROPMALFORMED")
+    assert {r.id for r in dropped.collect()} == {1, 3}
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     """Hive-style partitioning -> partition pruning at the scan (the
     date-keyed fact layout for 100 TB: a year/month filter must not
