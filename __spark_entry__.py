@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": X.dedup_embedding,
         "similarity_topk": X.similarity_topk,
         "similarity_ann_lsh": X.similarity_ann_lsh,
+        "similarity_ivf": X.similarity_ivf,
+        "tfidf_top_terms": X.tfidf_top_terms,
         "text_stats": X.text_stats,
         "lang_id": X.lang_id,
         "doc_fingerprints": X.doc_fingerprints,
@@ -138,12 +140,16 @@ def _cosine(va: str, vb: str) -> str:
     )
 
 
+# one 40-bit md5-prefix base hash per shingle, then affine permutations
+# (A_s*h + B_s) mod 2^61-1 — must mirror dedup_family._minhash_coeffs
+_MINHASH_P = (1 << 61) - 1
 _MINHASH_SIG = "[" + ", ".join(
-    f"list_min(list_transform(sh, x -> md5('{s}|' || x)))" for s in range(12)
+    f"list_min(list_transform(hs, h -> ({2_000_003 + 4_001 * s} * h + {48_611 * s + 11}) % {_MINHASH_P}))"
+    for s in range(12)
 ) + "]"
 
 _BANDS = "[" + ", ".join(
-    f"md5('{j}#' || array_to_string(sig[{j * 3 + 1}:{j * 3 + 3}], ''))" for j in range(4)
+    f"'{j}#' || array_to_string(sig[{j * 3 + 1}:{j * 3 + 3}], '_')" for j in range(4)
 ) + "]"
 
 # pairs (a<b) from each multi-doc bucket, as in dedup_family._pairs_from_sorted_ids
@@ -228,7 +234,8 @@ def _ext_oracles() -> dict[str, str]:
             "WITH tok AS (SELECT doc_id, " + _TOKENS + " AS tk FROM documents), "
             f"sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM tok), "
             "base AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0), "
-            f"sig AS (SELECT doc_id, sh, {_MINHASH_SIG} AS sig FROM base), "
+            "hs AS (SELECT doc_id, sh, list_transform(sh, x -> ('0x' || substr(md5(x), 1, 10))::BIGINT) AS hs FROM base), "
+            f"sig AS (SELECT doc_id, sh, {_MINHASH_SIG} AS sig FROM hs), "
             f"banded AS (SELECT doc_id, unnest({_BANDS}) AS band_hash FROM sig), "
             "buckets AS (SELECT band_hash, list_sort(list(DISTINCT doc_id)) AS ids "
             "FROM banded GROUP BY band_hash HAVING COUNT(DISTINCT doc_id) > 1), "
@@ -291,6 +298,35 @@ def _ext_oracles() -> dict[str, str]:
             "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
             "ORDER BY cos_sim DESC, candidate_id) AS INTEGER) AS rank FROM scored) "
             "SELECT query_id, candidate_id, cos_sim, rank FROM ranked WHERE rank <= 5"
+        ),
+        "similarity_ivf": (
+            "WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < 8), "
+            "assign_c AS (SELECT e.vec_id AS candidate_id, e.embedding AS c_vec, c.cent_id, "
+            f"{_dot('e.embedding', 'c.cent_vec')} AS _sim FROM embeddings e, cents c), "
+            "corpus AS (SELECT candidate_id, c_vec, cent_id AS list_id FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY candidate_id ORDER BY _sim DESC, cent_id) AS _rn "
+            "FROM assign_c) WHERE _rn = 1), "
+            "assign_q AS (SELECT e.vec_id AS query_id, e.embedding AS q_vec, c.cent_id, "
+            f"{_dot('e.embedding', 'c.cent_vec')} AS _sim FROM embeddings e, cents c WHERE e.vec_id < 10), "
+            "queries AS (SELECT query_id, q_vec, cent_id AS list_id FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY _sim DESC, cent_id) AS _rn "
+            "FROM assign_q) WHERE _rn = 1), "
+            "scored AS (SELECT q.query_id, c.candidate_id, "
+            f"round({_cosine('q.q_vec', 'c.c_vec')}, 6) AS cos_sim "
+            "FROM queries q JOIN corpus c USING (list_id) WHERE q.query_id <> c.candidate_id), "
+            "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY cos_sim DESC, candidate_id) AS INTEGER) AS rank FROM scored) "
+            "SELECT query_id, candidate_id, cos_sim, rank FROM ranked WHERE rank <= 5"
+        ),
+        "tfidf_top_terms": (
+            "WITH terms AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2), "
+            "dfx AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1), "
+            "idf AS (SELECT term, round(ln((CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) + 1.0) / (df + 1.0)) + 1.0, 6) AS idf FROM dfx), "
+            "scored AS (SELECT t.doc_id, t.term, t.tf, round(t.tf * i.idf, 6) AS tfidf FROM tf t JOIN idf i USING (term)), "
+            "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY tfidf DESC, term) AS INTEGER) AS rank FROM scored) "
+            "SELECT doc_id, term, tf AS term_freq, tfidf, rank FROM ranked WHERE rank <= 3"
         ),
         "text_stats": (
             "WITH tok AS (SELECT doc_id, text, " + _TOKENS + " AS tk FROM documents), "

@@ -30,6 +30,11 @@ BENCH_QUERIES = [
     "events_hourly",
     "dim_date",
     "dim_customer",
+    # extension surface: sessionization scales with sf; dedup/similarity
+    # run on the fixed-size documents/embeddings tables
+    "user_sessions",
+    "dedup_minhash_lsh",
+    "similarity_topk",
 ]
 
 

@@ -63,28 +63,51 @@ def _pairs_from_sorted_ids(ids: Column) -> Column:
     )
 
 
+# Affine minhash permutation constants: h_s = (A_s * h + B_s) mod P over a
+# 40-bit md5-prefix base hash.  A_s < 2^22 keeps A*h < 2^62 (no 64-bit
+# overflow); P is the Mersenne prime 2^61-1.  One md5 per shingle total —
+# the k 'permutations' are integer ops (the classic universal-hash family).
+MINHASH_P = (1 << 61) - 1
+
+
+def _minhash_coeffs(s: int) -> tuple[int, int]:
+    return 2_000_003 + 4_001 * s, 48_611 * s + 11
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k_shingle: int = 3, n_hashes: int = 12
 ) -> DataFrame:
     """(id, shingles, sig): distinct word shingles + minhash signature.
 
-    minhash_s(doc) = min over shingles of md5("s|" + shingle) — the hex
-    min is a valid uniform permutation sample, and identical in any
-    engine.  Docs shorter than k_shingle words are dropped (no shingles).
+    Base hash = first 10 hex chars of md5(shingle) (engine-portable,
+    collision-negligible at 2^40 for corpus-scale shingle sets); the
+    signature is min over shingles of affine permutations of that one
+    hash.  Docs shorter than k_shingle words are dropped (no shingles).
     """
     sh = word_shingles(tokens(text_col), k_shingle)
     base = df.select(F.col(id_col).alias("doc_id"), sh.alias("shingles")).where(
         F.size("shingles") > 0
     )
+    base = base.withColumn(
+        "_h",
+        F.transform(
+            "shingles",
+            lambda x: F.conv(F.substring(F.md5(x), 1, 10), 16, 10).cast("long"),
+        ),
+    )
     sig = F.array(
         *[
             F.array_min(
-                F.transform("shingles", lambda x, s=s: F.md5(F.concat(F.lit(f"{s}|"), x)))
+                F.transform(
+                    "_h",
+                    lambda h, s=s: (F.lit(_minhash_coeffs(s)[0]) * h + F.lit(_minhash_coeffs(s)[1]))
+                    % F.lit(MINHASH_P),
+                )
             )
             for s in range(n_hashes)
         ]
     )
-    return base.withColumn("sig", sig)
+    return base.withColumn("sig", sig).drop("_h")
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, n_hashes: int, bands: int) -> DataFrame:
@@ -96,7 +119,7 @@ def lsh_candidate_pairs(sig_df: DataFrame, n_hashes: int, bands: int) -> DataFra
     r = n_hashes // bands
     band_hashes = F.array(
         *[
-            F.md5(F.concat(F.lit(f"{j}#"), F.concat_ws("", F.slice("sig", j * r + 1, r))))
+            F.concat(F.lit(f"{j}#"), F.concat_ws("_", F.slice("sig", j * r + 1, r)))
             for j in range(bands)
         ]
     )
@@ -123,7 +146,10 @@ def minhash_near_duplicates(
     """Full minhash-LSH dedup: candidates via banding, then *exact*
     shingle-Jaccard verification (no false positives).  Output:
     (id_a, id_b, jaccard) for pairs >= threshold."""
-    sigs = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes)
+    # The signature frame feeds BOTH candidate generation and the verify
+    # join — persist it so tokenize/shingle/hash runs once.  At warehouse
+    # scale this is the materialized signature staging table.
+    sigs = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes).persist()
     cands = lsh_candidate_pairs(sigs, n_hashes, bands)
     sh = sigs.select("doc_id", "shingles")
     a = sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a")

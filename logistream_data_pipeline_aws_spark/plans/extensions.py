@@ -174,6 +174,94 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """TF-IDF scoring, expressed relationally (explode -> term counts ->
+    document frequency -> idf join -> windowed top-k per doc).
+
+    Deliberately NOT ml.feature.HashingTF: hashing TF buckets by murmur3
+    (engine-specific, collision-lossy); the relational form is exact,
+    oracle-checkable, and at scale is two shuffles (doc-term counts, term
+    df) + a broadcast idf join — all skew-free because term frequencies
+    are Zipfian but the doc-term key is compound."""
+    from pyspark.sql import Window
+
+    from logistream_data_pipeline_aws_spark.functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()  # scalar dimension of idf; one tiny job
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = df_.withColumn(
+        "idf", F.round(F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6)
+    )
+    scored = tf.join(F.broadcast(idf), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", F.col("tf").alias("term_freq"), "tfidf", "rank")
+    )
+
+
+def similarity_ivf(spark: SparkSession, sf_dir: str, n_centroids: int = 8, k: int = 5) -> DataFrame:
+    """IVF-style ANN: partition the corpus into inverted lists by nearest
+    centroid, probe only the query's list.
+
+    Centroids are the first ``n_centroids`` vectors by id — a
+    deterministic seeding (real IVF runs k-means; the *index structure*
+    — assignment pass + per-list probe — is identical, and determinism
+    is what makes the oracle exact).  At scale: centroid assignment is a
+    broadcast cross-score (corpus x tiny centroid set, map-side), lists
+    are the shuffle key, each probe touches one list."""
+    from pyspark.sql import Window
+
+    from logistream_data_pipeline_aws_spark.functions.vectors import dot
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+
+    def assign(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            F.col("vec_id").alias(id_out),
+            F.col("embedding").alias(vec_out),
+            "cent_id",
+            dot(F.col("embedding"), F.col("cent_vec")).alias("_sim"),
+        )
+        w = Window.partitionBy(id_out).orderBy(F.col("_sim").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(id_out, vec_out, F.col("cent_id").alias("list_id"))
+        )
+
+    corpus = assign(emb, "candidate_id", "c_vec")
+    queries = assign(emb.where(F.col("vec_id") < 10), "query_id", "q_vec")
+    from logistream_data_pipeline_aws_spark.functions.vectors import cosine
+
+    scored = (
+        queries.join(corpus, "list_id")
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("candidate_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cos_sim", "rank")
+    )
+
+
 # -- multimodal + JSON ------------------------------------------------------
 
 

@@ -114,6 +114,29 @@ def test_watermark_finalizes_and_drops_late_data(spark, tmp_path):
     assert 10 not in counts  # still-open window withheld in append mode
 
 
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Incremental ingestion with exactly-once file tracking: restarting
+    the foreachBatch stream against the same checkpoint must process only
+    files that arrived since the last run — the micro-batch 'progressive
+    fact load' the reference approximated with bucket loops."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = [(1, _ts(0, 5), 1, "click", 1.0, "{}")]
+    spark.createDataFrame(first, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    q1 = foreach_batch_append(read_events_stream(spark, src), out, ckpt)
+    q1.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 1
+
+    second = [(2, _ts(1, 0), 1, "view", 2.0, "{}"), (3, _ts(2, 0), 2, "click", 3.0, "{}")]
+    spark.createDataFrame(second, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    q2 = foreach_batch_append(read_events_stream(spark, src), out, ckpt)
+    q2.awaitTermination(60)
+    back = spark.read.parquet(out)
+    assert back.count() == 3  # 1 old (not reprocessed) + 2 new
+    assert {r.event_id for r in back.collect()} == {1, 2, 3}
+
+
 def test_sessionize_closes_on_gap(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     sessions = sessionize(stream)
