@@ -80,6 +80,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_region_pivot": A.segment_region_pivot,
         "a6_sales_trend": A.a6_sales_trend,
         "a6_sales_trend_mom": A.a6_sales_trend_mom,
+        "cumulative_monthly_sales": A.cumulative_monthly_sales,
+        "customer_rank_in_nation": A.customer_rank_in_nation,
+        "repeat_customers_yoy": A.repeat_customers_yoy,
+        "acctbal_band_join": A.acctbal_band_join,
         "a7_schedule_adherence": A.a7_schedule_adherence,
         "a8_returns_by_nation": A.a8_returns_by_nation,
         "q1_pricing_summary": A.q1_pricing_summary,
@@ -504,6 +508,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT order_year, order_month, total_sales, "
             "total_sales - LAG(total_sales) OVER (ORDER BY order_year, order_month) AS mom_delta "
             "FROM m"
+        ),
+        "cumulative_monthly_sales": (
+            "WITH m AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+            "CAST(month(o_orderdate) AS INTEGER) AS order_month, "
+            + _dsum("o_totalprice", "total_sales")
+            + ", COUNT(*) AS n_orders FROM orders GROUP BY 1, 2) "
+            "SELECT order_year, order_month, total_sales, "
+            "CAST(SUM(CAST(total_sales AS DECIMAL(30,6))) OVER (ORDER BY order_year, order_month "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cumulative_sales "
+            "FROM m"
+        ),
+        "customer_rank_in_nation": (
+            "WITH rev AS (SELECT o.o_custkey, "
+            + _dsum("l.l_extendedprice * (1.0 - l.l_discount)", "total_revenue")
+            + " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY o.o_custkey), "
+            "e AS (SELECT n.n_name AS nation_name, c.c_custkey, r.total_revenue "
+            "FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey), "
+            "ranked AS (SELECT nation_name, c_custkey, total_revenue, "
+            "CAST(RANK() OVER w AS INTEGER) AS rev_rank, "
+            "CAST(DENSE_RANK() OVER w AS INTEGER) AS rev_dense_rank, "
+            "CAST(NTILE(10) OVER w AS INTEGER) AS rev_decile "
+            "FROM e WINDOW w AS (PARTITION BY nation_name ORDER BY total_revenue DESC, c_custkey)) "
+            "SELECT * FROM ranked WHERE rev_rank <= 20"
+        ),
+        "repeat_customers_yoy": (
+            "WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995), "
+            "y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996) "
+            "SELECT 'retained' AS cohort, COUNT(*) AS n_customers FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96) "
+            "UNION ALL "
+            "SELECT 'churned', COUNT(*) FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96) "
+            "UNION ALL "
+            "SELECT 'new', COUNT(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)"
+        ),
+        "acctbal_band_join": (
+            "WITH c AS (SELECT c_nationkey AS nk, CASE WHEN c_acctbal < 0 THEN NULL "
+            "ELSE CAST(floor(c_acctbal / 1000) AS BIGINT) END AS band FROM customer), "
+            "s AS (SELECT s_nationkey AS nk, CASE WHEN s_acctbal < 0 THEN NULL "
+            "ELSE CAST(floor(s_acctbal / 1000) AS BIGINT) END AS band FROM supplier) "
+            "SELECT c.nk AS nationkey, c.band AS acct_band, COUNT(*) AS n_matches "
+            "FROM c JOIN s ON c.nk = s.nk AND c.band IS NOT DISTINCT FROM s.band "
+            "GROUP BY c.nk, c.band"
         ),
         "a7_schedule_adherence": (
             "SELECT l.l_linestatus, "

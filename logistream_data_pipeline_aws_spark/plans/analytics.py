@@ -165,6 +165,105 @@ def a6_sales_trend_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cumulative_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total over the monthly trend (frame: unbounded preceding
+    -> current row).  The window input is the pre-aggregated monthly
+    table (~tens of rows), so the global ordering is cheap at any fact
+    scale — never window over the raw fact."""
+    from pyspark.sql import Window
+
+    monthly = a6_sales_trend(spark, sf_dir)
+    w = (
+        Window.orderBy("order_year", "order_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # decimal inside the window frame: windowed double sums accumulate in
+    # engine-specific order (segment trees etc.) — decimal is associative
+    return monthly.select(
+        "order_year",
+        "order_month",
+        "total_sales",
+        F.sum(F.col("total_sales").cast("decimal(30,6)")).over(w)
+        .cast("double")
+        .alias("cumulative_sales"),
+    )
+
+
+def customer_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned ranking: each customer's revenue rank + decile within
+    their nation (rank / dense_rank / ntile in one pass over one shuffle
+    keyed by nation)."""
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    rev = (
+        lineitem.join(orders.select("o_orderkey", "o_custkey"),
+                      lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_custkey")
+        .agg(dsum(_revenue(), "total_revenue"))
+    )
+    enriched = rev.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"), "inner",
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"), "inner",
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("total_revenue").desc(), F.col("c_custkey")
+    )
+    return enriched.select(
+        F.col("n_name").alias("nation_name"),
+        "c_custkey",
+        "total_revenue",
+        F.rank().over(w).cast("int").alias("rev_rank"),
+        F.dense_rank().over(w).cast("int").alias("rev_dense_rank"),
+        F.ntile(10).over(w).cast("int").alias("rev_decile"),
+    ).where(F.col("rev_rank") <= 20)
+
+
+def repeat_customers_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations beyond the reference's single UNION (U1):
+    INTERSECT = customers ordering in both 1995 and 1996;
+    EXCEPT = 1995 customers lost in 1996.  One row per class."""
+    orders = load_table(spark, "orders", sf_dir)
+    y95 = orders.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+
+    def count_as(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(label).alias("cohort"), "n_customers"
+        )
+
+    return (
+        count_as(y95.intersect(y96), "retained")
+        .union(count_as(y95.exceptAll(y96), "churned"))
+        .union(count_as(y96.exceptAll(y95), "new"))
+    )
+
+
+def acctbal_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=>): match customers and suppliers on a
+    nullable account-balance band where NULL band must match NULL band —
+    plain equality would silently drop those rows."""
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    band = lambda c: F.when(F.col(c) < 0, F.lit(None)).otherwise(  # noqa: E731
+        F.floor(F.col(c) / 1000).cast("long")
+    )
+    c = customer.select(F.col("c_nationkey").alias("nk"), band("c_acctbal").alias("band"))
+    s = supplier.select(F.col("s_nationkey").alias("nk"), band("s_acctbal").alias("band"))
+    return (
+        c.join(s, (c.nk == s.nk) & c.band.eqNullSafe(s.band), "inner")
+        .groupBy(c.nk.alias("nationkey"), c.band.alias("acct_band"))
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .select("nationkey", "acct_band", "n_matches")
+    )
+
+
 # -- A7: schedule adherence -------------------------------------------------
 
 
