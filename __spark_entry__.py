@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": X.multimodal_meta,
         "events_json_kv": X.events_json_kv,
         "user_sessions": X.user_sessions,
+        # sketch aggregates: estimates by design -> no oracle (rows-only
+        # driver check); accuracy pinned vs exact values in tests
+        "events_sketch_profile": X.events_sketch_profile,
         # -- structured streaming (drained via availableNow; same semantics
         #    as the batch window aggregate, so it shares an exact oracle)
         "events_stream_hourly": X.events_stream_hourly,

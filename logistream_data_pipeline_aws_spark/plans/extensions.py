@@ -262,6 +262,32 @@ def similarity_ivf(spark: SparkSession, sf_dir: str, n_centroids: int = 8, k: in
     )
 
 
+def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the actual 100 TB form of distinct counts and
+    percentiles: HyperLogLog++ (approx_count_distinct) and t-digest-style
+    approx_percentile are map-side combinable, fixed-memory, one-pass.
+
+    No DuckDB oracle on purpose: sketches are engine-specific estimates
+    (the driver records a rows-only check); tests/test_extensions.py pins
+    the estimates within tolerance of the exact values instead."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.expr("approx_percentile(value, array(0.5, 0.9), 10000)").alias("approx_q"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("approx_q")[0].alias("approx_p50"),
+            F.col("approx_q")[1].alias("approx_p90"),
+            "n_events",
+        )
+    )
+
+
 # -- multimodal + JSON ------------------------------------------------------
 
 

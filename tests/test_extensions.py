@@ -122,6 +122,24 @@ def test_quality_score_pandas_matches_expression(spark, docs):
         assert abs(r.expr_score - r.udf_score) < 1e-9, r
 
 
+def test_sketch_profile_within_tolerance(spark):
+    """approx_count_distinct / approx_percentile estimates must land
+    within tolerance of the exact answers they replace at scale."""
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        events_sketch_profile,
+        events_value_quantiles,
+    )
+    from tests.conftest import SF_ORACLE
+
+    approx = {r.event_type: r for r in events_sketch_profile(spark, SF_ORACLE).collect()}
+    exact = {r.event_type: r for r in events_value_quantiles(spark, SF_ORACLE).collect()}
+    for et, a in approx.items():
+        e = exact[et]
+        assert a.n_events == e.n_events
+        assert abs(a.approx_p50 - e.p50) / max(e.p50, 1.0) < 0.05
+        assert abs(a.approx_p90 - e.p90) / max(e.p90, 1.0) < 0.05
+
+
 def test_center_embeddings_by_group(spark):
     import numpy as np
 

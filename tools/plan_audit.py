@@ -29,6 +29,10 @@ AUDIT_QUERIES = [
     "sql_local_supplier_volume",
     "dedup_minhash_lsh",
     "similarity_topk",
+    "similarity_ivf",
+    "tfidf_top_terms",
+    "customer_rank_in_nation",
+    "user_sessions",
 ]
 
 
