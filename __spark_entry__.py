@@ -375,8 +375,10 @@ def _ext_oracles() -> dict[str, str]:
         "user_sessions": (
             # gaps-and-islands mirror of session_window on second-truncated ts
             "WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value FROM events), "
+            # strictly greater: session_window merges an event at exactly
+            # prev + gap (inclusive window end) — verified at sf0.1
             "marked AS (SELECT user_id, ts_s, value, CASE WHEN ts_s - LAG(ts_s) OVER "
-            "(PARTITION BY user_id ORDER BY ts_s) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM e), "
+            "(PARTITION BY user_id ORDER BY ts_s) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM e), "
             "islands AS (SELECT user_id, ts_s, value, SUM(new_s) OVER "
             "(PARTITION BY user_id ORDER BY ts_s ROWS UNBOUNDED PRECEDING) AS sid FROM marked) "
             "SELECT user_id, MIN(ts_s) AS session_start, MAX(ts_s) AS session_end, "

@@ -95,17 +95,15 @@ def minhash_signatures(
             lambda x: F.conv(F.substring(F.md5(x), 1, 10), 16, 10).cast("long"),
         ),
     )
+    def perm(s: int):
+        # single-parameter lambda is REQUIRED: F.transform passes the
+        # element index to a two-parameter callable, which would silently
+        # shadow a `s=s` default binding (seed -> element index bug)
+        a, b = _minhash_coeffs(s)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
     sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    "_h",
-                    lambda h, s=s: (F.lit(_minhash_coeffs(s)[0]) * h + F.lit(_minhash_coeffs(s)[1]))
-                    % F.lit(MINHASH_P),
-                )
-            )
-            for s in range(n_hashes)
-        ]
+        *[F.array_min(F.transform("_h", perm(s))) for s in range(n_hashes)]
     )
     return base.withColumn("sig", sig).drop("_h")
 

@@ -159,6 +159,55 @@ def sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+ORDER_FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.LongType()),
+        T.StructField("order_ts", T.TimestampType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+SHIPMENT_FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.LongType()),
+        T.StructField("ship_ts", T.TimestampType()),
+        T.StructField("carrier", T.StringType()),
+    ]
+)
+
+
+def order_shipment_join(
+    orders_stream: DataFrame,
+    shipments_stream: DataFrame,
+    max_ship_delay: str = "48 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join — the reference's *declared* dual-feed
+    scenario (Project_Report p.2: a real-time order stream matched with
+    a real-time shipping stream).
+
+    Both sides are watermarked and the join carries an event-time range
+    predicate (``ship_ts`` within ``max_ship_delay`` of ``order_ts``):
+    that bound is what lets Spark evict join state — without it, both
+    sides buffer forever.  State is partitioned by order_id; the
+    watermark + range bound cap per-key retention.
+    """
+    o = orders_stream.withWatermark("order_ts", watermark)
+    s = shipments_stream.withWatermark("ship_ts", watermark)
+    cond = (
+        (o.order_id == s.order_id)
+        & (s.ship_ts >= o.order_ts)
+        & (s.ship_ts <= o.order_ts + F.expr(f"INTERVAL {max_ship_delay}"))
+    )
+    return o.join(s, cond, "inner").select(
+        o.order_id,
+        "order_ts",
+        "ship_ts",
+        "amount",
+        "carrier",
+        (F.unix_timestamp("ship_ts") - F.unix_timestamp("order_ts")).alias("ship_delay_s"),
+    )
+
+
 def foreach_batch_append(stream: DataFrame, path: str, checkpoint: str):
     """Micro-batch sink: append each batch to a parquet table — the
     streaming analog of the reference's progressive bucketed fact load

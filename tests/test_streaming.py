@@ -114,6 +114,43 @@ def test_watermark_finalizes_and_drops_late_data(spark, tmp_path):
     assert 10 not in counts  # still-open window withheld in append mode
 
 
+def test_stream_stream_join_with_time_bound(spark, tmp_path):
+    """The declared dual-feed scenario: order stream ⋈ shipping stream
+    with an event-time range bound; shipments outside the 48h window
+    must not match."""
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        ORDER_FEED_SCHEMA,
+        SHIPMENT_FEED_SCHEMA,
+        order_shipment_join,
+    )
+
+    od = str(tmp_path / "orders_feed")
+    sd = str(tmp_path / "ship_feed")
+    orders = [
+        (1, _ts(0, 0), 100.0),
+        (2, _ts(1, 0), 200.0),
+        (3, _ts(2, 0), 300.0),
+    ]
+    ships = [
+        (1, _ts(5, 0), "FAST"),              # +5h: matches
+        (2, _ts(1, 30), "SAME_DAY"),         # +30m: matches
+        (3, datetime.datetime(2024, 1, 5, 0, 0), "SLOW"),  # +70h: outside bound
+        (9, _ts(3, 0), "GHOST"),             # no matching order
+    ]
+    spark.createDataFrame(orders, ORDER_FEED_SCHEMA).coalesce(1).write.parquet(od)
+    spark.createDataFrame(ships, SHIPMENT_FEED_SCHEMA).coalesce(1).write.parquet(sd)
+    joined = order_shipment_join(
+        spark.readStream.schema(ORDER_FEED_SCHEMA).parquet(od),
+        spark.readStream.schema(SHIPMENT_FEED_SCHEMA).parquet(sd),
+    )
+    assert joined.isStreaming
+    run_available_now(joined, "t_ss_join", output_mode="append")
+    rows = {r.order_id: r for r in spark.table("t_ss_join").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].carrier == "FAST" and rows[1].ship_delay_s == 5 * 3600
+    assert rows[2].ship_delay_s == 1800
+
+
 def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     """Incremental ingestion with exactly-once file tracking: restarting
     the foreachBatch stream against the same checkpoint must process only
