@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch aggregates: estimates by design -> no oracle (rows-only
         # driver check); accuracy pinned vs exact values in tests
         "events_sketch_profile": X.events_sketch_profile,
+        "events_asof_last_purchase": X.events_asof_last_purchase,
+        "events_lookback_count": X.events_lookback_count,
         # -- structured streaming (drained via availableNow; same semantics
         #    as the batch window aggregate, so it shares an exact oracle)
         "events_stream_hourly": X.events_stream_hourly,
@@ -371,6 +373,21 @@ def _ext_oracles() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_asof_last_purchase": (
+            "WITH base AS (SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type FROM events), "
+            "p AS (SELECT DISTINCT user_id, ts_s AS purchase_ts FROM base WHERE event_type = 'purchase') "
+            "SELECT b.event_id, b.user_id, b.ts_s, p.purchase_ts AS asof_purchase_ts, "
+            "CAST(epoch(b.ts_s) - epoch(p.purchase_ts) AS BIGINT) AS secs_since_purchase "
+            "FROM base b ASOF LEFT JOIN p "
+            "ON b.user_id = p.user_id AND b.ts_s >= p.purchase_ts"
+        ),
+        "events_lookback_count": (
+            "WITH base AS (SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s FROM events) "
+            "SELECT l.event_id, l.user_id, l.ts_s, COUNT(r.event_id) AS n_prior_events_1h "
+            "FROM base l LEFT JOIN base r ON l.user_id = r.user_id "
+            "AND r.ts_s >= l.ts_s - INTERVAL 1 HOUR AND r.ts_s < l.ts_s "
+            "GROUP BY l.event_id, l.user_id, l.ts_s"
         ),
         "user_sessions": (
             # gaps-and-islands mirror of session_window on second-truncated ts

@@ -1,0 +1,107 @@
+"""As-of and range joins — time-series operators Spark lacks natively
+(named in the build brief; the reference has no joins beyond equi-lookups,
+SURVEY §2.3, but any event/fact timeline analysis needs these).
+
+``as_of_join`` uses the merge-based formulation, NOT a range cross join:
+union both sides, one window pass per key carrying the most recent right
+row forward (``last(..., ignorenulls)`` over rows preceding).  Cost is one
+shuffle on the key + a per-key sort — linear in rows, no quadratic pair
+blowup, skew-bounded by the hottest key's row count.  A 100 TB timeline
+joins in one pass.
+
+``range_join`` keeps an equality key plus a time-band predicate, so
+Catalyst plans a hash join on the key with the band as a post-filter —
+never a broadcast-nested-loop.  Callers must supply the equality key; a
+pure inequality join does not scale and is refused.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__side"  # 0 = right (build), 1 = left (probe): right sorts first on ties
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_ts <= left_ts`` (or ``<`` when ``strict``) per join key.
+
+    Right rows are first reduced to one per (key, ts) — the latest by the
+    ordering of ``right_vals`` — so ties are deterministic.
+    """
+    val_cols = [F.max(v).alias(v) for v in right_vals]
+    r = (
+        right.select(*on, F.col(right_ts).alias("__ts"), *right_vals)
+        .groupBy(*on, "__ts")
+        .agg(*val_cols)
+        .withColumn(_SIDE, F.lit(0))
+    )
+    left_cols = [c for c in left.columns]
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn(_SIDE, F.lit(1))
+    # align schemas for the union
+    for v in right_vals:
+        l = l.withColumn(v, F.lit(None).cast(dict(r.dtypes)[v]))
+    for c in left_cols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = l.select(*left_cols, "__ts", _SIDE, *right_vals).union(
+        r.select(*left_cols, "__ts", _SIDE, *right_vals)
+    )
+    # on a tie (right_ts == left_ts): inclusive -> right first (side 0);
+    # strict -> right row must be strictly earlier, so exclude equal ts
+    # by ordering left first
+    side_order = F.col(_SIDE).asc() if not strict else F.col(_SIDE).desc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *left_cols,
+        "__ts",
+        _SIDE,
+        *[
+            F.last(F.when(F.col(_SIDE) == 0, F.col(v)), ignorenulls=True)
+            .over(w)
+            .alias(f"asof_{v}")
+            for v in right_vals
+        ],
+        F.last(F.when(F.col(_SIDE) == 0, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("asof_ts"),
+    )
+    return carried.where(F.col(_SIDE) == 1).drop(_SIDE, "__ts")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    band: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on ``on`` plus an arbitrary band predicate (time window,
+    numeric range).  The equality key keeps it a hash join; the band is
+    evaluated as the join residual."""
+    if not on:
+        raise ValueError(
+            "range_join requires at least one equality key: a pure "
+            "inequality join degenerates to a nested-loop cross product "
+            "and will not scale"
+        )
+    cond = None
+    for k in on:
+        c = left[k] == right[k]
+        cond = c if cond is None else (cond & c)
+    return left.join(right, cond & band, how)

@@ -262,6 +262,68 @@ def similarity_ivf(spark: SparkSession, sf_dir: str, n_centroids: int = 8, k: in
     )
 
 
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every event, the most recent purchase at-or-before
+    it by the same user (merge-based one-pass join; DuckDB mirrors it
+    with a native ASOF JOIN).  Timestamps truncated to seconds for
+    cross-engine exactness."""
+    from logistream_data_pipeline_aws_spark.operators.asof import as_of_join
+
+    events = load_table(spark, "events", sf_dir)
+    base = events.select(
+        "event_id", "user_id", F.date_trunc("second", "ts").alias("ts_s"), "event_type"
+    )
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_s", F.col("ts_s").alias("purchase_ts")
+    )
+    joined = as_of_join(
+        base.select("event_id", "user_id", "ts_s"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts_s",
+        right_ts="ts_s",
+        right_vals=["purchase_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        "asof_purchase_ts",
+        (F.unix_timestamp("ts_s") - F.unix_timestamp("asof_purchase_ts"))
+        .cast("long")
+        .alias("secs_since_purchase"),
+    )
+
+
+def events_lookback_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per event, how many earlier events the same user fired
+    in the preceding hour — equality on user keeps it a hash join, the
+    time band is the join residual (never a nested loop)."""
+    from logistream_data_pipeline_aws_spark.operators.asof import range_join
+
+    events = load_table(spark, "events", sf_dir)
+    base = events.select("event_id", "user_id", F.date_trunc("second", "ts").alias("ts_s"))
+    l = base.select(
+        F.col("event_id"), F.col("user_id"), F.col("ts_s")
+    )
+    r = base.select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts_s").alias("r_ts"),
+    )
+    band = (F.col("r_ts") >= F.col("ts_s") - F.expr("INTERVAL 1 HOUR")) & (
+        F.col("r_ts") < F.col("ts_s")
+    )
+    joined = range_join(
+        l, r.withColumnRenamed("r_user_id", "user_id"), on=["user_id"], band=band, how="left"
+    )
+    return (
+        joined.groupBy("event_id", l.user_id.alias("user_id"), "ts_s")
+        .agg(F.count("r_event_id").alias("n_prior_events_1h"))
+        .select("event_id", "user_id", "ts_s", "n_prior_events_1h")
+    )
+
+
 def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the actual 100 TB form of distinct counts and
     percentiles: HyperLogLog++ (approx_count_distinct) and t-digest-style
