@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sketch_profile": X.events_sketch_profile,
         "events_asof_last_purchase": X.events_asof_last_purchase,
         "events_lookback_count": X.events_lookback_count,
+        "events_multigrain_rollup": X.events_multigrain_rollup,
         # -- structured streaming (drained via availableNow; same semantics
         #    as the batch window aggregate, so it shares an exact oracle)
         "events_stream_hourly": X.events_stream_hourly,
@@ -381,6 +382,13 @@ def _ext_oracles() -> dict[str, str]:
             "CAST(epoch(b.ts_s) - epoch(p.purchase_ts) AS BIGINT) AS secs_since_purchase "
             "FROM base b ASOF LEFT JOIN p "
             "ON b.user_id = p.user_id AND b.ts_s >= p.purchase_ts"
+        ),
+        "events_multigrain_rollup": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+            "CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value "
+            "FROM events GROUP BY ROLLUP(1, 2)"
         ),
         "events_lookback_count": (
             "WITH base AS (SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s FROM events) "

@@ -324,6 +324,29 @@ def events_lookback_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass produces
+    the (day, hour) grain, the day grain, and the grand total via ROLLUP
+    grouping sets — the materialization feeding a time-series dashboard's
+    zoom levels.  At scale this is the layered downsampling pattern:
+    partial aggregation combines map-side, and each coarser grain reads
+    the finer one for free inside the same shuffle."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+        )
+        .select("day", "hour", "n_events", "total_value")
+    )
+
+
 def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the actual 100 TB form of distinct counts and
     percentiles: HyperLogLog++ (approx_count_distinct) and t-digest-style
