@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- training-data pipeline extensions (dedup / similarity / text /
         #    multimodal / JSON)
         "dedup_exact": X.dedup_exact,
+        "dedup_clusters": X.dedup_clusters,
         "dedup_survivors": X.dedup_survivors,
         "dedup_fuzzy_levenshtein": X.dedup_fuzzy_levenshtein,
         "events_value_quantiles": X.events_value_quantiles,
@@ -256,6 +257,33 @@ def _ext_oracles() -> dict[str, str]:
         ),
         "dedup_simhash": (
             f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM fp"
+        ),
+        "dedup_clusters": (
+            # minhash pairs -> symmetric closure via recursive CTE ->
+            # cluster id = min reachable doc id (mirrors iterative
+            # min-label propagation in operators.dedup_family)
+            "WITH RECURSIVE pairs AS ("
+            "WITH tok AS (SELECT doc_id, " + _TOKENS + " AS tk FROM documents), "
+            f"sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM tok), "
+            "base AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0), "
+            "hs AS (SELECT doc_id, sh, list_transform(sh, x -> ('0x' || substr(md5(x), 1, 10))::BIGINT) AS hs FROM base), "
+            f"sig AS (SELECT doc_id, sh, {_MINHASH_SIG} AS sig FROM hs), "
+            f"banded AS (SELECT doc_id, unnest({_BANDS}) AS band_hash FROM sig), "
+            "buckets AS (SELECT band_hash, list_sort(list(DISTINCT doc_id)) AS ids "
+            "FROM banded GROUP BY band_hash HAVING COUNT(DISTINCT doc_id) > 1), "
+            f"cand AS ({_PAIRS_FROM_BUCKETS}) "
+            "SELECT c.id_a, c.id_b FROM cand c "
+            "JOIN base a ON c.id_a = a.doc_id JOIN base b ON c.id_b = b.doc_id "
+            "WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.2"
+            "), "
+            "sym AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT src, dst FROM sym "
+            "UNION SELECT reach.src, s.dst FROM reach JOIN sym s ON reach.dst = s.src) "
+            "SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(m.min_reach, d.doc_id)) AS BIGINT) AS cluster_id "
+            "FROM documents d LEFT JOIN (SELECT src, MIN(dst) AS min_reach FROM reach GROUP BY src) m "
+            "ON d.doc_id = m.src"
         ),
         "dedup_simhash_pairs": (
             f"WITH {_SIMHASH_CTE}, "

@@ -249,6 +249,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — turns
+    near-duplicate *pairs* into duplicate *clusters* (the step between
+    pair mining and choosing one survivor per group).
+
+    ``nodes``: one column ``id``; ``edges``: columns ``id_a``/``id_b``.
+    Each round every node adopts the minimum label among itself and its
+    neighbors; converged when no label changes.  This is the standard
+    distributed formulation (label propagation a la GraphX/Pregel): per
+    round one join + one aggregation, both keyed on node id; rounds
+    needed = graph diameter (near-dup clusters are tiny, so 2-3 in
+    practice).  The driver-side loop is only the convergence check — all
+    data stays distributed.
+    """
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("label")).persist()
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 def embedding_near_duplicates(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:

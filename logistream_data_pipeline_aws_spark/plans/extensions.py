@@ -56,6 +56,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: minhash-LSH pairs -> connected components ->
+    one row per document with its cluster id (= the minimum doc_id
+    reachable through near-dup edges; singletons keep their own id).
+    The oracle computes the same closure with a recursive CTE."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.minhash_near_duplicates(
+        docs, "doc_id", "text", k_shingle=3, n_hashes=12, bands=4, threshold=0.2
+    )
+    comps = D.connected_components(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs.select("id_a", "id_b"),
+    )
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("cluster_id").cast("long")
+    )
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return D.embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.4)
@@ -399,7 +417,6 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained with availableNow into a memory sink.  A single-file source
     is one micro-batch, so the watermark drops nothing and the result is
     exactly the batch events_hourly aggregate (same oracle)."""
-    import os
     import uuid
 
     from pyspark.sql import types as T

@@ -73,6 +73,17 @@ def test_ngram_jaccard_pairs(spark):
     assert all(5 not in p for p in got)
 
 
+def test_connected_components(spark):
+    """Chain a-b-c plus pair d-e plus singleton f: three clusters, each
+    labeled by its minimum member."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    out = {r.id: r.cluster_id for r in D.connected_components(nodes, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
 def test_embedding_near_duplicates_and_topk(spark):
     vecs = [
         (1, [1.0, 0.0, 0.0]),
