@@ -374,8 +374,9 @@ def _ext_oracles() -> dict[str, str]:
             "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
             "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_regex_tokens, "
             "CAST(length(text) AS BIGINT) AS n_chars_actual, "
+            "CASE WHEN text IS NULL THEN NULL ELSE "
             "round(least(n_tok / 64.0, 1.0) * (0.5 + 0.3 * (CASE WHEN n_tok > 0 THEN n_alpha / n_tok ELSE 0.0 END) "
-            "+ 0.2 * least(sw / 4.0, 1.0)), 6) AS quality "
+            "+ 0.2 * least(sw / 4.0, 1.0)), 6) END AS quality "
             "FROM m"
         ),
         "lang_id": (

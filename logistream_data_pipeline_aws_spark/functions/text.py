@@ -97,7 +97,9 @@ def quality_score_pandas(text_col: Column | str) -> Column:
 
     @pandas_udf("double")
     def score(texts: pd.Series) -> pd.Series:
-        def one(t: str | None) -> float:
+        def one(t: str | None) -> float | None:
+            if t is None:
+                return None  # parity with the expression form: NULL in, NULL out
             toks = (t or "").strip().split()
             n = len(toks) if toks else 1  # split('') -> [''] parity
             if (t or "").strip() == "":
@@ -130,4 +132,9 @@ def quality_score(text_col: Column | str) -> Column:
     alpha_ratio = F.when(n_tok > 0, alpha / n_tok).otherwise(F.lit(0.0))
     sw = stopword_hits(tok, "en").cast("double")
     sw_score = F.least(sw / F.lit(4.0), F.lit(1.0))
-    return F.round(len_score * (F.lit(0.5) + F.lit(0.3) * alpha_ratio + F.lit(0.2) * sw_score), 6)
+    score = F.round(
+        len_score * (F.lit(0.5) + F.lit(0.3) * alpha_ratio + F.lit(0.2) * sw_score), 6
+    )
+    # least()/greatest() IGNORE null operands, so a NULL text would leak
+    # through as a constant 0.7 — gate explicitly: NULL in, NULL out
+    return F.when(c.isNotNull(), score)

@@ -37,14 +37,25 @@ def as_of_join(
     """For each left row, attach the most recent right row with
     ``right_ts <= left_ts`` (or ``<`` when ``strict``) per join key.
 
-    Right rows are first reduced to one per (key, ts) — the latest by the
-    ordering of ``right_vals`` — so ties are deterministic.
+    Right rows are first reduced to one *row* per (key, ts), the maximum
+    under the ordering of ``right_vals`` — deterministic ties without
+    blending values across rows.  Left columns may not collide with
+    ``right_vals`` names (raises instead of silently shadowing).
     """
-    val_cols = [F.max(v).alias(v) for v in right_vals]
+    collisions = set(left.columns) & set(right_vals)
+    if collisions:
+        raise ValueError(
+            f"left columns {sorted(collisions)} collide with right_vals; "
+            "rename one side before joining"
+        )
+    w_tie = Window.partitionBy(*on, "__ts").orderBy(
+        *[F.col(v).desc() for v in right_vals]
+    )
     r = (
         right.select(*on, F.col(right_ts).alias("__ts"), *right_vals)
-        .groupBy(*on, "__ts")
-        .agg(*val_cols)
+        .withColumn("__rn", F.row_number().over(w_tie))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
         .withColumn(_SIDE, F.lit(0))
     )
     left_cols = [c for c in left.columns]

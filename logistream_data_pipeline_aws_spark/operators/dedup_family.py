@@ -69,6 +69,9 @@ def _pairs_from_sorted_ids(ids: Column) -> Column:
 # the k 'permutations' are integer ops (the classic universal-hash family).
 MINHASH_P = (1 << 61) - 1
 
+# most recent persisted signature frame (see minhash_near_duplicates)
+_LAST_SIG_CACHE = None
+
 
 def _minhash_coeffs(s: int) -> tuple[int, int]:
     return 2_000_003 + 4_001 * s, 48_611 * s + 11
@@ -114,6 +117,11 @@ def lsh_candidate_pairs(sig_df: DataFrame, n_hashes: int, bands: int) -> DataFra
     The band index is baked into the hash, so one groupBy(band_hash)
     covers all bands; buckets are md5-uniform -> no shuffle skew.
     """
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes}): trailing "
+            "signature positions would be silently excluded from banding"
+        )
     r = n_hashes // bands
     band_hashes = F.array(
         *[
@@ -146,8 +154,18 @@ def minhash_near_duplicates(
     (id_a, id_b, jaccard) for pairs >= threshold."""
     # The signature frame feeds BOTH candidate generation and the verify
     # join — persist it so tokenize/shingle/hash runs once.  At warehouse
-    # scale this is the materialized signature staging table.
+    # scale this is the materialized signature staging table.  Only the
+    # most recent call's cache is retained (bounded leak in long-lived
+    # sessions: the caller's result is lazy, so an eager unpersist here
+    # would defeat the reuse).
+    global _LAST_SIG_CACHE
     sigs = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes).persist()
+    if _LAST_SIG_CACHE is not None:
+        try:
+            _LAST_SIG_CACHE.unpersist()
+        except Exception:  # session may be gone
+            pass
+    _LAST_SIG_CACHE = sigs
     cands = lsh_candidate_pairs(sigs, n_hashes, bands)
     sh = sigs.select("doc_id", "shingles")
     a = sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a")
@@ -271,6 +289,7 @@ def connected_components(
         .distinct()
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("label")).persist()
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -296,7 +315,14 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            "iterations (component diameter exceeds max_iters); raise "
+            "max_iters rather than returning partially-propagated labels"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

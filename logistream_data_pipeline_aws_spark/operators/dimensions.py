@@ -50,7 +50,12 @@ def build_dimension(
     dim = df.select(*cols)
     dim = dedup_first(dim, keys=list(natural_key), tiebreak=list(natural_key))
     if parent is not None:
-        dim = dim.join(F.broadcast(parent), on=list(parent_on or []), how="left")
+        if not parent_on:
+            raise ValueError(
+                "parent requires parent_on join columns (an empty list "
+                "would silently cross-join the parent dimension)"
+            )
+        dim = dim.join(F.broadcast(parent), on=list(parent_on), how="left")
     return with_sequential_key(dim, key_name, order_by=list(natural_key))
 
 

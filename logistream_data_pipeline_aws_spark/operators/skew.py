@@ -60,7 +60,18 @@ def salted_join(
     deterministic hash of ``salt_source``; the build side is replicated
     across all salt values (explode of a literal range — n_salts x |build|
     rows, so keep the build side dimension-sized).  Join keys become
-    (on..., salt); hot probe keys fan out over n_salts tasks."""
+    (on..., salt); hot probe keys fan out over n_salts tasks.
+
+    Only ``inner``/``left`` joins are supported: under right/full outer,
+    unmatched build-side replicas would each surface as a NULL-padded
+    row (n_salts duplicates).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: outer "
+            "joins would emit one NULL-padded row per salt replica of an "
+            "unmatched build row"
+        )
     p = probe.withColumn(_SALT, F.pmod(F.hash(F.col(salt_source)), F.lit(n_salts)))
     b = build.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

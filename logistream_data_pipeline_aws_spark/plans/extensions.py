@@ -262,6 +262,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str, n_centroids: int = 8, k: in
     corpus = assign(emb, "candidate_id", "c_vec")
     queries = assign(emb.where(F.col("vec_id") < 10), "query_id", "q_vec")
     from logistream_data_pipeline_aws_spark.functions.vectors import cosine
+    from logistream_data_pipeline_aws_spark.operators.similarity import _topk
 
     scored = (
         queries.join(corpus, "list_id")
@@ -272,12 +273,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str, n_centroids: int = 8, k: in
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("candidate_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "candidate_id", "cos_sim", "rank")
-    )
+    return _topk(scored, k)
 
 
 def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:

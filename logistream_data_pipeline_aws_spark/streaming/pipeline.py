@@ -122,7 +122,10 @@ def _session_fn(
             out.append((key[0], s0, s1, n, tot))
             s0, s1, n, tot = t, t, 1, float(r["value"])
         else:
-            s1, n, tot = t, n + 1, tot + float(r["value"])
+            # a within-watermark straggler from an earlier batch may have
+            # t < s1 (or even < s0): widen the span, never move it back
+            s0, s1 = min(s0, t), max(s1, t)
+            n, tot = n + 1, tot + float(r["value"])
     state.update((s0, s1, n, tot))
     if out:
         yield pd.DataFrame(

@@ -63,3 +63,21 @@ def test_range_join_requires_equality_key(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="equality key"):
         range_join(df, df, on=[], band=F.lit(True))
+
+
+def test_asof_rejects_column_collisions(spark):
+    left = spark.createDataFrame([(1, "k", _t(1), 5.0)], ["id", "k", "ts", "price"])
+    right = spark.createDataFrame([("k", _t(0), 1.0)], ["k", "ts", "price"])
+    with pytest.raises(ValueError, match="collide"):
+        as_of_join(left, right, ["k"], "ts", "ts", ["price"])
+
+
+def test_asof_tie_keeps_one_row_not_blend(spark):
+    """Multiple right rows at the same (key, ts) must resolve to ONE row
+    (max under right_vals order), never a per-column blend."""
+    left = spark.createDataFrame([(1, "k", _t(10))], ["id", "k", "ts"])
+    right = spark.createDataFrame(
+        [("k", _t(5), 1.0, 9.0), ("k", _t(5), 9.0, 1.0)], ["k", "ts", "v", "w"]
+    )
+    out = as_of_join(left, right, ["k"], "ts", "ts", ["v", "w"]).collect()[0]
+    assert (out.asof_v, out.asof_w) == (9.0, 1.0)  # the v=9 ROW, not (9, 9)

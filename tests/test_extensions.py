@@ -73,6 +73,44 @@ def test_ngram_jaccard_pairs(spark):
     assert all(5 not in p for p in got)
 
 
+def test_guards_raise_loudly(spark):
+    """Misuse raises instead of silently degrading (review findings)."""
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+    from logistream_data_pipeline_aws_spark.operators.dimensions import build_dimension
+
+    with pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(spark.range(1), n_hashes=12, bands=5)
+    with pytest.raises(ValueError, match="parent_on"):
+        build_dimension(
+            spark.createDataFrame([(1,)], ["k"]), {"k": "k"}, ["k"], "key",
+            parent=spark.createDataFrame([(1,)], ["k"]),
+        )
+    # a 25-node path graph has diameter > 3: must refuse, not mislabel
+    nodes = spark.createDataFrame([(i,) for i in range(25)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(24)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(nodes, edges, max_iters=3)
+
+
+def test_quality_score_pandas_null_parity(spark):
+    from logistream_data_pipeline_aws_spark.functions.text import (
+        quality_score,
+        quality_score_pandas,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, "the cat")], ["doc_id", "text"])
+    out = {r.doc_id: (r.e, r.u) for r in df.select(
+        "doc_id",
+        quality_score("text").alias("e"),
+        quality_score_pandas("text").alias("u"),
+    ).collect()}
+    assert out[1] == (None, None)  # NULL in -> NULL out on BOTH paths
+    assert abs(out[2][0] - out[2][1]) < 1e-9
+
+
 def test_connected_components(spark):
     """Chain a-b-c plus pair d-e plus singleton f: three clusters, each
     labeled by its minimum member."""

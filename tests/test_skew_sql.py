@@ -56,6 +56,15 @@ def test_salted_join_matches_direct(spark):
     assert salted == direct
 
 
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    df = _skewed_df(spark)
+    build = spark.createDataFrame([("hot", "H")], ["k", "label"])
+    with pytest.raises(ValueError, match="outer"):
+        salted_join(df, build, ["k"], salt_source="rowid", how="full")
+
+
 def test_sql_surface_matches_dataframe_plan(spark):
     from logistream_data_pipeline_aws_spark.plans.analytics import (
         a5_profit_by_hierarchy,

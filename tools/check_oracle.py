@@ -82,7 +82,7 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
             both_nan = a.isna() & b.isna()
             diff = (a - b).abs()
             rel = diff / b.abs().clip(lower=1.0)
-            bad = (~both_nan) & (a.isna() != b.isna() | (rel > 1e-12))
+            bad = (~both_nan) & ((a.isna() != b.isna()) | (rel > 1e-12))
             exact_mismatch = (~both_nan) & ((a != b) & ~(a.isna() & b.isna()))
             if bad.any():
                 i = bad.idxmax()
