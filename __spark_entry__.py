@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_shipping_priority": V.sql_shipping_priority,
         "sql_local_supplier_volume": V.sql_local_supplier_volume,
         "sql_product_profit_by_nation_year": V.sql_product_profit_by_nation_year,
+        "sql_volume_shipping": V.sql_volume_shipping,
+        "sql_market_share": V.sql_market_share,
         # -- training-data pipeline extensions (dedup / similarity / text /
         #    multimodal / JSON)
         "dedup_exact": X.dedup_exact,
@@ -657,6 +659,37 @@ def oracle_sql() -> dict[str, str]:
             "AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00' "
             "GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority "
             "ORDER BY revenue DESC, l.l_orderkey LIMIT 10"
+        ),
+        "sql_volume_shipping": (
+            "SELECT supp_nation, cust_nation, l_year, "
+            + _dsum("volume", "revenue")
+            + " FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l.l_shipdate) AS INTEGER) AS l_year, "
+            "l.l_extendedprice * (1.0 - l.l_discount) AS volume "
+            "FROM supplier s "
+            "JOIN lineitem l ON s.s_suppkey = l.l_suppkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+            "WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') "
+            "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) shipping "
+            "GROUP BY supp_nation, cust_nation, l_year"
+        ),
+        "sql_market_share": (
+            "SELECT o_year, CAST(ROUND("
+            "CAST(SUM(CAST(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) "
+            "/ CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE), 6) AS DOUBLE) AS mkt_share "
+            "FROM (SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year, "
+            "l.l_extendedprice * (1.0 - l.l_discount) AS volume, n1.n_name AS nation "
+            "FROM lineitem l "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+            "JOIN region r ON n2.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'AMERICA') all_nations GROUP BY o_year"
         ),
         "sql_local_supplier_volume": (
             "SELECT n.n_name AS nation_name, "

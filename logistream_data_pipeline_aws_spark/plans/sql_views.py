@@ -102,6 +102,61 @@ def sql_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shape: revenue flow between two nation pairs per year —
+    supplier nation vs customer nation with a symmetric pair predicate."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INT) AS l_year,
+                   l.l_extendedprice * (1.0 - l.l_discount) AS volume
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shape: one nation's share of regional revenue per year —
+    a conditional-aggregate ratio (exact because both operands are
+    decimal sums and the division happens once per group)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_year,
+               CAST(ROUND(
+                   CAST(SUM(CAST(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+                   / CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+        FROM (
+            SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                   l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+                   n1.n_name AS nation
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            JOIN region r ON n2.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'AMERICA'
+        ) all_nations
+        GROUP BY o_year
+        """
+    )
+
+
 def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shape: 6-way snowflake join with a same-nation predicate
     between two dimension legs — the hardest join-ordering case in the
