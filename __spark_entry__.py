@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_product_profit_by_nation_year": V.sql_product_profit_by_nation_year,
         "sql_volume_shipping": V.sql_volume_shipping,
         "sql_market_share": V.sql_market_share,
+        "sql_lapsed_big_spenders": V.sql_lapsed_big_spenders,
         # -- training-data pipeline extensions (dedup / similarity / text /
         #    multimodal / JSON)
         "dedup_exact": X.dedup_exact,
@@ -690,6 +691,14 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
             "JOIN region r ON n2.n_regionkey = r.r_regionkey "
             "WHERE r.r_name = 'AMERICA') all_nations GROUP BY o_year"
+        ),
+        "sql_lapsed_big_spenders": (
+            "SELECT c.c_custkey, c.c_name AS customer_name FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0) "
+            "AND NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')"
         ),
         "sql_local_supplier_volume": (
             "SELECT n.n_name AS nation_name, "

@@ -157,6 +157,28 @@ def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_lapsed_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subqueries (EXISTS + NOT EXISTS): customers with at
+    least one large order but none recently — Catalyst decorrelates both
+    predicates into semi/anti hash joins, no per-row subquery execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name AS customer_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        )
+        """
+    )
+
+
 def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shape: 6-way snowflake join with a same-nation predicate
     between two dimension legs — the hardest join-ordering case in the
