@@ -10,7 +10,13 @@ logistream_data_pipeline_aws_spark.plans.analytics).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives next to this file; make the import robust to
+# whatever working directory / import mechanism the driver uses
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
