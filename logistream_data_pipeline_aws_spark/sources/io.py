@@ -72,6 +72,29 @@ def write_table(
     getattr(w, fmt)(path)
 
 
+def stage_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str,
+    n_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist a table hash-bucketed (and sorted) on its join key.
+
+    This is the 100 TB answer to the engine's one big-big join
+    (lineitem ⋈ orders on the order key): two tables bucketed identically
+    on the key join with NO exchange — the shuffle is paid once at
+    staging time and amortized over every subsequent join.  The reference
+    approximated this with manual pmod bucket loops at load time
+    (GE:150-162, GE:352-362); Spark's bucketed tables are the declarative
+    form, and the sorted variant removes the per-join sort too.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_key)
+    if sort:
+        w = w.sortBy(bucket_key)
+    w.saveAsTable(table_name)
+
+
 def write_if_nonempty(df: DataFrame, path: str, **kwargs) -> bool:
     """Empty-input write guard (SURVEY §2.2 P5, GE:72-74): skip the sink
     when there are no rows.  ``isEmpty`` evaluates a 1-row limit, not a
