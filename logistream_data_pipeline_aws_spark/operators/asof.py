@@ -42,11 +42,16 @@ def as_of_join(
     blending values across rows.  Left columns may not collide with
     ``right_vals`` names (raises instead of silently shadowing).
     """
-    collisions = set(left.columns) & set(right_vals)
+    reserved = (
+        set(right_vals)
+        | {f"asof_{v}" for v in right_vals}
+        | {"asof_ts", "__ts", _SIDE}
+    )
+    collisions = set(left.columns) & reserved
     if collisions:
         raise ValueError(
-            f"left columns {sorted(collisions)} collide with right_vals; "
-            "rename one side before joining"
+            f"left columns {sorted(collisions)} collide with right_vals/"
+            "output/internal names; rename before joining"
         )
     w_tie = Window.partitionBy(*on, "__ts").orderBy(
         *[F.col(v).desc() for v in right_vals]

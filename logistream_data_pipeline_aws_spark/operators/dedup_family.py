@@ -159,12 +159,16 @@ def minhash_near_duplicates(
     # sessions: the caller's result is lazy, so an eager unpersist here
     # would defeat the reuse).
     global _LAST_SIG_CACHE
-    sigs = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes).persist()
+    # unpersist the previous cache BEFORE persisting the new frame: the
+    # cache manager is keyed by logical plan, so with identical plans an
+    # unpersist-after would evict the new cache too (verified empirically)
     if _LAST_SIG_CACHE is not None:
         try:
             _LAST_SIG_CACHE.unpersist()
         except Exception:  # session may be gone
             pass
+        _LAST_SIG_CACHE = None
+    sigs = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes).persist()
     _LAST_SIG_CACHE = sigs
     cands = lsh_candidate_pairs(sigs, n_hashes, bands)
     sh = sigs.select("doc_id", "shingles")
@@ -318,6 +322,7 @@ def connected_components(
             converged = True
             break
     if not converged:
+        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge within {max_iters} "
             "iterations (component diameter exceeds max_iters); raise "

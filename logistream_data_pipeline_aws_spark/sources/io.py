@@ -87,9 +87,19 @@ def stage_bucketed_table(
     staging time and amortized over every subsequent join.  The reference
     approximated this with manual pmod bucket loops at load time
     (GE:150-162, GE:352-362); Spark's bucketed tables are the declarative
-    form, and the sorted variant removes the per-join sort too.
+    form.  ``sortBy`` keeps bucket files internally sorted (better
+    min/max pruning; and per-join sort elision under
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` — off by
+    default in Spark 3+, so plans still show a cheap local Sort).
     """
-    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_key)
+    from pyspark.sql import functions as F
+
+    # pre-shuffle onto the bucket key: exactly ONE file per bucket.
+    # Without this, every write task emits a file per bucket (small-files
+    # explosion at scale) and Spark only trusts sortBy order for
+    # single-file buckets — multi-file buckets re-insert a per-join Sort.
+    staged = df.repartition(n_buckets, F.col(bucket_key))
+    w = staged.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_key)
     if sort:
         w = w.sortBy(bucket_key)
     w.saveAsTable(table_name)

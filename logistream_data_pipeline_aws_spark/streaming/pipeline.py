@@ -121,9 +121,14 @@ def _session_fn(
         elif t - s1 > gap:
             out.append((key[0], s0, s1, n, tot))
             s0, s1, n, tot = t, t, 1, float(r["value"])
+        elif t < s0 - gap:
+            # within-watermark straggler too old to belong to the open
+            # session: it forms its own (already-closed) session —
+            # everything even earlier is watermark-finalized
+            out.append((key[0], t, t, 1, float(r["value"])))
         else:
-            # a within-watermark straggler from an earlier batch may have
-            # t < s1 (or even < s0): widen the span, never move it back
+            # straggler within [s0-gap, s1] or an in-order extension:
+            # widen the span, never move the end backwards
             s0, s1 = min(s0, t), max(s1, t)
             n, tot = n + 1, tot + float(r["value"])
     state.update((s0, s1, n, tot))

@@ -19,6 +19,7 @@ def test_bucketed_join_has_no_exchange(spark):
         "t_ord_bucketed", "l_orderkey", 8,
     )
     # force the non-broadcast path so the exchange question is real
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = spark.table("t_li_bucketed").join(
@@ -29,8 +30,11 @@ def test_bucketed_join_has_no_exchange(spark):
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan
         # bucketing makes both sides pre-partitioned: no shuffle at all
+        # (a cheap LOCAL Sort remains: Spark 3+ doesn't trust bucket sort
+        # order without the legacy outputOrdering flag)
         assert "Exchange hashpartitioning" not in plan
+        assert "Bucketed: true" in plan
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")

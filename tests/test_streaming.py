@@ -174,6 +174,29 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     assert {r.event_id for r in back.collect()} == {1, 2, 3}
 
 
+def test_sessionize_too_old_straggler_gets_own_session(spark, tmp_path):
+    """A within-watermark straggler older than session_start - gap must
+    form its own closed session, not be merged across the gap."""
+    import time
+
+    d = str(tmp_path / "straggle_in")
+    b1 = [(1, _ts(12, 0), 1, "click", 1.0, "{}"), (2, _ts(12, 10), 1, "click", 2.0, "{}")]
+    b2 = [(3, _ts(11, 0), 1, "click", 5.0, "{}")]  # >30min older than 12:00
+    spark.createDataFrame(b1, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+    time.sleep(1.2)
+    spark.createDataFrame(b2, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    run_available_now(sessionize(stream), "t_straggle", output_mode="append")
+    rows = spark.table("t_straggle").collect()
+    assert len(rows) == 1  # only the straggler's singleton closed
+    r = rows[0]
+    assert (r.session_start.hour, r.n_events, r.total_value) == (11, 1, 5.0)
+
+
 def test_sessionize_closes_on_gap(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     sessions = sessionize(stream)
