@@ -16,24 +16,9 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E  # noqa: E402
 from logistream_data_pipeline_aws_spark.session import get_spark  # noqa: E402
 
-AUDIT_QUERIES = [
-    "q1_pricing_summary",
-    "fact_lineitem",
-    "a5_profit_rollup",
-    "a6_sales_trend",
-    "a7_schedule_adherence",
-    "a8_returns_by_nation",
-    "top_customers",
-    "events_hourly",
-    "sql_shipping_priority",
-    "sql_local_supplier_volume",
-    "dedup_minhash_lsh",
-    "similarity_topk",
-    "similarity_ivf",
-    "tfidf_top_terms",
-    "customer_rank_in_nation",
-    "user_sessions",
-]
+# every registered query; the streaming drain returns a batch memory
+# table whose plan is a LocalTableScan, audited like the rest
+AUDIT_QUERIES = sorted(E.queries().keys())
 
 
 def audit(plan: str) -> dict[str, object]:
