@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": X.similarity_topk,
         "similarity_ann_lsh": X.similarity_ann_lsh,
         "similarity_ivf": X.similarity_ivf,
+        "embedding_stats": X.embedding_stats,
         "tfidf_top_terms": X.tfidf_top_terms,
         "text_stats": X.text_stats,
         "lang_id": X.lang_id,
@@ -345,6 +346,16 @@ def _ext_oracles() -> dict[str, str]:
             "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
             "ORDER BY cos_sim DESC, candidate_id) AS INTEGER) AS rank FROM scored) "
             "SELECT query_id, candidate_id, cos_sim, rank FROM ranked WHERE rank <= 5"
+        ),
+        "embedding_stats": (
+            "SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim, "
+            f"round(sqrt({_dot('embedding', 'embedding')}), 6) AS l2_norm, "
+            "round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val, "
+            "round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val, "
+            "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE))), (u, v) -> u + v) "
+            "/ len(embedding), 6) AS mean_val "
+            "FROM embeddings"
         ),
         "similarity_ivf": (
             "WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < 8), "

@@ -155,6 +155,29 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk(queries, emb, "vec_id", "embedding", k=5, n_bits=4)
 
 
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector array statistics (L2 norm, min/max/mean element) via
+    higher-order functions — all left-fold/deterministic, no UDF; the
+    sanity-profile pass a vector pipeline runs before indexing."""
+    from logistream_data_pipeline_aws_spark.functions.vectors import dot
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = F.col("embedding")
+    as_double = F.transform(e, lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(e).alias("dim"),
+        F.round(F.sqrt(dot(e, e)), 6).alias("l2_norm"),
+        F.round(F.array_min(as_double), 6).alias("min_val"),
+        F.round(F.array_max(as_double), 6).alias("max_val"),
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x) / F.size(e),
+            6,
+        ).alias("mean_val"),
+    )
+
+
 # -- text analysis ----------------------------------------------------------
 
 
