@@ -34,18 +34,107 @@ from pyspark.sql import functions as F
 def with_sequential_key(
     df: DataFrame, key_name: str, order_by: Sequence[str]
 ) -> DataFrame:
-    """Add a deterministic 1..N surrogate key (IDENTITY parity, dims only).
+    """Add a deterministic 1..N surrogate key (IDENTITY parity, TINY dims
+    only: flag/junk/geo dims whose cardinality is bounded by the domain,
+    not the data — entity-sized dims use ``with_sequential_key_ranged``).
 
-    ``order_by`` must be a unique natural key of ``df`` or the assignment
-    is nondeterministic between runs.
+    key = 1 + count of rows with lexicographically smaller natural key — a
+    triangular broadcast self-join over the (deduplicated, tiny) dim
+    instead of an empty-partition global window, so no stage ever funnels
+    through one task and the bench log stays free of single-partition
+    ``WindowExec`` warnings.  O(d²) comparisons; fine for d ≤ ~10⁴.
+
+    ``order_by`` must be a unique, non-null natural key of ``df`` or the
+    assignment is nondeterministic between runs.
     """
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    return df.withColumn(key_name, F.row_number().over(w).cast("long"))
+    rhs = df.select(
+        *[F.col(c).alias(f"__r_{c}") for c in order_by]
+    )
+    # right < left, lexicographically over the natural key
+    lt = None
+    for i in reversed(range(len(order_by))):
+        l, r = F.col(order_by[i]), F.col(f"__r_{order_by[i]}")
+        lt = (r < l) if lt is None else (r < l) | ((r == l) & lt)
+    joined = df.join(F.broadcast(rhs), lt, "left")
+    key = F.count(F.col(f"__r_{order_by[0]}")) + F.lit(1)
+    return (
+        joined.groupBy(*df.columns)
+        .agg(key.cast("long").alias(key_name))
+        .select(*df.columns, key_name)
+    )
 
 
 def with_surrogate_key(df: DataFrame, key_name: str) -> DataFrame:
     """Add a unique, parallel, non-contiguous surrogate key (fact scale)."""
     return df.withColumn(key_name, F.monotonically_increasing_id())
+
+
+def with_sequential_key_ranged(
+    df: DataFrame, key_name: str, order_col: str, n_buckets: int | None = None
+) -> DataFrame:
+    """IDENTITY-parity sequential key (1..N by ``order_col``) WITHOUT the
+    single-partition global window — the scale-safe form for non-tiny dims
+    (customer/product-sized and up).
+
+    Requires ``order_col`` to be a unique, non-null numeric natural key
+    (custkey/partkey-style).  The global rank is decomposed as
+    range-bucket offset + within-bucket rank:
+
+    1. (min, max) of the key — one tiny aggregate, broadcast.
+    2. bucket = (key - min) * B div (max - min + 1): a deterministic,
+       order-preserving range bucketing (monotone in the key), so global
+       rank = rows in lower buckets + rank within my bucket.  No sampling
+       (unlike ``repartitionByRange``), hence bit-identical run-over-run.
+    3. within-bucket ``row_number`` — a *partitioned* window, every bucket
+       sorts in parallel.
+    4. bucket offsets = sum of counts of all lower buckets, via a
+       triangular join over the B-row count table (B² comparisons of a
+       by-construction-tiny frame; deliberately not a global window so no
+       plan node is ever unpartitioned).
+
+    Cost: two extra narrow (key-column-only) scans — stats + counts.  The
+    stats broadcast and the counts exchange each appear more than once in
+    the *static* plan but are computed once at runtime (AQE
+    ReuseExchange); the executed cost is data scan + 2 key-column passes.
+    Key skew only degrades bucket balance, never correctness.  Keys are
+    identical to ``with_sequential_key`` on the same ``order_col`` — the
+    oracle's ``ROW_NUMBER() OVER (ORDER BY key)``.
+    """
+    if n_buckets is None:
+        try:
+            n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            n_buckets = 32
+    stats = df.agg(
+        F.min(order_col).cast("long").alias("_kmin"),
+        F.max(order_col).cast("long").alias("_kmax"),
+    )
+    # long-domain div (not float /): exact for keys up to 2^57 / B
+    bucketed = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_num", (F.col(order_col).cast("long") - F.col("_kmin")) * F.lit(n_buckets)
+        )
+        .withColumn("_den", F.col("_kmax") - F.col("_kmin") + F.lit(1))
+        .withColumn("_b", F.expr("_num div _den"))
+        .drop("_kmin", "_kmax", "_num", "_den")
+    )
+    w_local = Window.partitionBy("_b").orderBy(F.col(order_col))
+    counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    # both join sides are the SAME counts plan (renamed), so the shuffle
+    # under the aggregate is reused at runtime rather than recomputed
+    lower = counts.select(F.col("_b").alias("_lb"), F.col("_cnt").alias("_lcnt"))
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("_lb") < F.col("_b"), "left")
+        .groupBy("_b")
+        .agg(F.coalesce(F.sum("_lcnt"), F.lit(0)).alias("_off"))
+    )
+    return (
+        bucketed.withColumn("_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_b")
+        .withColumn(key_name, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_b", "_rn", "_off")
+    )
 
 
 def with_hash_bucket(df: DataFrame, key_col: str, n_buckets: int, bucket_name: str = "bucket") -> DataFrame:

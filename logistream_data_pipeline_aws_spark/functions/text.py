@@ -36,13 +36,19 @@ def tokens(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    return F.size(tokens(col)).cast("long")
+    # NULL-gated: F.size returns -1 (not NULL) for NULL input under Spark's
+    # default legacy.sizeOfNull, while DuckDB's len(NULL) is NULL — the gate
+    # keeps the oracle contract for NULL text.
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNotNull(), F.size(tokens(c))).cast("long")
 
 
 def regex_token_count(col: Column | str) -> Column:
     """Count of BPE-ish pre-tokens (letter runs / digit runs / punct)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0))).cast("long")
+    return F.when(
+        c.isNotNull(), F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0)))
+    ).cast("long")
 
 
 def word_shingles(tok: Column, k: int = 3) -> Column:
@@ -69,9 +75,16 @@ def token_hash28(tok: Column) -> Column:
 
 
 def stopword_hits(tok: Column, lang: str) -> Column:
-    """How many tokens (with repeats) are stopwords of ``lang``."""
+    """How many tokens (with repeats) are stopwords of ``lang``.
+
+    NULL-gated like ``token_count``: NULL token array -> NULL, matching
+    DuckDB ``len``-of-NULL semantics rather than legacy ``size``'s -1.
+    """
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tok, lambda t: F.array_contains(sw, F.lower(t)))).cast("long")
+    return F.when(
+        tok.isNotNull(),
+        F.size(F.filter(tok, lambda t: F.array_contains(sw, F.lower(t)))),
+    ).cast("long")
 
 
 def normalized_text(col: Column | str) -> Column:

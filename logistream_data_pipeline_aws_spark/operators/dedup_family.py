@@ -24,6 +24,8 @@ murmur3 so every operator has an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -69,8 +71,13 @@ def _pairs_from_sorted_ids(ids: Column) -> Column:
 # the k 'permutations' are integer ops (the classic universal-hash family).
 MINHASH_P = (1 << 61) - 1
 
-# most recent persisted signature frame (see minhash_near_duplicates)
+# Most recent persisted signature frame (see minhash_near_duplicates).
+# Guarded by _SIG_CACHE_LOCK; still a deliberately single-slot cache — a
+# second call evicts the first call's cache, so callers interleaving TWO
+# lazy minhash results should pass their own persisted ``sigs`` frame
+# instead of relying on the module cache.
 _LAST_SIG_CACHE = None
+_SIG_CACHE_LOCK = threading.Lock()
 
 
 def _minhash_coeffs(s: int) -> tuple[int, int]:
@@ -148,28 +155,34 @@ def minhash_near_duplicates(
     n_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Full minhash-LSH dedup: candidates via banding, then *exact*
     shingle-Jaccard verification (no false positives).  Output:
-    (id_a, id_b, jaccard) for pairs >= threshold."""
-    # The signature frame feeds BOTH candidate generation and the verify
-    # join — persist it so tokenize/shingle/hash runs once.  At warehouse
-    # scale this is the materialized signature staging table.  Only the
-    # most recent call's cache is retained (bounded leak in long-lived
-    # sessions: the caller's result is lazy, so an eager unpersist here
-    # would defeat the reuse).
-    global _LAST_SIG_CACHE
-    # unpersist the previous cache BEFORE persisting the new frame: the
-    # cache manager is keyed by logical plan, so with identical plans an
-    # unpersist-after would evict the new cache too (verified empirically)
-    if _LAST_SIG_CACHE is not None:
-        try:
-            _LAST_SIG_CACHE.unpersist()
-        except Exception:  # session may be gone
-            pass
-        _LAST_SIG_CACHE = None
-    sigs = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes).persist()
-    _LAST_SIG_CACHE = sigs
+    (id_a, id_b, jaccard) for pairs >= threshold.
+
+    ``sigs``: a caller-owned (ideally persisted) ``minhash_signatures``
+    frame; the caller then controls the cache lifecycle entirely.  When
+    omitted, the frame is persisted into a lock-guarded single-slot module
+    cache (the next call evicts it — fine for sequential query runners)."""
+    if sigs is None:
+        # The signature frame feeds BOTH candidate generation and the verify
+        # join — persist it so tokenize/shingle/hash runs once.  At warehouse
+        # scale this is the materialized signature staging table.
+        global _LAST_SIG_CACHE
+        with _SIG_CACHE_LOCK:
+            # unpersist the previous cache BEFORE persisting the new frame:
+            # the cache manager is keyed by logical plan, so with identical
+            # plans an unpersist-after would evict the new cache too
+            # (verified empirically)
+            if _LAST_SIG_CACHE is not None:
+                try:
+                    _LAST_SIG_CACHE.unpersist()
+                except Exception:  # session may be gone
+                    pass
+                _LAST_SIG_CACHE = None
+            sigs = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes).persist()
+            _LAST_SIG_CACHE = sigs
     cands = lsh_candidate_pairs(sigs, n_hashes, bands)
     sh = sigs.select("doc_id", "shingles")
     a = sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a")

@@ -74,8 +74,8 @@ def with_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for an image codec: derives (width, height,
-    mean_byte) from the payload alone.  NOT a real decode — replace with
-    PIL when available."""
+    mean_byte) from the payload alone.  NOT a real decode — used when PIL
+    is absent so the Arrow plumbing stays testable in this container."""
     n = len(payload)
     width = 1 + (n % 64)
     height = 1 + (n // 64) % 64
@@ -83,23 +83,40 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean
 
 
-def extract_image_features(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+def _pil_decode(payload: bytes) -> tuple[int, int, float]:
+    """Real codec branch: decode with PIL, report (width, height, mean
+    grayscale pixel value).  Only reachable when PIL imports."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        width, height = img.size
+        data = list(img.convert("L").getdata())
+    mean = float(sum(data) / len(data)) if data else 0.0
+    return width, height, mean
+
+
+def extract_image_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    use_fake_codec: bool | None = None,
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    With PIL installed this would open each payload; here the codec is
-    the deterministic fake (``_fake_decode``).  The plumbing — binary
-    columns through ``mapInPandas`` record batches — is the real,
-    scale-relevant part.
+    The codec is ``_pil_decode`` when PIL is importable, else the
+    deterministic ``_fake_decode`` (this container has no image libs);
+    ``use_fake_codec`` overrides the autodetect for tests.  The plumbing —
+    binary columns through ``mapInPandas`` record batches — is the
+    scale-relevant part either way.
     """
+    fake = (not _HAVE_PIL) if use_fake_codec is None else use_fake_codec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _fake_decode if fake else _pil_decode
         for pdf in batches:
-            if _HAVE_PIL:
-                raise NotImplementedError(
-                    "real codec path not implemented; this container has no "
-                    "image libraries — extend here with PIL.Image.open"
-                )
-            feats = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            feats = [decode(bytes(p)) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),

@@ -229,14 +229,21 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     from logistream_data_pipeline_aws_spark.functions.text import tokens
 
     docs = load_table(spark, "documents", sf_dir)
-    n_docs = docs.count()  # scalar dimension of idf; one tiny job
+    # N (corpus size) folds in as a broadcast 1-row aggregate — no action at
+    # plan-construction time, the whole query stays one lazy job
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     terms = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    idf = df_.withColumn(
-        "idf", F.round(F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6)
+    idf = (
+        df_.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.round(F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0, 6),
+        )
+        .drop("_n_docs")
     )
     scored = tf.join(F.broadcast(idf), "term").withColumn(
         "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
@@ -435,9 +442,13 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream over the events table -> watermarked tumbling window ->
     drained with availableNow into a memory sink.  A single-file source
     is one micro-batch, so the watermark drops nothing and the result is
-    exactly the batch events_hourly aggregate (same oracle)."""
-    import uuid
+    exactly the batch events_hourly aggregate (same oracle).
 
+    The memory sink uses a FIXED query name, so repeated calls (bench
+    best-of-2, oracle sweeps, long sessions) replace one driver-resident
+    result table instead of accumulating uuid-named ones; the
+    ``nanosAsLong`` conf flip is restored after the drain completes (the
+    sink holds materialized rows, so the returned frame doesn't need it)."""
     from pyspark.sql import types as T
 
     from logistream_data_pipeline_aws_spark.streaming.pipeline import (
@@ -445,7 +456,12 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_aggregate,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev_nanos = spark.conf.get(_NANOS_CONF)
+    except Exception:  # unset in this session
+        prev_nanos = None
+    spark.conf.set(_NANOS_CONF, "true")
     raw_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -465,8 +481,14 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = windowed_aggregate(stream, "1 hour", "2 hours")
-    name = f"events_stream_{uuid.uuid4().hex[:8]}"
-    run_available_now(agg, name, output_mode="complete")
+    name = "events_stream_hourly_sink"
+    try:
+        run_available_now(agg, name, output_mode="complete")
+    finally:
+        if prev_nanos is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prev_nanos)
     return spark.table(name)
 
 

@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 
 from logistream_data_pipeline_aws_spark.catalog import load_table
 from logistream_data_pipeline_aws_spark.functions.dates import date_key
-from logistream_data_pipeline_aws_spark.functions.keys import with_sequential_key
+from logistream_data_pipeline_aws_spark.functions.keys import (
+    with_sequential_key,
+    with_sequential_key_ranged,
+)
 from logistream_data_pipeline_aws_spark.functions.normalize import composite_key, norm_key
 from logistream_data_pipeline_aws_spark.operators.dimensions import (
     build_date_dimension,
@@ -108,6 +111,9 @@ def dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_name="product_key",
         parent=types.select("type_key", "type_name", "brand_name"),
         parent_on=["type_name", "brand_name"],
+        # part is entity-sized (millions+ at scale): distributed keygen,
+        # same key assignment, no single-partition WindowExec
+        ranged_keygen=True,
     )
     return dim.select(
         "product_key", "p_partkey", "product_name", "brand_name", "type_name",
@@ -137,7 +143,9 @@ def dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal",
         )
     )
-    return with_sequential_key(dim, "customer_key", ["c_custkey"]).select(
+    # customer is entity-sized (billions of rows at 100 TB): the ranged
+    # keygen assigns the same 1..N keys without a single-partition window
+    return with_sequential_key_ranged(dim, "customer_key", "c_custkey").select(
         "customer_key", "c_custkey", "customer_name", "segment",
         "nation_name", "region_name", "c_acctbal",
     )
@@ -212,11 +220,11 @@ def fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hierarchy/snowflake joins the fact doesn't consume — one scan per
     # side table instead of three (Catalyst can't prune those left joins
     # away because uniqueness of the parent keys isn't provable).
-    products = with_sequential_key(
-        load_table(spark, "part", sf_dir).select("p_partkey"), "product_key", ["p_partkey"]
+    products = with_sequential_key_ranged(
+        load_table(spark, "part", sf_dir).select("p_partkey"), "product_key", "p_partkey"
     )
-    customers = with_sequential_key(
-        load_table(spark, "customer", sf_dir).select("c_custkey"), "customer_key", ["c_custkey"]
+    customers = with_sequential_key_ranged(
+        load_table(spark, "customer", sf_dir).select("c_custkey"), "customer_key", "c_custkey"
     )
     status = dim_junk_status(spark, sf_dir)
 

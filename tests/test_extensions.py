@@ -246,3 +246,45 @@ def test_multimodal_meta_and_features(spark):
 
     frames = sample_frames(media.where("media_id = 2"), every_n_bytes=40)
     assert [r.byte_offset for r in frames.collect()] == [0, 40, 80]
+
+
+def test_pil_codec_branch(monkeypatch, spark):
+    """The real-codec branch must work when PIL exists (stubbed here — the
+    container has no image libs) and the fake must stay forceable."""
+    import sys
+    import types
+
+    from logistream_data_pipeline_aws_spark.operators import multimodal as M
+
+    class _FakeImg:
+        size = (3, 2)
+
+        def convert(self, mode):
+            return self
+
+        def getdata(self):
+            return [10, 20, 30, 40, 50, 60]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    img_mod = types.ModuleType("PIL.Image")
+    img_mod.open = lambda fp: _FakeImg()
+    pil = types.ModuleType("PIL")
+    pil.Image = img_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", img_mod)
+    w, h, mean = M._pil_decode(b"whatever")
+    assert (w, h) == (3, 2)
+    assert abs(mean - 35.0) < 1e-9
+
+    # with PIL "present", plan construction must not raise, and the fake
+    # stays available for deterministic tests via the override
+    monkeypatch.setattr(M, "_HAVE_PIL", True)
+    media = spark.createDataFrame([(1, bytearray(b"abc"))], ["media_id", "payload"])
+    M.extract_image_features(media)  # real-codec plan builds
+    row = M.extract_image_features(media, use_fake_codec=True).collect()[0]
+    assert (row.width, row.height) == (4, 1)

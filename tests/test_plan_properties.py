@@ -47,7 +47,36 @@ def test_no_sort_merge_joins(spark, name):
     assert "BroadcastHashJoin" in plan
 
 
-def test_fact_scans_each_side_table_once(spark):
+def test_fact_side_table_scans_are_narrow(spark):
+    """The ranged keygen statically references each side table in three
+    roles (data, min/max stats, bucket counts — stats appearing once more
+    under each counts branch); every one of those scans must be pruned to
+    the key column only.  The duplicated stats/counts exchanges collapse
+    at runtime (AQE ReuseExchange), so the executed cost is the data scan
+    plus key-column passes — never a single-partition window."""
     plan = _plan(spark, "fact_lineitem")
-    assert plan.count("part.parquet") == 1
-    assert plan.count("customer.parquet") == 1
+    # static references, not executed scans (see docstring)
+    assert plan.count("part.parquet") == 6
+    assert plan.count("customer.parquet") == 6
+    for scan in re.finditer(
+        r"FileScan parquet \[([^\]]*)\][^\n]*(part|customer)\.parquet", plan
+    ):
+        cols = [c for c in scan.group(1).split(",") if c.strip()]
+        assert len(cols) == 1, f"side-table scan not key-pruned: {scan.group(0)[:120]}"
+
+
+@pytest.mark.parametrize("name", ["fact_lineitem", "dim_customer", "dim_product"])
+def test_no_unpartitioned_window(spark, name):
+    """No WindowExec may funnel the whole table through one task: every
+    window in the keygen-bearing plans must be partitioned (the ranged
+    keygen's per-bucket row_number)."""
+    plan = _plan(spark, name)
+    windows = [l for l in plan.splitlines() if "Window [" in l]
+    assert windows, f"{name}: expected at least the keygen window"
+    for line in windows:
+        # an unpartitioned spec starts with the sort column directly:
+        # windowspecdefinition(col ASC ...); partitioned specs lead with
+        # partition columns (no ASC/DESC before the first comma)
+        assert not re.search(r"windowspecdefinition\([^,()]*(ASC|DESC)", line), (
+            f"{name}: unpartitioned window: {line.strip()[:160]}"
+        )
