@@ -327,10 +327,29 @@ def _ext_oracles() -> dict[str, str]:
             "FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id "
             f"WHERE {jaccard} >= 0.2"
         ),
+        # banded sign-LSH candidates (8 bands x 8 sign bits, mirroring
+        # dedup_family.sign_band_keys) -> exact cosine verify
         "dedup_embedding": (
-            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "WITH b AS (SELECT vec_id, unnest(["
+            + ", ".join(
+                f"'{j}#' || CAST(("
+                + " + ".join(
+                    f"CASE WHEN embedding[{j * 8 + i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+                    for i in range(8)
+                )
+                + ") AS VARCHAR)"
+                for j in range(8)
+            )
+            + "]) AS band_hash FROM embeddings), "
+            "buckets AS (SELECT band_hash, list_sort(list(DISTINCT vec_id)) AS ids "
+            "FROM b GROUP BY band_hash HAVING COUNT(DISTINCT vec_id) > 1), "
+            "cand AS (SELECT DISTINCT p[1] AS id_a, p[2] AS id_b FROM ("
+            "SELECT unnest(flatten(list_transform(ids, (x, i) -> "
+            "list_transform(ids[(i+1):], y -> [x, y])))) AS p FROM buckets)) "
+            "SELECT c.id_a, c.id_b, "
             f"round({_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim "
-            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "FROM cand c JOIN embeddings a ON c.id_a = a.vec_id "
+            "JOIN embeddings b ON c.id_b = b.vec_id "
             f"WHERE round({_cosine('a.embedding', 'b.embedding')}, 6) >= 0.4"
         ),
         "similarity_topk": (

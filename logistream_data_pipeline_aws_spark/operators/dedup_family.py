@@ -347,15 +347,79 @@ def connected_components(
 def embedding_near_duplicates(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs.  Brute-force all-pairs here
-    (exact); the bucketed/ANN path for billions of rows is
-    operators.similarity.ann_topk — same scoring expression, LSH-sharded
-    join instead of a cross join."""
+    """EXACT embedding-cosine near-dup pairs by brute-force all-pairs
+    (inequality join -> broadcast nested loop -> O(n²)).
+
+    Small-scale oracle/recall reference ONLY: tests measure the LSH path's
+    recall against this.  The production operator is
+    ``embedding_near_duplicates_lsh`` — equi-join plan, never all-pairs.
+    """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     cos = cosine(F.col("v_a"), F.col("v_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def sign_band_keys(vec: Column, band_bits: int, n_bands: int) -> Column:
+    """Banded sign-pattern LSH keys over an embedding column: band ``j``
+    hashes the signs of dimensions ``[j*band_bits, (j+1)*band_bits)`` into
+    one bucket id, prefixed with the band index (so one groupBy covers all
+    bands, exactly like the minhash banding).  Deterministic and
+    engine-portable — the DuckDB oracle mirrors it bit-for-bit."""
+    def band(j: int) -> Column:
+        bucket = F.lit(0)
+        for i in range(band_bits):
+            bucket = bucket + F.when(
+                F.element_at(vec, j * band_bits + i + 1) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        return F.concat(F.lit(f"{j}#"), bucket.cast("string"))
+
+    return F.array(*[band(j) for j in range(n_bands)])
+
+
+def embedding_near_duplicates_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    band_bits: int = 8,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: banded sign-LSH candidate
+    generation (OR-construction over ``n_bands`` dimension groups), then
+    *exact* cosine verification of candidates only.
+
+    Physical shape mirrors minhash-LSH: explode band keys -> groupBy
+    band (one uniform-key shuffle) -> in-bucket pair expansion -> two
+    id-keyed equi-joins for the verify — never an all-pairs nested loop.
+
+    Approximate by construction: recall = 1 - (1 - p^band_bits)^n_bands
+    with p = 1 - θ/π the per-bit sign-agreement probability.  At the
+    near-dup operating point (cos >= 0.9, p ≈ 0.92) the default 8x8
+    config gives ~99.7% recall; tests pin measured recall against the
+    brute-force reference on the fixture corpus."""
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    banded = base.select(
+        "_id", F.explode(sign_band_keys(F.col("_v"), band_bits, n_bands)).alias("band")
+    )
+    cands = (
+        banded.groupBy("band")
+        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    cos = cosine(F.col("v_a"), F.col("v_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )

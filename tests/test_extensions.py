@@ -141,6 +141,53 @@ def test_embedding_near_duplicates_and_topk(spark):
     assert rows[0].cos_sim > 0.99
 
 
+def test_embedding_lsh_plan_and_recall(spark):
+    """The scale path must (a) plan equi-joins only — no all-pairs
+    BroadcastNestedLoopJoin — and (b) recover every pair the brute-force
+    reference finds at the near-dup operating point; at the fixture's
+    loose 0.4 threshold its measured recall is pinned as a floor."""
+    from tests.conftest import SF_SMALL
+    from logistream_data_pipeline_aws_spark.catalog import load_table
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    lsh = D.embedding_near_duplicates_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, band_bits=8, n_bands=8
+    )
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # verify joins are hash equi-joins on the ids
+
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.collect()}
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_duplicates(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    assert lsh_pairs <= exact_pairs  # exact verify: no false positives
+    recall = len(lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.25, f"fixture recall regressed: {recall:.3f}"
+
+    # high-sim clones: banding must recover them all (the operating point)
+    clones = [(i, [float(i % 7 == j % 7) + 0.01 * j for j in range(64)]) for i in range(40)]
+    cdf = spark.createDataFrame(clones, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_duplicates_lsh(
+            cdf, "vec_id", "embedding", threshold=0.9, band_bits=8, n_bands=8
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_duplicates(
+            cdf, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    assert want and got == want
+
+
 def test_ann_bucket_restricts_candidates(spark):
     vecs = [
         (1, [1.0, 1.0]),
