@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_customer": W.dim_customer,
         "dim_product": W.dim_product,
         "fact_lineitem": W.fact_lineitem,
+        # same result through orderkey-bucketed staging: zero-exchange join
+        "fact_lineitem_bucketed": W.fact_lineitem_bucketed,
         # -- warehouse dimension builds (SURVEY §2 P1/A1/A2/A3/J1/J2, keygen)
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
@@ -774,4 +776,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
     })
+    # bucketed staging changes the physical plan, not the result
+    out["fact_lineitem_bucketed"] = out["fact_lineitem"]
     return out

@@ -21,6 +21,9 @@ from logistream_data_pipeline_aws_spark.session import get_spark  # noqa: E402
 
 BENCH_QUERIES = [
     "fact_lineitem",
+    # bucketed variant: first run pays one-time staging, best-of-2 reports
+    # the steady-state zero-exchange join cost
+    "fact_lineitem_bucketed",
     "q1_pricing_summary",
     "a5_profit_rollup",
     "a6_sales_trend",

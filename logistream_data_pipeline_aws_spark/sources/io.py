@@ -94,6 +94,19 @@ def stage_bucketed_table(
     """
     from pyspark.sql import functions as F
 
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table_name):
+        # a previous session (in-memory catalog) may have left the managed
+        # location on disk with no catalog entry; overwrite cannot claim it
+        # (LOCATION_ALREADY_EXISTS), so clear the orphan first — via the
+        # Hadoop FS API, so any warehouse filesystem works
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        loc = jvm.org.apache.hadoop.fs.Path(wh, table_name.lower())
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
+
     # pre-shuffle onto the bucket key: exactly ONE file per bucket.
     # Without this, every write task emits a file per bucket (small-files
     # explosion at scale) and Spark only trusts sortBy order for

@@ -47,6 +47,18 @@ def test_no_sort_merge_joins(spark, name):
     assert "BroadcastHashJoin" in plan
 
 
+def test_fact_bucketed_join_zero_exchange(spark):
+    """The bucketed variant's lineitem⋈orders must be a sort-merge join
+    over two bucketed scans with NO shuffle on the order key — the
+    pre-paid-shuffle plan this variant exists to demonstrate."""
+    plan = _plan(spark, "fact_lineitem_bucketed")
+    assert plan.count("SortMergeJoin") == 1
+    assert plan.count("Bucketed: true") == 2
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "orderkey" in line:
+            assert "returnflag" in line, f"orderkey shuffle crept back: {line.strip()[:140]}"
+
+
 def test_fact_side_table_scans_are_narrow(spark):
     """The ranged keygen statically references each side table in three
     roles (data, min/max stats, bucket counts — stats appearing once more
