@@ -93,6 +93,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_lineitem": W.fact_lineitem,
         # same result through orderkey-bucketed staging: zero-exchange join
         "fact_lineitem_bucketed": W.fact_lineitem_bucketed,
+        # the reference's GeoJSON Lambda surface (N1-N5/F9/F10) and the
+        # J5 route-shape dimension over it
+        "geojson_routes": X.geojson_routes,
+        "dim_route_shapes": X.dim_route_shapes,
         # -- warehouse dimension builds (SURVEY §2 P1/A1/A2/A3/J1/J2, keygen)
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
@@ -117,7 +121,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": A.events_hourly,
         # -- training-data pipeline extensions (dedup / similarity / text /
         #    multimodal / JSON)
-        "dedup_exact": X.dedup_exact,
         "dedup_clusters": X.dedup_clusters,
         "dedup_survivors": X.dedup_survivors,
         "dedup_fuzzy_levenshtein": X.dedup_fuzzy_levenshtein,
@@ -135,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": X.lang_id,
         # -- tail rotation: green in CORRECTNESS_r01.json (rows+schema+hash)
         #    and unchanged since; rotate back to the head next round --------
+        "dedup_exact": X.dedup_exact,
         "a5_profit_by_hierarchy": A.a5_profit_by_hierarchy,
         "a5_profit_cube": A.a5_profit_cube,
         "segment_region_pivot": A.segment_region_pivot,
@@ -490,6 +494,42 @@ def _ext_oracles() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value "
             "FROM islands GROUP BY user_id, sid"
+        ),
+        # DuckDB's native JSON reader over the SAME committed fixture the
+        # Spark query parses; numbers rendered with the same trailing-".0"
+        # strip as functions.wkt._fmt_num
+        "geojson_routes": (
+            "WITH raw AS (SELECT unnest(features) AS f FROM read_json("
+            "'/root/repo/tests/fixtures/routes.geojson', columns = {"
+            "\"type\": 'VARCHAR', "
+            "\"features\": 'STRUCT(\"type\" VARCHAR, geometry STRUCT(\"type\" VARCHAR, coordinates DOUBLE[][]))[]'})), "
+            "c AS (SELECT f.geometry.coordinates AS xy FROM raw) "
+            "SELECT xy[1][2] AS origin_lat, xy[1][1] AS origin_long, "
+            "xy[-1][2] AS dest_lat, xy[-1][1] AS dest_long, "
+            "'LINESTRING(' || array_to_string(list_transform(xy, p -> "
+            "regexp_replace(CAST(p[1] AS VARCHAR), '\\.0$', '') || ' ' || "
+            "regexp_replace(CAST(p[2] AS VARCHAR), '\\.0$', '')), ', ') || ')' AS shape_wkt "
+            "FROM c"
+        ),
+        "dim_route_shapes": (
+            "WITH raw AS (SELECT unnest(features) AS f FROM read_json("
+            "'/root/repo/tests/fixtures/routes.geojson', columns = {"
+            "\"type\": 'VARCHAR', "
+            "\"features\": 'STRUCT(\"type\" VARCHAR, geometry STRUCT(\"type\" VARCHAR, coordinates DOUBLE[][]))[]'})), "
+            "flat AS (SELECT xy[1][2] AS origin_lat, xy[1][1] AS origin_long, "
+            "xy[-1][2] AS dest_lat, xy[-1][1] AS dest_long, "
+            "'LINESTRING(' || array_to_string(list_transform(xy, p -> "
+            "regexp_replace(CAST(p[1] AS VARCHAR), '\\.0$', '') || ' ' || "
+            "regexp_replace(CAST(p[2] AS VARCHAR), '\\.0$', '')), ', ') || ')' AS shape_wkt "
+            "FROM (SELECT f.geometry.coordinates AS xy FROM raw)), "
+            # dedup_first(keys=4 coords, tiebreak=shape_wkt) then keygen by
+            # the 4-coordinate natural key — mirrors build_dim_route_shapes
+            "dd AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY "
+            "origin_lat, origin_long, dest_lat, dest_long ORDER BY shape_wkt) AS _rn "
+            "FROM flat) WHERE _rn = 1) "
+            "SELECT origin_lat, origin_long, dest_lat, dest_long, shape_wkt, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY origin_lat, origin_long, dest_lat, dest_long) "
+            "AS BIGINT) AS route_shape_key FROM dd"
         ),
         "events_json_kv": (
             "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, "

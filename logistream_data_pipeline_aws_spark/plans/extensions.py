@@ -6,6 +6,8 @@ bit-identical)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -422,6 +424,44 @@ def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# -- GeoJSON routes (the Lambda surface, SURVEY §2.8 N1-N5/F9/F10) ----------
+
+# the committed FeatureCollection fixture; anchored to the repo so the
+# query works from any working directory / session
+ROUTES_GEOJSON_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "routes.geojson",
+)
+
+
+def geojson_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's entire second entry point as one declarative plan
+    (etl_jobs/lambda_geojson_processor.py LJ:17-43): GeoJSON
+    FeatureCollection -> explode(features) -> nested coordinate access ->
+    origin/dest extraction + higher-order WKT fold -> the 5-column
+    processed_routes layout.  ``sf_dir`` is unused — the input is the
+    committed fixture document (the Lambda's S3 object analog); the DuckDB
+    oracle parses the same file with its native JSON reader."""
+    from logistream_data_pipeline_aws_spark.sources.geojson import (
+        flatten_geojson_routes,
+        read_geojson,
+    )
+
+    return flatten_geojson_routes(read_geojson(spark, ROUTES_GEOJSON_PATH))
+
+
+def dim_route_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The route-shape dimension over the flattened fixture routes
+    (GE:211-217): dedup on the 4-coordinate natural key + surrogate key —
+    the dimension side of the J5 composite route lookup
+    (plans.reference_pipeline.build_fact)."""
+    from logistream_data_pipeline_aws_spark.plans.reference_pipeline import (
+        build_dim_route_shapes,
+    )
+
+    return build_dim_route_shapes(geojson_routes(spark, sf_dir))
 
 
 # -- multimodal + JSON ------------------------------------------------------
