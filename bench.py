@@ -41,6 +41,25 @@ BENCH_QUERIES = [
 ]
 
 
+def _reference_warehouse_fact(spark, sf_dir: str):
+    """End-to-end reference-parity pipeline (8 dims + fact assembly) over
+    distributed synthetic rawdata sized to the scale factor — the perf
+    floor for the flagship surface, not just the TPC-H mapping."""
+    from logistream_data_pipeline_aws_spark.plans.extensions import geojson_routes
+    from logistream_data_pipeline_aws_spark.plans.reference_pipeline import (
+        build_warehouse,
+    )
+    from logistream_data_pipeline_aws_spark.sources.synthetic import synthetic_rawdata
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    raw = synthetic_rawdata(spark, n_orders=max(1000, int(600_000 * sf)))
+    wh = build_warehouse(raw, geojson_routes(spark, sf_dir))
+    return wh["fact_supplychain_events"]
+
+
+EXTRA_BENCH = {"reference_warehouse_fact": _reference_warehouse_fact}
+
+
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -57,9 +76,10 @@ def main() -> None:
     run_query(qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
     run_query(qs["fact_lineitem"](spark, "/root/testdata/sf0.001"))
 
+    qs = {**qs, **EXTRA_BENCH}
     timings: dict[str, float] = {}
     total = 0.0
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + list(EXTRA_BENCH):
         # best-of-2: first run can pay stage-codegen/classload for plan
         # shapes the warmup didn't cover; min is the engine's real cost
         best = None

@@ -120,18 +120,20 @@ def with_sequential_key_ranged(
         .drop("_kmin", "_kmax", "_num", "_den")
     )
     w_local = Window.partitionBy("_b").orderBy(F.col(order_col))
-    counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
-    # both join sides are the SAME counts plan (renamed), so the shuffle
-    # under the aggregate is reused at runtime rather than recomputed
+    local = bucketed.withColumn("_rn", F.row_number().over(w_local))
+    # bucket sizes fall out of the SAME windowed exchange (max local rank),
+    # so no extra scan branch; the triangular sides are the same counts
+    # plan (renamed) and the duplicated subtrees collapse to reused
+    # shuffles at runtime
+    counts = local.groupBy("_b").agg(F.max("_rn").alias("_cnt"))
     lower = counts.select(F.col("_b").alias("_lb"), F.col("_cnt").alias("_lcnt"))
     offsets = (
         counts.join(F.broadcast(lower), F.col("_lb") < F.col("_b"), "left")
         .groupBy("_b")
-        .agg(F.coalesce(F.sum("_lcnt"), F.lit(0)).alias("_off"))
+        .agg(F.coalesce(F.sum("_lcnt"), F.lit(0)).cast("long").alias("_off"))
     )
     return (
-        bucketed.withColumn("_rn", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "_b")
+        local.join(F.broadcast(offsets), "_b")
         .withColumn(key_name, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_b", "_rn", "_off")
     )

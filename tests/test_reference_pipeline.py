@@ -100,3 +100,25 @@ def test_fact_plan_is_all_broadcast(warehouse):
     plan = wh["fact_supplychain_events"]._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # the fact side must never shuffle
+
+
+def test_synthetic_rawdata_schema_and_build(spark):
+    """The distributed generator must match RAWDATA_SCHEMA exactly and
+    drive the full warehouse build (the bench's perf-floor surface)."""
+    from logistream_data_pipeline_aws_spark.catalog import RAWDATA_SCHEMA
+    from logistream_data_pipeline_aws_spark.plans.extensions import geojson_routes
+    from logistream_data_pipeline_aws_spark.plans.reference_pipeline import build_warehouse
+    from logistream_data_pipeline_aws_spark.sources.synthetic import synthetic_rawdata
+
+    raw = synthetic_rawdata(spark, n_orders=200)
+    assert [(f.name, f.dataType) for f in raw.schema.fields] == [
+        (f.name, f.dataType) for f in RAWDATA_SCHEMA.fields
+    ]
+    n = raw.count()
+    assert 200 <= n <= 600  # 1..3 items per order
+    wh = build_warehouse(raw, geojson_routes(spark, "unused"))
+    fact = wh["fact_supplychain_events"]
+    assert fact.count() == n
+    assert wh["dim_department"].count() == 8
+    # null-date stripe survives into the date dim filter (GE:184)
+    assert wh["dim_date"].where("date_actual IS NULL").count() == 0

@@ -110,3 +110,38 @@ def test_normalize_jdbc_url():
     # the reference's connection tuning survives as writer properties
     assert DEFAULT_OPTIONS["batchsize"] == "10000"
     assert DEFAULT_OPTIONS["loginTimeout"] == "15"
+
+
+def test_jdbc_roundtrip_embedded_derby(spark):
+    """S4/S5 executed for real against the Derby engine that ships on
+    Spark's classpath: batched multi-partition append (table auto-created),
+    then the reference's read-subquery shape with the predicate evaluated
+    by the remote engine."""
+    from pyspark.sql import functions as F
+
+    from logistream_data_pipeline_aws_spark.sources.jdbc import (
+        read_subquery,
+        write_append,
+    )
+
+    url = "jdbc:derby:memory:jdbc_smoke;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(100).select(
+        F.col("id").cast("long").alias("id"), (F.col("id") * 2).alias("v")
+    )
+    write_append(df, url, "t_smoke", mode="append", n_write_partitions=2, properties=props)
+    # Spark's JDBC writer quotes identifiers -> Derby columns are
+    # case-sensitive lowercase; the remote SQL must quote them too
+    back = read_subquery(
+        spark, url, 'SELECT "id", "v" FROM t_smoke WHERE "id" < 50', properties=props
+    )
+    assert back.count() == 50
+    assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(50))
+    # append again: rows accumulate (no TRUNCATE in append mode)
+    write_append(df.where("id < 10"), url, "t_smoke", mode="append", properties=props)
+    assert (
+        read_subquery(
+            spark, url, 'SELECT COUNT(*) AS "n" FROM t_smoke', properties=props
+        ).first().n
+        == 110
+    )
