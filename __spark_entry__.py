@@ -97,6 +97,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # J5 route-shape dimension over it
         "geojson_routes": X.geojson_routes,
         "dim_route_shapes": X.dim_route_shapes,
+        # new round-2 coverage: grouped applyInPandas, multimodal explode,
+        # stateful-streaming sessionization
+        "embedding_centered": X.embedding_centered,
+        "media_frames": X.media_frames,
+        "events_stream_sessions": X.events_stream_sessions,
         # -- warehouse dimension builds (SURVEY §2 P1/A1/A2/A3/J1/J2, keygen)
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
@@ -123,8 +128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    multimodal / JSON)
         "dedup_clusters": X.dedup_clusters,
         "dedup_survivors": X.dedup_survivors,
-        "dedup_fuzzy_levenshtein": X.dedup_fuzzy_levenshtein,
-        "events_value_quantiles": X.events_value_quantiles,
         "dedup_minhash_lsh": X.dedup_minhash_lsh,
         "dedup_simhash": X.dedup_simhash,
         "dedup_simhash_pairs": X.dedup_simhash_pairs,
@@ -139,6 +142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail rotation: green in CORRECTNESS_r01.json (rows+schema+hash)
         #    and unchanged since; rotate back to the head next round --------
         "dedup_exact": X.dedup_exact,
+        "dedup_fuzzy_levenshtein": X.dedup_fuzzy_levenshtein,
+        "events_value_quantiles": X.events_value_quantiles,
         "a5_profit_by_hierarchy": A.a5_profit_by_hierarchy,
         "a5_profit_cube": A.a5_profit_cube,
         "segment_region_pivot": A.segment_region_pivot,
@@ -510,6 +515,39 @@ def _ext_oracles() -> dict[str, str]:
             "regexp_replace(CAST(p[1] AS VARCHAR), '\\.0$', '') || ' ' || "
             "regexp_replace(CAST(p[2] AS VARCHAR), '\\.0$', '')), ', ') || ')' AS shape_wkt "
             "FROM c"
+        ),
+        # grouped applyInPandas mean-centering: the mean follows the
+        # decimal-sum contract (quantize 8dp -> exact sum -> double / n)
+        "embedding_centered": (
+            "WITH ex AS (SELECT vec_id, label, "
+            "unnest(range(1, len(embedding) + 1)) AS i, embedding FROM embeddings), "
+            "flat AS (SELECT vec_id, label, CAST(i AS INTEGER) AS dim_i, "
+            "CAST(embedding[i] AS DOUBLE) AS x FROM ex), "
+            "means AS (SELECT label, dim_i, "
+            "CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS m "
+            "FROM flat GROUP BY label, dim_i) "
+            "SELECT f.vec_id, f.label, f.dim_i, round(f.x - m.m, 6) AS centered_val "
+            "FROM flat f JOIN means m USING (label, dim_i)"
+        ),
+        # frame sampling: one row per 64-byte offset; frame_idx = offset/64
+        "media_frames": (
+            "SELECT media_id, CAST(o // 64 AS INTEGER) AS frame_idx, o AS byte_offset "
+            "FROM (SELECT doc_id AS media_id, unnest(range(0, "
+            "CAST(greatest(octet_length(encode(text)) - 1, 0) AS BIGINT) + 1, 64)) AS o "
+            "FROM documents)"
+        ),
+        # stateful streaming sessionizer: one availableNow batch closes all
+        # but each user's final (still-open) session
+        "events_stream_sessions": (
+            "WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s FROM events), "
+            "marked AS (SELECT user_id, ts_s, CASE WHEN ts_s - LAG(ts_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts_s) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM e), "
+            "islands AS (SELECT user_id, ts_s, SUM(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts_s ROWS UNBOUNDED PRECEDING) AS sid FROM marked), "
+            "s AS (SELECT user_id, sid, MIN(ts_s) AS session_start, MAX(ts_s) AS session_end, "
+            "COUNT(*) AS n_events FROM islands GROUP BY user_id, sid) "
+            "SELECT user_id, session_start, session_end, n_events FROM s "
+            "QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)"
         ),
         "dim_route_shapes": (
             "WITH raw AS (SELECT unnest(features) AS f FROM read_json("

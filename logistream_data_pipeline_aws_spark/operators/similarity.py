@@ -56,8 +56,23 @@ def center_embeddings_by_group(
     )
 
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(pdf[vec_col].map(np.asarray))
-        centered = mat - mat.mean(axis=0)
+        import decimal
+
+        mat = np.stack(pdf[vec_col].map(np.asarray)).astype(float)
+        # Deterministic cross-engine mean (the repo's decimal-sum contract,
+        # plans.analytics): quantize each value to 8dp, sum EXACTLY in
+        # decimal, divide in double — order-independent, so a SQL oracle
+        # (SUM(CAST(x AS DECIMAL(30,8))) / n) reproduces it bit-for-bit.
+        # Binary doubles never land on .5e-8 ties, so rounding mode is moot.
+        q = decimal.Decimal("1e-8")
+        n = mat.shape[0]
+        means = np.array(
+            [
+                float(sum(decimal.Decimal(v).quantize(q) for v in mat[:, d].tolist())) / n
+                for d in range(mat.shape[1])
+            ]
+        )
+        centered = mat - means
         return pd.DataFrame(
             {
                 group_col: pdf[group_col],

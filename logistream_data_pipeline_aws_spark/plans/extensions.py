@@ -187,6 +187,90 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-centering via grouped ``applyInPandas`` — the
+    whole-group-context Arrow shape, driver-verified: output is flattened
+    to (vec_id, label, dim index, centered value) so the oracle compares
+    scalars, and the group mean follows the deterministic decimal-sum
+    contract (see operators.similarity.center_embeddings_by_group)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    centered = S.center_embeddings_by_group(emb, "label", "vec_id", "embedding")
+    return centered.select(
+        "vec_id",
+        "label",
+        F.posexplode("centered").alias("_i0", "_c"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("_i0") + 1).cast("int").alias("dim_i"),
+        F.round("_c", 6).alias("centered_val"),
+    )
+
+
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads (one row per sampled
+    byte offset) — the multimodal explode path with an exact oracle."""
+    from logistream_data_pipeline_aws_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return sample_frames(media, every_n_bytes=64)
+
+
+def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator as a driver-checkable query:
+    ``applyInPandasWithState`` sessionization drained via availableNow.
+
+    A single-file source is ONE micro-batch processed in event-time order,
+    so exactly the non-final session of every user closes and is emitted —
+    the oracle is the batch gaps-and-islands SQL minus each user's last
+    session.  ``total_value`` is excluded (its in-order float accumulation
+    has no order-independent SQL mirror); boundaries and counts are exact.
+    """
+    from pyspark.sql import types as T
+
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        run_available_now,
+        sessionize,
+    )
+
+    _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev_nanos = spark.conf.get(_NANOS_CONF)
+    except Exception:
+        prev_nanos = None
+    spark.conf.set(_NANOS_CONF, "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as raw int64
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    name = "events_stream_sessions_sink"
+    try:
+        run_available_now(sessionize(stream), name, output_mode="append")
+    finally:
+        if prev_nanos is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prev_nanos)
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
 # -- text analysis ----------------------------------------------------------
 
 
