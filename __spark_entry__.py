@@ -127,7 +127,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- training-data pipeline extensions (dedup / similarity / text /
         #    multimodal / JSON)
         "dedup_clusters": X.dedup_clusters,
-        "dedup_survivors": X.dedup_survivors,
         "dedup_minhash_lsh": X.dedup_minhash_lsh,
         "dedup_simhash": X.dedup_simhash,
         "dedup_simhash_pairs": X.dedup_simhash_pairs,
@@ -142,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail rotation: green in CORRECTNESS_r01.json (rows+schema+hash)
         #    and unchanged since; rotate back to the head next round --------
         "dedup_exact": X.dedup_exact,
+        "dedup_survivors": X.dedup_survivors,
         "dedup_fuzzy_levenshtein": X.dedup_fuzzy_levenshtein,
         "events_value_quantiles": X.events_value_quantiles,
         "a5_profit_by_hierarchy": A.a5_profit_by_hierarchy,
