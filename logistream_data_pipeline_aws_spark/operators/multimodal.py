@@ -72,29 +72,38 @@ def with_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, float]:
-    """Deterministic stand-in for an image codec: derives (width, height,
-    mean_byte) from the payload alone.  NOT a real decode — used when PIL
-    is absent so the Arrow plumbing stays testable in this container."""
-    n = len(payload)
-    width = 1 + (n % 64)
-    height = 1 + (n // 64) % 64
-    mean = float(sum(payload) / n) if n else 0.0
-    return width, height, mean
+def _make_decoders():
+    """Codec pair built as CLOSURES (non-importable qualnames), so
+    cloudpickle ships them by value into Python workers — the driver
+    harness runs from an arbitrary cwd where this package isn't on the
+    worker PYTHONPATH."""
+
+    def fake_decode(payload: bytes) -> tuple[int, int, float]:
+        # deterministic stand-in for an image codec: derives (width,
+        # height, mean_byte) from the payload alone; used when PIL is
+        # absent so the Arrow plumbing stays testable in this container
+        n = len(payload)
+        width = 1 + (n % 64)
+        height = 1 + (n // 64) % 64
+        mean = float(sum(payload) / n) if n else 0.0
+        return width, height, mean
+
+    def pil_decode(payload: bytes) -> tuple[int, int, float]:
+        # real codec branch: (width, height, mean grayscale pixel value)
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as img:
+            width, height = img.size
+            data = list(img.convert("L").getdata())
+        mean = float(sum(data) / len(data)) if data else 0.0
+        return width, height, mean
+
+    return fake_decode, pil_decode
 
 
-def _pil_decode(payload: bytes) -> tuple[int, int, float]:
-    """Real codec branch: decode with PIL, report (width, height, mean
-    grayscale pixel value).  Only reachable when PIL imports."""
-    import io
-
-    from PIL import Image
-
-    with Image.open(io.BytesIO(payload)) as img:
-        width, height = img.size
-        data = list(img.convert("L").getdata())
-    mean = float(sum(data) / len(data)) if data else 0.0
-    return width, height, mean
+_fake_decode, _pil_decode = _make_decoders()
 
 
 def extract_image_features(

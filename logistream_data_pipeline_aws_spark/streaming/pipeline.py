@@ -100,50 +100,6 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _session_fn(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """30-minute-gap sessionization.  Emits a row per *closed* session;
-    the open session lives in the state store keyed by user."""
-    gap = 30 * 60
-    rows = pd.concat(list(batches)).sort_values("ts")
-    out = []
-    if state.exists:
-        s0, s1, n, tot = state.get
-    else:
-        s0, s1, n, tot = None, None, 0, 0.0
-    for _, r in rows.iterrows():
-        t = int(r["ts"].timestamp())
-        if s0 is None:
-            s0, s1, n, tot = t, t, 1, float(r["value"])
-        elif t - s1 > gap:
-            out.append((key[0], s0, s1, n, tot))
-            s0, s1, n, tot = t, t, 1, float(r["value"])
-        elif t < s0 - gap:
-            # within-watermark straggler too old to belong to the open
-            # session: it forms its own (already-closed) session —
-            # everything even earlier is watermark-finalized
-            out.append((key[0], t, t, 1, float(r["value"])))
-        else:
-            # straggler within [s0-gap, s1] or an in-order extension:
-            # widen the span, never move the end backwards
-            s0, s1 = min(s0, t), max(s1, t)
-            n, tot = n + 1, tot + float(r["value"])
-    state.update((s0, s1, n, tot))
-    if out:
-        yield pd.DataFrame(
-            {
-                "user_id": [o[0] for o in out],
-                "session_start": [pd.Timestamp(o[1], unit="s") for o in out],
-                "session_end": [pd.Timestamp(o[2], unit="s") for o in out],
-                "n_events": [o[3] for o in out],
-                "total_value": [o[4] for o in out],
-            }
-        )
-
-
 def sessionize(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user 30-min-gap sessions via
     ``applyInPandasWithState`` (Arrow-batched, state-store backed).
@@ -153,7 +109,56 @@ def sessionize(events: DataFrame) -> DataFrame:
     keeps availableNow drains terminating deterministically — a live
     deployment that must flush idle sessions would layer an
     EventTimeTimeout on top.
+
+    The state function is a CLOSURE, not a module-level function, so
+    cloudpickle ships it by value — Python workers never need this
+    package importable (the driver harness runs from an arbitrary cwd
+    with no PYTHONPATH to the repo).
     """
+
+    def _session_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # 30-minute-gap sessionization: a row per *closed* session; the
+        # open session lives in the state store keyed by user.
+        gap = 30 * 60
+        rows = pd.concat(list(batches)).sort_values("ts")
+        out = []
+        if state.exists:
+            s0, s1, n, tot = state.get
+        else:
+            s0, s1, n, tot = None, None, 0, 0.0
+        for _, r in rows.iterrows():
+            t = int(r["ts"].timestamp())
+            if s0 is None:
+                s0, s1, n, tot = t, t, 1, float(r["value"])
+            elif t - s1 > gap:
+                out.append((key[0], s0, s1, n, tot))
+                s0, s1, n, tot = t, t, 1, float(r["value"])
+            elif t < s0 - gap:
+                # within-watermark straggler too old to belong to the open
+                # session: it forms its own (already-closed) session —
+                # everything even earlier is watermark-finalized
+                out.append((key[0], t, t, 1, float(r["value"])))
+            else:
+                # straggler within [s0-gap, s1] or an in-order extension:
+                # widen the span, never move the end backwards
+                s0, s1 = min(s0, t), max(s1, t)
+                n, tot = n + 1, tot + float(r["value"])
+        state.update((s0, s1, n, tot))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": [pd.Timestamp(o[1], unit="s") for o in out],
+                    "session_end": [pd.Timestamp(o[2], unit="s") for o in out],
+                    "n_events": [o[3] for o in out],
+                    "total_value": [o[4] for o in out],
+                }
+            )
+
     return (
         events.withWatermark("ts", "2 hours")
         .groupBy("user_id")
