@@ -98,10 +98,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_routes": X.geojson_routes,
         "dim_route_shapes": X.dim_route_shapes,
         # new round-2 coverage: grouped applyInPandas, multimodal explode,
-        # stateful-streaming sessionization
+        # stateful-streaming sessionization, salted skew-safe aggregation
         "embedding_centered": X.embedding_centered,
         "media_frames": X.media_frames,
         "events_stream_sessions": X.events_stream_sessions,
+        "events_salted_user_stats": X.events_salted_user_stats,
         # -- warehouse dimension builds (SURVEY §2 P1/A1/A2/A3/J1/J2, keygen)
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
@@ -134,13 +135,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": X.similarity_topk,
         "similarity_ann_lsh": X.similarity_ann_lsh,
         "similarity_ivf": X.similarity_ivf,
-        "embedding_stats": X.embedding_stats,
         "tfidf_top_terms": X.tfidf_top_terms,
         "text_stats": X.text_stats,
         "lang_id": X.lang_id,
         # -- tail rotation: green in CORRECTNESS_r01.json (rows+schema+hash)
         #    and unchanged since; rotate back to the head next round --------
         "dedup_exact": X.dedup_exact,
+        "embedding_stats": X.embedding_stats,
         "dedup_survivors": X.dedup_survivors,
         "dedup_fuzzy_levenshtein": X.dedup_fuzzy_levenshtein,
         "events_value_quantiles": X.events_value_quantiles,
@@ -515,6 +516,13 @@ def _ext_oracles() -> dict[str, str]:
             "regexp_replace(CAST(p[1] AS VARCHAR), '\\.0$', '') || ' ' || "
             "regexp_replace(CAST(p[2] AS VARCHAR), '\\.0$', '')), ', ') || ')' AS shape_wkt "
             "FROM c"
+        ),
+        # two-stage salted aggregation == plain GROUP BY (decimal sums are
+        # order-independent, so salting changes only the shuffle shape)
+        "events_salted_user_stats": (
+            "SELECT user_id, "
+            "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value, "
+            "COUNT(*) AS n_events FROM events GROUP BY user_id"
         ),
         # grouped applyInPandas mean-centering: the mean follows the
         # decimal-sum contract (quantize 8dp -> exact sum -> double / n)

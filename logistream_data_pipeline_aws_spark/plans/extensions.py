@@ -510,6 +510,32 @@ def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-user aggregation via the two-stage salted pattern
+    (operators.skew.salted_aggregate): partial sums on (user, salt) —
+    salt from event_id, so a hot user's rows spread over 16 tasks —
+    recombined per user.  Decimal sums make both stages order-independent,
+    so the result is hash-identical to a plain GROUP BY (the oracle)."""
+    from logistream_data_pipeline_aws_spark.operators.skew import salted_aggregate
+
+    events = load_table(spark, "events", sf_dir)
+    agg = salted_aggregate(
+        events.select("user_id", "event_id", "value"),
+        keys=["user_id"],
+        sums={
+            "total_value": F.col("value").cast("decimal(30,6)"),
+            "n_events": F.lit(1).cast("long"),
+        },
+        salt_source="event_id",
+        n_salts=16,
+    )
+    return agg.select(
+        "user_id",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 # -- GeoJSON routes (the Lambda surface, SURVEY §2.8 N1-N5/F9/F10) ----------
 
 # the committed FeatureCollection fixture; anchored to the repo so the
