@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": X.media_frames,
         "events_stream_sessions": X.events_stream_sessions,
         "events_salted_user_stats": X.events_salted_user_stats,
+        # sink round-trip (S6/S8) and the Q13-shape outer-join histogram
+        "fact_write_readback": X.fact_write_readback,
+        "sql_customer_order_distribution": V.sql_customer_order_distribution,
         # -- warehouse dimension builds (SURVEY §2 P1/A1/A2/A3/J1/J2, keygen)
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
@@ -133,14 +136,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": X.dedup_simhash_pairs,
         "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
         "similarity_topk": X.similarity_topk,
-        "similarity_ann_lsh": X.similarity_ann_lsh,
-        "similarity_ivf": X.similarity_ivf,
         "tfidf_top_terms": X.tfidf_top_terms,
         "text_stats": X.text_stats,
         "lang_id": X.lang_id,
         # -- tail rotation: green in CORRECTNESS_r01.json (rows+schema+hash)
         #    and unchanged since; rotate back to the head next round --------
         "dedup_exact": X.dedup_exact,
+        "similarity_ann_lsh": X.similarity_ann_lsh,
+        "similarity_ivf": X.similarity_ivf,
         "embedding_stats": X.embedding_stats,
         "dedup_survivors": X.dedup_survivors,
         "dedup_fuzzy_levenshtein": X.dedup_fuzzy_levenshtein,
@@ -516,6 +519,21 @@ def _ext_oracles() -> dict[str, str]:
             "regexp_replace(CAST(p[1] AS VARCHAR), '\\.0$', '') || ' ' || "
             "regexp_replace(CAST(p[2] AS VARCHAR), '\\.0$', '')), ', ') || ')' AS shape_wkt "
             "FROM c"
+        ),
+        # sink round-trip: written+read-back fact == straight-from-raw SQL
+        "fact_write_readback": (
+            "SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month, "
+            "COUNT(*) AS n_rows, "
+            + _dsum(_REVENUE_SQL, "revenue")
+            + " FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1"
+        ),
+        # TPC-H Q13 shape: outer join + double aggregation histogram
+        "sql_customer_order_distribution": (
+            "SELECT c_count, COUNT(*) AS custdist FROM ("
+            "SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count "
+            "FROM customer c LEFT JOIN orders o "
+            "ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT' "
+            "GROUP BY c.c_custkey) GROUP BY c_count"
         ),
         # two-stage salted aggregation == plain GROUP BY (decimal sums are
         # order-independent, so salting changes only the shuffle shape)

@@ -536,6 +536,37 @@ def events_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fact_write_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end sink verification (S6/S8): the fact table is written to
+    parquet partitioned by ship year (hive-style directories — the
+    pruning layout for date-keyed facts), read back with a partition
+    filter, and aggregated.  The oracle computes the same aggregate
+    straight from the raw tables, so a write-path bug (type narrowing,
+    partition mis-assignment, dropped rows) breaks the hash.  The target
+    directory is a fixed per-sf temp path, overwritten each call."""
+    import os as _os
+    import tempfile
+
+    from logistream_data_pipeline_aws_spark.plans.warehouse import fact_lineitem
+    from logistream_data_pipeline_aws_spark.sources.io import write_table
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = _os.path.join(tempfile.gettempdir(), f"lsdp_fact_readback_{tag}")
+    fact = fact_lineitem(spark, sf_dir).withColumn(
+        "ship_year", (F.col("ship_date_key") / F.lit(10000)).cast("int")
+    )
+    write_table(fact, path, mode="overwrite", partition_by=["ship_year"])
+    back = spark.read.parquet(path).where(F.col("ship_year") == 1995)
+    return (
+        back.groupBy((F.col("ship_date_key") % 10000 / 100).cast("int").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("revenue").cast("decimal(30,6)")).cast("double").alias("revenue"),
+        )
+        .select("ship_month", "n_rows", "revenue")
+    )
+
+
 # -- GeoJSON routes (the Lambda surface, SURVEY §2.8 N1-N5/F9/F10) ----------
 
 # the committed FeatureCollection fixture; anchored to the repo so the

@@ -198,3 +198,26 @@ def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+def sql_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shape: LEFT OUTER join with a join-condition-only filter
+    (non-urgent orders), then a double aggregation — per-customer order
+    counts re-aggregated into a histogram.  The outer join keeps
+    zero-order customers in the c_count=0 bucket; the filter must live in
+    the JOIN condition (a WHERE would turn the join inner)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        """
+    )
