@@ -103,9 +103,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": X.media_frames,
         "events_stream_sessions": X.events_stream_sessions,
         "events_salted_user_stats": X.events_salted_user_stats,
-        # sink round-trip (S6/S8) and the Q13-shape outer-join histogram
+        # sink round-trip (S6/S8), Q13-shape outer-join histogram,
+        # correlated scalar subquery, end-to-end near-dup application
         "fact_write_readback": X.fact_write_readback,
         "sql_customer_order_distribution": V.sql_customer_order_distribution,
+        "sql_orders_above_customer_avg": V.sql_orders_above_customer_avg,
+        "dedup_near_survivors": X.dedup_near_survivors,
         # -- warehouse dimension builds (SURVEY §2 P1/A1/A2/A3/J1/J2, keygen)
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
@@ -121,7 +124,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_sales_trend": A.a6_sales_trend,
         "a6_sales_trend_mom": A.a6_sales_trend_mom,
         "cumulative_monthly_sales": A.cumulative_monthly_sales,
-        "customer_rank_in_nation": A.customer_rank_in_nation,
         "acctbal_band_join": A.acctbal_band_join,
         "a7_schedule_adherence": A.a7_schedule_adherence,
         "a8_returns_by_nation": A.a8_returns_by_nation,
@@ -135,13 +137,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": X.dedup_simhash,
         "dedup_simhash_pairs": X.dedup_simhash_pairs,
         "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
-        "similarity_topk": X.similarity_topk,
         "tfidf_top_terms": X.tfidf_top_terms,
         "text_stats": X.text_stats,
         "lang_id": X.lang_id,
         # -- tail rotation: green in CORRECTNESS_r01.json (rows+schema+hash)
         #    and unchanged since; rotate back to the head next round --------
         "dedup_exact": X.dedup_exact,
+        "customer_rank_in_nation": A.customer_rank_in_nation,
+        "similarity_topk": X.similarity_topk,
         "similarity_ann_lsh": X.similarity_ann_lsh,
         "similarity_ivf": X.similarity_ivf,
         "embedding_stats": X.embedding_stats,
@@ -232,6 +235,32 @@ def _sw_hits(lang: str) -> str:
     return f"CAST(len(list_filter(tk, t -> list_contains({_SW[lang]}, lower(t)))) AS BIGINT)"
 
 
+# minhash near-dup pairs -> symmetric closure -> per-node min reachable id
+# (shared by the dedup_clusters and dedup_near_survivors oracles)
+_CLUSTERS_CTE_PREFIX = (
+    "WITH RECURSIVE pairs AS ("
+    "WITH tok AS (SELECT doc_id, " + _TOKENS + " AS tk FROM documents), "
+    f"sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM tok), "
+    "base AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0), "
+    "hs AS (SELECT doc_id, sh, list_transform(sh, x -> ('0x' || substr(md5(x), 1, 10))::BIGINT) AS hs FROM base), "
+    f"sig AS (SELECT doc_id, sh, {_MINHASH_SIG} AS sig FROM hs), "
+    f"banded AS (SELECT doc_id, unnest({_BANDS}) AS band_hash FROM sig), "
+    "buckets AS (SELECT band_hash, list_sort(list(DISTINCT doc_id)) AS ids "
+    "FROM banded GROUP BY band_hash HAVING COUNT(DISTINCT doc_id) > 1), "
+    f"cand AS ({_PAIRS_FROM_BUCKETS}) "
+    "SELECT c.id_a, c.id_b FROM cand c "
+    "JOIN base a ON c.id_a = a.doc_id JOIN base b ON c.id_b = b.doc_id "
+    "WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.2"
+    "), "
+    "sym AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach AS (SELECT src, dst FROM sym "
+    "UNION SELECT reach.src, s.dst FROM reach JOIN sym s ON reach.dst = s.src), "
+    "reach_min AS (SELECT src, MIN(dst) AS min_reach FROM reach GROUP BY src) "
+)
+
+
 def _ext_oracles() -> dict[str, str]:
     jaccard = (
         "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
@@ -293,32 +322,20 @@ def _ext_oracles() -> dict[str, str]:
         "dedup_simhash": (
             f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM fp"
         ),
+        # minhash pairs -> symmetric closure via recursive CTE -> cluster
+        # id = min reachable doc id (mirrors iterative min-label
+        # propagation in operators.dedup_family)
         "dedup_clusters": (
-            # minhash pairs -> symmetric closure via recursive CTE ->
-            # cluster id = min reachable doc id (mirrors iterative
-            # min-label propagation in operators.dedup_family)
-            "WITH RECURSIVE pairs AS ("
-            "WITH tok AS (SELECT doc_id, " + _TOKENS + " AS tk FROM documents), "
-            f"sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM tok), "
-            "base AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0), "
-            "hs AS (SELECT doc_id, sh, list_transform(sh, x -> ('0x' || substr(md5(x), 1, 10))::BIGINT) AS hs FROM base), "
-            f"sig AS (SELECT doc_id, sh, {_MINHASH_SIG} AS sig FROM hs), "
-            f"banded AS (SELECT doc_id, unnest({_BANDS}) AS band_hash FROM sig), "
-            "buckets AS (SELECT band_hash, list_sort(list(DISTINCT doc_id)) AS ids "
-            "FROM banded GROUP BY band_hash HAVING COUNT(DISTINCT doc_id) > 1), "
-            f"cand AS ({_PAIRS_FROM_BUCKETS}) "
-            "SELECT c.id_a, c.id_b FROM cand c "
-            "JOIN base a ON c.id_a = a.doc_id JOIN base b ON c.id_b = b.doc_id "
-            "WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-            "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.2"
-            "), "
-            "sym AS (SELECT id_a AS src, id_b AS dst FROM pairs "
-            "UNION SELECT id_b, id_a FROM pairs), "
-            "reach AS (SELECT src, dst FROM sym "
-            "UNION SELECT reach.src, s.dst FROM reach JOIN sym s ON reach.dst = s.src) "
-            "SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(m.min_reach, d.doc_id)) AS BIGINT) AS cluster_id "
-            "FROM documents d LEFT JOIN (SELECT src, MIN(dst) AS min_reach FROM reach GROUP BY src) m "
-            "ON d.doc_id = m.src"
+            _CLUSTERS_CTE_PREFIX
+            + "SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(m.min_reach, d.doc_id)) AS BIGINT) AS cluster_id "
+            "FROM documents d LEFT JOIN reach_min m ON d.doc_id = m.src"
+        ),
+        # the near-dup APPLICATION: one survivor (min id) per cluster
+        "dedup_near_survivors": (
+            _CLUSTERS_CTE_PREFIX
+            + "SELECT d.doc_id, d.lang, d.source, d.n_chars "
+            "FROM documents d LEFT JOIN reach_min m ON d.doc_id = m.src "
+            "WHERE COALESCE(m.min_reach, d.doc_id) >= d.doc_id"
         ),
         "dedup_simhash_pairs": (
             f"WITH {_SIMHASH_CTE}, "
@@ -526,6 +543,14 @@ def _ext_oracles() -> dict[str, str]:
             "COUNT(*) AS n_rows, "
             + _dsum(_REVENUE_SQL, "revenue")
             + " FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1"
+        ),
+        # correlated scalar subquery (decorrelated to agg+join); average
+        # written as decimal-sum/count so the threshold is engine-exact
+        "sql_orders_above_customer_avg": (
+            "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o "
+            "WHERE o.o_totalprice > 1.5 * ("
+            "SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) "
+            "FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"
         ),
         # TPC-H Q13 shape: outer join + double aggregation histogram
         "sql_customer_order_distribution": (

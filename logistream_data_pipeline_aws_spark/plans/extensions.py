@@ -76,6 +76,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup APPLICATION pipeline — mine pairs (minhash-LSH),
+    form clusters (connected components), keep exactly one document per
+    cluster (the minimum id, which IS the cluster label), and semi-join
+    the corpus down to survivors.  This is the operator an LLM data
+    pipeline actually runs; `dedup_minhash_lsh`/`dedup_clusters` verify
+    its stages, this verifies the composition."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.minhash_near_duplicates(
+        docs, "doc_id", "text", k_shingle=3, n_hashes=12, bands=4, threshold=0.2
+    )
+    comps = D.connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs.select("id_a", "id_b")
+    )
+    keeps = comps.where(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(keeps, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via banded sign-LSH + exact-cosine verify — the
     scale path (equi-join plan, never all-pairs); the brute-force exact

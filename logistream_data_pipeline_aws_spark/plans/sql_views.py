@@ -221,3 +221,23 @@ def sql_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         GROUP BY c_count
         """
     )
+
+
+def sql_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery: orders more than 1.5x their own
+    customer's average order value.  Catalyst decorrelates the per-row
+    aggregate into a grouped aggregate + join — no per-row subquery
+    execution.  The average is written as explicit decimal-sum / count
+    (not AVG) so the threshold comparison is bit-identical across
+    engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )

@@ -56,3 +56,28 @@ def test_dedup_first_invariants(spark, rows):
             expected[k] = v
     # exactly one survivor per key, and it's the minimum under the tiebreak
     assert out == {(k, v) for k, v in expected.items()}
+
+
+@_slow
+@given(
+    st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_ranged_keygen_equals_global_rank(spark, keys):
+    """with_sequential_key_ranged must assign EXACTLY the global
+    1..N rank by key — for arbitrary unique numeric key sets, including
+    negatives, extremes, singletons, and heavy range skew."""
+    from logistream_data_pipeline_aws_spark.functions.keys import (
+        with_sequential_key_ranged,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r.k: r.seq for r in with_sequential_key_ranged(df, "seq", "k", n_buckets=7).collect()
+    }
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == want
