@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_customer_order_distribution": V.sql_customer_order_distribution,
         "sql_orders_above_customer_avg": V.sql_orders_above_customer_avg,
         "dedup_near_survivors": X.dedup_near_survivors,
+        # the pretraining filter chain (quality x language x length)
+        "corpus_quality_filter": X.corpus_quality_filter,
         # -- warehouse dimension builds (SURVEY §2 P1/A1/A2/A3/J1/J2, keygen)
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
@@ -126,7 +128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_monthly_sales": A.cumulative_monthly_sales,
         "acctbal_band_join": A.acctbal_band_join,
         "a7_schedule_adherence": A.a7_schedule_adherence,
-        "a8_returns_by_nation": A.a8_returns_by_nation,
         "q1_pricing_summary": A.q1_pricing_summary,
         "top_customers": A.top_customers,
         "events_hourly": A.events_hourly,
@@ -143,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail rotation: green in CORRECTNESS_r01.json (rows+schema+hash)
         #    and unchanged since; rotate back to the head next round --------
         "dedup_exact": X.dedup_exact,
+        "a8_returns_by_nation": A.a8_returns_by_nation,
         "customer_rank_in_nation": A.customer_rank_in_nation,
         "similarity_topk": X.similarity_topk,
         "similarity_ann_lsh": X.similarity_ann_lsh,
@@ -470,6 +472,22 @@ def _ext_oracles() -> dict[str, str]:
             "WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de' "
             "WHEN hits_es >= hits_fr THEN 'es' ELSE 'fr' END AS predicted_lang "
             "FROM h"
+        ),
+        "corpus_quality_filter": (
+            "WITH tok AS (SELECT doc_id, lang, source, text, " + _TOKENS + " AS tk FROM documents), "
+            "m AS (SELECT doc_id, lang, source, text, tk, CAST(len(tk) AS DOUBLE) AS n_tok, "
+            "CAST(len(list_filter(tk, t -> regexp_matches(t, '^[A-Za-z]+$'))) AS DOUBLE) AS n_alpha, "
+            + ", ".join(f"{_sw_hits(lg)} AS hits_{lg}" for lg in ("en", "de", "es", "fr"))
+            + " FROM tok), "
+            "scored AS (SELECT doc_id, lang, source, CAST(n_tok AS BIGINT) AS n_tokens, "
+            "CASE WHEN text IS NULL THEN NULL ELSE "
+            "round(least(n_tok / 64.0, 1.0) * (0.5 + 0.3 * (CASE WHEN n_tok > 0 THEN n_alpha / n_tok ELSE 0.0 END) "
+            "+ 0.2 * least(hits_en / 4.0, 1.0)), 6) END AS quality, "
+            "CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en' "
+            "WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de' "
+            "WHEN hits_es >= hits_fr THEN 'es' ELSE 'fr' END AS predicted_lang FROM m) "
+            "SELECT * FROM scored WHERE quality >= 0.5 AND predicted_lang = lang "
+            "AND n_tokens BETWEEN 8 AND 512"
         ),
         "doc_fingerprints": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "

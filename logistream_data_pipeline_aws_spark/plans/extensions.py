@@ -293,6 +293,39 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic pretraining corpus filter chain, composed from the
+    text-analysis primitives: keep documents whose heuristic quality
+    clears a threshold, whose predicted language matches the tagged one,
+    and whose token count is in range.  Pure expressions end to end —
+    at 100 TB this is one embarrassingly parallel scan with every
+    predicate evaluated in whole-stage codegen."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = tokens(F.col("text"))
+    hits = {lg: stopword_hits(tok, lg) for lg in STOPWORDS}
+    e, d, s, f_ = (hits[lg] for lg in ("en", "de", "es", "fr"))
+    predicted = (
+        F.when((e >= d) & (e >= s) & (e >= f_), "en")
+        .when((d >= s) & (d >= f_), "de")
+        .when(s >= f_, "es")
+        .otherwise("fr")
+    )
+    n_tok = token_count("text")
+    return (
+        docs.select(
+            "doc_id", "lang", "source",
+            n_tok.alias("n_tokens"),
+            quality_score("text").alias("quality"),
+            predicted.alias("predicted_lang"),
+        )
+        .where(
+            (F.col("quality") >= 0.5)
+            & (F.col("predicted_lang") == F.col("lang"))
+            & F.col("n_tokens").between(8, 512)
+        )
+    )
+
+
 # -- text analysis ----------------------------------------------------------
 
 
