@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_survivors": X.dedup_near_survivors,
         # the pretraining filter chain (quality x language x length)
         "corpus_quality_filter": X.corpus_quality_filter,
+        # multi-probe ANN (the recall knob on the sign-bucket path)
+        "similarity_ann_multiprobe": X.similarity_ann_multiprobe,
         # -- warehouse dimension builds (SURVEY §2 P1/A1/A2/A3/J1/J2, keygen)
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
@@ -126,7 +128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_sales_trend": A.a6_sales_trend,
         "a6_sales_trend_mom": A.a6_sales_trend_mom,
         "cumulative_monthly_sales": A.cumulative_monthly_sales,
-        "acctbal_band_join": A.acctbal_band_join,
         "a7_schedule_adherence": A.a7_schedule_adherence,
         "q1_pricing_summary": A.q1_pricing_summary,
         "top_customers": A.top_customers,
@@ -144,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail rotation: green in CORRECTNESS_r01.json (rows+schema+hash)
         #    and unchanged since; rotate back to the head next round --------
         "dedup_exact": X.dedup_exact,
+        "acctbal_band_join": A.acctbal_band_join,
         "a8_returns_by_nation": A.a8_returns_by_nation,
         "customer_rank_in_nation": A.customer_rank_in_nation,
         "similarity_topk": X.similarity_topk,
@@ -403,6 +405,23 @@ def _ext_oracles() -> dict[str, str]:
             )
             + " AS BIGINT) AS bucket FROM embeddings), "
             "q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10), "
+            "scored AS (SELECT q.query_id, c.vec_id AS candidate_id, "
+            f"round({_cosine('q.qv', 'c.embedding')}, 6) AS cos_sim "
+            "FROM q JOIN b c USING (bucket) WHERE q.query_id <> c.vec_id), "
+            "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY cos_sim DESC, candidate_id) AS INTEGER) AS rank FROM scored) "
+            "SELECT query_id, candidate_id, cos_sim, rank FROM ranked WHERE rank <= 5"
+        ),
+        "similarity_ann_multiprobe": (
+            "WITH b AS (SELECT vec_id, embedding, CAST("
+            + " + ".join(
+                f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+                for i in range(4)
+            )
+            + " AS BIGINT) AS bucket FROM embeddings), "
+            "q AS (SELECT vec_id AS query_id, embedding AS qv, "
+            "unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket "
+            "FROM b WHERE vec_id < 10), "
             "scored AS (SELECT q.query_id, c.vec_id AS candidate_id, "
             f"round({_cosine('q.qv', 'c.embedding')}, 6) AS cos_sim "
             "FROM q JOIN b c USING (bucket) WHERE q.query_id <> c.vec_id), "

@@ -118,13 +118,32 @@ def ann_topk(
     vec_col: str,
     k: int = 5,
     n_bits: int = 12,
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-    )
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    ``multiprobe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's (flip each sign bit once) — the standard
+    recall knob: the query side fans out ``n_bits + 1`` ways (queries are
+    the SMALL side, so the explode is cheap) while the corpus stays
+    bucketed exactly once, and the join remains a pure equi-join on the
+    bucket id."""
+    bucket = sign_bucket(F.col(vec_col), n_bits)
+    if multiprobe:
+        probes = F.array(
+            bucket, *[bucket.bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(probes).alias("bucket"),
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            bucket.alias("bucket"),
+        )
     c = corpus.select(
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("c_vec"),

@@ -186,6 +186,17 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk(queries, emb, "vec_id", "embedding", k=5, n_bits=4)
 
 
+def similarity_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant of the sign-bucket ANN: each query also probes
+    the n_bits buckets one sign-flip away, trading a small query-side
+    fan-out for recall (candidates remain an equi-join on bucket)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ann_topk(
+        queries, emb, "vec_id", "embedding", k=5, n_bits=4, multiprobe=True
+    )
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector array statistics (L2 norm, min/max/mean element) via
     higher-order functions — all left-fold/deterministic, no UDF; the

@@ -188,6 +188,28 @@ def test_embedding_lsh_plan_and_recall(spark):
     assert want and got == want
 
 
+def test_ann_multiprobe_improves_recall(spark):
+    """Multi-probe must dominate single-probe: every single-probe hit is
+    reachable (hamming-0 bucket is probed too), and on the fixture the
+    top-k agreement with exact brute force strictly improves."""
+    from tests.conftest import SF_SMALL
+    from logistream_data_pipeline_aws_spark.catalog import load_table
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    q = emb.where("vec_id < 10")
+
+    def topk_set(df):
+        return {(r.query_id, r.candidate_id) for r in df.collect()}
+
+    exact = topk_set(S.brute_force_topk(q, emb, "vec_id", "embedding", k=5))
+    single = topk_set(S.ann_topk(q, emb, "vec_id", "embedding", k=5, n_bits=4))
+    multi = topk_set(
+        S.ann_topk(q, emb, "vec_id", "embedding", k=5, n_bits=4, multiprobe=True)
+    )
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi & exact) > 0
+
+
 def test_ann_bucket_restricts_candidates(spark):
     vecs = [
         (1, [1.0, 1.0]),

@@ -86,3 +86,45 @@ def test_sql_joins_run(spark):
     vol = V.sql_local_supplier_volume(spark, SF_SMALL)
     assert vol.count() > 0
     assert vol.columns == ["nation_name", "revenue"]
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's runtime skew handling (enabled in session.py) must actually
+    split a hot-key partition: one key holding ~90% of the probe side
+    gets marked isSkew in the final sort-merge join.  Thresholds are
+    lowered for test scale and restored after."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        probe = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("v"),
+        )
+        build = spark.range(0, 200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = probe.join(build, "k")
+        n = len(joined._jdf.collect())
+        assert n == 200_000  # hot key k=1 matches exactly one build row
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final
+        assert "isSkew=true" in final or "skew=true" in final, (
+            "AQE did not mark the hot partition as skewed:\n" + final[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
