@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_filter": X.corpus_quality_filter,
         # multi-probe ANN (the recall knob on the sign-bucket path)
         "similarity_ann_multiprobe": X.similarity_ann_multiprobe,
+        # Q18 shape: IN over an aggregated HAVING subquery -> semi-join
+        "sql_large_volume_orders": V.sql_large_volume_orders,
         # -- warehouse dimension builds (SURVEY §2 P1/A1/A2/A3/J1/J2, keygen)
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
@@ -128,7 +130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_sales_trend": A.a6_sales_trend,
         "a6_sales_trend_mom": A.a6_sales_trend_mom,
         "cumulative_monthly_sales": A.cumulative_monthly_sales,
-        "a7_schedule_adherence": A.a7_schedule_adherence,
         "q1_pricing_summary": A.q1_pricing_summary,
         "top_customers": A.top_customers,
         "events_hourly": A.events_hourly,
@@ -145,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail rotation: green in CORRECTNESS_r01.json (rows+schema+hash)
         #    and unchanged since; rotate back to the head next round --------
         "dedup_exact": X.dedup_exact,
+        "a7_schedule_adherence": A.a7_schedule_adherence,
         "acctbal_band_join": A.acctbal_band_join,
         "a8_returns_by_nation": A.a8_returns_by_nation,
         "customer_rank_in_nation": A.customer_rank_in_nation,
@@ -588,6 +590,15 @@ def _ext_oracles() -> dict[str, str]:
             "WHERE o.o_totalprice > 1.5 * ("
             "SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) "
             "FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"
+        ),
+        # TPC-H Q18 shape: IN over aggregated HAVING subquery
+        "sql_large_volume_orders": (
+            "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, "
+            + _dsum("l.l_quantity", "total_qty")
+            + " FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem "
+            "GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) "
+            "GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice"
         ),
         # TPC-H Q13 shape: outer join + double aggregation histogram
         "sql_customer_order_distribution": (

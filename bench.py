@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "user_sessions",
     "dedup_minhash_lsh",
     "similarity_topk",
+    # LLM-pipeline surfaces: the banded-LSH near-dup and the composed
+    # pretraining filter chain
+    "dedup_embedding",
+    "corpus_quality_filter",
 ]
 
 

@@ -241,3 +241,24 @@ def sql_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         """
     )
+
+
+def sql_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shape: IN over an aggregated HAVING subquery (orders
+    whose total line quantity clears a threshold) joined back to the
+    detail — Catalyst turns the IN into a semi-join against the
+    aggregate, then the detail join stays a broadcast lookup."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+        )
+        GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+        """
+    )
