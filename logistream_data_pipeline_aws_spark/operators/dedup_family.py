@@ -430,6 +430,9 @@ def embedding_near_duplicates_lsh(
     near-dup operating point (cos >= 0.9, p ≈ 0.92) the default 8x8
     config gives ~99.7% recall; tests pin measured recall against the
     brute-force reference on the fixture corpus."""
+    # NOTE: no up-front repartition here (unlike the shingle paths) — the
+    # expensive step is the cosine verify, which runs AFTER the candidate
+    # shuffle and is therefore already parallel; measured neutral locally.
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     banded = base.select(
         "_id", F.explode(sign_band_keys(F.col("_v"), band_bits, n_bands)).alias("band")
