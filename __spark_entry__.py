@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # J5 route-shape dimension over it
         "geojson_routes": X.geojson_routes,
         "dim_route_shapes": X.dim_route_shapes,
+        "routes_csv_readback": X.routes_csv_readback,
         # new round-2 coverage: grouped applyInPandas, multimodal explode,
         # stateful-streaming sessionization, salted skew-safe aggregation
         "embedding_centered": X.embedding_centered,
@@ -132,7 +133,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_monthly_sales": A.cumulative_monthly_sales,
         "q1_pricing_summary": A.q1_pricing_summary,
         "top_customers": A.top_customers,
-        "events_hourly": A.events_hourly,
         # -- training-data pipeline extensions (dedup / similarity / text /
         #    multimodal / JSON)
         "dedup_clusters": X.dedup_clusters,
@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail rotation: green in CORRECTNESS_r01.json (rows+schema+hash)
         #    and unchanged since; rotate back to the head next round --------
         "dedup_exact": X.dedup_exact,
+        "events_hourly": A.events_hourly,
         "a7_schedule_adherence": A.a7_schedule_adherence,
         "acctbal_band_join": A.acctbal_band_join,
         "a8_returns_by_nation": A.a8_returns_by_nation,
@@ -955,4 +956,6 @@ def oracle_sql() -> dict[str, str]:
     })
     # bucketed staging changes the physical plan, not the result
     out["fact_lineitem_bucketed"] = out["fact_lineitem"]
+    # the CSV round-trip must carry the same values as the direct flatten
+    out["routes_csv_readback"] = out["geojson_routes"]
     return out

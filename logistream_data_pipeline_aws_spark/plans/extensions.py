@@ -659,6 +659,32 @@ def geojson_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_geojson_routes(read_geojson(spark, ROUTES_GEOJSON_PATH))
 
 
+def routes_csv_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lambda's actual sink (LJ:24): processed routes written as CSV
+    WITH header, then read back with an explicit schema — driver-verified
+    against the same oracle as ``geojson_routes``, so a header/quoting/
+    type-narrowing bug in the CSV path breaks the hash."""
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from logistream_data_pipeline_aws_spark.sources.io import read_csv, write_table
+
+    path = _os.path.join(tempfile.gettempdir(), "lsdp_routes_csv")
+    write_table(geojson_routes(spark, sf_dir), path, mode="overwrite", fmt="csv", header="true")
+    schema = T.StructType(
+        [
+            T.StructField("origin_lat", T.DoubleType()),
+            T.StructField("origin_long", T.DoubleType()),
+            T.StructField("dest_lat", T.DoubleType()),
+            T.StructField("dest_long", T.DoubleType()),
+            T.StructField("shape_wkt", T.StringType()),
+        ]
+    )
+    return read_csv(spark, path, schema, header=True)
+
+
 def dim_route_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The route-shape dimension over the flattened fixture routes
     (GE:211-217): dedup on the 4-coordinate natural key + surrogate key —
