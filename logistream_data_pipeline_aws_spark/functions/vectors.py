@@ -31,6 +31,16 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), d / (na * nb))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the per-vector norms supplied as columns.
+
+    BIT-IDENTICAL to ``cosine`` when ``na``/``nb`` are ``norm(a)``/
+    ``norm(b)`` — same expressions, same op order — but lets a join
+    compute each norm once per VECTOR instead of once per PAIR, cutting
+    the fold work of an all-candidates verify by ~3x."""
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
+
+
 def sign_bucket(a: Column, n_bits: int = 12) -> Column:
     """Coarse LSH bucket from the sign pattern of the first ``n_bits``
     dimensions: bucket = Σ (a[i] >= 0) << i.

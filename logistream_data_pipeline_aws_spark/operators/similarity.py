@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from logistream_data_pipeline_aws_spark.functions.vectors import cosine, sign_bucket
+from logistream_data_pipeline_aws_spark.functions.vectors import (
+    cosine_with_norms,
+    norm,
+    sign_bucket,
+)
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
@@ -95,9 +99,20 @@ def brute_force_topk(
     vec_col: str,
     k: int = 5,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("c_vec"))
+    """Exact top-k cosine neighbors for each query vector.
+
+    Per-vector norms are computed BEFORE the cross join (once per vector,
+    not once per pair) — bit-identical scores, 1/3 of the fold work."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -105,7 +120,12 @@ def brute_force_topk(
         .select(
             "query_id",
             "candidate_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_n"), F.col("c_n")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     return _topk(scored, k)
@@ -136,17 +156,20 @@ def ann_topk(
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_n"),
             F.explode(probes).alias("bucket"),
         )
     else:
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_n"),
             bucket.alias("bucket"),
         )
     c = corpus.select(
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     scored = (
@@ -155,7 +178,12 @@ def ann_topk(
         .select(
             "query_id",
             "candidate_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_n"), F.col("c_n")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     return _topk(scored, k)
