@@ -434,7 +434,9 @@ def similarity_ivf(spark: SparkSession, sf_dir: str, n_centroids: int = 8, k: in
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
     )
 
-    def assign(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+    from logistream_data_pipeline_aws_spark.functions.vectors import norm
+
+    def assign(df: DataFrame, id_out: str, vec_out: str, n_out: str) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(
             F.col("vec_id").alias(id_out),
             F.col("embedding").alias(vec_out),
@@ -445,12 +447,16 @@ def similarity_ivf(spark: SparkSession, sf_dir: str, n_centroids: int = 8, k: in
         return (
             scored.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
-            .select(id_out, vec_out, F.col("cent_id").alias("list_id"))
+            # norm once per vector, after the assignment dedup
+            .select(
+                id_out, vec_out, norm(F.col(vec_out)).alias(n_out),
+                F.col("cent_id").alias("list_id"),
+            )
         )
 
-    corpus = assign(emb, "candidate_id", "c_vec")
-    queries = assign(emb.where(F.col("vec_id") < 10), "query_id", "q_vec")
-    from logistream_data_pipeline_aws_spark.functions.vectors import cosine
+    corpus = assign(emb, "candidate_id", "c_vec", "c_n")
+    queries = assign(emb.where(F.col("vec_id") < 10), "query_id", "q_vec", "q_n")
+    from logistream_data_pipeline_aws_spark.functions.vectors import cosine_with_norms
     from logistream_data_pipeline_aws_spark.operators.similarity import _topk
 
     scored = (
@@ -459,7 +465,12 @@ def similarity_ivf(spark: SparkSession, sf_dir: str, n_centroids: int = 8, k: in
         .select(
             "query_id",
             "candidate_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_with_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_n"), F.col("c_n")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     return _topk(scored, k)
