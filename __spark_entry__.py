@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_multiprobe": X.similarity_ann_multiprobe,
         # Q18 shape: IN over an aggregated HAVING subquery -> semi-join
         "sql_large_volume_orders": V.sql_large_volume_orders,
+        # repetition quality signal + corpus length/quality profile
+        "doc_repetition": X.doc_repetition,
+        "corpus_length_histogram": X.corpus_length_histogram,
         # -- warehouse dimension builds (SURVEY §2 P1/A1/A2/A3/J1/J2, keygen)
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
@@ -129,8 +132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- analytics surface (A5-A8) + headline queries
         "a5_profit_rollup": A.a5_profit_rollup,
         "a6_sales_trend": A.a6_sales_trend,
-        "a6_sales_trend_mom": A.a6_sales_trend_mom,
-        "cumulative_monthly_sales": A.cumulative_monthly_sales,
         "q1_pricing_summary": A.q1_pricing_summary,
         "top_customers": A.top_customers,
         # -- training-data pipeline extensions (dedup / similarity / text /
@@ -146,6 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail rotation: green in CORRECTNESS_r01.json (rows+schema+hash)
         #    and unchanged since; rotate back to the head next round --------
         "dedup_exact": X.dedup_exact,
+        "a6_sales_trend_mom": A.a6_sales_trend_mom,
+        "cumulative_monthly_sales": A.cumulative_monthly_sales,
         "events_hourly": A.events_hourly,
         "a7_schedule_adherence": A.a7_schedule_adherence,
         "acctbal_band_join": A.acctbal_band_join,
@@ -510,6 +513,30 @@ def _ext_oracles() -> dict[str, str]:
             "WHEN hits_es >= hits_fr THEN 'es' ELSE 'fr' END AS predicted_lang FROM m) "
             "SELECT * FROM scored WHERE quality >= 0.5 AND predicted_lang = lang "
             "AND n_tokens BETWEEN 8 AND 512"
+        ),
+        # non-distinct 3-gram frequency: max share of all 3-grams per doc
+        "doc_repetition": (
+            "WITH tok AS (SELECT doc_id, " + _TOKENS + " AS tk FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 2), "
+            "i -> array_to_string(tk[(i+1):(i+3)], ' '))) AS gram "
+            "FROM tok WHERE len(tk) >= 3), "
+            "pg AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_grams, "
+            "CAST(MAX(n) AS BIGINT) AS max_gram_freq, "
+            "round(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS repetition_ratio "
+            "FROM pg GROUP BY doc_id"
+        ),
+        "corpus_length_histogram": (
+            "WITH m AS (SELECT CAST((len(" + _TOKENS + ") // 32) * 32 AS BIGINT) AS token_bucket, "
+            "CASE WHEN text IS NULL THEN NULL ELSE "
+            "round(least(CAST(len(" + _TOKENS + ") AS DOUBLE) / 64.0, 1.0) * "
+            "(0.5 + 0.3 * (CASE WHEN len(" + _TOKENS + ") > 0 THEN "
+            "CAST(len(list_filter(" + _TOKENS + ", t -> regexp_matches(t, '^[A-Za-z]+$'))) AS DOUBLE) / len(" + _TOKENS + ") ELSE 0.0 END) "
+            "+ 0.2 * least(CAST(len(list_filter(" + _TOKENS + ", t -> list_contains(" + _SW["en"] + ", lower(t)))) AS DOUBLE) / 4.0, 1.0)), 6) END AS q "
+            "FROM documents) "
+            "SELECT token_bucket, COUNT(*) AS n_docs, "
+            "round(CAST(SUM(CAST(q AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS mean_quality "
+            "FROM m GROUP BY token_bucket"
         ),
         "doc_fingerprints": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "

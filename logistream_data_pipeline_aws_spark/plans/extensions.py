@@ -337,6 +337,61 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring — the quality signal that catches boilerplate
+    and degenerate generations: per document, the most frequent word
+    3-gram's share of all (non-distinct) 3-grams.  explode + two
+    aggregations, map-side combinable; docs shorter than 3 tokens are
+    excluded (no 3-grams)."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - 3),
+        lambda i: F.array_join(F.slice(tok, i + 1, 3), " "),
+    )
+    ex = (
+        docs.where(F.size(tokens(F.col("text"))) >= 3)  # cheap pre-filter
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    per_gram = ex.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.max("n").alias("max_gram_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "max_gram_freq",
+            F.round(F.col("max_gram_freq") / F.col("n_grams"), 6).alias("repetition_ratio"),
+        )
+    )
+
+
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram with per-bucket mean quality — the
+    profile pass that decides filter thresholds.  Mean quality goes
+    through the decimal-sum contract so it is order-independent."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_tok = token_count("text")
+    return (
+        docs.select(
+            (F.floor(n_tok / 32) * 32).cast("long").alias("token_bucket"),
+            quality_score("text").alias("q"),
+        )
+        .groupBy("token_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("q").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_quality"),
+        )
+        .select("token_bucket", "n_docs", F.round("mean_quality", 6).alias("mean_quality"))
+    )
+
+
 # -- text analysis ----------------------------------------------------------
 
 
