@@ -357,3 +357,31 @@ def test_pil_codec_branch(monkeypatch, spark):
     M.extract_image_features(media)  # real-codec plan builds
     row = M.extract_image_features(media, use_fake_codec=True).collect()[0]
     assert (row.width, row.height) == (4, 1)
+
+
+def test_doc_repetition_edges(spark):
+    """Degenerate text scores 1.0, fully-unique text scores 1/n, and
+    docs shorter than the gram width are excluded."""
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    import logistream_data_pipeline_aws_spark.catalog as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a a a"),          # one distinct 3-gram, 4 occurrences
+            (2, "w x y z u v"),          # all 4 grams distinct
+            (3, "too short"),            # < 3 tokens: no grams
+        ],
+        ["doc_id", "text"],
+    )
+    orig = C.load_table
+    try:
+        C.load_table = lambda spark, name, sf_dir: docs  # noqa: ARG005
+        X.load_table = C.load_table
+        out = {r.doc_id: r for r in X.doc_repetition(spark, "unused").collect()}
+    finally:
+        C.load_table = orig
+        X.load_table = orig
+    assert set(out) == {1, 2}
+    assert out[1].repetition_ratio == 1.0 and out[1].n_grams == 4
+    assert out[2].max_gram_freq == 1
+    assert abs(out[2].repetition_ratio - round(1 / 4, 6)) < 1e-9
