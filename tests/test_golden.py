@@ -52,3 +52,18 @@ def test_matches_golden(warehouse, table):
         df = df.drop("fact_id")
     got = json.loads(json.dumps(canonical_rows(df), sort_keys=True, default=str))
     assert got == golden
+
+
+def test_query_goldens(spark):
+    """Cross-round drift protection for selected queries() outputs at
+    sf0.001 (regenerate via tools/make_golden.py after an INTENTIONAL
+    semantic change)."""
+    import __spark_entry__ as E
+    from tools.make_golden import canonical_rows
+
+    with open(os.path.join(GOLDEN_DIR, "queries_sf0001.json")) as f:
+        golden = json.load(f)
+    qs = E.queries()
+    for name, want in golden.items():
+        got = canonical_rows(qs[name](spark, "/root/testdata/sf0.001"))
+        assert got == want, f"{name}: output drifted from golden"

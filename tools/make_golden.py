@@ -60,3 +60,31 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    make_query_goldens()
+
+
+# -- query goldens: small-output queries() snapshots at sf0.001 -------------
+# (cross-round drift protection that needs no DuckDB; regenerate after an
+# INTENTIONAL semantic change)
+
+QUERY_GOLDENS = [
+    "dedup_embedding", "geojson_routes", "dim_route_shapes",
+    "corpus_length_histogram", "sql_customer_order_distribution",
+    "sql_large_volume_orders", "events_salted_user_stats",
+    "fact_bucket_profile", "dedup_minhash_lsh",
+]
+
+
+def make_query_goldens() -> None:
+    import __spark_entry__ as E
+
+    spark = get_spark("make-golden-q", master="local[4]", shuffle_partitions=4)
+    qs = E.queries()
+    out = {}
+    for name in QUERY_GOLDENS:
+        out[name] = canonical_rows(qs[name](spark, "/root/testdata/sf0.001"))
+        print(f"{name}: {len(out[name])} rows")
+    path = os.path.join(GOLDEN_DIR, "queries_sf0001.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True, default=str)
+    print(f"wrote {path}")
