@@ -838,6 +838,69 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def events_stream_order_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declared dual-feed scenario as a driver-checkable query:
+    STREAM-STREAM inner join with watermarks and an event-time range
+    bound (streaming.pipeline.order_shipment_join).  Two file-source
+    streams are derived deterministically from the events table —
+    purchases as the order feed, views (keyed to the preceding event id)
+    as the shipment feed; a single-file source is one micro-batch, so
+    every in-band match is emitted and the oracle is the equivalent
+    batch join.  Timestamps are second-truncated for engine exactness."""
+    from pyspark.sql import types as T
+
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        order_shipment_join,
+        run_available_now,
+    )
+
+    _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev_nanos = spark.conf.get(_NANOS_CONF)
+    except Exception:
+        prev_nanos = None
+    spark.conf.set(_NANOS_CONF, "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def feed():
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.date_trunc("second", F.timestamp_micros(F.expr("ts div 1000"))))
+        )
+
+    orders = feed().where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("order_id"),
+        F.col("ts").alias("order_ts"),
+        F.col("value").alias("amount"),
+    )
+    shipments = feed().where(F.col("event_type") == "view").select(
+        (F.col("event_id") - 1).alias("order_id"),
+        F.col("ts").alias("ship_ts"),
+        F.col("user_id").cast("string").alias("carrier"),
+    )
+    joined = order_shipment_join(orders, shipments, max_ship_delay="48 hours")
+    name = "events_stream_order_shipment_sink"
+    try:
+        run_available_now(joined, name, output_mode="append")
+    finally:
+        if prev_nanos is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prev_nanos)
+    return spark.table(name)
+
+
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` sessionization (30-min gap) over events,
     batch form — the declarative counterpart of the stateful
