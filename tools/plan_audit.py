@@ -28,6 +28,10 @@ def audit(plan: str) -> dict[str, object]:
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sortmerge_joins": plan.count("SortMergeJoin"),
         "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+        # nested loops are legitimate ONLY for by-construction-bounded
+        # sides (1-row stats broadcasts, <=n_buckets offset tables,
+        # flag-dim rank joins) — the column makes every one visible
+        "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
         "exchanges": plan.count("Exchange"),
         "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "scans": len(scans),
@@ -43,8 +47,8 @@ def main() -> None:
     print(f"# PLAN AUDIT — physical-plan properties at {sf_dir}\n")
     print("Scale invariants: dimension lookups broadcast (no fact shuffle);")
     print("scans column-pruned; filters pushed; wide codegen stages.\n")
-    print("| query | broadcast | sort-merge | exchanges | codegen stages | scans (cols each) | pushed filters |")
-    print("|---|---|---|---|---|---|---|")
+    print("| query | broadcast | sort-merge | nested-loop (bounded) | exchanges | codegen stages | scans (cols each) | pushed filters |")
+    print("|---|---|---|---|---|---|---|---|")
     for name in AUDIT_QUERIES:
         df = qs[name](spark, sf_dir)
         # execute THIS queryExecution (not a derived one) so AQE finalizes
@@ -55,6 +59,7 @@ def main() -> None:
         a = audit(plan)
         print(
             f"| {name} | {a['broadcast_joins']} | {a['sortmerge_joins']} | "
+            f"{a['nested_loop_joins']} | "
             f"{a['exchanges']} | {a['codegen_stages']} | "
             f"{a['scans']} ({','.join(map(str, a['scan_widths']))}) | {a['pushed_nonempty']} |"
         )
