@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_histogram": X.corpus_length_histogram,
         # the declared dual-feed scenario: stream-stream join, driver-checked
         "events_stream_order_shipment": X.events_stream_order_shipment,
+        # Q19 shape: disjunctive conjunct baskets over one join
+        "sql_disjunctive_basket": V.sql_disjunctive_basket,
         # -- warehouse dimension builds (SURVEY §2 P1/A1/A2/A3/J1/J2, keygen)
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
@@ -132,7 +134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_bucket_profile": W.fact_bucket_profile,
         "dev_sample_cap": W.dev_sample_cap,
         # -- analytics surface (A5-A8) + headline queries
-        "a5_profit_rollup": A.a5_profit_rollup,
         "q1_pricing_summary": A.q1_pricing_summary,
         "top_customers": A.top_customers,
         # -- training-data pipeline extensions (dedup / similarity / text /
@@ -148,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail rotation: green in CORRECTNESS_r01.json (rows+schema+hash)
         #    and unchanged since; rotate back to the head next round --------
         "dedup_exact": X.dedup_exact,
+        "a5_profit_rollup": A.a5_profit_rollup,
         "a6_sales_trend": A.a6_sales_trend,
         "a6_sales_trend_mom": A.a6_sales_trend_mom,
         "cumulative_monthly_sales": A.cumulative_monthly_sales,
@@ -634,6 +636,15 @@ def _ext_oracles() -> dict[str, str]:
             "WHERE o.o_totalprice > 1.5 * ("
             "SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) "
             "FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"
+        ),
+        # TPC-H Q19 shape: disjunctive conjunct baskets over one join
+        "sql_disjunctive_basket": (
+            "SELECT " + _dsum("l.l_extendedprice * (1.0 - l.l_discount)", "revenue")
+            + ", COUNT(*) AS n_items FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20) "
+            "OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 5 AND 35) "
+            "OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 10 AND 50)"
         ),
         # TPC-H Q18 shape: IN over aggregated HAVING subquery
         "sql_large_volume_orders": (

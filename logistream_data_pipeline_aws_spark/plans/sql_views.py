@@ -262,3 +262,23 @@ def sql_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
         """
     )
+
+
+def sql_disjunctive_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shape: revenue under an OR of conjunctive brand/size/
+    quantity baskets.  The disjunction shares the join key, so Catalyst
+    still plans one broadcast hash join with the OR evaluated as the join
+    filter, and the common `l_quantity`/`p_size` bounds are pushed into
+    both scans as range predicates."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 5 AND 35)
+           OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 10 AND 50)
+        """
+    )
