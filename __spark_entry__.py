@@ -611,7 +611,7 @@ def _ext_oracles() -> dict[str, str]:
         # strip as functions.wkt._fmt_num
         "geojson_routes": (
             "WITH raw AS (SELECT unnest(features) AS f FROM read_json("
-            "'/root/repo/tests/fixtures/routes.geojson', columns = {"
+            f"'{X.ROUTES_GEOJSON_PATH}', columns = {{"
             "\"type\": 'VARCHAR', "
             "\"features\": 'STRUCT(\"type\" VARCHAR, geometry STRUCT(\"type\" VARCHAR, coordinates DOUBLE[][]))[]'})), "
             "c AS (SELECT f.geometry.coordinates AS xy FROM raw) "
@@ -705,7 +705,7 @@ def _ext_oracles() -> dict[str, str]:
         ),
         "dim_route_shapes": (
             "WITH raw AS (SELECT unnest(features) AS f FROM read_json("
-            "'/root/repo/tests/fixtures/routes.geojson', columns = {"
+            f"'{X.ROUTES_GEOJSON_PATH}', columns = {{"
             "\"type\": 'VARCHAR', "
             "\"features\": 'STRUCT(\"type\" VARCHAR, geometry STRUCT(\"type\" VARCHAR, coordinates DOUBLE[][]))[]'})), "
             "flat AS (SELECT xy[1][2] AS origin_lat, xy[1][1] AS origin_long, "

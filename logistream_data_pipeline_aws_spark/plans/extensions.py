@@ -668,6 +668,22 @@ def events_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRATCH_DIR: str | None = None
+
+
+def _scratch(name: str) -> str:
+    """Per-process scratch path for sink round-trip queries: a private
+    ``tempfile.mkdtemp`` directory created once per session, so concurrent
+    sessions (or a pre-existing world-writable directory owned by another
+    user) can never clash with or feed stale data into a readback."""
+    global _SCRATCH_DIR
+    if _SCRATCH_DIR is None:
+        import tempfile
+
+        _SCRATCH_DIR = tempfile.mkdtemp(prefix="lsdp_scratch_")
+    return os.path.join(_SCRATCH_DIR, name)
+
+
 def fact_write_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end sink verification (S6/S8): the fact table is written to
     parquet partitioned by ship year (hive-style directories — the
@@ -675,15 +691,15 @@ def fact_write_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, and aggregated.  The oracle computes the same aggregate
     straight from the raw tables, so a write-path bug (type narrowing,
     partition mis-assignment, dropped rows) breaks the hash.  The target
-    directory is a fixed per-sf temp path, overwritten each call."""
+    directory is private to this session (``_scratch``), overwritten on
+    repeat calls within the session."""
     import os as _os
-    import tempfile
 
     from logistream_data_pipeline_aws_spark.plans.warehouse import fact_lineitem
     from logistream_data_pipeline_aws_spark.sources.io import write_table
 
     tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = _os.path.join(tempfile.gettempdir(), f"lsdp_fact_readback_{tag}")
+    path = _scratch(f"fact_readback_{tag}")
     fact = fact_lineitem(spark, sf_dir).withColumn(
         "ship_year", (F.col("ship_date_key") / F.lit(10000)).cast("int")
     )
@@ -730,14 +746,11 @@ def routes_csv_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH header, then read back with an explicit schema — driver-verified
     against the same oracle as ``geojson_routes``, so a header/quoting/
     type-narrowing bug in the CSV path breaks the hash."""
-    import os as _os
-    import tempfile
-
     from pyspark.sql import types as T
 
     from logistream_data_pipeline_aws_spark.sources.io import read_csv, write_table
 
-    path = _os.path.join(tempfile.gettempdir(), "lsdp_routes_csv")
+    path = _scratch("routes_csv")
     write_table(geojson_routes(spark, sf_dir), path, mode="overwrite", fmt="csv", header="true")
     schema = T.StructType(
         [

@@ -20,7 +20,9 @@ order-independent (see plans.analytics).
 from __future__ import annotations
 
 import os
+import warnings
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -260,12 +262,20 @@ def fact_lineitem_bucketed(
                 load_table(spark, "orders", sf_dir).select(*_FACT_ORDERS_COLS),
                 ord_name, "o_orderkey", n_buckets,
             )
-    except Exception:
+    except (AnalysisException, OSError) as exc:
         # staging needs a writable warehouse dir; in a harness environment
         # without one, degrade to the plain plan — identical result (same
         # oracle), the pre-paid shuffle just isn't demonstrated there.
         # The zero-exchange plan itself stays pinned by
         # tests/test_plan_properties.py::test_fact_bucketed_join_zero_exchange.
+        # Narrow except + warning so a real staging bug is visible (and a
+        # bench line can't silently time the wrong plan).
+        warnings.warn(
+            f"fact_lineitem_bucketed: staging unavailable ({exc!r}); "
+            "degrading to the unbucketed fact_lineitem plan",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return fact_lineitem(spark, sf_dir)
     return _assemble_fact_lineitem(
         spark, sf_dir, spark.table(li_name), spark.table(ord_name),

@@ -58,11 +58,6 @@ def main() -> None:
         print(f"wrote {path}: {len(rows)} rows")
 
 
-if __name__ == "__main__":
-    main()
-    make_query_goldens()
-
-
 # -- query goldens: small-output queries() snapshots at sf0.001 -------------
 # (cross-round drift protection that needs no DuckDB; regenerate after an
 # INTENTIONAL semantic change)
@@ -88,3 +83,8 @@ def make_query_goldens() -> None:
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True, default=str)
     print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
+    make_query_goldens()
