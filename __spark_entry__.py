@@ -77,9 +77,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": X.multimodal_meta,
         "events_json_kv": X.events_json_kv,
         "user_sessions": X.user_sessions,
-        # sketch aggregates: estimates by design -> no oracle (rows-only
-        # driver check); accuracy pinned vs exact values in tests
-        "events_sketch_profile": X.events_sketch_profile,
+        # sketch aggregates driven to a FULL hash pass: the plan runs the
+        # HLL++/approx_percentile sketches next to their exact counterparts
+        # and emits boolean accuracy verdicts the oracle pins to TRUE
+        "events_sketch_profile": X.events_sketch_profile_checked,
         "events_asof_last_purchase": X.events_asof_last_purchase,
         "events_lookback_count": X.events_lookback_count,
         "events_multigrain_rollup": X.events_multigrain_rollup,
@@ -577,6 +578,16 @@ def _ext_oracles() -> dict[str, str]:
             "CAST(epoch(b.ts_s) - epoch(p.purchase_ts) AS BIGINT) AS secs_since_purchase "
             "FROM base b ASOF LEFT JOIN p "
             "ON b.user_id = p.user_id AND b.ts_s >= p.purchase_ts"
+        ),
+        # sketch profile: deterministic columns computed exactly; the
+        # accuracy verdicts the Spark plan derives from sketch-vs-exact
+        # comparison are pinned to literal TRUE (a broken sketch flips a
+        # boolean and fails the hash)
+        "events_sketch_profile": (
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+            "TRUE AS approx_users_ok, TRUE AS p50_ok, TRUE AS p90_ok "
+            "FROM events GROUP BY event_type"
         ),
         "events_multigrain_rollup": (
             "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "

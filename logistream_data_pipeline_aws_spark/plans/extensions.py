@@ -621,9 +621,12 @@ def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles: HyperLogLog++ (approx_count_distinct) and t-digest-style
     approx_percentile are map-side combinable, fixed-memory, one-pass.
 
-    No DuckDB oracle on purpose: sketches are engine-specific estimates
-    (the driver records a rows-only check); tests/test_extensions.py pins
-    the estimates within tolerance of the exact values instead."""
+    No DuckDB oracle on purpose: sketches are engine-specific estimates;
+    tests/test_extensions.py pins the estimates within tolerance of the
+    exact values.  The driver-registered entry is
+    ``events_sketch_profile_checked`` below, which folds that tolerance
+    check into the plan itself so the driver records a full
+    rows+schema+hash pass."""
     events = load_table(spark, "events", sf_dir)
     return (
         events.groupBy("event_type")
@@ -639,6 +642,44 @@ def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("approx_q")[1].alias("approx_p90"),
             "n_events",
         )
+    )
+
+
+def events_sketch_profile_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable form of the sketch profile: the same HLL++ /
+    approx_percentile sketches run alongside their exact counterparts in
+    one aggregation, and the plan emits BOOLEAN accuracy verdicts instead
+    of the raw estimates.  The DuckDB oracle computes the deterministic
+    columns (event_type, n_events, exact_users) and literal TRUE for the
+    verdicts — so a broken sketch (null, wild estimate, wrong column)
+    flips a boolean and fails the value hash.  This keeps the sketch
+    operators inside the driver-checked plan while every output column
+    stays engine-exact.
+
+    Tolerances are generous multiples of the configured sketch error
+    (HLL rsd=0.02 -> 10% allowed; approx_percentile accuracy=10000 ->
+    estimate must land inside the exact p40..p60 / p85..p95 band), so the
+    booleans are deterministic for any correct implementation.  The exact
+    sides exist only to pin the sketches — the production projection is
+    ``events_sketch_profile`` above."""
+    events = load_table(spark, "events", sf_dir)
+    agg = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("approx_percentile(value, array(0.5, 0.9), 10000)").alias("approx_q"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, array(0.4, 0.6, 0.85, 0.95))").alias("exact_q"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.10 * F.col("exact_users")
+        ).alias("approx_users_ok"),
+        F.col("approx_q")[0].between(F.col("exact_q")[0], F.col("exact_q")[1]).alias("p50_ok"),
+        F.col("approx_q")[1].between(F.col("exact_q")[2], F.col("exact_q")[3]).alias("p90_ok"),
     )
 
 
