@@ -261,7 +261,7 @@ _CLUSTERS_CTE_PREFIX = (
     f"sig AS (SELECT doc_id, sh, {_MINHASH_SIG} AS sig FROM hs), "
     f"banded AS (SELECT doc_id, unnest({_BANDS}) AS band_hash FROM sig), "
     "buckets AS (SELECT band_hash, list_sort(list(DISTINCT doc_id)) AS ids "
-    "FROM banded GROUP BY band_hash HAVING COUNT(DISTINCT doc_id) > 1), "
+    "FROM banded GROUP BY band_hash HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1024), "
     f"cand AS ({_PAIRS_FROM_BUCKETS}) "
     "SELECT c.id_a, c.id_b FROM cand c "
     "JOIN base a ON c.id_a = a.doc_id JOIN base b ON c.id_b = b.doc_id "
@@ -328,7 +328,7 @@ def _ext_oracles() -> dict[str, str]:
             f"sig AS (SELECT doc_id, sh, {_MINHASH_SIG} AS sig FROM hs), "
             f"banded AS (SELECT doc_id, unnest({_BANDS}) AS band_hash FROM sig), "
             "buckets AS (SELECT band_hash, list_sort(list(DISTINCT doc_id)) AS ids "
-            "FROM banded GROUP BY band_hash HAVING COUNT(DISTINCT doc_id) > 1), "
+            "FROM banded GROUP BY band_hash HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1024), "
             f"cand AS ({_PAIRS_FROM_BUCKETS}) "
             f"SELECT c.id_a, c.id_b, {jaccard} AS jaccard "
             "FROM cand c JOIN base a ON c.id_a = a.doc_id JOIN base b ON c.id_b = b.doc_id "
@@ -360,7 +360,7 @@ def _ext_oracles() -> dict[str, str]:
             )
             + "]) AS band_key FROM fp), "
             "buckets AS (SELECT band_key, list_sort(list(DISTINCT doc_id)) AS ids "
-            "FROM bk GROUP BY band_key HAVING COUNT(DISTINCT doc_id) > 1), "
+            "FROM bk GROUP BY band_key HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1024), "
             f"cand AS ({_PAIRS_FROM_BUCKETS}) "
             "SELECT c.id_a, c.id_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
             "FROM cand c JOIN fp a ON c.id_a = a.doc_id JOIN fp b ON c.id_b = b.doc_id "
@@ -389,7 +389,7 @@ def _ext_oracles() -> dict[str, str]:
             )
             + "]) AS band_hash FROM embeddings), "
             "buckets AS (SELECT band_hash, list_sort(list(DISTINCT vec_id)) AS ids "
-            "FROM b GROUP BY band_hash HAVING COUNT(DISTINCT vec_id) > 1), "
+            "FROM b GROUP BY band_hash HAVING COUNT(DISTINCT vec_id) BETWEEN 2 AND 1024), "
             "cand AS (SELECT DISTINCT p[1] AS id_a, p[2] AS id_b FROM ("
             "SELECT unnest(flatten(list_transform(ids, (x, i) -> "
             "list_transform(ids[(i+1):], y -> [x, y])))) AS p FROM buckets)) "

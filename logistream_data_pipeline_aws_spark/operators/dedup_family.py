@@ -65,6 +65,88 @@ def _pairs_from_sorted_ids(ids: Column) -> Column:
     )
 
 
+# Default cap on LSH bucket size during candidate generation.  A degenerate
+# bucket (boilerplate that slipped past exact dedup: 10^6 docs sharing a
+# band) would otherwise materialize one huge collect_set array in a single
+# task and expand O(bucket²) pairs.  Oversized buckets are *dropped* — their
+# contents are exact-/near-exact-duplicate territory that the exact-dedup
+# pass owns — and counted in an observed metric so the drop is never silent.
+DEFAULT_MAX_BUCKET_SIZE = 1024
+
+
+def capped_bucket_pairs(
+    banded: DataFrame,
+    band_col: str,
+    id_col: str,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    metric_name: str | None = None,
+) -> DataFrame:
+    """Shared LSH candidate expansion: group exploded band keys into
+    buckets, DROP buckets larger than ``max_bucket_size`` (logged via an
+    observed ``<metric_name>`` aggregate: dropped_buckets / dropped_docs,
+    visible to QueryExecutionListeners and the Spark UI), and expand the
+    surviving buckets into sorted (id_a < id_b) candidate pairs.
+
+    The cap bounds both the per-task memory of the collect_set array and
+    the O(bucket²) pair expansion — the two failure modes of banded LSH on
+    a corpus with a degenerate near-duplicate mass.  The cap is applied
+    BEFORE any id array is collected: a cheap map-side-combinable count per
+    band, then an equi-join that keeps only 2..max rows — so a 10⁶-doc
+    bucket never materializes in a single task at any point.  Both the
+    count and the collect shuffle on the same band key, so AQE reuses the
+    partitioning (one logical extra pass, no extra wide exchange).
+    ``max_bucket_size=None`` disables the cap (small-corpus/test use only).
+    """
+    if max_bucket_size is None:
+        buckets = banded.groupBy(band_col).agg(
+            F.array_sort(F.collect_set(id_col)).alias("ids")
+        ).where(F.size("ids") > 1)
+    else:
+        counts = banded.groupBy(band_col).agg(
+            F.countDistinct(id_col).alias("_n_ids")
+        )
+        counts = counts.observe(
+            metric_name or f"lsh_bucket_cap_{band_col}",
+            F.sum((F.col("_n_ids") > max_bucket_size).cast("long")).alias(
+                "dropped_buckets"
+            ),
+            F.sum(
+                F.when(F.col("_n_ids") > max_bucket_size, F.col("_n_ids"))
+                .otherwise(0)
+                .cast("long")
+            ).alias("dropped_docs"),
+        )
+        keep = counts.where(
+            (F.col("_n_ids") > 1) & (F.col("_n_ids") <= max_bucket_size)
+        ).select(band_col)
+        buckets = (
+            banded.join(keep, band_col)
+            .groupBy(band_col)
+            .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        )
+    return (
+        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+
+
+def oversized_buckets(
+    banded: DataFrame,
+    band_col: str,
+    id_col: str,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Diagnostic companion to ``capped_bucket_pairs``: the (band, size)
+    rows the cap would drop, for explicit routing to exact dedup or
+    threshold tuning.  Counts only — never materializes the id arrays."""
+    return (
+        banded.groupBy(band_col)
+        .agg(F.countDistinct(id_col).alias("n_ids"))
+        .where(F.col("n_ids") > max_bucket_size)
+    )
+
+
 # Affine minhash permutation constants: h_s = (A_s * h + B_s) mod P over a
 # 40-bit md5-prefix base hash.  A_s < 2^22 keeps A*h < 2^62 (no 64-bit
 # overflow); P is the Mersenne prime 2^61-1.  One md5 per shingle total —
@@ -139,11 +221,19 @@ def minhash_signatures(
     return base.withColumn("sig", sig).drop("_h")
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    n_hashes: int,
+    bands: int,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
     """Banded LSH: docs sharing any band hash become a candidate pair.
 
     The band index is baked into the hash, so one groupBy(band_hash)
-    covers all bands; buckets are md5-uniform -> no shuffle skew.
+    covers all bands; buckets are md5-uniform -> no shuffle skew.  Buckets
+    larger than ``max_bucket_size`` are dropped before any id collection
+    (see ``capped_bucket_pairs``) — at corpus scale those are boilerplate
+    masses that belong to exact dedup, not O(bucket²) pair mining.
     """
     if n_hashes % bands != 0:
         raise ValueError(
@@ -157,14 +247,9 @@ def lsh_candidate_pairs(sig_df: DataFrame, n_hashes: int, bands: int) -> DataFra
             for j in range(bands)
         ]
     )
-    return (
-        sig_df.select("doc_id", F.explode(band_hashes).alias("band_hash"))
-        .groupBy("band_hash")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
+    banded = sig_df.select("doc_id", F.explode(band_hashes).alias("band_hash"))
+    return capped_bucket_pairs(
+        banded, "band_hash", "doc_id", max_bucket_size, "minhash_bucket_cap"
     )
 
 
@@ -243,10 +328,17 @@ def simhash_fingerprints(
 
 
 def simhash_near_duplicates(
-    fp_df: DataFrame, n_bits: int = 28, bands: int = 4, max_hamming: int = 3
+    fp_df: DataFrame,
+    n_bits: int = 28,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-dup pairs from simhash fingerprints: band blocking (any pair
-    within hamming <= bands-1 shares >= 1 exact band) then hamming check."""
+    within hamming <= bands-1 shares >= 1 exact band) then hamming check.
+    Band buckets above ``max_bucket_size`` are dropped pre-collection
+    (``capped_bucket_pairs``) — identical-fingerprint masses are exact-dup
+    territory, not O(bucket²) pair expansion."""
     width = n_bits // bands
     mask = (1 << width) - 1
     band_keys = F.array(
@@ -258,14 +350,12 @@ def simhash_near_duplicates(
             for j in range(bands)
         ]
     )
-    pairs = (
-        fp_df.select("doc_id", F.explode(band_keys).alias("band_key"))
-        .groupBy("band_key")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
+    pairs = capped_bucket_pairs(
+        fp_df.select("doc_id", F.explode(band_keys).alias("band_key")),
+        "band_key",
+        "doc_id",
+        max_bucket_size,
+        "simhash_bucket_cap",
     )
     a = fp_df.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fp_a"))
     b = fp_df.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fp_b"))
@@ -416,6 +506,7 @@ def embedding_near_duplicates_lsh(
     threshold: float = 0.95,
     band_bits: int = 8,
     n_bands: int = 8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: banded sign-LSH candidate
     generation (OR-construction over ``n_bands`` dimension groups), then
@@ -437,13 +528,11 @@ def embedding_near_duplicates_lsh(
     banded = base.select(
         "_id", F.explode(sign_band_keys(F.col("_v"), band_bits, n_bands)).alias("band")
     )
-    cands = (
-        banded.groupBy("band")
-        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-        .select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
+    # sign buckets are NOT hash-uniform (embedding mass concentrates in a
+    # few orthants), so the pre-collection cap matters even more here than
+    # on the md5-keyed shingle paths
+    cands = capped_bucket_pairs(
+        banded, "band", "_id", max_bucket_size, "embedding_bucket_cap"
     )
     # norms once per VECTOR, not per pair: bit-identical cosine, 1/3 of
     # the fold work in the verify join

@@ -61,6 +61,59 @@ def test_simhash_fingerprints_and_pairs(docs):
     assert all(5 not in p for p in got)
 
 
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """Adversarial corpus: many docs with IDENTICAL text all share every
+    minhash band.  Uncapped, candidate generation expands O(N²) pairs from
+    one bucket; with the cap the degenerate bucket is dropped pre-collection
+    and the run completes in O(N) producing zero candidate pairs (that mass
+    belongs to exact dedup).  Normal near-dup corpora (every other test)
+    are unaffected because no bucket exceeds the cap."""
+    n = 300
+    clones = spark.createDataFrame(
+        [(i, "the same boilerplate sentence repeated everywhere") for i in range(n)]
+        + [(n, "an entirely different document about something else")],
+        ["doc_id", "text"],
+    )
+    sigs = D.minhash_signatures(clones, "doc_id", "text", k_shingle=3, n_hashes=12)
+    capped = D.lsh_candidate_pairs(sigs, n_hashes=12, bands=6, max_bucket_size=100)
+    assert capped.count() == 0  # degenerate bucket dropped, nothing else pairs
+    # the diagnostic surface reports exactly what was dropped
+    r = 12 // 6
+    band_hashes = F.array(
+        *[
+            F.concat(F.lit(f"{j}#"), F.concat_ws("_", F.slice("sig", j * r + 1, r)))
+            for j in range(6)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(band_hashes).alias("band_hash"))
+    over = D.oversized_buckets(banded, "band_hash", "doc_id", max_bucket_size=100)
+    rows = over.collect()
+    assert len(rows) == 6  # the clone mass shares all 6 bands
+    assert all(row.n_ids == n for row in rows)
+    # uncapped reference on a smaller clone set: pairs DO explode without
+    # the cap (guards the test itself against a silently-ignored parameter)
+    uncapped = D.lsh_candidate_pairs(sigs, n_hashes=12, bands=6, max_bucket_size=None)
+    assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_embedding_lsh_bucket_cap(spark):
+    """Same cap on the sign-band path: identical embeddings collapse into
+    one orthant bucket; capped generation drops it pre-collection."""
+    base = [0.5, -0.25, 0.75, -0.5, 0.25, -0.75, 0.5, 0.25]
+    rows = [(i, base) for i in range(50)] + [(50, [-x for x in base])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = D.embedding_near_duplicates_lsh(
+        df, "vec_id", "embedding", threshold=0.95, band_bits=4, n_bands=2,
+        max_bucket_size=10,
+    )
+    assert capped.count() == 0
+    uncapped = D.embedding_near_duplicates_lsh(
+        df, "vec_id", "embedding", threshold=0.95, band_bits=4, n_bands=2,
+        max_bucket_size=None,
+    )
+    assert uncapped.count() == 50 * 49 // 2
+
+
 def test_ngram_jaccard_pairs(spark):
     df = spark.createDataFrame(
         [(i, t, "blockA" if i < 5 else "blockB") for i, t in DOCS],
