@@ -184,6 +184,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # -- extension oracle fragments ---------------------------------------------
 
 _TOKENS = "string_split_regex(trim(text), '\\s+')"
+# composed blocking key for the O(block²) ops — mirrors
+# dedup_family.composed_block_key (lang × 64-char length bucket × source)
+_BLOCK_KEY = (
+    "concat_ws('|', lang, source, CAST(CAST(floor(n_chars / 64) AS BIGINT) AS VARCHAR))"
+)
 # distinct word 3-shingles (k=3): mirrors functions.text.word_shingles
 _SHINGLES = (
     "CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(range(0, len(tk) - 2), "
@@ -293,13 +298,16 @@ def _ext_oracles() -> dict[str, str]:
             "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d "
             "WHERE EXISTS (SELECT 1 FROM keeps k WHERE k.doc_id = d.doc_id)"
         ),
+        # composed blocking key + block bound (see dedup_ngram_jaccard)
         "dedup_fuzzy_levenshtein": (
-            "WITH base AS (SELECT doc_id, source AS block, "
+            "WITH base AS (SELECT doc_id, " + _BLOCK_KEY + " AS block, "
             "substring(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 32) AS prefix "
-            "FROM documents) "
+            "FROM documents), "
+            "bk AS (SELECT block FROM base GROUP BY block HAVING COUNT(*) BETWEEN 2 AND 1024), "
+            "bb AS (SELECT base.* FROM base JOIN bk USING (block)) "
             "SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b, "
             "CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_distance "
-            "FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id "
+            "FROM bb a JOIN bb b ON a.block = b.block AND a.doc_id < b.doc_id "
             "WHERE levenshtein(a.prefix, b.prefix) <= 8"
         ),
         "events_value_quantiles": (
@@ -366,12 +374,18 @@ def _ext_oracles() -> dict[str, str]:
             "FROM cand c JOIN fp a ON c.id_a = a.doc_id JOIN fp b ON c.id_b = b.doc_id "
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
+        # composed blocking key (lang × 64-char length bucket × source) +
+        # the 2..1024 block-size bound, mirroring
+        # dedup_family.composed_block_key / bounded_blocks
         "dedup_ngram_jaccard": (
-            "WITH tok AS (SELECT doc_id, source, " + _TOKENS + " AS tk FROM documents), "
-            f"shx AS (SELECT doc_id, source, {_SHINGLES} AS sh FROM tok), "
-            "base AS (SELECT doc_id, source AS block, sh FROM shx WHERE len(sh) > 0) "
+            "WITH tok AS (SELECT doc_id, " + _BLOCK_KEY + " AS block, " + _TOKENS
+            + " AS tk FROM documents), "
+            f"shx AS (SELECT doc_id, block, {_SHINGLES} AS sh FROM tok), "
+            "base AS (SELECT doc_id, block, sh FROM shx WHERE len(sh) > 0), "
+            "bk AS (SELECT block FROM base GROUP BY block HAVING COUNT(*) BETWEEN 2 AND 1024), "
+            "bb AS (SELECT base.* FROM base JOIN bk USING (block)) "
             f"SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b, {jaccard} AS jaccard "
-            "FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id "
+            "FROM bb a JOIN bb b ON a.block = b.block AND a.doc_id < b.doc_id "
             f"WHERE {jaccard} >= 0.2"
         ),
         # banded sign-LSH candidates (8 bands x 8 sign bits, mirroring

@@ -367,28 +367,80 @@ def simhash_near_duplicates(
     )
 
 
+def composed_block_key(
+    lang_col: str = "lang",
+    source_col: str = "source",
+    n_chars_col: str = "n_chars",
+    length_bucket_width: int = 64,
+) -> Column:
+    """The scale-safe blocking key for the quadratic (O(block²)) dedup
+    operators: language × length-bucket × source.  ``source`` alone has
+    FIXED cardinality, so its blocks grow linearly with the corpus and the
+    quadratic term is unbounded at 100 TB; composing with the length
+    bucket (near-identical docs have near-identical lengths) keeps block
+    membership tied to actual near-dup candidates.  Width 64 chars: an
+    edit that moves a doc across a bucket boundary is a recall tradeoff
+    shared by every length-blocked fuzzy-dedup pipeline (run a second pass
+    with offset buckets when that matters)."""
+    bucket = F.floor(F.col(n_chars_col) / F.lit(length_bucket_width)).cast("long")
+    return F.concat_ws("|", F.col(lang_col), F.col(source_col), bucket.cast("string"))
+
+
+def bounded_blocks(
+    base: DataFrame,
+    max_block_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    metric_name: str = "block_cap",
+) -> DataFrame:
+    """Hard bound for blocked-quadratic operators: count docs per ``block``
+    (map-side combinable), keep blocks with 2..max members via an
+    equi-join — singleton blocks can't pair and oversized blocks would be
+    O(block²), so both are removed BEFORE the self-join.  Dropped blocks
+    and the max observed block size are surfaced as an observed metric
+    (dropped_blocks / dropped_docs / max_block_docs) so the bound is never
+    silent."""
+    if max_block_size is None:
+        return base
+    counts = base.groupBy("block").agg(F.count(F.lit(1)).alias("_n_docs"))
+    counts = counts.observe(
+        metric_name,
+        F.sum((F.col("_n_docs") > max_block_size).cast("long")).alias("dropped_blocks"),
+        F.sum(
+            F.when(F.col("_n_docs") > max_block_size, F.col("_n_docs"))
+            .otherwise(0)
+            .cast("long")
+        ).alias("dropped_docs"),
+        F.max("_n_docs").alias("max_block_docs"),
+    )
+    keep = counts.where(
+        (F.col("_n_docs") > 1) & (F.col("_n_docs") <= max_block_size)
+    ).select("block")
+    return base.join(keep, "block")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    block_col: str,
+    block_col: str | Column,
     k_shingle: int = 3,
     threshold: float = 0.3,
+    max_block_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard between all doc pairs sharing a blocking
-    key (O(block²) — the blocking column bounds the quadratic term; at
-    scale use a cheap key like language+length-bucket)."""
+    key (O(block²) — the blocking key bounds the quadratic term; pass
+    ``composed_block_key()`` or an equally corpus-scaling Column, not a
+    fixed-cardinality column like raw ``source``).  Blocks above
+    ``max_block_size`` are dropped pre-join (``bounded_blocks``) with an
+    observed drop count."""
+    block = F.col(block_col) if isinstance(block_col, str) else block_col
     sh = word_shingles(tokens(text_col), k_shingle)
     base = (
-        parallelize_cpu_stage(
-            df.select(F.col(id_col), F.col(block_col), F.col(text_col))
-        )
+        parallelize_cpu_stage(df.select(F.col(id_col), block.alias("block"), F.col(text_col)))
         # cheap pre-filter, not size(sh) > 0 — see minhash_signatures
         .where(F.size(tokens(text_col)) >= k_shingle)
-        .select(
-            F.col(id_col).alias("doc_id"), F.col(block_col).alias("block"), sh.alias("sh")
-        )
+        .select(F.col(id_col).alias("doc_id"), F.col("block"), sh.alias("sh"))
     )
+    base = bounded_blocks(base, max_block_size, "ngram_block_cap")
     a = base.select(F.col("block"), F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("block"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = a.join(b, "block").where(F.col("id_a") < F.col("id_b"))

@@ -52,9 +52,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(block²) exact-Jaccard dedup under the composed blocking key
+    (lang × 64-char length bucket × source): ``source`` alone has fixed
+    cardinality so its blocks grow linearly with the corpus; the composed
+    key keeps blocks tied to actual near-dup candidates and
+    ``bounded_blocks`` hard-caps whatever remains."""
     docs = load_table(spark, "documents", sf_dir)
     return D.ngram_jaccard_pairs(
-        docs, "doc_id", "text", block_col="source", k_shingle=3, threshold=0.2
+        docs, "doc_id", "text",
+        block_col=D.composed_block_key(),
+        k_shingle=3, threshold=0.2,
     )
 
 
@@ -127,17 +134,20 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy near-dup by edit distance on normalized text prefixes,
-    blocked by source (same O(block²) discipline as ngram_jaccard —
-    levenshtein is quadratic per pair, so the prefix caps the cost)."""
+    """Fuzzy near-dup by edit distance on normalized text prefixes, under
+    the composed blocking key (lang × length-bucket × source — same
+    O(block²) discipline and hard block-size bound as ngram_jaccard;
+    levenshtein is quadratic per pair, so the 32-char prefix caps the
+    per-pair cost too)."""
     docs = load_table(spark, "documents", sf_dir)
     from logistream_data_pipeline_aws_spark.functions.text import normalized_text
 
     base = docs.select(
         "doc_id",
-        F.col("source").alias("block"),
+        D.composed_block_key().alias("block"),
         F.substring(normalized_text("text"), 1, 32).alias("prefix"),
     )
+    base = D.bounded_blocks(base, metric_name="fuzzy_block_cap")
     a = base.select(F.col("block"), F.col("doc_id").alias("id_a"), F.col("prefix").alias("p_a"))
     b = base.select(F.col("block"), F.col("doc_id").alias("id_b"), F.col("prefix").alias("p_b"))
     return (

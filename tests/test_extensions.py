@@ -126,6 +126,36 @@ def test_ngram_jaccard_pairs(spark):
     assert all(5 not in p for p in got)
 
 
+def test_composed_block_key_scopes_quadratic_join(spark):
+    """The composed key (lang × length-bucket × source) only pairs docs
+    agreeing on all three; a near-identical doc in another language or a
+    far-away length bucket is never compared (by design — that's what
+    bounds the quadratic term at corpus scale)."""
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, t, "en", "src0", len(t)),
+        (2, t + " iota", "en", "src0", len(t) + 5),   # same bucket, pairs
+        (3, t, "de", "src0", len(t)),                  # other lang: never
+        (4, t, "en", "src0", len(t) + 5000),           # far bucket: never
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    pairs = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", block_col=D.composed_block_key(), threshold=0.2
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}
+    # block bound: an oversized block is dropped, not exploded
+    clones = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i in range(40)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    capped = D.ngram_jaccard_pairs(
+        clones, "doc_id", "text", block_col=D.composed_block_key(),
+        threshold=0.2, max_block_size=10,
+    )
+    assert capped.count() == 0
+
+
 def test_guards_raise_loudly(spark):
     """Misuse raises instead of silently degrading (review findings)."""
     from logistream_data_pipeline_aws_spark.operators.dedup_family import (
