@@ -133,6 +133,22 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEFT ANTI complement of ``dedup_survivors``: the rows exact
+    dedup *removes* from the corpus.  Same keys-only shuffle discipline —
+    at 100 TB you materialize the dropped set for audit/attribution
+    (which sources contribute the duplicate mass) without ever moving row
+    payloads, and semi ∪ anti partitions the corpus exactly."""
+    docs = load_table(spark, "documents", sf_dir)
+    keeps = D.exact_duplicates(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return (
+        docs.join(keeps, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy near-dup by edit distance on normalized text prefixes, under
     the composed blocking key (lang × length-bucket × source — same

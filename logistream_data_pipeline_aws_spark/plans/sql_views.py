@@ -264,6 +264,31 @@ def sql_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4/Q21/Q22-flavor membership shape: NOT EXISTS over a
+    correlated subquery — orders in a date band with NO lineitem shipped
+    within 90 days of the order date.  Catalyst rewrites the correlated
+    NOT EXISTS into a LEFT ANTI hash join on the equi key
+    (l_orderkey = o_orderkey) with the date bound as the join condition,
+    so the membership test is one shuffle-free probe per order, never a
+    per-row subquery."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= DATE '1995-01-01'
+          AND o.o_orderdate < DATE '1996-01-01'
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate < date_add(o.o_orderdate, 90)
+          )
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
 def sql_disjunctive_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19-shape: revenue under an OR of conjunctive brand/size/
     quantity baskets.  The disjunction shares the join key, so Catalyst

@@ -60,21 +60,30 @@ def test_fact_bucketed_join_zero_exchange(spark):
 
 
 def test_fact_side_table_scans_are_narrow(spark):
-    """The ranged keygen statically references each side table in three
-    roles (data, min/max stats, bucket counts — stats appearing once more
-    under each counts branch); every one of those scans must be pruned to
-    the key column only.  The duplicated stats/counts exchanges collapse
-    at runtime (AQE ReuseExchange), so the executed cost is the data scan
-    plus key-column passes — never a single-partition window."""
+    """The ranged keygen references each side table in several roles
+    (data, min/max stats, bucket counts; the ref count varies with
+    whether the staged key-map cache is already materialized, so it is
+    not asserted).  What must hold: every part/customer scan is pruned to
+    the key column only, and the staged key-map cache the fact probes is
+    never wider than (natural key, surrogate key).  The duplicated
+    stats/counts exchanges collapse at runtime (AQE ReuseExchange), so
+    the executed cost is the data scan plus key-column passes — never a
+    single-partition window."""
     plan = _plan(spark, "fact_lineitem")
-    # static references, not executed scans (see docstring)
-    assert plan.count("part.parquet") == 6
-    assert plan.count("customer.parquet") == 6
-    for scan in re.finditer(
-        r"FileScan parquet \[([^\]]*)\][^\n]*(part|customer)\.parquet", plan
-    ):
+    scans = list(
+        re.finditer(
+            r"FileScan parquet \[([^\]]*)\][^\n]*(part|customer)\.parquet", plan
+        )
+    )
+    assert scans, "expected part/customer scans under the key maps"
+    for scan in scans:
         cols = [c for c in scan.group(1).split(",") if c.strip()]
         assert len(cols) == 1, f"side-table scan not key-pruned: {scan.group(0)[:120]}"
+    for m in re.finditer(r"InMemoryTableScan \[([^\]]*)\]", plan):
+        cols = [c for c in m.group(1).split(",") if c.strip()]
+        assert len(cols) <= 2, (
+            f"staged key-map scan wider than (key, surrogate): {m.group(0)[:120]}"
+        )
 
 
 @pytest.mark.parametrize("name", ["fact_lineitem", "dim_customer", "dim_product"])
