@@ -79,8 +79,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (never driver-verified) -------------------------
         # left-anti complement of dedup_survivors: the dropped rows
         "dedup_dropped": X.dedup_dropped,
-        # Q4/Q21/Q22-flavor NOT EXISTS -> left anti join
+        # Q4/Q21-flavor correlated NOT EXISTS -> left anti join
         "sql_unshipped_orders": V.sql_unshipped_orders,
+        # Q22 flavor: scalar-subquery threshold + anti join on orders
+        "sql_prospect_customers": V.sql_prospect_customers,
+        # winnowing (MOSS) local-similarity fingerprints
+        "doc_winnowing": X.doc_winnowing,
+        # ORC sink round-trip (S6 family, Hive-heritage format)
+        "warehouse_orc_readback": X.warehouse_orc_readback,
         # -- r1-green entries changed in r2 AFTER their green row (the
         #    round-2 rotation-contract violation; re-verify first) ----------
         "similarity_topk": X.similarity_topk,
@@ -134,13 +140,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_brand": W.dim_brand,
         "dim_product_type": W.dim_product_type,
         "dim_product": W.dim_product,
-        # -- same-module neighbors of this round's warehouse changes --------
-        "dim_customer": W.dim_customer,
-        "dim_region": W.dim_region,
-        "dim_geography": W.dim_geography,
         # ======================= driver window boundary (~50) ==============
         # -- tail: green row in r2 (rows+schema+hash) and unchanged since;
         #    digests pinned by tests/test_rotation_ledger.py ----------------
+        "dim_customer": W.dim_customer,
+        "dim_region": W.dim_region,
+        "dim_geography": W.dim_geography,
         "dim_junk_status": W.dim_junk_status,
         "dim_date": W.dim_date,
         "fact_bucket_profile": W.fact_bucket_profile,
@@ -680,6 +685,30 @@ def _ext_oracles() -> dict[str, str]:
             "GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) "
             "GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice"
         ),
+        # TPC-H Q22 flavor: decorrelated scalar threshold + anti join
+        "sql_prospect_customers": (
+            "SELECT c.c_nationkey, COUNT(*) AS numcust, "
+            "CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_acctbal "
+            "FROM customer c "
+            "WHERE c.c_acctbal > ("
+            "SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) "
+            "FROM customer c2 WHERE c2.c_acctbal > 0.0) "
+            "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= DATE '2000-07-01') "
+            "GROUP BY c.c_nationkey"
+        ),
+        # winnowing (k=8, w=4): rolling gram hashes -> window minima ->
+        # distinct fingerprints; mirrors functions.text.char_gram_hashes/
+        # winnow_minima exactly (28-bit md5-prefix hashes)
+        "doc_winnowing": (
+            "WITH norm AS (SELECT doc_id, "
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents), "
+            "g AS (SELECT doc_id, list_transform(range(1, len(s) - 6), "
+            "i -> ('0x' || substr(md5(substr(s, i, 8)), 1, 7))::BIGINT) AS hs "
+            "FROM norm WHERE len(s) >= 11), "
+            "m AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 2), "
+            "j -> list_min(hs[j:j+3]))) AS fps FROM g) "
+            "SELECT doc_id, unnest(fps) AS fp FROM m"
+        ),
         # TPC-H Q4/Q21/Q22 flavor: correlated NOT EXISTS -> left anti join
         "sql_unshipped_orders": (
             "SELECT o.o_orderpriority, COUNT(*) AS n_orders FROM orders o "
@@ -1047,4 +1076,6 @@ def oracle_sql() -> dict[str, str]:
     out["fact_lineitem_bucketed"] = out["fact_lineitem"]
     # the CSV round-trip must carry the same values as the direct flatten
     out["routes_csv_readback"] = out["geojson_routes"]
+    # the ORC round-trip must carry the same values as the dimension build
+    out["warehouse_orc_readback"] = out["dim_geography"]
     return out

@@ -98,6 +98,44 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized_text(col))
 
 
+def char_gram_hashes(col: Column | str, k: int = 8) -> Column:
+    """Rolling k-char-gram hashes over the normalized text: position i ->
+    28-bit md5-prefix hash of chars [i, i+k).  Empty array below k chars
+    (a bare ``sequence(1, n-k+1)`` would silently DESCEND for n < k).
+
+    Materialize this as a real output column before windowing over it —
+    interpreted higher-order expressions get no common-subexpression
+    elimination, so referencing the gram array from inside another
+    lambda would re-hash the whole document per window position.
+    """
+    s = normalized_text(col)
+    n = F.length(s)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: token_hash28(s.substr(i, F.lit(k))),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_minima(hashes: Column, w: int = 4) -> Column:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
+    fingerprinting scheme): the distinct minima of every w-length window
+    over the rolling gram hashes.  Any shared substring of length
+    >= k + w - 1 between two documents is guaranteed to share at least
+    one fingerprint — the local-similarity complement to global
+    minhash/simhash signatures.  ``hashes`` must be a materialized
+    column (see ``char_gram_hashes``); the windows then slice the
+    per-row array in O(n·w).
+    """
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(hashes) - F.lit(w - 1)),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.when(F.size(hashes) >= w, F.array_distinct(mins)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def quality_score_pandas(text_col: Column | str) -> Column:
     """Vectorized scalar ``@pandas_udf`` form of ``quality_score`` —
     kept as the reference implementation of the 'Python when you must'

@@ -782,6 +782,59 @@ def fact_write_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warehouse_orc_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-format widening (S6 family): the geography dimension written
+    as ORC and read back.  ORC is the other columnar format a Spark
+    warehouse interoperates with (Hive-heritage deployments); the
+    round-trip shares ``dim_geography``'s oracle, so a type-mapping or
+    writer bug in the ORC path breaks the hash exactly like the parquet
+    and CSV round-trips do."""
+    from logistream_data_pipeline_aws_spark.plans.warehouse import dim_geography
+    from logistream_data_pipeline_aws_spark.sources.io import write_table
+
+    path = _scratch("dim_geography_orc")
+    write_table(dim_geography(spark, sf_dir), path, mode="overwrite", fmt="orc")
+    return spark.read.orc(path).select(
+        "geo_key", "n_nationkey", "nation_name", "region_name"
+    )
+
+
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS local-similarity
+    scheme): rolling 8-char-gram md5-prefix hashes, minima of every
+    4-window, deduplicated per document.  Two documents sharing any
+    substring of >= 11 chars share a fingerprint, so an equi-join on
+    ``fp`` finds local overlap (quotes, licenses boilerplate, lifted
+    passages) that document-global minhash misses.  At corpus scale the
+    fingerprint table is the join surface: one narrow (doc_id, fp) frame,
+    skew governed by the same bucket-cap discipline as the LSH family.
+
+    The gram array is materialized as a column between the two
+    projections — windowing over an inline alias would re-hash the whole
+    document per window (no CSE in interpreted higher-order exprs)."""
+    from logistream_data_pipeline_aws_spark.functions.text import (
+        char_gram_hashes,
+        normalized_text,
+        winnow_minima,
+    )
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        parallelize_cpu_stage,
+    )
+
+    docs = parallelize_cpu_stage(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
+    # filter on the CHEAP normalized length BEFORE the gram projection
+    # (len >= k+w-1 <=> at least one window) — filtering on size(hs)
+    # would push the predicate below the projection and evaluate the
+    # gram build twice per row (same lesson as minhash_signatures)
+    grams = docs.where(F.length(normalized_text("text")) >= 8 + 4 - 1).select(
+        "doc_id", char_gram_hashes("text", k=8).alias("hs")
+    )
+    fps = grams.select("doc_id", winnow_minima(F.col("hs"), w=4).alias("fps"))
+    return fps.select("doc_id", F.explode("fps").alias("fp"))
+
+
 # -- GeoJSON routes (the Lambda surface, SURVEY §2.8 N1-N5/F9/F10) ----------
 
 # the committed FeatureCollection fixture; anchored to the repo so the

@@ -289,6 +289,34 @@ def sql_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 flavor: positive-balance customers richer than the
+    positive-balance average who have never placed an order.  Catalyst
+    decorrelates the scalar subquery into a broadcast 1-row aggregate
+    and rewrites NOT EXISTS into a LEFT ANTI hash join on o_custkey —
+    at scale: one narrow orders key scan probed against the customer
+    side, no correlated per-row execution.  The average follows the
+    decimal-sum/count contract so the threshold is engine-exact."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_nationkey, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+            FROM customer c2 WHERE c2.c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= DATE '2000-07-01'
+        )
+        GROUP BY c.c_nationkey
+        """
+    )
+
+
 def sql_disjunctive_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19-shape: revenue under an OR of conjunctive brand/size/
     quantity baskets.  The disjunction shares the join key, so Catalyst
