@@ -77,6 +77,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # until it is rotated into the head window.
     return {
         # -- new this round (never driver-verified) -------------------------
+        # pretraining-corpus construction: PII scrub, eval decontamination,
+        # mixture sampling, sequence packing; streaming ingest dedup; three
+        # more TPC-H probe shapes (Q14/Q15/Q6)
+        "pii_scrub_stats": X.pii_scrub_stats,
+        "contamination_check": X.contamination_check,
+        "corpus_mixture_sample": X.corpus_mixture_sample,
+        "sequence_packing": X.sequence_packing,
+        "events_stream_dedup": X.events_stream_dedup,
+        "sql_promo_revenue": V.sql_promo_revenue,
+        "sql_top_supplier": V.sql_top_supplier,
+        "sql_forecast_revenue": V.sql_forecast_revenue,
         # left-anti complement of dedup_survivors: the dropped rows
         "dedup_dropped": X.dedup_dropped,
         # Q4/Q21-flavor correlated NOT EXISTS -> left anti join
@@ -100,25 +111,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_profit_rollup": A.a5_profit_rollup,
         "a6_sales_trend": A.a6_sales_trend,
         "a6_sales_trend_mom": A.a6_sales_trend_mom,
-        "cumulative_monthly_sales": A.cumulative_monthly_sales,
         "events_hourly": A.events_hourly,
         "a7_schedule_adherence": A.a7_schedule_adherence,
-        "acctbal_band_join": A.acctbal_band_join,
         "a8_returns_by_nation": A.a8_returns_by_nation,
-        "customer_rank_in_nation": A.customer_rank_in_nation,
-        "embedding_stats": X.embedding_stats,
         "events_value_quantiles": X.events_value_quantiles,
-        "a5_profit_by_hierarchy": A.a5_profit_by_hierarchy,
-        "a5_profit_cube": A.a5_profit_cube,
-        "segment_region_pivot": A.segment_region_pivot,
-        "repeat_customers_yoy": A.repeat_customers_yoy,
-        "sql_profit_by_hierarchy": V.sql_profit_by_hierarchy,
-        "sql_shipping_priority": V.sql_shipping_priority,
-        "sql_local_supplier_volume": V.sql_local_supplier_volume,
-        "sql_product_profit_by_nation_year": V.sql_product_profit_by_nation_year,
-        "sql_volume_shipping": V.sql_volume_shipping,
-        "sql_market_share": V.sql_market_share,
-        "sql_lapsed_big_spenders": V.sql_lapsed_big_spenders,
+        # -- ts-reading entries: round 3 regenerated the testdata with
+        #    TIMESTAMP(MICROS) events (was NANOS), so every query that
+        #    parses ts changed behavior (catalog.events_ts_unit fix) and
+        #    its pre-regeneration green row is void — all must re-verify
+        "user_sessions": X.user_sessions,
+        "events_asof_last_purchase": X.events_asof_last_purchase,
+        "events_lookback_count": X.events_lookback_count,
+        "events_multigrain_rollup": X.events_multigrain_rollup,
+        "events_stream_hourly": X.events_stream_hourly,
+        "events_stream_sessions": X.events_stream_sessions,
+        "events_stream_order_shipment": X.events_stream_order_shipment,
         # -- changed in round 3 (must re-verify): LSH bucket caps + composed
         #    blocking keys (dedup family), sketch-profile accuracy verdicts,
         #    scratch-dir readbacks, geojson oracle path, hierarchy collapse
@@ -141,8 +148,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_product_type": W.dim_product_type,
         "dim_product": W.dim_product,
         # ======================= driver window boundary (~50) ==============
-        # -- tail: green row in r2 (rows+schema+hash) and unchanged since;
-        #    digests pinned by tests/test_rotation_ledger.py ----------------
+        # -- tail: green row in r1 or r2 (rows+schema+hash) and unchanged
+        #    since; digests pinned by tests/test_rotation_ledger.py ---------
+        # r1-green, unchanged since r1 — displaced from the head window by
+        # the 8 never-verified entries and the 7 re-voided ts-readers above
+        # (never-verified / behavior-changed > re-check of unchanged code)
+        "repeat_customers_yoy": A.repeat_customers_yoy,
+        "cumulative_monthly_sales": A.cumulative_monthly_sales,
+        "acctbal_band_join": A.acctbal_band_join,
+        "customer_rank_in_nation": A.customer_rank_in_nation,
+        "embedding_stats": X.embedding_stats,
+        "a5_profit_by_hierarchy": A.a5_profit_by_hierarchy,
+        "a5_profit_cube": A.a5_profit_cube,
+        "segment_region_pivot": A.segment_region_pivot,
+        "sql_profit_by_hierarchy": V.sql_profit_by_hierarchy,
+        "sql_shipping_priority": V.sql_shipping_priority,
+        "sql_local_supplier_volume": V.sql_local_supplier_volume,
+        "sql_product_profit_by_nation_year": V.sql_product_profit_by_nation_year,
+        "sql_volume_shipping": V.sql_volume_shipping,
+        "sql_market_share": V.sql_market_share,
+        "sql_lapsed_big_spenders": V.sql_lapsed_big_spenders,
+        # r2-green tail
         "dim_customer": W.dim_customer,
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
@@ -155,14 +181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": X.doc_fingerprints,
         "multimodal_meta": X.multimodal_meta,
         "events_json_kv": X.events_json_kv,
-        "user_sessions": X.user_sessions,
-        "events_asof_last_purchase": X.events_asof_last_purchase,
-        "events_lookback_count": X.events_lookback_count,
-        "events_multigrain_rollup": X.events_multigrain_rollup,
-        "events_stream_hourly": X.events_stream_hourly,
         "embedding_centered": X.embedding_centered,
         "media_frames": X.media_frames,
-        "events_stream_sessions": X.events_stream_sessions,
         "events_salted_user_stats": X.events_salted_user_stats,
         "sql_customer_order_distribution": V.sql_customer_order_distribution,
         "sql_orders_above_customer_avg": V.sql_orders_above_customer_avg,
@@ -171,7 +191,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_large_volume_orders": V.sql_large_volume_orders,
         "doc_repetition": X.doc_repetition,
         "corpus_length_histogram": X.corpus_length_histogram,
-        "events_stream_order_shipment": X.events_stream_order_shipment,
         "sql_disjunctive_basket": V.sql_disjunctive_basket,
         "tfidf_top_terms": X.tfidf_top_terms,
         "text_stats": X.text_stats,
@@ -792,6 +811,92 @@ def _ext_oracles() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value "
             "FROM events GROUP BY 1"
+        ),
+        # PII scrub: the deterministic injection is mirrored exactly; the
+        # regexes live in the shared Java-regex/RE2 subset; 'g' flag because
+        # Spark regexp_replace is replace-all
+        "pii_scrub_stats": (
+            "WITH e AS (SELECT doc_id, CASE "
+            "WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id || '@example.com now' "
+            "WHEN doc_id % 11 = 0 THEN text || ' see https://example.org/doc/' || doc_id || ' today' "
+            "ELSE text END AS t FROM documents) "
+            f"SELECT doc_id, CAST(len(regexp_extract_all(t, '{X.PII_EMAIL_RE}')) AS BIGINT) AS n_emails, "
+            f"CAST(len(regexp_extract_all(t, '{X.PII_URL_RE}')) AS BIGINT) AS n_urls, "
+            f"CAST(length(regexp_replace(regexp_replace(t, '{X.PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+            f"'{X.PII_URL_RE}', '<URL>', 'g')) AS BIGINT) AS scrubbed_len FROM e"
+        ),
+        # train/eval 3-gram decontamination; eval split = doc_id % 10 == 0
+        "contamination_check": (
+            "WITH tok AS (SELECT doc_id, " + _TOKENS + " AS tk FROM documents), "
+            f"shx AS (SELECT doc_id, {_SHINGLES} AS sh FROM tok), "
+            "train AS (SELECT doc_id, sh FROM shx WHERE doc_id % 10 != 0), "
+            "eg AS (SELECT DISTINCT unnest(sh) AS gram FROM shx WHERE doc_id % 10 = 0), "
+            "ex AS (SELECT doc_id, unnest(sh) AS gram FROM train), "
+            "shared AS (SELECT doc_id, COUNT(*) AS n_shared FROM ex JOIN eg USING (gram) GROUP BY doc_id) "
+            "SELECT t.doc_id, CAST(len(t.sh) AS BIGINT) AS n_grams, "
+            "CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared, "
+            "round(COALESCE(s.n_shared, 0) / greatest(len(t.sh), 1), 6) AS contamination_ratio, "
+            "round(COALESCE(s.n_shared, 0) / greatest(len(t.sh), 1), 6) >= 0.5 AS contaminated "
+            "FROM train t LEFT JOIN shared s USING (doc_id)"
+        ),
+        # deterministic mixture balancing: md5-prefix uniform keep decision
+        "corpus_mixture_sample": (
+            "WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source), "
+            "tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total, COUNT(*) AS k FROM counts), "
+            "rates AS (SELECT source, n_docs, least(1.0, (n_total / k) / n_docs) AS keep_rate "
+            "FROM counts, tot), "
+            "s AS (SELECT doc_id, source, "
+            "('0x' || substr(md5('mix#' || doc_id), 1, 7))::BIGINT / CAST(268435456 AS DOUBLE) AS u "
+            "FROM documents), "
+            "samp AS (SELECT s.source, COUNT(*) AS n_sampled FROM s JOIN rates r USING (source) "
+            "WHERE s.u < r.keep_rate GROUP BY s.source) "
+            "SELECT r.source, r.n_docs, samp.n_sampled FROM samp JOIN rates r USING (source)"
+        ),
+        # per-source running token sum -> fixed-budget pack assignment
+        "sequence_packing": (
+            "WITH staged AS (SELECT doc_id, source, CASE WHEN text IS NULL THEN NULL "
+            "ELSE CAST(len(" + _TOKENS + ") AS BIGINT) END AS n_tokens FROM documents), "
+            "packed AS (SELECT *, CAST(floor((SUM(n_tokens) OVER "
+            "(PARTITION BY source ORDER BY doc_id) - n_tokens) / 256) AS BIGINT) AS pack_id FROM staged) "
+            "SELECT source, pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens, "
+            "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
+            "FROM packed GROUP BY source, pack_id"
+        ),
+        # event_ids are unique, so watermarked streaming dedup == identity
+        "events_stream_dedup": (
+            "SELECT event_id, user_id, event_type, value FROM events"
+        ),
+        # TPC-H Q14 shape: conditional promo-revenue split
+        "sql_promo_revenue": (
+            "SELECT CAST(month(l.l_shipdate) AS INTEGER) AS ship_month, "
+            + _dsum(
+                "CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1.0 - l.l_discount) "
+                "ELSE 0.0 END",
+                "promo_revenue",
+            )
+            + ", "
+            + _dsum("l.l_extendedprice * (1.0 - l.l_discount)", "total_revenue")
+            + ", COUNT(*) AS n_items FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01' "
+            "GROUP BY 1"
+        ),
+        # TPC-H Q15 shape: revenue == scalar MAX over the same grouped frame
+        "sql_top_supplier": (
+            "WITH v AS (SELECT l_suppkey AS supplier_no, "
+            + _dsum(_REVENUE_SQL, "total_revenue")
+            + " FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' "
+            "AND l_shipdate < DATE '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s.s_suppkey, s.s_name, r.total_revenue FROM supplier s "
+            "JOIN v r ON s.s_suppkey = r.supplier_no "
+            "WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM v)"
+        ),
+        # TPC-H Q6 shape: pure pushed-filter scan aggregate
+        "sql_forecast_revenue": (
+            "SELECT " + _dsum("l_extendedprice * l_discount", "revenue_delta")
+            + ", COUNT(*) AS n_items FROM lineitem "
+            "WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0"
         ),
     }
 

@@ -42,6 +42,11 @@ BENCH_QUERIES = [
     # pretraining filter chain
     "dedup_embedding",
     "corpus_quality_filter",
+    # round-3 additions: eval-set decontamination (broadcast gram set) and
+    # two scan-bound TPC-H probes (Q14 conditional agg, Q6 pure pushdown)
+    "contamination_check",
+    "sql_promo_revenue",
+    "sql_forecast_revenue",
 ]
 
 

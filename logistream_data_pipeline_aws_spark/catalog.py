@@ -191,6 +191,46 @@ def table_path(name: str, sf_dir: str = DEFAULT_SF_DIR) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# raw-read schema for TIMESTAMP(NANOS)-encoded events files: ts as int64
+EVENTS_RAW_NS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_EVENTS_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(sf_dir: str = DEFAULT_SF_DIR) -> str:
+    """Footer-sniff the time unit of ``events.ts``: ``'us'`` or ``'ns'``.
+
+    The driver regenerates testdata between rounds and has shipped BOTH
+    encodings (TIMESTAMP(NANOS) in rounds 1-2, TIMESTAMP(MICROS) in round
+    3) — one cached metadata peek per path makes every batch and stream
+    reader unit-proof instead of hardcoding either era.  Plain ``int64``
+    (no logical type, e.g. hand-built fixtures) is treated as raw nanos.
+    """
+    path = table_path("events", sf_dir)
+    unit = _EVENTS_TS_UNIT_CACHE.get(path)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            inner = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+            probe = os.path.join(path, inner[0]) if inner else path
+        else:
+            probe = path
+        t = str(pq.ParquetFile(probe).schema_arrow.field("ts").type)
+        unit = "us" if t == "timestamp[us]" else "ns"
+        _EVENTS_TS_UNIT_CACHE[path] = unit
+    return unit
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one testdata table with its fixed schema (no inference).
 
@@ -198,27 +238,77 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     read is a plain declarative ``spark.read.parquet`` — downstream
     ``select``/``filter`` land in ``PushedFilters`` / ``ReadSchema``.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader refuses to widen to its microsecond TimestampType;
-    it is read as raw nanos (``nanosAsLong``) and floored to micros —
-    session-local, set at read time so any SparkSession works.
+    ``events.ts`` is unit-sniffed (``events_ts_unit``): a MICROS file is
+    Spark's native timestamp encoding and reads directly; a NANOS file is
+    read as raw nanos (``nanosAsLong`` — Spark's vectorized reader refuses
+    to widen nanos to its microsecond TimestampType) and floored to micros.
+    Session-local, decided at read time so any SparkSession works.
     """
     if name not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TESTDATA_SCHEMAS)}")
-    if name == "events":
+    if name == "events" and events_ts_unit(sf_dir) == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw_schema = T.StructType(
-            [
-                f if f.name != "ts" else T.StructField("ts", T.LongType())
-                for f in TESTDATA_SCHEMAS["events"].fields
-            ]
-        )
-        raw = spark.read.schema(raw_schema).parquet(table_path(name, sf_dir))
+        raw = spark.read.schema(EVENTS_RAW_NS_SCHEMA).parquet(table_path(name, sf_dir))
         from pyspark.sql import functions as F
 
         # integer div: ns epoch (~1.7e18) exceeds double's 53-bit mantissa
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(table_path(name, sf_dir))
+
+
+class events_stream:
+    """Context manager yielding a STREAMING events frame with engine-native
+    microsecond timestamps, whatever the file encoding.
+
+    For NANOS files the ``nanosAsLong`` session conf must stay set while
+    the stream drains, so the flip is scoped to the ``with`` block and
+    restored on exit; MICROS files need no conf at all.  Use::
+
+        with events_stream(spark, sf_dir) as stream:
+            agg = ...build on stream...
+            run_available_now(agg, sink_name)
+    """
+
+    _CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark, self.sf_dir = spark, sf_dir
+        self._prev: str | None = None
+        self._flipped = False
+
+    def __enter__(self) -> DataFrame:
+        reader = self.spark.readStream
+        if events_ts_unit(self.sf_dir) == "us":
+            return (
+                reader.schema(TESTDATA_SCHEMAS["events"])
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(self.sf_dir)
+            )
+        try:
+            self._prev = self.spark.conf.get(self._CONF)
+        except Exception:
+            self._prev = None
+        self.spark.conf.set(self._CONF, "true")
+        self._flipped = True
+        from pyspark.sql import functions as F
+
+        return (
+            reader.schema(EVENTS_RAW_NS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(self.sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    def __exit__(self, *exc) -> None:
+        if not self._flipped:
+            return
+        if self._prev is None:
+            try:
+                self.spark.conf.unset(self._CONF)
+            except Exception:
+                pass
+        else:
+            self.spark.conf.set(self._CONF, self._prev)
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -20,6 +20,7 @@ from logistream_data_pipeline_aws_spark.functions.text import (
     stopword_hits,
     token_count,
     tokens,
+    word_shingles,
 )
 from logistream_data_pipeline_aws_spark.operators import dedup_family as D
 from logistream_data_pipeline_aws_spark.operators import similarity as S
@@ -288,43 +289,15 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     session.  ``total_value`` is excluded (its in-order float accumulation
     has no order-independent SQL mirror); boundaries and counts are exact.
     """
-    from pyspark.sql import types as T
-
+    from logistream_data_pipeline_aws_spark.catalog import events_stream
     from logistream_data_pipeline_aws_spark.streaming.pipeline import (
         run_available_now,
         sessionize,
     )
 
-    _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
-    try:
-        prev_nanos = spark.conf.get(_NANOS_CONF)
-    except Exception:
-        prev_nanos = None
-    spark.conf.set(_NANOS_CONF, "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as raw int64
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
     name = "events_stream_sessions_sink"
-    try:
+    with events_stream(spark, sf_dir) as stream:
         run_available_now(sessionize(stream), name, output_mode="append")
-    finally:
-        if prev_nanos is None:
-            spark.conf.unset(_NANOS_CONF)
-        else:
-            spark.conf.set(_NANOS_CONF, prev_nanos)
     return spark.table(name).select(
         "user_id", "session_start", "session_end", "n_events"
     )
@@ -925,49 +898,19 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The memory sink uses a FIXED query name, so repeated calls (bench
     best-of-2, oracle sweeps, long sessions) replace one driver-resident
-    result table instead of accumulating uuid-named ones; the
-    ``nanosAsLong`` conf flip is restored after the drain completes (the
-    sink holds materialized rows, so the returned frame doesn't need it)."""
-    from pyspark.sql import types as T
-
+    result table instead of accumulating uuid-named ones.  The events
+    source is ``catalog.events_stream`` — unit-sniffed, so both the NANOS
+    and MICROS testdata eras read correctly."""
+    from logistream_data_pipeline_aws_spark.catalog import events_stream
     from logistream_data_pipeline_aws_spark.streaming.pipeline import (
         run_available_now,
         windowed_aggregate,
     )
 
-    _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
-    try:
-        prev_nanos = spark.conf.get(_NANOS_CONF)
-    except Exception:  # unset in this session
-        prev_nanos = None
-    spark.conf.set(_NANOS_CONF, "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as raw int64
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    # the file source lists a directory; pathGlobFilter narrows it to the
-    # events table (single-file "tables" can't be streamed by direct path)
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    agg = windowed_aggregate(stream, "1 hour", "2 hours")
     name = "events_stream_hourly_sink"
-    try:
+    with events_stream(spark, sf_dir) as stream:
+        agg = windowed_aggregate(stream, "1 hour", "2 hours")
         run_available_now(agg, name, output_mode="complete")
-    finally:
-        if prev_nanos is None:
-            spark.conf.unset(_NANOS_CONF)
-        else:
-            spark.conf.set(_NANOS_CONF, prev_nanos)
     return spark.table(name)
 
 
@@ -980,57 +923,34 @@ def events_stream_order_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the shipment feed; a single-file source is one micro-batch, so
     every in-band match is emitted and the oracle is the equivalent
     batch join.  Timestamps are second-truncated for engine exactness."""
-    from pyspark.sql import types as T
+    import contextlib
 
+    from logistream_data_pipeline_aws_spark.catalog import events_stream
     from logistream_data_pipeline_aws_spark.streaming.pipeline import (
         order_shipment_join,
         run_available_now,
     )
 
-    _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
-    try:
-        prev_nanos = spark.conf.get(_NANOS_CONF)
-    except Exception:
-        prev_nanos = None
-    spark.conf.set(_NANOS_CONF, "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-
-    def feed():
-        return (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.date_trunc("second", F.timestamp_micros(F.expr("ts div 1000"))))
-        )
-
-    orders = feed().where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("order_id"),
-        F.col("ts").alias("order_ts"),
-        F.col("value").alias("amount"),
-    )
-    shipments = feed().where(F.col("event_type") == "view").select(
-        (F.col("event_id") - 1).alias("order_id"),
-        F.col("ts").alias("ship_ts"),
-        F.col("user_id").cast("string").alias("carrier"),
-    )
-    joined = order_shipment_join(orders, shipments, max_ship_delay="48 hours")
     name = "events_stream_order_shipment_sink"
-    try:
+    # two independent feeds -> two source instances, each unit-sniffed
+    with contextlib.ExitStack() as stack:
+
+        def feed():
+            raw = stack.enter_context(events_stream(spark, sf_dir))
+            return raw.withColumn("ts", F.date_trunc("second", F.col("ts")))
+
+        orders = feed().where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("order_id"),
+            F.col("ts").alias("order_ts"),
+            F.col("value").alias("amount"),
+        )
+        shipments = feed().where(F.col("event_type") == "view").select(
+            (F.col("event_id") - 1).alias("order_id"),
+            F.col("ts").alias("ship_ts"),
+            F.col("user_id").cast("string").alias("carrier"),
+        )
+        joined = order_shipment_join(orders, shipments, max_ship_delay="48 hours")
         run_available_now(joined, name, output_mode="append")
-    finally:
-        if prev_nanos is None:
-            spark.conf.unset(_NANOS_CONF)
-        else:
-            spark.conf.set(_NANOS_CONF, prev_nanos)
     return spark.table(name)
 
 
@@ -1073,3 +993,197 @@ def events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("k", "n_events", "total_value")
     )
+
+
+# -- pretraining corpus construction (round-3 continuation) -----------------
+#
+# The four ops a training-data pipeline runs between "raw corpus" and
+# "tokenizer input": PII scrubbing, eval-set decontamination, mixture
+# sampling, and sequence packing.  All pure codegen expressions or
+# source-partitioned windows — no global shuffle wider than the group key,
+# no Python in the hot path.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"https?://[^\s]+"
+
+
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: redact emails and URLs, report match counts and
+    the scrubbed length per document.
+
+    The synthetic corpus carries no natural PII, so a deterministic
+    injection step (hash-free: doc_id modulus) plants a synthetic email /
+    URL in a known subset first — the scrub machinery (regexp_extract_all
+    counts + chained regexp_replace redaction) is the op under test, and
+    the oracle mirrors the injection exactly.  At 100 TB this is one
+    embarrassingly parallel scan, all regex work inside whole-stage
+    codegen; the regexes are written in the common Java/RE2 subset so the
+    DuckDB oracle is exact.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    enriched = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" see https://example.org/doc/"), F.col("doc_id"), F.lit(" today")),
+        )
+        .otherwise(F.col("text"))
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(enriched, F.lit(PII_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(PII_URL_RE),
+        F.lit("<URL>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(enriched, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(enriched, F.lit(PII_URL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_urls"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (the GPT-3 appendix-C pattern, scaled to
+    the fixture's short docs): hold out every 10th document as the eval
+    split, build its distinct word-3-gram set, and score every training
+    document by how many of its distinct 3-grams appear in any eval doc.
+
+    Plan shape at 100 TB: the eval n-gram set is tiny relative to the
+    corpus (it is the benchmark suite), so Catalyst broadcasts it and the
+    whole pass is scan -> explode -> broadcast semi-ish join -> per-doc
+    re-aggregate: one shuffle on doc_id, map-side combinable.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    sh = word_shingles(tokens(F.col("text")), 3)
+    with_sh = docs.select("doc_id", sh.alias("sh"))
+    train = with_sh.where(F.col("doc_id") % 10 != 0)
+    eval_grams = (
+        with_sh.where(F.col("doc_id") % 10 == 0)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+    )
+    ex = train.select("doc_id", F.explode("sh").alias("gram"))
+    shared = (
+        ex.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        train.select("doc_id", F.size("sh").cast("long").alias("n_grams"))
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0)) / F.greatest("n_grams", F.lit(1)), 6
+            ).alias("contamination_ratio"),
+        )
+        .withColumn("contaminated", F.col("contamination_ratio") >= 0.5)
+    )
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture balancing: downsample each source toward an
+    equal share of the corpus (the "flatten the source skew" step before
+    tokenization).  Per-source keep rate = min(1, (N/k)/n_s) where k is
+    the number of sources; the keep decision is a pure function of the
+    doc_id (28-bit md5-prefix uniform), so the sample is reproducible
+    run-to-run and engine-to-engine — exactly how production pipelines
+    make sampling auditable.
+
+    Scale shape: the per-source rate table is a broadcast of k rows; the
+    sample itself is an embarrassingly parallel filter; only the final
+    per-source report shuffles (k groups).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").alias("n_total"), F.count(F.lit(1)).alias("k")
+    )
+    rates = counts.join(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0), (F.col("n_total") / F.col("k")) / F.col("n_docs")
+        ).alias("keep_rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mix#"), F.col("doc_id"))), 1, 7), 16, 10)
+        .cast("long")
+        / F.lit(float(1 << 28))
+    )
+    sampled = (
+        docs.select("doc_id", "source", u.alias("u"))
+        .join(F.broadcast(rates), "source")
+        .where(F.col("u") < F.col("keep_rate"))
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .join(F.broadcast(rates.select("source", "n_docs")), "source")
+        .select("source", "n_docs", "n_sampled")
+    )
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str, budget: int = 256) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in a
+    deterministic order and cut into fixed token-budget packs; a document
+    belongs to the pack where it starts.  Reports per-pack document and
+    token totals — the shape check before writing tokenizer shards.
+
+    The running token sum is windowed PER SOURCE (partitionBy source,
+    orderBy doc_id), never globally — the global-window straggler is the
+    classic packing-at-scale mistake; per-source packs match how shard
+    writers parallelize anyway.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_tok = token_count("text")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    staged = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    packed = staged.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget).cast("long"),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select("source", "pack_id", "n_docs", "pack_tokens", "first_doc", "last_doc")
+    )
+
+
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup: dropDuplicatesWithinWatermark on the
+    event id — the at-least-once -> exactly-once repair every streaming
+    ingest front door needs.  State is bounded by the watermark horizon
+    (vs plain dropDuplicates, whose state grows forever); with unique ids
+    the output is deterministic, so the oracle is the plain projection.
+    """
+    from logistream_data_pipeline_aws_spark.catalog import events_stream
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        run_available_now,
+    )
+
+    name = "events_stream_dedup_sink"
+    with events_stream(spark, sf_dir) as stream:
+        deduped = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "user_id", "event_type", "value")
+        )
+        run_available_now(deduped, name, output_mode="append")
+    return spark.table(name)

@@ -335,3 +335,75 @@ def sql_disjunctive_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
            OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 10 AND 50)
         """
     )
+
+
+def sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shape: conditional aggregation — the share of revenue
+    from promotional parts, by ship month across one year.  One broadcast
+    hash join (part is the small dim) feeding two decimal sums whose CASE
+    split is evaluated inside whole-stage codegen; the year bound pushes
+    into the lineitem scan as a range predicate."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(month(l.l_shipdate) AS INT) AS ship_month,
+               CAST(SUM(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
+                        THEN l.l_extendedprice * (1.0 - l.l_discount)
+                        ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue,
+               CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= DATE '1996-01-01'
+          AND l.l_shipdate < DATE '1997-01-01'
+        GROUP BY 1
+        """
+    )
+
+
+def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shape: per-supplier revenue over a quarter, keeping the
+    supplier(s) whose revenue equals the maximum — the classic
+    aggregate-then-compare-to-scalar-max membership.  Catalyst plans the
+    scalar subquery as a broadcast 1-row aggregate over the SAME grouped
+    frame (self-referenced view), so the detail scan runs once per side;
+    the revenue comparison is exact because both sides go through the
+    decimal-sum contract."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW v_supplier_revenue AS
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey
+        """
+    )
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s
+        JOIN v_supplier_revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM v_supplier_revenue)
+        """
+    )
+
+
+def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shape: the pure scan-filter-aggregate probe — revenue
+    delta from a discount band in one year.  No join at all; every
+    predicate (date range, discount band, quantity cap) must reach the
+    parquet scan as a pushed filter, which makes this the canonical
+    pushdown regression query for the plan audit."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue_delta,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24.0
+        """
+    )

@@ -1,0 +1,127 @@
+"""Semantic tests for the pretraining-corpus construction ops added in
+round 3: PII scrubbing, train/eval decontamination, mixture sampling,
+sequence packing, and watermarked streaming dedup.
+
+Exact cross-engine equivalence runs via tools/check_oracle.py; these pin
+the *semantics* (injection targets, split exclusion, conservation laws,
+actual duplicate removal) that a hash match alone would not explain.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from logistream_data_pipeline_aws_spark.plans import extensions as X
+from tests.conftest import SF_SMALL
+
+
+def test_pii_scrub_injection_and_redaction(spark):
+    out = X.pii_scrub_stats(spark, SF_SMALL).cache()
+    # every injection target is found and redacted
+    assert out.where((F.col("doc_id") % 7 == 0) & (F.col("n_emails") < 1)).count() == 0
+    assert (
+        out.where(
+            (F.col("doc_id") % 7 != 0)
+            & (F.col("doc_id") % 11 == 0)
+            & (F.col("n_urls") < 1)
+        ).count()
+        == 0
+    )
+    # the synthetic corpus carries no natural PII: untouched docs scrub to
+    # their original length and report zero matches
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", F.length("text").cast("long").alias("orig_len")
+    )
+    untouched = (
+        out.join(docs, "doc_id")
+        .where((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 11 != 0))
+        .cache()
+    )
+    assert untouched.where(F.col("n_emails") != 0).count() == 0
+    assert untouched.where(F.col("n_urls") != 0).count() == 0
+    assert untouched.where(F.col("scrubbed_len") != F.col("orig_len")).count() == 0
+    # redaction shortens: '<EMAIL>' is shorter than any injected address
+    touched = out.join(docs, "doc_id").where(F.col("doc_id") % 7 == 0)
+    assert touched.where(F.col("scrubbed_len") >= F.col("orig_len") + 30).count() == 0
+    out.unpersist()
+
+
+def test_contamination_excludes_eval_split_and_bounds(spark):
+    out = X.contamination_check(spark, SF_SMALL).cache()
+    # the eval split itself is never scored
+    assert out.where(F.col("doc_id") % 10 == 0).count() == 0
+    # shared grams are a subset of the doc's grams
+    assert out.where(F.col("n_shared") > F.col("n_grams")).count() == 0
+    assert out.where(F.col("n_shared") < 0).count() == 0
+    # the flag is exactly the thresholded ratio
+    assert (
+        out.where(
+            F.col("contaminated") != (F.col("contamination_ratio") >= 0.5)
+        ).count()
+        == 0
+    )
+    out.unpersist()
+
+
+def test_mixture_sample_flattens_sources(spark):
+    out = X.corpus_mixture_sample(spark, SF_SMALL).cache()
+    rows = {r.source: (r.n_docs, r.n_sampled) for r in out.collect()}
+    assert rows, "sample produced no sources"
+    assert all(0 < s <= n for n, s in rows.values())
+    # downsampling toward equal share: the spread of sampled counts is no
+    # wider than the spread of raw counts
+    raw = [n for n, _ in rows.values()]
+    samp = [s for _, s in rows.values()]
+    assert max(samp) - min(samp) <= max(raw) - min(raw)
+    out.unpersist()
+
+
+def test_sequence_packing_conserves_docs_and_tokens(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n_docs_total = docs.count()
+    out = X.sequence_packing(spark, SF_SMALL).cache()
+    agg = out.agg(
+        F.sum("n_docs").alias("docs"), F.sum("pack_tokens").alias("toks")
+    ).first()
+    assert agg.docs == n_docs_total
+    # per source: packs are contiguous from 0 and token totals add up
+    per_source = (
+        out.groupBy("source")
+        .agg(
+            F.min("pack_id").alias("first_pack"),
+            F.countDistinct("pack_id").alias("n_packs"),
+            (F.max("pack_id") + 1).alias("max_plus_one"),
+        )
+        .collect()
+    )
+    for r in per_source:
+        assert r.first_pack == 0, r
+        assert r.n_packs == r.max_plus_one, r
+    out.unpersist()
+
+
+def test_stream_dedup_actually_drops_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on a feed with genuine duplicate ids:
+    output = one row per distinct event_id (the oracle-facing identity
+    only holds because testdata ids are unique — this pins the dedup)."""
+    base_us = 1_600_000_000 * 1_000_000
+    ids = [1, 2, 3, 2, 1, 4, 1]  # 1 x3, 2 x2 within the watermark horizon
+    table = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(
+                [base_us + i * 60_000_000 for i in range(len(ids))],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7] * len(ids), pa.int64()),
+            "event_type": pa.array(["view"] * len(ids)),
+            "value": pa.array([1.0] * len(ids), pa.float64()),
+            "props": pa.array(["{}"] * len(ids)),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    out = X.events_stream_dedup(spark, str(tmp_path))
+    got = sorted(r.event_id for r in out.collect())
+    assert got == [1, 2, 3, 4]

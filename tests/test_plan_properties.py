@@ -101,3 +101,67 @@ def test_no_unpartitioned_window(spark, name):
         assert not re.search(r"windowspecdefinition\([^,()]*(ASC|DESC)", line), (
             f"{name}: unpartitioned window: {line.strip()[:160]}"
         )
+
+
+def test_pii_scrub_is_exchange_free(spark):
+    """The scrub pass is an embarrassingly parallel scan: any Exchange in
+    this plan means a shuffle crept into a per-row operation."""
+    plan = _plan(spark, "pii_scrub_stats")
+    assert "Exchange" not in plan
+    # '*(n)' is executedPlan toString's whole-stage-codegen marker
+    assert plan.lstrip().startswith("*("), plan.splitlines()[0]
+
+
+def test_contamination_eval_grams_broadcast(spark):
+    """The eval n-gram set must broadcast (it is the small benchmark
+    suite); a sort-merge/shuffle join here re-shuffles the whole corpus
+    against a tiny set."""
+    plan = _plan(spark, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_sample_rate_table_broadcast(spark):
+    plan = _plan(spark, "corpus_mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_window_is_partitioned(spark):
+    """The running token sum must window per source — a global window is
+    the single-task packing straggler."""
+    plan = _plan(spark, "sequence_packing")
+    windows = [l for l in plan.splitlines() if "Window [" in l]
+    assert windows
+    for line in windows:
+        assert not re.search(r"windowspecdefinition\([^,()]*(ASC|DESC)", line), (
+            f"unpartitioned window: {line.strip()[:160]}"
+        )
+
+
+def test_forecast_revenue_all_filters_pushed(spark):
+    """Q6 is the canonical pushdown probe: date range, discount band and
+    quantity cap must all reach the parquet scan.  executedPlan toString
+    truncates long PushedFilters lists, so use formatted explain."""
+    df = E.queries()["sql_forecast_revenue"](spark, SF_SMALL)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    pushed = re.search(r"PushedFilters: \[([^\]]+)\]", plan)
+    assert pushed, "no pushed filters on the lineitem scan"
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed.group(1), f"{frag} not pushed: {pushed.group(1)}"
+
+
+def test_promo_revenue_broadcasts_part(spark):
+    plan = _plan(spark, "sql_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    pushed = re.search(r"PushedFilters: \[([^\]]+)\]", plan)
+    assert pushed and "l_shipdate" in pushed.group(1)
