@@ -310,9 +310,18 @@ def simhash_fingerprints(
     fingerprint.  Explode + groupBy keeps it one shuffle on doc id and
     gives an exact SQL mirror; at scale the explode is map-local and the
     aggregation combines map-side."""
-    ex = parallelize_cpu_stage(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.transform(tokens(text_col), token_hash28)).alias("h"),
+    from logistream_data_pipeline_aws_spark.functions.arrays import explode_once
+
+    # explode_once: plain explode's inferred size-filter would sink the
+    # tokenize+hash transform into the pre-repartition scan stage
+    ex = explode_once(
+        parallelize_cpu_stage(df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(tokens(text_col), token_hash28).alias("_hs"),
+        ),
+        "_hs",
+        "h",
+        "doc_id",
     )
     bit_votes = [
         F.sum(

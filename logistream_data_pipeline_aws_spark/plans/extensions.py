@@ -348,9 +348,20 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size(tok) - 3),
         lambda i: F.array_join(F.slice(tok, i + 1, 3), " "),
     )
-    ex = (
-        docs.where(F.size(tokens(F.col("text"))) >= 3)  # cheap pre-filter
-        .select("doc_id", F.explode(grams).alias("gram"))
+    from logistream_data_pipeline_aws_spark.functions.arrays import explode_once
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        parallelize_cpu_stage,
+    )
+
+    # cheap pre-filter, then explode_once so the generator's inferred
+    # size filter can't re-evaluate the gram build inside the scan
+    ex = explode_once(
+        parallelize_cpu_stage(
+            docs.where(F.size(tokens(F.col("text"))) >= 3).select("doc_id", "text")
+        ),
+        grams,
+        "gram",
+        "doc_id",
     )
     per_gram = ex.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n"))
     return (
@@ -800,12 +811,16 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter on the CHEAP normalized length BEFORE the gram projection
     # (len >= k+w-1 <=> at least one window) — filtering on size(hs)
     # would push the predicate below the projection and evaluate the
-    # gram build twice per row (same lesson as minhash_signatures)
+    # gram build twice per row (same lesson as minhash_signatures); and
+    # explode via explode_once, else the generator's inferred size filter
+    # sinks the whole winnow build into the single-task scan stage
+    from logistream_data_pipeline_aws_spark.functions.arrays import explode_once
+
     grams = docs.where(F.length(normalized_text("text")) >= 8 + 4 - 1).select(
         "doc_id", char_gram_hashes("text", k=8).alias("hs")
     )
     fps = grams.select("doc_id", winnow_minima(F.col("hs"), w=4).alias("fps"))
-    return fps.select("doc_id", F.explode("fps").alias("fp"))
+    return explode_once(fps, "fps", "fp", "doc_id")
 
 
 # -- GeoJSON routes (the Lambda surface, SURVEY §2.8 N1-N5/F9/F10) ----------
@@ -1060,16 +1075,21 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pass is scan -> explode -> broadcast semi-ish join -> per-doc
     re-aggregate: one shuffle on doc_id, map-side combinable.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    from logistream_data_pipeline_aws_spark.functions.arrays import explode_once
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        parallelize_cpu_stage,
+    )
+
+    docs = parallelize_cpu_stage(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
     sh = word_shingles(tokens(F.col("text")), 3)
     with_sh = docs.select("doc_id", sh.alias("sh"))
     train = with_sh.where(F.col("doc_id") % 10 != 0)
-    eval_grams = (
-        with_sh.where(F.col("doc_id") % 10 == 0)
-        .select(F.explode("sh").alias("gram"))
-        .distinct()
-    )
-    ex = train.select("doc_id", F.explode("sh").alias("gram"))
+    eval_grams = explode_once(
+        with_sh.where(F.col("doc_id") % 10 == 0), "sh", "gram"
+    ).distinct()
+    ex = explode_once(train, "sh", "gram", "doc_id")
     shared = (
         ex.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
