@@ -479,10 +479,15 @@ def connected_components(
     practice).  The driver-side loop is only the convergence check — all
     data stays distributed.
     """
+    # persist the symmetric edge list: ``edges`` is usually the OUTPUT of
+    # candidate mining (minhash -> banded join -> exact verify), and
+    # without the persist every propagation round would re-run that whole
+    # mining pipeline from the raw corpus — 2x per round
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist()
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("label")).persist()
     converged = False
@@ -513,6 +518,7 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    sym.unpersist()
     if not converged:
         labels.unpersist()
         raise RuntimeError(
