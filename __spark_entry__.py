@@ -88,6 +88,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_promo_revenue": V.sql_promo_revenue,
         "sql_top_supplier": V.sql_top_supplier,
         "sql_forecast_revenue": V.sql_forecast_revenue,
+        # Q2/Q11/Q16/Q20 flavors (correlated min, per-group scalar cut,
+        # NOT IN null-aware anti, nested semi-joins)
+        "sql_cheapest_supplier": V.sql_cheapest_supplier,
+        "sql_important_parts": V.sql_important_parts,
+        "sql_supplier_part_variety": V.sql_supplier_part_variety,
+        "sql_excess_suppliers": V.sql_excess_suppliers,
+        # winnowing-fingerprint overlap pairs + int8 embedding quantization
+        "doc_winnow_pairs": X.doc_winnow_pairs,
+        "embedding_quantize": X.embedding_quantize,
         # left-anti complement of dedup_survivors: the dropped rows
         "dedup_dropped": X.dedup_dropped,
         # Q4/Q21-flavor correlated NOT EXISTS -> left anti join
@@ -105,12 +114,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": X.similarity_ivf,
         # -- r1-green tail, unchanged since r1: rotate back into the window
         #    so every entry has a green row dated r2 or r3 ------------------
-        "dedup_exact": X.dedup_exact,
-        "dedup_survivors": X.dedup_survivors,
-        "dedup_fuzzy_levenshtein": X.dedup_fuzzy_levenshtein,
-        "a5_profit_rollup": A.a5_profit_rollup,
-        "a6_sales_trend": A.a6_sales_trend,
-        "a6_sales_trend_mom": A.a6_sales_trend_mom,
         "events_hourly": A.events_hourly,
         "a7_schedule_adherence": A.a7_schedule_adherence,
         "a8_returns_by_nation": A.a8_returns_by_nation,
@@ -154,6 +157,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 8 never-verified entries and the 7 re-voided ts-readers above
         # (never-verified / behavior-changed > re-check of unchanged code)
         "repeat_customers_yoy": A.repeat_customers_yoy,
+        "dedup_exact": X.dedup_exact,
+        "dedup_survivors": X.dedup_survivors,
+        "dedup_fuzzy_levenshtein": X.dedup_fuzzy_levenshtein,
+        "a6_sales_trend_mom": A.a6_sales_trend_mom,
+        "a5_profit_rollup": A.a5_profit_rollup,
+        "a6_sales_trend": A.a6_sales_trend,
         "cumulative_monthly_sales": A.cumulative_monthly_sales,
         "acctbal_band_join": A.acctbal_band_join,
         "customer_rank_in_nation": A.customer_rank_in_nation,
@@ -897,6 +906,87 @@ def _ext_oracles() -> dict[str, str]:
             + ", COUNT(*) AS n_items FROM lineitem "
             "WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01' "
             "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0"
+        ),
+        # TPC-H Q2 shape: per-part minimum realized unit cost membership
+        "sql_cheapest_supplier": (
+            "WITH cost AS (SELECT l_partkey AS part_key, l_suppkey AS supp_key, "
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS unit_cost "
+            "FROM lineitem GROUP BY 1, 2) "
+            "SELECT c.part_key, c.supp_key, c.unit_cost "
+            "FROM cost c WHERE c.unit_cost = "
+            "(SELECT MIN(c2.unit_cost) FROM cost c2 WHERE c2.part_key = c.part_key)"
+        ),
+        # TPC-H Q11 shape: per-nation scalar cut (3x average per-part value)
+        "sql_important_parts": (
+            "WITH v AS (SELECT s.s_nationkey AS nation_key, l.l_partkey AS part_key, "
+            "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS part_value "
+            "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1, 2), "
+            "tot AS (SELECT nation_key, COUNT(*) AS n_parts FROM v GROUP BY 1), "
+            "ntot AS (SELECT s.s_nationkey AS nation_key, "
+            "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS nation_total "
+            "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1) "
+            "SELECT v.nation_key, v.part_key, v.part_value "
+            "FROM v JOIN tot ON v.nation_key = tot.nation_key "
+            "JOIN ntot ON v.nation_key = ntot.nation_key "
+            "WHERE v.part_value > 3.0 * (ntot.nation_total / tot.n_parts)"
+        ),
+        # TPC-H Q16 shape: NOT IN exclusion + count-distinct per group
+        "sql_supplier_part_variety": (
+            "SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE p.p_brand <> 'Brand#1' "
+            "AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0) "
+            "GROUP BY 1, 2"
+        ),
+        # TPC-H Q20 shape: nested IN membership with decimal HAVING bound
+        "sql_excess_suppliers": (
+            "SELECT s.s_suppkey, s.s_name FROM supplier s "
+            "WHERE s.s_suppkey IN ("
+            "SELECT l.l_suppkey FROM lineitem l "
+            "WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%a%') "
+            "AND l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01' "
+            "GROUP BY l.l_suppkey "
+            "HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 100.0) "
+            "AND s.s_acctbal > 0.0"
+        ),
+        # winnowing fingerprint overlap pairs (capped buckets, 20% of the
+        # smaller side's fingerprint set)
+        "doc_winnow_pairs": (
+            "WITH norm AS (SELECT doc_id, "
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents), "
+            "g AS (SELECT doc_id, list_transform(range(1, len(s) - 6), "
+            "i -> ('0x' || substr(md5(substr(s, i, 8)), 1, 7))::BIGINT) AS hs "
+            "FROM norm WHERE len(s) >= 11), "
+            "m AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 2), "
+            "j -> list_min(hs[j:j+3]))) AS fps FROM g), "
+            "fpx AS (SELECT doc_id, unnest(fps) AS fp FROM m), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fpx GROUP BY 1), "
+            "buckets AS (SELECT fp, list_sort(list(DISTINCT doc_id)) AS ids "
+            "FROM fpx GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 64), "
+            "pr AS (SELECT unnest(flatten(list_transform(ids, (x, i) -> "
+            "list_transform(ids[(i+1):], y -> [x, y])))) AS p FROM buckets), "
+            "shared AS (SELECT p[1] AS id_a, p[2] AS id_b, COUNT(*) AS n_shared "
+            "FROM pr GROUP BY 1, 2) "
+            "SELECT s.id_a, s.id_b, s.n_shared, "
+            "round(s.n_shared / least(a.n_fp, b.n_fp), 6) AS overlap "
+            "FROM shared s JOIN sizes a ON s.id_a = a.doc_id "
+            "JOIN sizes b ON s.id_b = b.doc_id "
+            "WHERE round(s.n_shared / least(a.n_fp, b.n_fp), 6) >= 0.2"
+        ),
+        # int8 scalar quantization diagnostics — identical double math
+        # (floor(x/s + 0.5)) on both engines, so no tolerances needed
+        "embedding_quantize": (
+            "WITH staged AS (SELECT vec_id, "
+            "list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x FROM embeddings), "
+            "s2 AS (SELECT vec_id, x, list_max(list_transform(x, v -> abs(v))) AS maxabs FROM staged), "
+            "q AS (SELECT vec_id, x, maxabs, list_transform(x, v -> CASE WHEN maxabs > 0 "
+            "THEN CAST(floor(v / (maxabs / 127.0) + 0.5) AS BIGINT) ELSE 0 END) AS qs FROM s2) "
+            "SELECT vec_id, CAST(len(x) AS BIGINT) AS n_dims, round(maxabs, 6) AS max_abs, "
+            "CAST(len(list_filter(qs, v -> v != 0)) AS BIGINT) AS n_nonzero, "
+            "round(list_max(list_transform(list_zip(x, qs), p -> "
+            "abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * (maxabs / 127.0)))), 6) AS max_abs_err "
+            "FROM q"
         ),
     }
 

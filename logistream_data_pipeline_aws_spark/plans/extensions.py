@@ -1207,3 +1207,84 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         run_available_now(deduped, name, output_mode="append")
     return spark.table(name)
+
+
+def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap pair mining on winnowing fingerprints: documents
+    sharing >= 20% of the smaller side's fingerprints (quotes, license
+    boilerplate, lifted passages — overlap document-global minhash
+    misses).  Same scale discipline as the LSH family: per-fingerprint
+    buckets are counted map-side-combinably FIRST and buckets above the
+    cap dropped before any id array is collected, so a degenerate
+    fingerprint (ubiquitous boilerplate substring) never materializes in
+    one task; pair counts shuffle on the (id_a, id_b) key."""
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        _pairs_from_sorted_ids,
+    )
+
+    fps = doc_winnowing(spark, sf_dir).persist()
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+    # bucket cap 64, far below the LSH family's 1024: a fingerprint shared
+    # by many documents is a stop-gram (ubiquitous vocabulary), carries no
+    # overlap signal, and its pair expansion is O(bucket²) PER fingerprint
+    # — on a shared-vocabulary corpus the 1024 cap still admitted ~500k
+    # pair structs per bucket row and OOMed the driver-sized heap
+    keep = counts.where((F.col("_n") >= 2) & (F.col("_n") <= 64)).select("fp")
+    buckets = (
+        fps.join(keep, "fp")
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+    )
+    shared = (
+        buckets.select(F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    a_sz = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    b_sz = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    overlap = F.round(F.col("n_shared") / F.least("n_a", "n_b"), 6)
+    return (
+        shared.join(a_sz, "id_a")
+        .join(b_sz, "id_b")
+        .select("id_a", "id_b", "n_shared", overlap.alias("overlap"))
+        .where(F.col("overlap") >= 0.2)
+    )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the storage /
+    ANN-memory compression step of a vector pipeline — reported as
+    per-vector reconstruction diagnostics.  Pure higher-order
+    expressions over doubles (elements cast once, scale materialized as
+    a column so array_max isn't re-evaluated per element); both engines
+    run the identical floor(x/s + 0.5) double arithmetic, so the oracle
+    is exact without tolerances."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    staged = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("_x"),
+    ).select(
+        "vec_id",
+        "_x",
+        F.array_max(F.transform("_x", F.abs)).alias("_maxabs"),
+    )
+    scale = F.col("_maxabs") / F.lit(127.0)
+    q = F.transform(
+        "_x",
+        lambda v: F.when(F.col("_maxabs") > 0, F.floor(v / scale + F.lit(0.5)))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    quantized = staged.select("vec_id", "_x", "_maxabs", q.alias("_q"))
+    err = F.array_max(
+        F.zip_with("_x", "_q", lambda v, qi: F.abs(v - qi * scale))
+    )
+    return quantized.select(
+        "vec_id",
+        F.size("_x").cast("long").alias("n_dims"),
+        F.round("_maxabs", 6).alias("max_abs"),
+        F.size(F.filter("_q", lambda qi: qi != 0)).cast("long").alias("n_nonzero"),
+        F.round(err, 6).alias("max_abs_err"),
+    )

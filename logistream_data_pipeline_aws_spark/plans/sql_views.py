@@ -407,3 +407,99 @@ def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < 24.0
         """
     )
+
+
+def sql_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to this schema (no partsupp table): per
+    part, keep the supplier(s) whose realized unit cost equals the
+    part's minimum — the correlated-scalar-MIN membership Catalyst
+    decorrelates into an aggregate + join on the grouping key.  Unit
+    cost goes through the decimal-sum contract on both numerator and
+    denominator so the MIN comparison is engine-exact; the quotient is
+    emitted UNROUNDED — round(x, 6) hits round-half ties differently per
+    engine (Spark decimal HALF_UP vs DuckDB binary-double), while the raw
+    quotient is bit-identical."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH cost AS (
+          SELECT l_partkey AS part_key, l_suppkey AS supp_key,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) /
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS unit_cost
+          FROM lineitem GROUP BY 1, 2)
+        SELECT c.part_key, c.supp_key, c.unit_cost
+        FROM cost c
+        WHERE c.unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
+                             WHERE c2.part_key = c.part_key)
+        """
+    )
+
+
+def sql_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per supplier nation, the parts whose shipped
+    value exceeds a fixed fraction of the nation's total — the
+    group-then-compare-to-a-scalar-per-group pattern.  The national
+    total is a separate decimal-sum aggregate joined back (never a
+    windowed double sum, which accumulates in partition order and
+    diverges across engines); the cut is 3x the nation's average
+    per-part value, so the query stays non-degenerate at every scale
+    factor instead of emptying as part cardinality grows."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH v AS (
+          SELECT s.s_nationkey AS nation_key, l.l_partkey AS part_key,
+                 CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS part_value
+          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+        tot AS (
+          SELECT nation_key, COUNT(*) AS n_parts
+          FROM v GROUP BY 1),
+        ntot AS (
+          SELECT s.s_nationkey AS nation_key,
+                 CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS nation_total
+          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1)
+        SELECT v.nation_key, v.part_key, v.part_value
+        FROM v JOIN tot ON v.nation_key = tot.nation_key
+        JOIN ntot ON v.nation_key = ntot.nation_key
+        WHERE v.part_value > 3.0 * (ntot.nation_total / tot.n_parts)
+        """
+    )
+
+
+def sql_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per (brand, size) with a
+    NOT IN exclusion subquery — the null-aware anti join Spark plans for
+    NOT IN, plus a count-distinct aggregate over the surviving join."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        GROUP BY 1, 2
+        """
+    )
+
+
+def sql_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN membership — suppliers who shipped a
+    large quantity of matching parts in one year.  Two levels of
+    semi-join (supplier IN shippers, part IN name-matched parts); the
+    HAVING threshold goes through the decimal-sum contract so the
+    boundary is engine-exact."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey FROM lineitem l
+            WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%a%')
+              AND l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'
+            GROUP BY l.l_suppkey
+            HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 100.0)
+          AND s.s_acctbal > 0.0
+        """
+    )

@@ -125,3 +125,28 @@ def test_stream_dedup_actually_drops_duplicates(spark, tmp_path):
     out = X.events_stream_dedup(spark, str(tmp_path))
     got = sorted(r.event_id for r in out.collect())
     assert got == [1, 2, 3, 4]
+
+
+def test_embedding_quantize_reconstruction_bound(spark):
+    """Int8 quantization error is bounded by half a quantization step
+    (1e-6 slack: both output columns are display-rounded to 6dp)."""
+    out = X.embedding_quantize(spark, SF_SMALL).cache()
+    bad = out.where(
+        F.col("max_abs_err") > F.col("max_abs") / 127.0 / 2.0 + 1e-6
+    ).count()
+    assert bad == 0
+    assert out.where(F.col("n_dims") != 64).count() == 0
+    out.unpersist()
+
+
+def test_winnow_pairs_ordered_and_bounded(spark):
+    """Pairs are canonical (id_a < id_b) and overlap is a valid ratio.
+    Overlap never reaches 1.0 here even for exact duplicates: n_fp counts
+    the FULL fingerprint set while shared fps exclude the ones whose
+    bucket the 64-doc cap dropped (shared-vocabulary stop-grams)."""
+    out = X.doc_winnow_pairs(spark, SF_SMALL).cache()
+    assert out.count() > 0
+    assert out.where(F.col("id_a") >= F.col("id_b")).count() == 0
+    assert out.where((F.col("overlap") < 0.2) | (F.col("overlap") > 1.0)).count() == 0
+    assert out.where(F.col("n_shared") < 1).count() == 0
+    out.unpersist()
