@@ -97,6 +97,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # winnowing-fingerprint overlap pairs + int8 embedding quantization
         "doc_winnow_pairs": X.doc_winnow_pairs,
         "embedding_quantize": X.embedding_quantize,
+        # Q10 (returned-item losses) / Q12 (priority split) — completing
+        # the mainstream TPC-H shape coverage
+        "sql_returned_item_losses": V.sql_returned_item_losses,
+        "sql_priority_shipping_split": V.sql_priority_shipping_split,
         # left-anti complement of dedup_survivors: the dropped rows
         "dedup_dropped": X.dedup_dropped,
         # Q4/Q21-flavor correlated NOT EXISTS -> left anti join
@@ -115,9 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r1-green tail, unchanged since r1: rotate back into the window
         #    so every entry has a green row dated r2 or r3 ------------------
         "events_hourly": A.events_hourly,
-        "a7_schedule_adherence": A.a7_schedule_adherence,
         "a8_returns_by_nation": A.a8_returns_by_nation,
-        "events_value_quantiles": X.events_value_quantiles,
         # -- ts-reading entries: round 3 regenerated the testdata with
         #    TIMESTAMP(MICROS) events (was NANOS), so every query that
         #    parses ts changed behavior (catalog.events_ts_unit fix) and
@@ -163,6 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_sales_trend_mom": A.a6_sales_trend_mom,
         "a5_profit_rollup": A.a5_profit_rollup,
         "a6_sales_trend": A.a6_sales_trend,
+        "a7_schedule_adherence": A.a7_schedule_adherence,
+        "events_value_quantiles": X.events_value_quantiles,
         "cumulative_monthly_sales": A.cumulative_monthly_sales,
         "acctbal_band_join": A.acctbal_band_join,
         "customer_rank_in_nation": A.customer_rank_in_nation,
@@ -949,6 +953,31 @@ def _ext_oracles() -> dict[str, str]:
             "GROUP BY l.l_suppkey "
             "HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 100.0) "
             "AND s.s_acctbal > 0.0"
+        ),
+        # TPC-H Q10 shape: returned-item revenue losses per customer
+        "sql_returned_item_losses": (
+            "SELECT c.c_custkey, c.c_name, "
+            + _dsum("l.l_extendedprice * (1.0 - l.l_discount)", "revenue")
+            + ", c.c_acctbal, n.n_name AS nation_name "
+            "FROM customer c "
+            "JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE o.o_orderdate >= DATE '1995-10-01' "
+            "AND o.o_orderdate < DATE '1996-01-01' AND l.l_returnflag = 'R' "
+            "GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name"
+        ),
+        # TPC-H Q12 shape: conditional priority counts for late shipments
+        "sql_priority_shipping_split": (
+            "SELECT l.l_returnflag, "
+            "CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+            "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+            "WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01' "
+            "AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY "
+            "GROUP BY l.l_returnflag"
         ),
         # winnowing fingerprint overlap pairs (capped buckets, 20% of the
         # smaller side's fingerprint set)

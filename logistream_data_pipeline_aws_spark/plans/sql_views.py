@@ -503,3 +503,49 @@ def sql_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND s.s_acctbal > 0.0
         """
     )
+
+
+def sql_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer over
+    a quarter — 3-way join with the return flag pushed into the lineitem
+    scan and the date band into orders; grouped decimal-sum revenue."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+               c.c_acctbal, n.n_name AS nation_name
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= DATE '1995-10-01'
+          AND o.o_orderdate < DATE '1996-01-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        """
+    )
+
+
+def sql_priority_shipping_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-group conditional counts — high- vs
+    low-priority line counts for late-shipped lineitems in one year,
+    split by return flag (standing in for ship mode, absent from this
+    schema).  The CASE split runs inside whole-stage codegen; both count
+    branches combine map-side."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l.l_returnflag,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= DATE '1996-01-01'
+          AND l.l_shipdate < DATE '1997-01-01'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        GROUP BY l.l_returnflag
+        """
+    )
