@@ -150,3 +150,34 @@ def test_winnow_pairs_ordered_and_bounded(spark):
     assert out.where((F.col("overlap") < 0.2) | (F.col("overlap") > 1.0)).count() == 0
     assert out.where(F.col("n_shared") < 1).count() == 0
     out.unpersist()
+
+
+def test_events_ts_unit_sniffer_handles_both_eras(spark, tmp_path):
+    """catalog.load_table must read BOTH testdata eras correctly: round 3
+    regenerated events.ts as TIMESTAMP(MICROS), rounds 1-2 shipped
+    TIMESTAMP(NANOS).  The µs path is exercised by every events query;
+    this pins the ns branch so a future regeneration flip can't silently
+    break it again."""
+    import datetime
+
+    from logistream_data_pipeline_aws_spark.catalog import events_ts_unit, load_table
+
+    base_s = 1_600_000_000
+    expect = datetime.datetime(2020, 9, 13, 12, 26, 40)
+    for unit, factor in (("ns", 1_000_000_000), ("us", 1_000_000)):
+        d = tmp_path / unit
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([base_s * factor], pa.timestamp(unit)),
+                "user_id": pa.array([7], pa.int64()),
+                "event_type": pa.array(["view"]),
+                "value": pa.array([1.0], pa.float64()),
+                "props": pa.array(["{}"]),
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+        assert events_ts_unit(str(d)) == unit
+        row = load_table(spark, "events", str(d)).first()
+        assert row.ts == expect, (unit, row.ts)
