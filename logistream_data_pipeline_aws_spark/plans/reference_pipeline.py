@@ -258,17 +258,33 @@ def build_fact(
 
 
 def build_warehouse(
-    rawdata: DataFrame, processed_routes: DataFrame
+    rawdata: DataFrame, processed_routes: DataFrame, stage_dims: bool = False
 ) -> dict[str, DataFrame]:
-    """The whole DAG: 8 dims + fact, as one lazy plan dictionary."""
-    dim_department = build_dim_department(rawdata)
-    dim_category = build_dim_category(rawdata, dim_department)
-    dim_product = build_dim_product(rawdata, dim_category)
-    dim_customer = build_dim_customer(rawdata)
-    dim_geography = build_dim_geography(rawdata)
-    dim_execution_status = build_dim_execution_status(rawdata)
-    dim_date = build_dim_date(rawdata)
-    dim_route_shapes = build_dim_route_shapes(processed_routes)
+    """The whole DAG: 8 dims + fact, as one lazy plan dictionary.
+
+    ``stage_dims=True`` persists each dimension frame before the fact
+    references it — the staged-warehouse shape every production load
+    uses (dims land first, fact loads join against the landed tables).
+    Without it the fact plan EMBEDS five dim subplans and re-executes
+    their dedup+keygen over rawdata on every fact action.  Results are
+    identical either way; only the physical reuse changes.
+    """
+
+    def stage(df: DataFrame) -> DataFrame:
+        if not stage_dims:
+            return df
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+    dim_department = stage(build_dim_department(rawdata))
+    dim_category = stage(build_dim_category(rawdata, dim_department))
+    dim_product = stage(build_dim_product(rawdata, dim_category))
+    dim_customer = stage(build_dim_customer(rawdata))
+    dim_geography = stage(build_dim_geography(rawdata))
+    dim_execution_status = stage(build_dim_execution_status(rawdata))
+    dim_date = stage(build_dim_date(rawdata))
+    dim_route_shapes = stage(build_dim_route_shapes(processed_routes))
     fact = build_fact(
         rawdata, dim_product, dim_customer, dim_execution_status,
         dim_geography, dim_route_shapes,
