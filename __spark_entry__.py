@@ -833,8 +833,10 @@ def _ext_oracles() -> dict[str, str]:
             "WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id || '@example.com now' "
             "WHEN doc_id % 11 = 0 THEN text || ' see https://example.org/doc/' || doc_id || ' today' "
             "ELSE text END AS t FROM documents) "
-            f"SELECT doc_id, CAST(len(regexp_extract_all(t, '{X.PII_EMAIL_RE}')) AS BIGINT) AS n_emails, "
-            f"CAST(len(regexp_extract_all(t, '{X.PII_URL_RE}')) AS BIGINT) AS n_urls, "
+            "SELECT doc_id, CASE WHEN t IS NULL THEN NULL ELSE "
+            f"CAST(len(regexp_extract_all(t, '{X.PII_EMAIL_RE}')) AS BIGINT) END AS n_emails, "
+            "CASE WHEN t IS NULL THEN NULL ELSE "
+            f"CAST(len(regexp_extract_all(t, '{X.PII_URL_RE}')) AS BIGINT) END AS n_urls, "
             f"CAST(length(regexp_replace(regexp_replace(t, '{X.PII_EMAIL_RE}', '<EMAIL>', 'g'), "
             f"'{X.PII_URL_RE}', '<URL>', 'g')) AS BIGINT) AS scrubbed_len FROM e"
         ),

@@ -203,7 +203,11 @@ EVENTS_RAW_NS_SCHEMA = T.StructType(
     ]
 )
 
-_EVENTS_TS_UNIT_CACHE: dict[str, str] = {}
+# keyed by (probe file, mtime, size): the driver regenerates testdata
+# in-place between rounds — a stale cached unit would silently shift
+# every parsed timestamp by 1000x, so the cache self-invalidates when the
+# file changes (the footer peek is cheap; the stat is cheaper)
+_EVENTS_TS_UNIT_CACHE: dict[tuple[str, float, int], str] = {}
 
 
 def events_ts_unit(sf_dir: str = DEFAULT_SF_DIR) -> str:
@@ -211,23 +215,39 @@ def events_ts_unit(sf_dir: str = DEFAULT_SF_DIR) -> str:
 
     The driver regenerates testdata between rounds and has shipped BOTH
     encodings (TIMESTAMP(NANOS) in rounds 1-2, TIMESTAMP(MICROS) in round
-    3) — one cached metadata peek per path makes every batch and stream
-    reader unit-proof instead of hardcoding either era.  Plain ``int64``
-    (no logical type, e.g. hand-built fixtures) is treated as raw nanos.
+    3) — one cached metadata peek per file-version makes every batch and
+    stream reader unit-proof instead of hardcoding either era.  The unit
+    comes from the typed arrow API (not string matching), so tz-annotated
+    micros (``timestamp[us, tz=UTC]``, common for Spark-written parquet)
+    classify correctly; a timestamp unit this reader has no path for
+    (ms/s) raises instead of silently reading raw int64 at the wrong
+    scale.  Plain ``int64`` (no logical type, e.g. hand-built fixtures)
+    is treated as raw nanos.
     """
     path = table_path("events", sf_dir)
-    unit = _EVENTS_TS_UNIT_CACHE.get(path)
+    if os.path.isdir(path):
+        inner = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        probe = os.path.join(path, inner[0]) if inner else path
+    else:
+        probe = path
+    st = os.stat(probe)
+    cache_key = (probe, st.st_mtime, st.st_size)
+    unit = _EVENTS_TS_UNIT_CACHE.get(cache_key)
     if unit is None:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        if os.path.isdir(path):
-            inner = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
-            probe = os.path.join(path, inner[0]) if inner else path
+        t = pq.ParquetFile(probe).schema_arrow.field("ts").type
+        if pa.types.is_timestamp(t):
+            unit = t.unit
+            if unit not in ("us", "ns"):
+                raise ValueError(
+                    f"events.ts has timestamp unit {unit!r} ({probe}); this "
+                    "reader handles 'us' (native) and 'ns' (nanosAsLong) only"
+                )
         else:
-            probe = path
-        t = str(pq.ParquetFile(probe).schema_arrow.field("ts").type)
-        unit = "us" if t == "timestamp[us]" else "ns"
-        _EVENTS_TS_UNIT_CACHE[path] = unit
+            unit = "ns"
+        _EVENTS_TS_UNIT_CACHE[cache_key] = unit
     return unit
 
 

@@ -181,3 +181,56 @@ def test_events_ts_unit_sniffer_handles_both_eras(spark, tmp_path):
         assert events_ts_unit(str(d)) == unit
         row = load_table(spark, "events", str(d)).first()
         assert row.ts == expect, (unit, row.ts)
+
+
+def test_pii_scrub_null_text_reports_null_not_minus_one(spark, tmp_path):
+    """ADVICE r3: legacy sizeOfNull turns size(NULL) into -1; a NULL text
+    row must report NULL counts (the oracle's CASE WHEN t IS NULL arm),
+    not -1.  Latent until the driver regenerates testdata with NULL
+    text, so pinned on a hand-built fixture."""
+    d = tmp_path / "nulltext"
+    d.mkdir()
+    table = pa.table(
+        {
+            "doc_id": pa.array([7, 8], pa.int64()),  # 7 hits the email-injection arm
+            "text": pa.array([None, "plain body"], pa.string()),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["web", "web"]),
+            "n_chars": pa.array([0, 10], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(d / "documents.parquet"))
+    rows = {r.doc_id: r for r in X.pii_scrub_stats(spark, str(d)).collect()}
+    assert rows[7].n_emails is None and rows[7].n_urls is None
+    assert rows[7].scrubbed_len is None
+    assert rows[8].n_emails == 0 and rows[8].n_urls == 0
+
+
+def test_events_ts_unit_rejects_ms_and_invalidates_on_rewrite(tmp_path):
+    """ADVICE r3: the sniffer must use the typed arrow API (tz-annotated
+    micros classify as 'us'; ms raises instead of misreading as raw ns)
+    and must re-sniff when the file is regenerated in place."""
+    import pytest
+
+    from logistream_data_pipeline_aws_spark.catalog import events_ts_unit
+
+    d = tmp_path / "era"
+    d.mkdir()
+
+    def write(ts_type):
+        table = pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([1_600_000_000_000], ts_type),
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+
+    write(pa.timestamp("us", tz="UTC"))
+    assert events_ts_unit(str(d)) == "us"
+    # in-place regeneration with the other era must re-sniff, not reuse
+    write(pa.timestamp("ns"))
+    assert events_ts_unit(str(d)) == "ns"
+    write(pa.timestamp("ms"))
+    with pytest.raises(ValueError, match="'ms'"):
+        events_ts_unit(str(d))
