@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_sample": X.corpus_mixture_sample,
         "sequence_packing": X.sequence_packing,
         "events_stream_dedup": X.events_stream_dedup,
+        "events_stream_upsert": X.events_stream_upsert,
         "sql_promo_revenue": V.sql_promo_revenue,
         "sql_top_supplier": V.sql_top_supplier,
         "sql_forecast_revenue": V.sql_forecast_revenue,
@@ -880,6 +881,14 @@ def _ext_oracles() -> dict[str, str]:
         # event_ids are unique, so watermarked streaming dedup == identity
         "events_stream_dedup": (
             "SELECT event_id, user_id, event_type, value FROM events"
+        ),
+        # foreachBatch MERGE: landed table == batch argmax per user,
+        # independent of micro-batch slicing
+        "events_stream_upsert": (
+            "SELECT user_id, event_id AS last_event_id, ts AS last_ts, "
+            "event_type AS last_event_type, value AS last_value "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
         ),
         # TPC-H Q14 shape: conditional promo-revenue split
         "sql_promo_revenue": (

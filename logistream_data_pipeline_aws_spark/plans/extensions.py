@@ -1221,6 +1221,48 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_FPS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert (the foreachBatch MERGE the reference's declared
+    dual-feed scenario implies, Project_Report p.2): the events feed is
+    streamed into a keyed warehouse table where each user's row is
+    replaced by later events — update-else-insert, not append.  The
+    landed table holds one row per user: the argmax event by
+    (ts, event_id), independent of micro-batch slicing (see
+    ``streaming.pipeline.foreach_batch_upsert``), so the oracle is the
+    plain batch argmax over events.
+    """
+    from logistream_data_pipeline_aws_spark.catalog import events_stream
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = _scratch(f"events_upsert_{tag}")
+    ckpt = _scratch(f"events_upsert_ckpt_{tag}")
+    with events_stream(spark, sf_dir) as stream:
+        q = foreach_batch_upsert(
+            stream.select("user_id", "event_id", "ts", "event_type", "value"),
+            path,
+            ckpt,
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+        )
+        q.awaitTermination(300)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("events_stream_upsert did not drain in 300s")
+    return (
+        spark.read.parquet(path)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
 def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-overlap pair mining on winnowing fingerprints: documents
     sharing >= 20% of the smaller side's fingerprints (quotes, license

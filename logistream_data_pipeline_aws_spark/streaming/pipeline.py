@@ -25,6 +25,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -231,6 +232,83 @@ def foreach_batch_append(stream: DataFrame, path: str, checkpoint: str):
 
     return (
         stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    n_buckets: int = 32,
+):
+    """Micro-batch MERGE-on-key into a parquet warehouse table: the
+    update-else-insert the reference's declared dual-feed scenario
+    implies (Project_Report p.2 — a late correction to an already-landed
+    row, the streaming cousin of the batch TRUNCATE+append soft
+    overwrite, GE:46-59).
+
+    Semantics: one landed row per ``key_cols`` value; among all rows ever
+    seen for a key, the one greatest by ``order_cols`` wins (callers pass
+    an ordering that is total per key, e.g. ``[ts, event_id]``).  Because
+    the winner is an argmax over *union of landed and incoming*, the
+    landed table is independent of how the feed was sliced into
+    micro-batches — an out-of-order replay cannot regress a row — and
+    equals the batch argmax over the whole feed (the oracle).
+
+    Physical shape for 100 TB: the table is laid out as ``n_buckets``
+    hash partitions of the key (hive-style ``_ub=`` directories).  Each
+    batch touches only the partitions its keys hash into: incoming
+    winners are computed per batch (keys × order window), the affected
+    partitions are selected by a semi-join on the bucket id (partition
+    pruning — untouched buckets are never read), merged, staged, and
+    swapped in with dynamic partition overwrite.  Nothing collects to
+    the driver.  (A table format with transactional MERGE — Delta /
+    Iceberg — replaces the stage+swap with a metadata commit; plain
+    parquet needs the staging hop because a path cannot be overwritten
+    while it is being read.)
+    """
+
+    from pyspark.sql import Window
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bucket = F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+        incoming = batch_df.withColumn("_ub", bucket)
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        try:
+            existing = spark.read.parquet(path)
+            # partition-pruned: only buckets the batch writes into
+            affected = existing.join(
+                incoming.select("_ub").distinct(), "_ub", "left_semi"
+            )
+            merged = affected.unionByName(incoming)
+        except AnalysisException:
+            # first batch: nothing landed yet
+            merged = incoming
+        winners = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        staging = path + ".staging"
+        winners.write.mode("overwrite").partitionBy("_ub").parquet(staging)
+        (
+            spark.read.parquet(staging)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_ub")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -210,3 +210,61 @@ def test_sessionize_closes_on_gap(spark, events_dir):
     assert by_user[100].total_value == 3.0
     assert by_user[100].session_start.minute == 5
     assert by_user[100].session_end.minute == 20
+
+
+def test_foreach_batch_upsert_revises_landed_row(spark, tmp_path):
+    """VERDICT r3 #4: a late-arriving correction to an already-landed row
+    must REPLACE it (update-else-insert), and an out-of-order replay of
+    an older event must NOT regress the landed row — MERGE semantics,
+    not append."""
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+    )
+
+    src = str(tmp_path / "feed")
+    path = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(rows):
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        q = foreach_batch_upsert(
+            read_events_stream(spark, src).select(
+                "user_id", "event_id", "ts", "event_type", "value"
+            ),
+            path, ckpt, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    def landed():
+        return {
+            r.user_id: r
+            for r in spark.read.parquet(path).drop("_ub").collect()
+        }
+
+    # initial load: one row per user
+    feed([(1, _ts(0, 5), 100, "order", 10.0, "{}"),
+          (2, _ts(0, 10), 200, "order", 20.0, "{}")])
+    drain()
+    first = landed()
+    assert first[100].value == 10.0 and first[100].event_id == 1
+    assert len(first) == 2
+
+    # correction arrives later: same key, newer ts -> row must CHANGE
+    feed([(3, _ts(1, 0), 100, "order_corrected", 11.5, "{}")])
+    drain()
+    second = landed()
+    assert second[100].value == 11.5 and second[100].event_type == "order_corrected"
+    assert second[200].value == 20.0  # untouched key survives the merge
+    assert len(second) == 2
+
+    # out-of-order replay of an OLDER event must not regress the row
+    feed([(4, _ts(0, 30), 100, "order_stale", 9.0, "{}")])
+    drain()
+    third = landed()
+    assert third[100].value == 11.5 and third[100].event_id == 3
+    assert len(third) == 2
