@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": X.sequence_packing,
         "events_stream_dedup": X.events_stream_dedup,
         "events_stream_upsert": X.events_stream_upsert,
+        "fact_date_slice": X.fact_date_slice,
         "sql_promo_revenue": V.sql_promo_revenue,
         "sql_top_supplier": V.sql_top_supplier,
         "sql_forecast_revenue": V.sql_forecast_revenue,
@@ -881,6 +882,16 @@ def _ext_oracles() -> dict[str, str]:
         # event_ids are unique, so watermarked streaming dedup == identity
         "events_stream_dedup": (
             "SELECT event_id, user_id, event_type, value FROM events"
+        ),
+        # time-partitioned fact readback: band recomputed from raw tables,
+        # so a row landing in the wrong month directory breaks the hash
+        "fact_date_slice": (
+            "SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS INTEGER) AS order_month, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            + _dsum(_REVENUE_SQL, "revenue")
+            + " FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE year(o.o_orderdate) * 100 + month(o.o_orderdate) BETWEEN 199501 AND 199506 "
+            "GROUP BY 1"
         ),
         # foreachBatch MERGE: landed table == batch argmax per user,
         # independent of micro-batch slicing

@@ -766,6 +766,41 @@ def fact_write_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fact_date_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-partitioned fact layout + partition pruning, end to end
+    (VERDICT r3 #5): the fact is landed hash-distributed on the order key
+    AND hive-partitioned on ``order_month`` (the dominant filter axis of
+    every dashboard query), then a half-year band is read back — the scan
+    must prune to six directories (``PartitionFilters``, asserted by
+    tests/test_plan_properties.py) instead of touching every file, which
+    at 100x scale is the difference between scanning a month and scanning
+    the table.  The oracle recomputes the band straight from the raw
+    tables, so partition mis-assignment (a row landing in the wrong month
+    directory) breaks the hash, not just the plan shape."""
+    import os as _os
+
+    from logistream_data_pipeline_aws_spark.functions.keys import write_bucketed
+    from logistream_data_pipeline_aws_spark.plans.warehouse import fact_lineitem
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = _scratch(f"fact_date_slice_{tag}")
+    fact = fact_lineitem(spark, sf_dir).withColumn(
+        "order_month", F.expr("order_date_key div 100").cast("int")
+    )
+    write_bucketed(fact, "l_orderkey", 8, path, partition_by=["order_month"])
+    back = spark.read.parquet(path).where(
+        F.col("order_month").between(199501, 199506)
+    )
+    return (
+        back.groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("revenue").cast("decimal(30,6)")).cast("double").alias("revenue"),
+        )
+        .select("order_month", "n_rows", "revenue")
+    )
+
+
 def warehouse_orc_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sink-format widening (S6 family): the geography dimension written
     as ORC and read back.  ORC is the other columnar format a Spark

@@ -310,7 +310,17 @@ def write_warehouse(
     """Persist the warehouse: dims as single overwrite tables (replacing
     the reference's TRUNCATE+append, GE:46-59), the fact hash-distributed
     on order_id in ONE job (replacing the 20 sequential bucket-filtered
-    loads, GE:352-362).  Parquet layout keeps downstream scans pruned."""
+    loads, GE:352-362) AND directory-partitioned on the order month.
+
+    The time axis is the dominant filter of every dashboard query
+    (A5-A8 all slice by date); hive partitioning on ``order_month``
+    (yyyymm, derived from the yyyymmdd ``order_date_key``) means a
+    date-band query prunes whole directories via ``PartitionFilters`` —
+    at 100x scale the difference between scanning a month and scanning
+    the table.  Unparseable dates land in the hive default partition,
+    still queryable, never silently dropped.  The reference can't show
+    this layer (Redshift owns its storage); it is what the DDL's
+    date-keyed fact implies."""
     import os
 
     from logistream_data_pipeline_aws_spark.functions.keys import write_bucketed
@@ -319,6 +329,11 @@ def write_warehouse(
     for name, df in warehouse.items():
         path = os.path.join(base_path, name)
         if name == "fact_supplychain_events":
-            write_bucketed(df, "order_id", fact_buckets, path)
+            fact = df.withColumn(
+                "order_month", F.expr("order_date_key div 100").cast("int")
+            )
+            write_bucketed(
+                fact, "order_id", fact_buckets, path, partition_by=["order_month"]
+            )
         else:
             write_table(df, path)

@@ -165,3 +165,17 @@ def test_promo_revenue_broadcasts_part(spark):
     assert "SortMergeJoin" not in plan
     pushed = re.search(r"PushedFilters: \[([^\]]+)\]", plan)
     assert pushed and "l_shipdate" in pushed.group(1)
+
+
+def test_fact_date_slice_prunes_partitions(spark):
+    """VERDICT r3 #5: the time-partitioned fact layout must prove its
+    point — a date-band readback scans only the banded month directories
+    (PartitionFilters non-empty on order_month), not the whole table."""
+    plan = _plan(spark, "fact_date_slice")
+    part = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert part, "no PartitionFilters in the readback scan"
+    assert "order_month" in part.group(1)
+    # the band is 6 months: the pruned scan reads at most 6 partitions
+    m = re.search(r"partition count: (\d+)", plan)
+    if m:  # Spark prints this in the scan metadata when known
+        assert int(m.group(1)) <= 6
