@@ -29,3 +29,76 @@ def test_surrogate_key_unique(spark):
     df = spark.range(1000).repartition(8)
     out = with_surrogate_key(df, "sk")
     assert out.select("sk").distinct().count() == 1000
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket_before_expansion(spark):
+    """VERDICT r3 #7: the 1024 LSH bucket cap was tuned on this corpus —
+    regression-lock it on a degenerate shape.  A 1300-doc bucket (shared
+    boilerplate that slipped past exact dedup) must be dropped BEFORE any
+    id array is collected (no O(bucket²) pair expansion), while healthy
+    buckets keep their pairs; the audit view reports exactly what was
+    dropped."""
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        capped_bucket_pairs,
+        oversized_buckets,
+    )
+
+    rows = [("deg", i) for i in range(1300)] + [("ok", 5000 + j) for j in range(3)]
+    banded = spark.createDataFrame(rows, ["band", "doc_id"])
+
+    pairs = capped_bucket_pairs(banded, "band", "doc_id").collect()
+    # the degenerate bucket would alone expand 1300*1299/2 = 844,350 pairs
+    assert len(pairs) == 3  # only the healthy bucket's C(3,2)
+    assert all(r.id_a >= 5000 and r.id_b >= 5000 for r in pairs)
+
+    dropped = oversized_buckets(banded, "band", "doc_id").collect()
+    assert [(r.band, r.n_ids) for r in dropped] == [("deg", 1300)]
+
+
+def test_winnow_fingerprint_cap_drops_ubiquitous_boilerplate(spark, tmp_path):
+    """VERDICT r3 #7: the winnow pair miner's 64-doc fingerprint cap on a
+    degenerate corpus — 100 clones sharing ALL fingerprints (every bucket
+    >64, all dropped: pure boilerplate carries no local-overlap signal)
+    must yield zero clone pairs, while a 2-doc overlap with unique
+    vocabulary survives.  Uncapped, the clone mass alone would expand
+    100*99/2 pairs PER fingerprint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logistream_data_pipeline_aws_spark.plans.extensions import doc_winnow_pairs
+
+    clone_text = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "exactly the same licensed boilerplate paragraph in every copy of "
+        "this document corpus for adversarial testing purposes"
+    )
+    pair_a = (
+        "zebra quartz jigsaw vortex mumble frozen lantern whisper gravity "
+        "unique overlapping passage shared by exactly two documents here "
+        "plus an individual suffix alpha"
+    )
+    pair_b = (
+        "kraken fjord lighthouse obsidian thunder velvet migration sparrow "
+        "unique overlapping passage shared by exactly two documents here "
+        "plus an individual suffix beta"
+    )
+    ids = list(range(100)) + [1001, 1002]
+    texts = [clone_text] * 100 + [pair_a, pair_b]
+    d = tmp_path / "degenerate"
+    d.mkdir()
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 102),
+            "source": pa.array(["web"] * 102),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(d / "documents.parquet"))
+
+    pairs = {(r.id_a, r.id_b): r.overlap for r in doc_winnow_pairs(spark, str(d)).collect()}
+    assert all(a >= 1000 and b >= 1000 for a, b in pairs), (
+        f"clone pairs leaked past the fingerprint cap: {sorted(pairs)[:5]}"
+    )
+    assert (1001, 1002) in pairs and pairs[(1001, 1002)] >= 0.2
