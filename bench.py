@@ -21,7 +21,7 @@ from logistream_data_pipeline_aws_spark.session import get_spark  # noqa: E402
 
 BENCH_QUERIES = [
     "fact_lineitem",
-    # bucketed variant: first run pays one-time staging, best-of-2 reports
+    # bucketed variant: first run pays one-time staging, best-of-N reports
     # the steady-state zero-exchange join cost
     "fact_lineitem_bucketed",
     "q1_pricing_summary",
@@ -66,7 +66,7 @@ def _reference_warehouse_fact(spark, sf_dir: str):
     # inside one action.  At 100 TB this is "land the raw extract in the
     # staging zone before building the warehouse" — persist(MEMORY_AND_DISK)
     # is the local analog (spills instead of OOMing).  Cached per bench
-    # process so best-of-2 reuses the staged frame like the other
+    # process so best-of-N reuses the staged frame like the other
     # plan-keyed caches (minhash signatures, staged key maps).
     global _RAW_CACHE, _WH_CACHE
     if _RAW_CACHE is None:
@@ -75,8 +75,8 @@ def _reference_warehouse_fact(spark, sf_dir: str):
         _RAW_CACHE = synthetic_rawdata(
             spark, n_orders=max(1000, int(600_000 * sf))
         ).persist(StorageLevel.MEMORY_AND_DISK)
-    # stage_dims: dims persist on first use, so best-of-2's second run
-    # measures the steady-state production shape — incremental fact loads
+    # stage_dims: dims persist on first use, so best-of-N's later runs
+    # measure the steady-state production shape — incremental fact loads
     # joining against landed dimension tables (the fact still recomputes
     # its own 120k-row joins + keygen every run)
     if _WH_CACHE is None:
@@ -97,6 +97,39 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+N_RUNS = 3  # best-of-3: two runs were not enough insulation on a shared box
+VARIANCE_FLAG = 0.30  # max/min - 1 beyond this marks the line load-suspect
+VARIANCE_FLOOR_S = 0.3  # ...but only when the absolute spread is material
+# (sub-second queries swing 2x on first-run codegen alone; flagging them
+# would drown the real signal the sentinel exists for)
+
+
+def _table_rows(sf_dir: str) -> dict[str, int]:
+    """Per-table row counts from parquet footers (no Spark job) — makes
+    every bench artifact self-describing, so rounds whose testdata
+    generation differs (r3 grew documents 10x) are never compared as if
+    same-data."""
+    import pyarrow.parquet as pq
+
+    rows: dict[str, int] = {}
+    for name in sorted(os.listdir(sf_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(sf_dir, name)
+        try:
+            if os.path.isdir(path):
+                rows[name[:-8]] = sum(
+                    pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                )
+            else:
+                rows[name[:-8]] = pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            continue
+    return rows
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -110,19 +143,42 @@ def main() -> None:
     run_query(qs["fact_lineitem"](spark, "/root/testdata/sf0.001"))
 
     qs = {**qs, **EXTRA_BENCH}
+    load_start = os.getloadavg()
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    flagged: list[str] = []
     total = 0.0
     for name in BENCH_QUERIES + list(EXTRA_BENCH):
-        # best-of-2: first run can pay stage-codegen/classload for plan
+        # best-of-N: first run can pay stage-codegen/classload for plan
         # shapes the warmup didn't cover; min is the engine's real cost
-        best = None
-        for _ in range(2):
+        per_run: list[float] = []
+        for _ in range(N_RUNS):
             t0 = time.time()
             run_query(qs[name](spark, sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            per_run.append(round(time.time() - t0, 3))
+        runs[name] = per_run
+        timings[name] = min(per_run)
         total += timings[name]
+        # loud load sentinel: best-of hides a contaminated run, so a
+        # query whose runs disagree by >30% is flagged in the artifact —
+        # the round-3 driver artifact misreported the engine by ~20% and
+        # nothing in the JSON said so.  The FIRST run is excluded from
+        # the check: it legitimately pays one-time staging/codegen
+        # (bucketed tables, warehouse dims) that best-of amortizes by
+        # design; only steady-state disagreement indicates load.
+        steady = per_run[1:] if len(per_run) > 2 else per_run
+        if (
+            max(steady) - min(steady) > VARIANCE_FLOOR_S
+            and max(steady) / max(min(steady), 1e-9) - 1.0 > VARIANCE_FLAG
+        ):
+            flagged.append(name)
+            print(
+                f"[bench] WARNING {name}: run-to-run variance "
+                f"{max(per_run):.3f}s/{min(per_run):.3f}s exceeds "
+                f"{VARIANCE_FLAG:.0%} — machine load suspected",
+                file=sys.stderr,
+            )
+    load_end = os.getloadavg()
     print(
         json.dumps(
             {
@@ -131,6 +187,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # provenance: raw runs + load sentinels make a
+                # load-contaminated artifact self-identifying
+                "runs": runs,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in load_end],
+                "variance_flagged": flagged,
+                "table_rows": _table_rows(sf_dir),
             }
         )
     )
