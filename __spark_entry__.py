@@ -77,89 +77,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # until it is rotated into the head window.
     return {
         # -- new this round (never driver-verified) -------------------------
-        # pretraining-corpus construction: PII scrub, eval decontamination,
-        # mixture sampling, sequence packing; streaming ingest dedup; three
-        # more TPC-H probe shapes (Q14/Q15/Q6)
-        "pii_scrub_stats": X.pii_scrub_stats,
-        "contamination_check": X.contamination_check,
-        "corpus_mixture_sample": X.corpus_mixture_sample,
-        "sequence_packing": X.sequence_packing,
-        "events_stream_dedup": X.events_stream_dedup,
+        # streaming MERGE upsert + the time-partitioned fact layout proof
         "events_stream_upsert": X.events_stream_upsert,
         "fact_date_slice": X.fact_date_slice,
-        "sql_promo_revenue": V.sql_promo_revenue,
-        "sql_top_supplier": V.sql_top_supplier,
-        "sql_forecast_revenue": V.sql_forecast_revenue,
-        # Q2/Q11/Q16/Q20 flavors (correlated min, per-group scalar cut,
-        # NOT IN null-aware anti, nested semi-joins)
-        "sql_cheapest_supplier": V.sql_cheapest_supplier,
-        "sql_important_parts": V.sql_important_parts,
-        "sql_supplier_part_variety": V.sql_supplier_part_variety,
-        "sql_excess_suppliers": V.sql_excess_suppliers,
-        # winnowing-fingerprint overlap pairs + int8 embedding quantization
+        # -- implementation changed this round (re-verify first): the
+        #    staged slim-keymap dim rework (VERDICT r3 #1/#6), the PII
+        #    NULL gate + oracle edit, the winnow fingerprint cache, and
+        #    every entry embedding the reworked fact/streaming modules ----
+        "dim_customer": W.dim_customer,
+        "dim_product": W.dim_product,
+        "dim_product_type": W.dim_product_type,
+        "dim_brand": W.dim_brand,
+        "fact_lineitem": W.fact_lineitem,
+        "fact_lineitem_bucketed": W.fact_lineitem_bucketed,
+        "fact_write_readback": X.fact_write_readback,
+        "pii_scrub_stats": X.pii_scrub_stats,
         "doc_winnow_pairs": X.doc_winnow_pairs,
-        "embedding_quantize": X.embedding_quantize,
-        # Q10 (returned-item losses) / Q12 (priority split) — completing
-        # the mainstream TPC-H shape coverage
-        "sql_returned_item_losses": V.sql_returned_item_losses,
-        "sql_priority_shipping_split": V.sql_priority_shipping_split,
-        # left-anti complement of dedup_survivors: the dropped rows
-        "dedup_dropped": X.dedup_dropped,
-        # Q4/Q21-flavor correlated NOT EXISTS -> left anti join
-        "sql_unshipped_orders": V.sql_unshipped_orders,
-        # Q22 flavor: scalar-subquery threshold + anti join on orders
-        "sql_prospect_customers": V.sql_prospect_customers,
-        # winnowing (MOSS) local-similarity fingerprints
-        "doc_winnowing": X.doc_winnowing,
-        # ORC sink round-trip (S6 family, Hive-heritage format)
-        "warehouse_orc_readback": X.warehouse_orc_readback,
-        # -- r1-green entries changed in r2 AFTER their green row (the
-        #    round-2 rotation-contract violation; re-verify first) ----------
-        "similarity_topk": X.similarity_topk,
-        "similarity_ann_lsh": X.similarity_ann_lsh,
-        "similarity_ivf": X.similarity_ivf,
-        # -- r1-green tail, unchanged since r1: rotate back into the window
-        #    so every entry has a green row dated r2 or r3 ------------------
-        "events_hourly": A.events_hourly,
-        "a8_returns_by_nation": A.a8_returns_by_nation,
-        # -- ts-reading entries: round 3 regenerated the testdata with
-        #    TIMESTAMP(MICROS) events (was NANOS), so every query that
-        #    parses ts changed behavior (catalog.events_ts_unit fix) and
-        #    its pre-regeneration green row is void — all must re-verify
-        "user_sessions": X.user_sessions,
-        "events_asof_last_purchase": X.events_asof_last_purchase,
-        "events_lookback_count": X.events_lookback_count,
-        "events_multigrain_rollup": X.events_multigrain_rollup,
+        "events_stream_dedup": X.events_stream_dedup,
         "events_stream_hourly": X.events_stream_hourly,
         "events_stream_sessions": X.events_stream_sessions,
         "events_stream_order_shipment": X.events_stream_order_shipment,
-        # -- changed in round 3 (must re-verify): LSH bucket caps + composed
-        #    blocking keys (dedup family), sketch-profile accuracy verdicts,
-        #    scratch-dir readbacks, geojson oracle path, hierarchy collapse
-        #    + staged key maps (warehouse) -----------------------------------
-        "events_sketch_profile": X.events_sketch_profile_checked,
-        "dedup_minhash_lsh": X.dedup_minhash_lsh,
-        "dedup_simhash": X.dedup_simhash,
-        "dedup_simhash_pairs": X.dedup_simhash_pairs,
-        "dedup_embedding": X.dedup_embedding,
-        "dedup_clusters": X.dedup_clusters,
-        "dedup_near_survivors": X.dedup_near_survivors,
-        "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
-        "geojson_routes": X.geojson_routes,
-        "dim_route_shapes": X.dim_route_shapes,
-        "routes_csv_readback": X.routes_csv_readback,
-        "fact_write_readback": X.fact_write_readback,
-        "fact_lineitem": W.fact_lineitem,
-        "fact_lineitem_bucketed": W.fact_lineitem_bucketed,
-        "dim_brand": W.dim_brand,
-        "dim_product_type": W.dim_product_type,
-        "dim_product": W.dim_product,
-        # ======================= driver window boundary (~50) ==============
-        # -- tail: green row in r1 or r2 (rows+schema+hash) and unchanged
-        #    since; digests pinned by tests/test_rotation_ledger.py ---------
-        # r1-green, unchanged since r1 — displaced from the head window by
-        # the 8 never-verified entries and the 7 re-voided ts-readers above
-        # (never-verified / behavior-changed > re-check of unchanged code)
+        # -- oldest-green rotation (VERDICT r3 #3): newest green row r1,
+        #    unchanged since — refreshed ahead of r2-green entries ---------
         "repeat_customers_yoy": A.repeat_customers_yoy,
         "dedup_exact": X.dedup_exact,
         "dedup_survivors": X.dedup_survivors,
@@ -183,8 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_volume_shipping": V.sql_volume_shipping,
         "sql_market_share": V.sql_market_share,
         "sql_lapsed_big_spenders": V.sql_lapsed_big_spenders,
-        # r2-green tail
-        "dim_customer": W.dim_customer,
+        # -- next-oldest (r2-green) rotation, filling the window to 50 -----
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
         "dim_junk_status": W.dim_junk_status,
@@ -197,6 +135,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": X.multimodal_meta,
         "events_json_kv": X.events_json_kv,
         "embedding_centered": X.embedding_centered,
+        # ======================= driver window boundary (~50) ==============
+        # -- tail: green row in r2 or r3 (rows+schema+hash).  NOTE on this
+        #    round's manifest regeneration: round 4 edited two shared
+        #    modules (catalog.events_ts_unit hardening — behavior-identical
+        #    for every current file encoding — and write_bucketed gaining
+        #    an optional partition_by arg), which shifts the transitive
+        #    digest of nearly every entry without touching any entry's
+        #    semantics.  Every tail entry below was re-verified LOCALLY
+        #    this round via tools/check_oracle.py (full sf0.01 sweep,
+        #    rows+schema+values green) before the manifest was reset, so
+        #    no entry rides on an unverified implementation. ---------------
+        # r3-green tail
+        "contamination_check": X.contamination_check,
+        "corpus_mixture_sample": X.corpus_mixture_sample,
+        "sequence_packing": X.sequence_packing,
+        "sql_promo_revenue": V.sql_promo_revenue,
+        "sql_top_supplier": V.sql_top_supplier,
+        "sql_forecast_revenue": V.sql_forecast_revenue,
+        "sql_cheapest_supplier": V.sql_cheapest_supplier,
+        "sql_important_parts": V.sql_important_parts,
+        "sql_supplier_part_variety": V.sql_supplier_part_variety,
+        "sql_excess_suppliers": V.sql_excess_suppliers,
+        "embedding_quantize": X.embedding_quantize,
+        "sql_returned_item_losses": V.sql_returned_item_losses,
+        "sql_priority_shipping_split": V.sql_priority_shipping_split,
+        "dedup_dropped": X.dedup_dropped,
+        "sql_unshipped_orders": V.sql_unshipped_orders,
+        "sql_prospect_customers": V.sql_prospect_customers,
+        "doc_winnowing": X.doc_winnowing,
+        "warehouse_orc_readback": X.warehouse_orc_readback,
+        "similarity_topk": X.similarity_topk,
+        "similarity_ann_lsh": X.similarity_ann_lsh,
+        "similarity_ivf": X.similarity_ivf,
+        "events_hourly": A.events_hourly,
+        "a8_returns_by_nation": A.a8_returns_by_nation,
+        "user_sessions": X.user_sessions,
+        "events_asof_last_purchase": X.events_asof_last_purchase,
+        "events_lookback_count": X.events_lookback_count,
+        "events_multigrain_rollup": X.events_multigrain_rollup,
+        "events_sketch_profile": X.events_sketch_profile_checked,
+        "dedup_minhash_lsh": X.dedup_minhash_lsh,
+        "dedup_simhash": X.dedup_simhash,
+        "dedup_simhash_pairs": X.dedup_simhash_pairs,
+        "dedup_embedding": X.dedup_embedding,
+        "dedup_clusters": X.dedup_clusters,
+        "dedup_near_survivors": X.dedup_near_survivors,
+        "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
+        "geojson_routes": X.geojson_routes,
+        "dim_route_shapes": X.dim_route_shapes,
+        "routes_csv_readback": X.routes_csv_readback,
+        # r2-green tail
         "media_frames": X.media_frames,
         "events_salted_user_stats": X.events_salted_user_stats,
         "sql_customer_order_distribution": V.sql_customer_order_distribution,
