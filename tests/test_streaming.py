@@ -268,3 +268,49 @@ def test_foreach_batch_upsert_revises_landed_row(spark, tmp_path):
     third = landed()
     assert third[100].value == 11.5 and third[100].event_id == 3
     assert len(third) == 2
+
+
+def test_foreach_batch_upsert_is_slicing_invariant(spark, tmp_path):
+    """The upsert's documented contract: the landed table equals the
+    batch argmax over the whole feed REGARDLESS of how the feed was
+    sliced into micro-batches.  Land the same 30 events three ways —
+    one batch, one event per drain in time order, and reverse time
+    order (every correction arrives before its original) — and assert
+    byte-identical landed tables."""
+    import random
+
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+    )
+
+    rng = random.Random(42)
+    events = [
+        (i, _ts(i % 12, (i * 7) % 60), 100 + i % 5, f"t{i % 3}", float(rng.randint(1, 99)), "{}")
+        for i in range(30)
+    ]
+
+    def land(tag, batches):
+        src = str(tmp_path / f"feed_{tag}")
+        path = str(tmp_path / f"landed_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        for batch in batches:
+            spark.createDataFrame(batch, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = foreach_batch_upsert(
+                read_events_stream(spark, src).select(
+                    "user_id", "event_id", "ts", "event_type", "value"
+                ),
+                path, ckpt, key_cols=["user_id"], order_cols=["ts", "event_id"],
+            )
+            q.awaitTermination(120)
+            assert not q.isActive
+        return sorted(
+            tuple(r) for r in spark.read.parquet(path).drop("_ub").collect()
+        )
+
+    one_shot = land("all", [events])
+    in_order = land("fwd", [[e] for e in sorted(events, key=lambda e: (e[1], e[0]))])
+    reversed_ = land("rev", [[e] for e in sorted(events, key=lambda e: (e[1], e[0]), reverse=True)])
+    assert one_shot == in_order == reversed_
+    assert len(one_shot) == 5  # one landed row per user
