@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming MERGE upsert + the time-partitioned fact layout proof
         "events_stream_upsert": X.events_stream_upsert,
         "fact_date_slice": X.fact_date_slice,
+        "events_json_readback": X.events_json_readback,
         # -- implementation changed this round (re-verify first): the
         #    staged slim-keymap dim rework (VERDICT r3 #1/#6), the PII
         #    NULL gate + oracle edit, the winnow fingerprint cache, and
@@ -134,7 +135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": X.doc_fingerprints,
         "multimodal_meta": X.multimodal_meta,
         "events_json_kv": X.events_json_kv,
-        "embedding_centered": X.embedding_centered,
         # ======================= driver window boundary (~50) ==============
         # -- tail: green row in r2 or r3 (rows+schema+hash).  NOTE on this
         #    round's manifest regeneration: round 4 edited two shared
@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_route_shapes": X.dim_route_shapes,
         "routes_csv_readback": X.routes_csv_readback,
         # r2-green tail
+        "embedding_centered": X.embedding_centered,
         "media_frames": X.media_frames,
         "events_salted_user_stats": X.events_salted_user_stats,
         "sql_customer_order_distribution": V.sql_customer_order_distribution,
@@ -871,6 +872,11 @@ def _ext_oracles() -> dict[str, str]:
         # event_ids are unique, so watermarked streaming dedup == identity
         "events_stream_dedup": (
             "SELECT event_id, user_id, event_type, value FROM events"
+        ),
+        # JSON-lines round trip: oracle reads the original parquet, so any
+        # encode/decode infidelity (ts precision, escaping) breaks the hash
+        "events_json_readback": (
+            "SELECT event_id, ts, user_id, event_type, value, props FROM events"
         ),
         # time-partitioned fact readback: band recomputed from raw tables,
         # so a row landing in the wrong month directory breaks the hash

@@ -766,6 +766,38 @@ def fact_write_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_json_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source round trip (S7 family: the reference's
+    declared real-time feeds are JSON events, Project_Report p.2; its
+    Lambda reads JSON objects, LJ:17-19).  The events table is written
+    as JSON lines and re-read with the explicit engine schema — never
+    inferSchema — with an explicit microsecond timestampFormat on BOTH
+    sides (Spark's default JSON format truncates to millis, which would
+    silently shave sub-milli event times).  The oracle reads the
+    original parquet, so any JSON encode/decode infidelity (timestamp
+    precision, string escaping in the nested-JSON props column, NULL
+    handling) breaks the hash."""
+    from pyspark.sql import types as T
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = _scratch(f"events_json_{tag}")
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    events = load_table(spark, "events", sf_dir)
+    events.write.mode("overwrite").option("timestampFormat", fmt).json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("timestampFormat", fmt).json(path)
+    return back.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 def fact_date_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-partitioned fact layout + partition pruning, end to end
     (VERDICT r3 #5): the fact is landed hash-distributed on the order key
