@@ -81,3 +81,43 @@ def test_ranged_keygen_equals_global_rank(spark, keys):
     }
     want = {k: i + 1 for i, k in enumerate(sorted(keys))}
     assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # bucket
+            st.integers(min_value=0, max_value=25),  # doc id
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_capped_bucket_pairs_equals_uncapped_restricted(spark, rows):
+    """capped_bucket_pairs must equal the uncapped pair expansion
+    restricted to buckets of size 2..cap — for arbitrary bucket shapes,
+    including duplicates, singletons, and every-doc-in-one-bucket."""
+    from collections import defaultdict
+
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        capped_bucket_pairs,
+    )
+
+    df = spark.createDataFrame([(f"b{b}", i) for b, i in rows], ["band", "doc_id"])
+    cap = 4
+    got = {
+        (r.id_a, r.id_b)
+        for r in capped_bucket_pairs(
+            df, "band", "doc_id", max_bucket_size=cap
+        ).collect()
+    }
+    buckets = defaultdict(set)
+    for b, i in rows:
+        buckets[b].add(i)
+    want = set()
+    for ids in buckets.values():
+        if 2 <= len(ids) <= cap:
+            s = sorted(ids)
+            want.update((s[x], s[y]) for x in range(len(s)) for y in range(x + 1, len(s)))
+    assert got == want
