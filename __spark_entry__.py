@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": X.dedup_minhash_lsh,
         "dedup_clusters": X.dedup_clusters,
         "dedup_near_survivors": X.dedup_near_survivors,
+        # embedding near-dup now reads the staged (id, vec, norm) frame
+        "dedup_embedding": X.dedup_embedding,
         # -- oldest-green rotation (VERDICT r3 #3): newest green row r1,
         #    unchanged since — refreshed ahead of r2-green entries ---------
         "repeat_customers_yoy": A.repeat_customers_yoy,
@@ -182,7 +184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sketch_profile": X.events_sketch_profile_checked,
         "dedup_simhash": X.dedup_simhash,
         "dedup_simhash_pairs": X.dedup_simhash_pairs,
-        "dedup_embedding": X.dedup_embedding,
         "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
         "geojson_routes": X.geojson_routes,
         "dim_route_shapes": X.dim_route_shapes,

@@ -574,10 +574,19 @@ def embedding_near_duplicates_lsh(
     band_bits: int = 8,
     n_bands: int = 8,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    withn: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: banded sign-LSH candidate
     generation (OR-construction over ``n_bands`` dimension groups), then
     *exact* cosine verification of candidates only.
+
+    ``withn`` optionally supplies a pre-staged ``(_id, _v, _n)`` frame
+    (id, vector, L2 norm) — the embedding analog of the minhash
+    signature staging table.  At warehouse scale the norm pass and the
+    parquet scan behind it run ONCE per corpus and every embedding
+    consumer reads the persisted frame; when omitted, the frame is
+    derived from ``df`` inline (identical values either way — the norm
+    expression is the same fold).
 
     Physical shape mirrors minhash-LSH: explode band keys -> groupBy
     band (one uniform-key shuffle) -> in-bucket pair expansion -> two
@@ -591,7 +600,18 @@ def embedding_near_duplicates_lsh(
     # NOTE: no up-front repartition here (unlike the shingle paths) — the
     # expensive step is the cosine verify, which runs AFTER the candidate
     # shuffle and is therefore already parallel; measured neutral locally.
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    from logistream_data_pipeline_aws_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
+    if withn is None:
+        base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        # norms once per VECTOR, not per pair: bit-identical cosine, 1/3
+        # of the fold work in the verify join
+        withn = base.withColumn("_n", norm(F.col("_v")))
+    else:
+        base = withn.select("_id", "_v")
     banded = base.select(
         "_id", F.explode(sign_band_keys(F.col("_v"), band_bits, n_bands)).alias("band")
     )
@@ -601,14 +621,6 @@ def embedding_near_duplicates_lsh(
     cands = capped_bucket_pairs(
         banded, "band", "_id", max_bucket_size, "embedding_bucket_cap"
     )
-    # norms once per VECTOR, not per pair: bit-identical cosine, 1/3 of
-    # the fold work in the verify join
-    from logistream_data_pipeline_aws_spark.functions.vectors import (
-        cosine_with_norms,
-        norm,
-    )
-
-    withn = base.withColumn("_n", norm(F.col("_v")))
     a = withn.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a")
     )

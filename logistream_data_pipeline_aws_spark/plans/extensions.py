@@ -130,6 +130,31 @@ def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The embedding analog of the minhash signature staging table: the
+# (id, vector, L2 norm) frame is scanned + norm-folded ONCE per
+# (application, sf_dir) and persisted; every embedding consumer reads
+# the staged frame instead of re-deriving norms from parquet per call.
+_EMB_NORM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _staged_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logistream_data_pipeline_aws_spark.functions.vectors import norm
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    withn = _EMB_NORM_CACHE.get(cache_key)
+    if withn is None:
+        emb = load_table(spark, "embeddings", sf_dir)
+        withn = (
+            emb.select(
+                F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")
+            )
+            .withColumn("_n", norm(F.col("_v")))
+            .persist()
+        )
+        _EMB_NORM_CACHE[cache_key] = withn
+    return withn
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via banded sign-LSH + exact-cosine verify — the
     scale path (equi-join plan, never all-pairs); the brute-force exact
@@ -138,7 +163,8 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup at >= 0.9, where the 8x8 banding's recall is ~99.7%)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return D.embedding_near_duplicates_lsh(
-        emb, "vec_id", "embedding", threshold=0.4, band_bits=8, n_bands=8
+        emb, "vec_id", "embedding", threshold=0.4, band_bits=8, n_bands=8,
+        withn=_staged_embedding_norms(spark, sf_dir),
     )
 
 
