@@ -77,6 +77,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # until it is rotated into the head window.
     return {
         # -- new this round (never driver-verified) -------------------------
+        # TPC-H Q21 shape: double-correlated EXISTS/NOT EXISTS
+        "sql_waiting_suppliers": V.sql_waiting_suppliers,
+        # SCD Type 2 interval build over the events change feed
+        "scd2_user_state": X.scd2_user_state,
+        # fixed-k per-stratum deterministic sample (salted two-stage top-k)
+        "corpus_stratified_sample": X.corpus_stratified_sample,
+        # pre-load DQ gate: orphan-FK + null-rate report
+        "warehouse_integrity_audit": X.warehouse_integrity_audit,
         # streaming MERGE upsert + the time-partitioned fact layout proof
         "events_stream_upsert": X.events_stream_upsert,
         "fact_date_slice": X.fact_date_slice,
@@ -998,6 +1006,81 @@ def _ext_oracles() -> dict[str, str]:
             "WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01' "
             "AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY "
             "GROUP BY l.l_returnflag"
+        ),
+        # staging DQ report: orphan-FK + null-rate checks, one row each
+        "warehouse_integrity_audit": (
+            "SELECT 'lineitem_orphan_orderkey' AS check_name, CAST(COUNT(*) AS BIGINT) AS n_scanned, "
+            "CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL AND p._k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad "
+            "FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey AS _k FROM orders) p ON l.l_orderkey = p._k "
+            "UNION ALL SELECT 'lineitem_orphan_partkey', CAST(COUNT(*) AS BIGINT), "
+            "CAST(SUM(CASE WHEN l.l_partkey IS NOT NULL AND p._k IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey AS _k FROM part) p ON l.l_partkey = p._k "
+            "UNION ALL SELECT 'lineitem_orphan_suppkey', CAST(COUNT(*) AS BIGINT), "
+            "CAST(SUM(CASE WHEN l.l_suppkey IS NOT NULL AND p._k IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey AS _k FROM supplier) p ON l.l_suppkey = p._k "
+            "UNION ALL SELECT 'orders_orphan_custkey', CAST(COUNT(*) AS BIGINT), "
+            "CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL AND p._k IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey AS _k FROM customer) p ON o.o_custkey = p._k "
+            "UNION ALL SELECT 'customer_orphan_nationkey', CAST(COUNT(*) AS BIGINT), "
+            "CAST(SUM(CASE WHEN c.c_nationkey IS NOT NULL AND p._k IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM customer c LEFT JOIN (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS _k FROM nation) p ON c.c_nationkey = p._k "
+            "UNION ALL SELECT 'supplier_orphan_nationkey', CAST(COUNT(*) AS BIGINT), "
+            "CAST(SUM(CASE WHEN s.s_nationkey IS NOT NULL AND p._k IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM supplier s LEFT JOIN (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS _k FROM nation) p ON s.s_nationkey = p._k "
+            "UNION ALL SELECT 'nation_orphan_regionkey', CAST(COUNT(*) AS BIGINT), "
+            "CAST(SUM(CASE WHEN n.n_regionkey IS NOT NULL AND p._k IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM nation n LEFT JOIN (SELECT DISTINCT CAST(r_regionkey AS BIGINT) AS _k FROM region) p ON n.n_regionkey = p._k "
+            "UNION ALL SELECT 'orders_null_orderdate', CAST(COUNT(*) AS BIGINT), "
+            "CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders "
+            "UNION ALL SELECT 'documents_null_text', CAST(COUNT(*) AS BIGINT), "
+            "CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents "
+            "UNION ALL SELECT 'events_null_user', CAST(COUNT(*) AS BIGINT), "
+            "CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events"
+        ),
+        # stratified sample: md5-ranked top-k per language stratum (the
+        # salted two-stage Spark plan reduces to this single window)
+        "corpus_stratified_sample": (
+            "SELECT doc_id, lang, source, n_chars, sample_rank FROM ("
+            "SELECT doc_id, lang, source, n_chars, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY lang "
+            "ORDER BY md5('strat#' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) "
+            "AS sample_rank FROM documents) WHERE sample_rank <= 20"
+        ),
+        # SCD2 gaps-and-islands: runs of identical event_type per user
+        # (null-safe state compare; first row per key opens a run)
+        "scd2_user_state": (
+            "WITH ordered AS (SELECT user_id, event_type, ts, event_id, "
+            "CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1 "
+            "WHEN event_type IS NOT DISTINCT FROM LAG(event_type) OVER w THEN 0 "
+            "ELSE 1 END AS is_change FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "runs AS (SELECT user_id, event_type, ts, "
+            "CAST(SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS INT) AS version FROM ordered), "
+            "collapsed AS (SELECT user_id, version, MIN(event_type) AS state, "
+            "MIN(ts) AS effective_from, CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM runs GROUP BY user_id, version) "
+            "SELECT user_id, version, state, effective_from, "
+            "LEAD(effective_from) OVER wv AS effective_to, n_events, "
+            "(LEAD(effective_from) OVER wv IS NULL) AS is_current "
+            "FROM collapsed WINDOW wv AS (PARTITION BY user_id ORDER BY version)"
+        ),
+        # TPC-H Q21 shape: only-late supplier on finalized multi-supplier
+        # orders (late = shipped > 60 days after order date)
+        "sql_waiting_suppliers": (
+            "SELECT n.n_name AS nation, s.s_name AS s_name, COUNT(*) AS numwait "
+            "FROM supplier s "
+            "JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey "
+            "JOIN orders o ON o.o_orderkey = l1.l_orderkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "WHERE o.o_orderstatus = 'F' "
+            "AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY "
+            "AND EXISTS (SELECT 1 FROM lineitem l2 "
+            "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+            "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey "
+            "AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY n.n_name, s.s_name"
         ),
         # winnowing fingerprint overlap pairs (capped buckets, 20% of the
         # smaller side's fingerprint set)

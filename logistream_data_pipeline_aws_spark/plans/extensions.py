@@ -1468,3 +1468,121 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("_q", lambda qi: qi != 0)).cast("long").alias("n_nonzero"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+# -- warehouse history / audit (round-4 continuation) ------------------------
+
+
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history build over the events change feed: per user,
+    consecutive events with the same ``event_type`` collapse into one
+    validity interval [effective_from, effective_to) with version and
+    is_current — the standard dimension-history operator the reference's
+    Type 1 TRUNCATE+reload warehouse (GE:46-59) lacks.  See
+    ``operators.dimensions.scd2_history`` for the window decomposition."""
+    from logistream_data_pipeline_aws_spark.operators.dimensions import scd2_history
+
+    events = load_table(spark, "events", sf_dir)
+    return scd2_history(events, "user_id", "event_type", "ts", "event_id")
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Deterministic fixed-size stratified sample: exactly ``k`` documents
+    per language stratum, chosen by md5 rank — uniform without
+    replacement, reproducible run-to-run and engine-to-engine (the
+    audit-grade sampling a corpus pipeline needs; the rate-based cousin
+    is ``corpus_mixture_sample``).
+
+    Scale shape: salted two-stage top-k.  A single window partitioned by
+    ``lang`` would funnel a dominant language through one task, so rank
+    first within (lang, 32-way salt) and keep k per salt — each global
+    top-k row is necessarily in its salt's top-k — then re-rank the
+    <= 32k survivors per stratum.  Both stages are bounded fan-in; no
+    unpartitioned window anywhere.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    u = F.md5(F.concat(F.lit("strat#"), F.col("doc_id")))
+    salted = docs.withColumn("_u", u).withColumn(
+        "_salt", F.pmod(F.hash("doc_id"), F.lit(32))
+    )
+    w1 = Window.partitionBy("lang", "_salt").orderBy("_u", "doc_id")
+    pruned = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+    )
+    w2 = Window.partitionBy("lang").orderBy("_u", "doc_id")
+    return (
+        pruned.withColumn("sample_rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("sample_rank") <= k)
+        .select("doc_id", "lang", "source", "n_chars", "sample_rank")
+    )
+
+
+def warehouse_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-load data-quality gate over the staging tables: referential
+    integrity (orphan FK counts) and null-rate checks, one report row
+    per check.  The reference loads Redshift with FK clauses that are
+    informational only (DS:94-101, never enforced); a production
+    pipeline runs exactly this audit before the warehouse load.
+
+    Scale shape: every FK check is a keys-only LEFT join against the
+    DISTINCT parent keys — child payload never crosses the shuffle, the
+    small-dim parents broadcast, and the one big-big probe
+    (lineitem -> orders) shuffles on the uniform order key.  Null checks
+    are single-pass conditional aggregates.  The report is a UNION of
+    1-row aggregates — each check stays an independent, parallel job."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    events = load_table(spark, "events", sf_dir)
+
+    def fk_check(name: str, child: DataFrame, fk: str, parent: DataFrame, pk: str) -> DataFrame:
+        keys = parent.select(F.col(pk).alias("_k")).distinct().withColumn(
+            "_hit", F.lit(1)
+        )
+        return (
+            child.select(F.col(fk).cast("long").alias("_k"))
+            .join(keys, "_k", "left")
+            .agg(
+                F.lit(name).alias("check_name"),
+                F.count(F.lit(1)).cast("long").alias("n_scanned"),
+                F.sum(
+                    F.when(
+                        F.col("_k").isNotNull() & F.col("_hit").isNull(), 1
+                    ).otherwise(0)
+                ).cast("long").alias("n_bad"),
+            )
+        )
+
+    def null_check(name: str, df: DataFrame, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("long").alias("n_scanned"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bad"),
+        )
+
+    checks = [
+        fk_check("lineitem_orphan_orderkey", li, "l_orderkey", orders, "o_orderkey"),
+        fk_check("lineitem_orphan_partkey", li, "l_partkey", part, "p_partkey"),
+        fk_check("lineitem_orphan_suppkey", li, "l_suppkey", supplier, "s_suppkey"),
+        fk_check("orders_orphan_custkey", orders, "o_custkey", customer, "c_custkey"),
+        fk_check("customer_orphan_nationkey", customer, "c_nationkey", nation, "n_nationkey"),
+        fk_check("supplier_orphan_nationkey", supplier, "s_nationkey", nation, "n_nationkey"),
+        fk_check("nation_orphan_regionkey", nation, "n_regionkey", region, "r_regionkey"),
+        null_check("orders_null_orderdate", orders, "o_orderdate"),
+        null_check("documents_null_text", docs, "text"),
+        null_check("events_null_user", events, "user_id"),
+    ]
+    report = checks[0]
+    for c in checks[1:]:
+        report = report.unionByName(c)
+    return report

@@ -549,3 +549,43 @@ def sql_priority_shipping_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l.l_returnflag
         """
     )
+
+
+def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the double-correlated EXISTS / NOT EXISTS — for
+    finalized ('F') multi-supplier orders, suppliers who were the ONLY
+    one to ship late (> 60 days after the order date; this schema has no
+    commit/receipt dates, so the late predicate adapts Q21's
+    receipt-after-commit test to the ship-after-order margin).
+
+    Physical shape: Catalyst decorrelates both subqueries into one LEFT
+    SEMI and one LEFT ANTI hash join against lineitem on l_orderkey,
+    with the supplier-inequality and the late bound as join residuals —
+    three passes over the narrow (orderkey, suppkey, shipdate) lineitem
+    projection, never a per-row subquery.  At 100 TB all three probes
+    shuffle on the same uniform l_orderkey, and supplier/nation stay
+    broadcast lookups."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, s.s_name AS s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY n.n_name, s.s_name
+        """
+    )

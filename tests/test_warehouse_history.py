@@ -1,0 +1,126 @@
+"""Unit tests for the round-4-continuation warehouse surface: SCD Type 2
+history build, the staging integrity audit, the stratified sampler's
+salted-two-stage == single-window equivalence, and the Q21-shape plan."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from logistream_data_pipeline_aws_spark.operators.dimensions import scd2_history
+
+
+def _ts(h):
+    return dt.datetime(2024, 1, 1, h, 0, 0)
+
+
+def test_scd2_history_collapses_runs(spark):
+    rows = [
+        # user 1: A A B A  -> 3 versions (A, B, A)
+        (1, _ts(1), 1, "A"),
+        (2, _ts(2), 1, "A"),
+        (3, _ts(3), 1, "B"),
+        (4, _ts(4), 1, "A"),
+        # user 2: single event -> one current version
+        (5, _ts(1), 2, "Z"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "state"])
+    out = scd2_history(df, "user_id", "state", "ts", "event_id")
+    got = {
+        (r.user_id, r.version): (r.state, r.effective_from, r.effective_to, r.n_events, r.is_current)
+        for r in out.collect()
+    }
+    assert got[(1, 1)] == ("A", _ts(1), _ts(3), 2, False)
+    assert got[(1, 2)] == ("B", _ts(3), _ts(4), 1, False)
+    assert got[(1, 3)] == ("A", _ts(4), None, 1, True)
+    assert got[(2, 1)] == ("Z", _ts(1), None, 1, True)
+
+
+def test_scd2_history_null_state_forms_runs(spark):
+    # NULL is a real state: consecutive NULLs collapse into ONE run (the
+    # null-safe compare), and a leading NULL still opens version 1
+    rows = [
+        (1, _ts(1), 1, None),
+        (2, _ts(2), 1, None),
+        (3, _ts(3), 1, "A"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, state string")
+    out = scd2_history(df, "user_id", "state", "ts", "event_id")
+    got = {r.version: (r.state, r.n_events, r.is_current) for r in out.collect()}
+    assert got[1] == (None, 2, False)
+    assert got[2] == ("A", 1, True)
+
+
+def test_stratified_sample_matches_single_window_reference(spark):
+    """The salted two-stage top-k must equal the naive one-window rank —
+    the scale decomposition is a pure rewrite, not an approximation."""
+    from pyspark.sql import Window
+
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        corpus_stratified_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_id, r.sample_rank)
+        for r in corpus_stratified_sample(spark, sf, k=7).collect()
+    }
+    from logistream_data_pipeline_aws_spark.catalog import load_table
+
+    docs = load_table(spark, "documents", sf)
+    u = F.md5(F.concat(F.lit("strat#"), F.col("doc_id")))
+    w = Window.partitionBy("lang").orderBy(u.alias("_u"), "doc_id")
+    ref = {
+        (r.doc_id, r.sample_rank)
+        for r in docs.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("sample_rank") <= 7)
+        .collect()
+    }
+    assert got == ref and len(got) > 0
+
+
+def test_integrity_audit_counts_orphans_and_nulls(spark, tmp_path):
+    """Inject one orphan lineitem and a NULL orderdate into a copied
+    fixture dir; the audit must count exactly those."""
+    import glob
+    import os
+
+    base = "/root/testdata/sf0.001"
+    d = str(tmp_path / "broken")
+    os.makedirs(d)
+    for p in glob.glob(base + "/*.parquet"):
+        t = os.path.basename(p)
+        if t not in ("lineitem.parquet", "orders.parquet"):
+            os.symlink(p, os.path.join(d, t))
+    li = spark.read.parquet(base + "/lineitem.parquet")
+    bad = li.limit(1).withColumn("l_orderkey", F.lit(999999999))
+    li.unionByName(bad).coalesce(1).write.parquet(d + "/lineitem.parquet")
+    orders = spark.read.parquet(base + "/orders.parquet")
+    bad_o = orders.limit(1).withColumn(
+        "o_orderdate", F.lit(None).cast("timestamp")
+    ).withColumn("o_orderkey", F.lit(888888888))
+    orders.unionByName(bad_o).coalesce(1).write.parquet(d + "/orders.parquet")
+
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        warehouse_integrity_audit,
+    )
+
+    rep = {r.check_name: (r.n_scanned, r.n_bad) for r in warehouse_integrity_audit(spark, d).collect()}
+    n_li = li.count() + 1
+    assert rep["lineitem_orphan_orderkey"] == (n_li, 1)
+    assert rep["orders_null_orderdate"][1] == 1
+    assert rep["lineitem_orphan_partkey"][1] == 0
+    assert rep["nation_orphan_regionkey"][1] == 0
+
+
+def test_waiting_suppliers_plan_decorrelates(spark):
+    """The Q21-shape double-correlated EXISTS/NOT EXISTS must plan as
+    semi + anti hash joins (no per-row subquery, no cartesian)."""
+    from logistream_data_pipeline_aws_spark.plans.sql_views import (
+        sql_waiting_suppliers,
+    )
+
+    plan = sql_waiting_suppliers(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
