@@ -64,6 +64,57 @@ _STATUS_CTE = (
 )
 
 
+def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+    """Unrolled Lloyd-iteration replay of operators.similarity
+    .ivf_kmeans_assign: identical left-fold distance order (list_reduce
+    == F.aggregate), identical decimal-sum means, identical (d2, cid)
+    argmin tie-break — so the iterative index build is hash-exact, not
+    rows-only."""
+
+    def d2(v: str, c: str) -> str:
+        diffs = (
+            f"list_transform(list_zip({v}, {c}), "
+            "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+            "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))"
+        )
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {diffs}), "
+            "(u, v2) -> u + v2)"
+        )
+
+    def assign(name: str, cents: str) -> str:
+        return (
+            f"{name} AS (SELECT vid, vv, cid, d2 FROM ("
+            "SELECT vid, vv, cid, d2, "
+            "ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn "
+            f"FROM (SELECT v.vid, v.vv, c.cid, {d2('v.vv', 'c.cv')} AS d2 "
+            f"FROM v CROSS JOIN {cents} c)) WHERE rn = 1)"
+        )
+
+    sql = (
+        "WITH v AS (SELECT vec_id AS vid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings), "
+        f"c0 AS (SELECT CAST(vid AS INT) AS cid, vv AS cv FROM v WHERE vid < {k})"
+    )
+    prev = "c0"
+    for i in range(1, iters + 1):
+        sql += ", " + assign(f"a{i}", prev)
+        sql += (
+            f", m{i} AS (SELECT cid, pos, "
+            "CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS m "
+            f"FROM (SELECT cid, unnest(vv) AS x, "
+            f"unnest(range(1, len(vv) + 1)) AS pos FROM a{i}) GROUP BY cid, pos)"
+            f", c{i} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid)"
+        )
+        prev = f"c{i}"
+    sql += ", " + assign("afinal", prev)
+    return (
+        sql
+        + " SELECT vid AS vec_id, list_id, ROUND(d2, 6) AS dist2 "
+        "FROM (SELECT vid, CAST(cid AS INT) AS list_id, d2 FROM afinal)"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (see COVERAGE.md "driver verification rotation"):
     # CORRECTNESS_r01/r02.json each recorded exactly the first 50 dict
@@ -85,6 +136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": X.corpus_stratified_sample,
         # pre-load DQ gate: orphan-FK + null-rate report
         "warehouse_integrity_audit": X.warehouse_integrity_audit,
+        # training-data export sharding manifest (md5-bucketed)
+        "corpus_shard_manifest": X.corpus_shard_manifest,
+        # IVF with real Lloyd iterations, hash-exact unrolled oracle
+        "similarity_ivf_kmeans": X.similarity_ivf_kmeans,
         # streaming MERGE upsert + the time-partitioned fact layout proof
         "events_stream_upsert": X.events_stream_upsert,
         "fact_date_slice": X.fact_date_slice,
@@ -1006,6 +1061,17 @@ def _ext_oracles() -> dict[str, str]:
             "WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01' "
             "AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY "
             "GROUP BY l.l_returnflag"
+        ),
+        # k-means IVF: unrolled Lloyd-iteration replay (see _kmeans_oracle)
+        "similarity_ivf_kmeans": _kmeans_oracle(k=4, iters=2),
+        # shard manifest: md5-prefix mod 16 assignment, per-shard stats
+        "corpus_shard_manifest": (
+            "SELECT CAST((('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 16) AS INT) AS shard_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            "MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id, "
+            "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources "
+            "FROM documents GROUP BY 1"
         ),
         # staging DQ report: orphan-FK + null-rate checks, one row each
         "warehouse_integrity_audit": (

@@ -187,3 +187,77 @@ def ann_topk(
         )
     )
     return _topk(scored, k)
+
+
+def ivf_kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF index build with REAL Lloyd iterations: deterministic seeding
+    (first ``k`` vectors by id), then ``iters`` rounds of
+    assign-to-nearest / recompute-means, then the final assignment —
+    (vector id, inverted-list id, squared distance).
+
+    Everything is engine-exact so a SQL oracle can replay it verbatim:
+    distances are sequential left-folds over (v-c)^2 (same order as the
+    oracle's list_reduce), means follow the decimal-sum contract
+    (DECIMAL(30,8) exact sum, double divide — order-independent), and
+    argmin ties break on centroid id.
+
+    Scale shape per iteration: centroids are k tiny rows broadcast into
+    a map-side cross-score; the argmin window partitions by vector id
+    (uniform); the mean recompute shuffles on (centroid, dim) — k*dim
+    groups.  The corpus never self-joins and the iteration count is
+    fixed, so the plan is a static unroll (the connected-components
+    persist discipline is unnecessary here: each round's centroids are
+    k rows, not an edge list)."""
+    w = Window.partitionBy("_vid").orderBy("_d2", "_cid")
+    vecs = df.select(
+        F.col(id_col).alias("_vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    cents = vecs.where(F.col("_vid") < k).select(
+        F.col("_vid").cast("int").alias("_cid"), F.col("_v").alias("_c")
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with("_v", "_c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return (
+            vecs.crossJoin(F.broadcast(cents_df))
+            .withColumn("_d2", d2)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("_vid", "_v", "_cid", "_d2")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        means = (
+            assigned.select("_cid", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cid", "_pos")
+            .agg(
+                (
+                    F.sum(F.col("_x").cast("decimal(30,8)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("_m")
+            )
+        )
+        cents = means.groupBy("_cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_m"))),
+                lambda s: s.getField("_m"),
+            ).alias("_c")
+        )
+
+    return assign(cents).select(
+        F.col("_vid").alias("vec_id"),
+        F.col("_cid").alias("list_id"),
+        F.round("_d2", 6).alias("dist2"),
+    )

@@ -1586,3 +1586,44 @@ def warehouse_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         report = report.unionByName(c)
     return report
+
+
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str, n_shards: int = 16) -> DataFrame:
+    """Training-data export sharding: assign every document a shard by
+    md5 prefix (pure function of doc_id — reproducible, engine-neutral)
+    and emit the shard manifest a downstream trainer consumes (doc
+    counts, char volume, id range, source spread per shard).
+
+    Scale shape: the shard id is a map-side expression — the only
+    shuffle is the k-group manifest aggregation; the write side would
+    `partitionBy(shard_id)` with this exact key, so manifest and layout
+    can never disagree."""
+    docs = load_table(spark, "documents", sf_dir)
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("shard#"), F.col("doc_id"))), 1, 7),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    return (
+        docs.withColumn("shard_id", shard)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+    )
+
+
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build with real Lloyd iterations (k=4, 2 rounds,
+    deterministic first-k seeding) — the iterative-algorithm shape with
+    a hash-exact unrolled oracle; see
+    ``operators.similarity.ivf_kmeans_assign``."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.ivf_kmeans_assign(emb, "vec_id", "embedding", k=4, iters=2)

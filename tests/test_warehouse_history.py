@@ -124,3 +124,40 @@ def test_waiting_suppliers_plan_decorrelates(spark):
     plan = sql_waiting_suppliers(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ivf_kmeans_matches_numpy_replica(spark):
+    """The fixed-seed 2-round Lloyd build must match an independent numpy
+    implementation of the same spec (first-k seeding, (d2, cid) argmin
+    tie-break, per-dim mean) on assignments."""
+    import numpy as np
+
+    from logistream_data_pipeline_aws_spark.catalog import load_table
+    from logistream_data_pipeline_aws_spark.operators.similarity import (
+        ivf_kmeans_assign,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", sf)
+    rows = sorted(
+        ((r.vec_id, np.array(r.embedding, dtype=np.float64)) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    mat = np.stack([t[1] for t in rows])
+    k = 4
+    cents = mat[ids < k].copy()
+    cent_ids = list(range(k))
+    for _ in range(2):
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties break on lower index == lower cid
+        cents = np.stack([mat[assign == j].mean(axis=0) for j in range(len(cent_ids))])
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    expected = dict(zip(ids.tolist(), d2.argmin(axis=1).tolist()))
+
+    got = {
+        r.vec_id: r.list_id
+        for r in ivf_kmeans_assign(emb, "vec_id", "embedding", k=k, iters=2).collect()
+    }
+    assert got == expected
+    assert len(set(got.values())) == k  # no list collapsed on this fixture
