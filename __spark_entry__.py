@@ -140,6 +140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shard_manifest": X.corpus_shard_manifest,
         # IVF with real Lloyd iterations, hash-exact unrolled oracle
         "similarity_ivf_kmeans": X.similarity_ivf_kmeans,
+        # materialized-aggregate maintenance (partial-merge algebra)
+        "incremental_agg_maintenance": X.incremental_agg_maintenance,
+        # exact heavy hitters: Misra-Gries candidates + exact recount
+        "events_heavy_hitters": X.events_heavy_hitters,
         # streaming MERGE upsert + the time-partitioned fact layout proof
         "events_stream_upsert": X.events_stream_upsert,
         "fact_date_slice": X.fact_date_slice,
@@ -1061,6 +1065,22 @@ def _ext_oracles() -> dict[str, str]:
             "WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01' "
             "AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY "
             "GROUP BY l.l_returnflag"
+        ),
+        # heavy hitters: exact recount makes the MG pass invisible to the
+        # result — the oracle is the plain GROUP BY ... HAVING
+        "events_heavy_hitters": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows "
+            "FROM events WHERE user_id IS NOT NULL GROUP BY user_id "
+            "HAVING COUNT(*) > (SELECT COUNT(*) FROM events "
+            "WHERE user_id IS NOT NULL) / 2000.0"
+        ),
+        # merged monthly partials must equal the single-pass GROUP BY
+        "incremental_agg_maintenance": (
+            "SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS month, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_price "
+            "FROM orders GROUP BY 1"
         ),
         # k-means IVF: unrolled Lloyd-iteration replay (see _kmeans_oracle)
         "similarity_ivf_kmeans": _kmeans_oracle(k=4, iters=2),

@@ -1627,3 +1627,62 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators.similarity.ivf_kmeans_assign``."""
     emb = load_table(spark, "embeddings", sf_dir)
     return S.ivf_kmeans_assign(emb, "vec_id", "embedding", k=4, iters=2)
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: the monthly sales rollup is
+    kept as ALGEBRAIC partials (count, exact decimal sum) so a delta
+    batch folds in with a keyed merge instead of a base-table rescan —
+    at 100 TB the base partial table is read once (here both sides are
+    recomputed only because the driver query must be self-contained; the
+    merge algebra is what's under test).  AVG is derived from the merged
+    (sum, count) pair, never averaged across batches.  The oracle is the
+    single-pass GROUP BY over the full table — equality proves the
+    partial-merge algebra exact, including decimal-sum associativity.
+
+    Scale shape: both partials shuffle once on the month key; the merge
+    is a small full-outer equi-join on the same key (month cardinality
+    ~= tens of rows), and the delta side is incremental by definition."""
+    orders = load_table(spark, "orders", sf_dir)
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    month = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(month.alias("month")).agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("_s"),
+        )
+
+    base = partial(orders.where(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.where(F.col("o_orderdate") >= cutoff))
+    merged = base.alias("b").join(
+        delta.alias("d"), "month", "full_outer"
+    ).select(
+        "month",
+        (
+            F.coalesce(F.col("b._n"), F.lit(0)) + F.coalesce(F.col("d._n"), F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("b._s"), F.lit(0).cast("decimal(30,6)"))
+            + F.coalesce(F.col("d._s"), F.lit(0).cast("decimal(30,6)"))
+        ).alias("_total"),
+    )
+    return merged.select(
+        "month",
+        "n_orders",
+        F.col("_total").cast("double").alias("revenue"),
+        (F.col("_total").cast("double") / F.col("n_orders")).alias("avg_price"),
+    )
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter users (> 1/2000 of non-null event volume) via
+    the two-phase Misra-Gries candidate pass + exact recount — bounded
+    per-task memory at unbounded user cardinality; see
+    ``operators.frequency.exact_heavy_hitters``."""
+    from logistream_data_pipeline_aws_spark.operators.frequency import (
+        exact_heavy_hitters,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    return exact_heavy_hitters(events, ["user_id"], threshold_denom=2000)

@@ -161,3 +161,28 @@ def test_ivf_kmeans_matches_numpy_replica(spark):
     }
     assert got == expected
     assert len(set(got.values())) == k  # no list collapsed on this fixture
+
+
+def test_exact_heavy_hitters_matches_plain_groupby(spark):
+    """Skewed fixture with distinct keys >> MG capacity: the two-phase
+    result must still equal the unbounded GROUP BY ... HAVING (the MG
+    pass is a candidate superset, never a filter on truth)."""
+    from logistream_data_pipeline_aws_spark.operators.frequency import (
+        exact_heavy_hitters,
+    )
+
+    # 3 heavy keys (600 rows) + 2000 singleton keys; capacity 50 << 2003
+    rows = [(k,) for k in ("hot1",) * 300 + ("hot2",) * 200 + ("hot3",) * 100]
+    rows += [(f"cold{i}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k"]).repartition(8)
+    got = {
+        (r.k, r.n_rows)
+        for r in exact_heavy_hitters(df, ["k"], threshold_denom=50, capacity=50).collect()
+    }
+    n = len(rows)
+    ref = {
+        (r.k, r.cnt)
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).where(F.col("cnt") > n / 50.0).collect()
+    }
+    assert got == ref
+    assert {k for k, _ in got} == {"hot1", "hot2", "hot3"}
