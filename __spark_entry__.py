@@ -115,6 +115,37 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
     )
 
 
+def _pagerank_oracle(iters: int = 2) -> str:
+    """Unrolled synchronous-PageRank replay of plans.extensions
+    .supplier_pagerank: DECIMAL(38,18) contribution sums (exact,
+    order-independent) recombined in double — hash-exact scores."""
+
+    def push(i: int, frm: str, to: str, scores: str, deg: str) -> str:
+        return (
+            f"r{to}{i} AS (SELECT e.{to} AS {to}, "
+            f"0.15 + 0.85 * CAST(SUM(CAST(r.r / d.deg_{frm} AS DECIMAL(38,18))) AS DOUBLE) AS r "
+            f"FROM e JOIN {scores} r ON e.{frm} = r.{frm} "
+            f"JOIN d{frm} d ON e.{frm} = d.{frm} GROUP BY e.{to})"
+        )
+
+    sql = (
+        "WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), "
+        "dc AS (SELECT c, COUNT(*) AS deg_c FROM e GROUP BY c), "
+        "ds AS (SELECT s, COUNT(*) AS deg_s FROM e GROUP BY s), "
+        "rc0 AS (SELECT c, CAST(1.0 AS DOUBLE) AS r FROM dc), "
+        "rs0 AS (SELECT s, CAST(1.0 AS DOUBLE) AS r FROM ds)"
+    )
+    for i in range(1, iters + 1):
+        sql += ", " + push(i, "c", "s", f"rc{i-1}", "dc")
+        sql += ", " + push(i, "s", "c", f"rs{i-1}", "ds")
+    return (
+        sql
+        + f" SELECT 'C' AS node_type, c AS node_id, ROUND(r, 6) AS score FROM rc{iters}"
+        f" UNION ALL SELECT 'S' AS node_type, s AS node_id, ROUND(r, 6) AS score FROM rs{iters}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (see COVERAGE.md "driver verification rotation"):
     # CORRECTNESS_r01/r02.json each recorded exactly the first 50 dict
@@ -144,6 +175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg_maintenance": X.incremental_agg_maintenance,
         # exact heavy hitters: Misra-Gries candidates + exact recount
         "events_heavy_hitters": X.events_heavy_hitters,
+        # bipartite PageRank, 2 synchronous rounds, hash-exact oracle
+        "supplier_pagerank": X.supplier_pagerank,
         # streaming MERGE upsert + the time-partitioned fact layout proof
         "events_stream_upsert": X.events_stream_upsert,
         "fact_date_slice": X.fact_date_slice,
@@ -1066,6 +1099,8 @@ def _ext_oracles() -> dict[str, str]:
             "AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY "
             "GROUP BY l.l_returnflag"
         ),
+        # bipartite PageRank: unrolled synchronous rounds
+        "supplier_pagerank": _pagerank_oracle(iters=2),
         # heavy hitters: exact recount makes the MG pass invisible to the
         # result — the oracle is the plain GROUP BY ... HAVING
         "events_heavy_hitters": (

@@ -47,6 +47,13 @@ BENCH_QUERIES = [
     "contamination_check",
     "sql_promo_revenue",
     "sql_forecast_revenue",
+    # round-4 continuation: the Q21 triple-probe membership shape, the
+    # SCD2 window build (events-scale), the iterative k-means IVF, and
+    # the two-phase heavy-hitter pass (Arrow candidate stage)
+    "sql_waiting_suppliers",
+    "scd2_user_state",
+    "similarity_ivf_kmeans",
+    "events_heavy_hitters",
 ]
 
 

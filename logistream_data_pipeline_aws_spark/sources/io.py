@@ -126,3 +126,37 @@ def write_if_nonempty(df: DataFrame, path: str, **kwargs) -> bool:
         return False
     write_table(df, path, **kwargs)
     return True
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a fragmented table directory into
+    ceil(total_bytes / target) files and return the new file count.
+
+    Streaming sinks and highly parallel writers leave thousands of tiny
+    files per partition; at warehouse scale every downstream scan then
+    pays per-file open/footer costs and the driver pays listing costs —
+    compaction to ~128 MB files is the standard maintenance pass.  Sizing
+    comes from the filesystem (no data scan); the rewrite is one
+    ``coalesce`` job (no shuffle — partition merge only) staged through a
+    temp dir + atomic-as-possible swap so readers never see a half
+    table."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-int(total) // int(target_file_bytes)))
+
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._compacting")
+    df = getattr(spark.read, fmt)(path)
+    getattr(df.coalesce(n_files).write.mode("overwrite"), fmt)(tmp.toString())
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._old")
+    fs.rename(p, old)
+    fs.rename(tmp, p)
+    fs.delete(old, True)
+    return n_files

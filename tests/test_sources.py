@@ -145,3 +145,22 @@ def test_jdbc_roundtrip_embedded_derby(spark):
         ).first().n
         == 110
     )
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    """64 tiny files compact to the size-derived count with identical
+    contents (order-insensitive)."""
+    import os
+
+    from logistream_data_pipeline_aws_spark.sources.io import compact_table
+
+    d = str(tmp_path / "frag")
+    src = spark.range(0, 10000).withColumnRenamed("id", "k")
+    src.repartition(64).write.parquet(d)
+    assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 64
+    n = compact_table(spark, d, target_file_bytes=1 << 30)
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) == n == 1
+    back = spark.read.parquet(d)
+    assert back.count() == 10000
+    assert back.agg({"k": "sum"}).collect()[0][0] == 10000 * 9999 // 2
