@@ -177,6 +177,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": X.events_heavy_hitters,
         # bipartite PageRank, 2 synchronous rounds, hash-exact oracle
         "supplier_pagerank": X.supplier_pagerank,
+        # remaining window functions (percent_rank/cume_dist/nth_value,
+        # explicit whole-partition frames) + the unpivot reshape
+        "acctbal_window_profile": A.acctbal_window_profile,
+        "lineitem_measures_unpivot": A.lineitem_measures_unpivot,
         # streaming MERGE upsert + the time-partitioned fact layout proof
         "events_stream_upsert": X.events_stream_upsert,
         "fact_date_slice": X.fact_date_slice,
@@ -1101,6 +1105,30 @@ def _ext_oracles() -> dict[str, str]:
         ),
         # bipartite PageRank: unrolled synchronous rounds
         "supplier_pagerank": _pagerank_oracle(iters=2),
+        # frame-pinned window profile (whole-partition frame, total order)
+        "acctbal_window_profile": (
+            "SELECT c_custkey, c_nationkey, c_acctbal, "
+            "PERCENT_RANK() OVER w AS pct_rank, "
+            "CUME_DIST() OVER w AS cum_dist, "
+            "FIRST_VALUE(c_acctbal) OVER wf AS nation_min_bal, "
+            "LAST_VALUE(c_acctbal) OVER wf AS nation_max_bal, "
+            "NTH_VALUE(c_acctbal, 2) OVER wf AS nation_2nd_bal "
+            "FROM customer "
+            "WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), "
+            "wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ),
+        # UNPIVOT as UNION ALL over the measure columns
+        "lineitem_measures_unpivot": (
+            "WITH s AS (SELECT * FROM lineitem "
+            "WHERE year(l_shipdate) = 1996 AND month(l_shipdate) = 1) "
+            "SELECT l_orderkey, l_linenumber, 'quantity' AS measure, "
+            "CAST(l_quantity AS DOUBLE) AS val FROM s "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice', "
+            "CAST(l_extendedprice AS DOUBLE) FROM s "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'discount', "
+            "CAST(l_discount AS DOUBLE) FROM s"
+        ),
         # heavy hitters: exact recount makes the MG pass invisible to the
         # result — the oracle is the plain GROUP BY ... HAVING
         "events_heavy_hitters": (

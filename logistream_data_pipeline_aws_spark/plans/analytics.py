@@ -396,3 +396,53 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("window_start", "event_type", "n_events", "total_value", "n_users")
     )
+
+
+def acctbal_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window surface in one pass per nation:
+    percent_rank, cume_dist, and first/last/nth_value over an explicit
+    whole-partition frame (the default frame stops at CURRENT ROW, which
+    would make last_value a running copy of the current row — the
+    classic frame bug this entry pins).  Total order via the
+    (acctbal, custkey) tiebreak keeps every rank engine-deterministic."""
+    from pyspark.sql import Window
+
+    customer = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        # NO rounding here: both ratios are single int/int divisions, so
+        # the raw doubles are bit-identical cross-engine — while ROUND(x, 6)
+        # would hit the half-tie gap (Spark rounds the shortest decimal
+        # repr HALF_UP, DuckDB rounds the binary value) exactly when a
+        # partition size divides out to a 7dp-terminating ratio, which a
+        # 15k-customer table does
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.first_value(F.col("c_acctbal")).over(wf).alias("nation_min_bal"),
+        F.last_value(F.col("c_acctbal")).over(wf).alias("nation_max_bal"),
+        F.nth_value(F.col("c_acctbal"), 2).over(wf).alias("nation_2nd_bal"),
+    )
+
+
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (UNPIVOT/stack) of the lineitem measures for
+    one ship month — the transpose half of the pivot pair
+    (``segment_region_pivot`` is the other).  ``stack`` is a generator
+    expression: no shuffle, no UDF; the month filter is pushed to the
+    scan."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.year("l_shipdate") == 1996) & (F.month("l_shipdate") == 1)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', CAST(l_quantity AS DOUBLE), "
+            "'extendedprice', CAST(l_extendedprice AS DOUBLE), "
+            "'discount', CAST(l_discount AS DOUBLE)) AS (measure, val)"
+        ),
+    )

@@ -121,3 +121,47 @@ def test_capped_bucket_pairs_equals_uncapped_restricted(spark, rows):
             s = sorted(ids)
             want.update((s[x], s[y]) for x in range(len(s)) for y in range(x + 1, len(s)))
     assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user
+            st.integers(min_value=0, max_value=50),  # ts offset (seconds)
+            st.sampled_from(["A", "B", None]),  # state (NULL is a state)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_scd2_history_invariants(spark, rows):
+    """For arbitrary change feeds: per-user intervals chain without gaps
+    (effective_to == next effective_from), exactly one open (current)
+    interval per user, n_events sums to the feed size, and adjacent
+    intervals never share a state (null-safe)."""
+    from logistream_data_pipeline_aws_spark.operators.dimensions import scd2_history
+
+    data = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=off), u, s)
+        for i, (u, off, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, state string"
+    )
+    out = sorted(
+        scd2_history(df, "user_id", "state", "ts", "event_id").collect(),
+        key=lambda r: (r.user_id, r.version),
+    )
+    assert sum(r.n_events for r in out) == len(rows)
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == {u for u, _, _ in rows}
+    for intervals in by_user.values():
+        assert [r.version for r in intervals] == list(range(1, len(intervals) + 1))
+        assert sum(1 for r in intervals if r.is_current) == 1
+        assert intervals[-1].is_current and intervals[-1].effective_to is None
+        for a, b in zip(intervals, intervals[1:]):
+            assert a.effective_to == b.effective_from
+            assert a.state != b.state or (a.state is None) != (b.state is None)
