@@ -159,6 +159,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # until it is rotated into the head window.
     return {
         # -- new this round (never driver-verified) -------------------------
+        # ordered-step conversion funnel over the events feed
+        "events_funnel": A.events_funnel,
+        # first-seen-month cohort retention matrix
+        "events_cohort_retention": A.events_cohort_retention,
+        # snapshot-vs-snapshot CDC diff (insert/delete/update)
+        "snapshot_cdc_diff": X.snapshot_cdc_diff,
+        # Morton/Z-order 2-D clustering profile (OPTIMIZE ZORDER planning)
+        "orders_zorder_clustering": X.orders_zorder_clustering,
         # TPC-H Q21 shape: double-correlated EXISTS/NOT EXISTS
         "sql_waiting_suppliers": V.sql_waiting_suppliers,
         # SCD Type 2 interval build over the events change feed
@@ -1272,9 +1280,78 @@ def _ext_oracles() -> dict[str, str]:
     }
 
 
+def _zorder_terms(xcol: str, ycol: str, bits: int = 16) -> str:
+    # mirror of functions.keys.zorder_key: sum of interleaved bit terms,
+    # fully parenthesized (DuckDB's >>/& precedence differs from Python)
+    terms: list[str] = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
 def oracle_sql() -> dict[str, str]:
     out = _ext_oracles()
     out.update({
+        "events_funnel": (
+            # strictly-sequential funnel: each step joins the previous
+            # step's per-user entry time and keeps events at-or-after it
+            "WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type FROM events), "
+            "v AS (SELECT user_id, MIN(ts_s) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, MIN(e.ts_s) AS t2 FROM e JOIN v ON e.user_id = v.user_id "
+            "AND e.ts_s >= v.t1 WHERE e.event_type = 'click' GROUP BY 1), "
+            "p AS (SELECT e.user_id, MIN(e.ts_s) AS t3 FROM e JOIN c ON e.user_id = c.user_id "
+            "AND e.ts_s >= c.t2 WHERE e.event_type = 'purchase' GROUP BY 1), "
+            "f AS (SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name, (SELECT COUNT(*) FROM v) AS n_users "
+            "UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT COUNT(*) FROM c) "
+            "UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM p)) "
+            "SELECT a.step, a.step_name, a.n_users, a.n_users / b.n_users AS conv_from_prev "
+            "FROM f a LEFT JOIN f b ON a.step = b.step + 1"
+        ),
+        "events_cohort_retention": (
+            # integer date subtraction mirrors Spark's datediff exactly
+            "WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events), "
+            "f AS (SELECT user_id, MIN(d) AS d0 FROM e GROUP BY 1), "
+            "cell AS (SELECT e.user_id, f.d0 AS cohort_day, "
+            "CAST(e.d - f.d0 AS INTEGER) AS day_offset "
+            "FROM e JOIN f ON e.user_id = f.user_id), "
+            "r AS (SELECT cohort_day, day_offset, COUNT(DISTINCT user_id) AS n_active FROM cell GROUP BY 1, 2), "
+            "s AS (SELECT cohort_day, n_active AS cohort_size FROM r WHERE day_offset = 0) "
+            "SELECT r.cohort_day, r.day_offset, r.n_active, s.cohort_size, "
+            "r.n_active / s.cohort_size AS retention "
+            "FROM r JOIN s ON r.cohort_day = s.cohort_day"
+        ),
+        "snapshot_cdc_diff": (
+            # same deterministic snapshot carve as the Spark plan
+            "WITH base AS (SELECT o_orderkey, o_totalprice FROM orders), "
+            "snap_old AS (SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 7 "
+            "THEN o_totalprice - 10.0 ELSE o_totalprice END AS old_totalprice "
+            "FROM base WHERE o_orderkey % 10 <> 3), "
+            "snap_new AS (SELECT o_orderkey, o_totalprice AS new_totalprice "
+            "FROM base WHERE o_orderkey % 10 <> 5) "
+            "SELECT COALESCE(snap_old.o_orderkey, snap_new.o_orderkey) AS o_orderkey, "
+            "CASE WHEN snap_old.o_orderkey IS NULL THEN 'insert' "
+            "WHEN snap_new.o_orderkey IS NULL THEN 'delete' ELSE 'update' END AS change_type, "
+            "old_totalprice, new_totalprice "
+            "FROM snap_old FULL OUTER JOIN snap_new ON snap_old.o_orderkey = snap_new.o_orderkey "
+            "WHERE snap_old.o_orderkey IS NULL OR snap_new.o_orderkey IS NULL "
+            "OR old_totalprice <> new_totalprice"
+        ),
+        "orders_zorder_clustering": (
+            # bit-for-bit mirror of functions.keys.zorder_key(day, custkey)
+            "WITH d AS (SELECT "
+            "CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) & 65535 AS day_m, "
+            "o_custkey & 65535 AS cust_m, "
+            "CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day_nr, "
+            "CAST(o_custkey AS BIGINT) AS custkey FROM orders), "
+            "z AS (SELECT CAST(" + _zorder_terms("day_m", "cust_m") + " AS BIGINT) AS z_key, "
+            "day_nr, custkey FROM d) "
+            "SELECT CAST(z_key >> 18 AS INTEGER) AS z_range, COUNT(*) AS n_rows, "
+            "MIN(z_key) AS z_min, MAX(z_key) AS z_max, "
+            "MIN(day_nr) AS day_min, MAX(day_nr) AS day_max, "
+            "MIN(custkey) AS cust_min, MAX(custkey) AS cust_max "
+            "FROM z GROUP BY 1"
+        ),
         "dim_region": (
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY r_regionkey) AS BIGINT) AS region_key, "
             "r_regionkey, r_name FROM region"

@@ -54,6 +54,11 @@ BENCH_QUERIES = [
     "scd2_user_state",
     "similarity_ivf_kmeans",
     "events_heavy_hitters",
+    # product-analytics + layout surfaces: the chained-aggregate funnel,
+    # the full-outer CDC diff, and the Morton-key clustering profile
+    "events_funnel",
+    "snapshot_cdc_diff",
+    "orders_zorder_clustering",
 ]
 
 

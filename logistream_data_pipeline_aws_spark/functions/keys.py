@@ -166,3 +166,24 @@ def write_bucketed(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton / Z-order bit interleave of two non-negative ints (each
+    masked to ``bits`` bits): the multi-dimensional clustering key behind
+    Delta/Iceberg's OPTIMIZE ZORDER.  Sorting (or range-partitioning) a
+    table by this key co-locates rows that are close in BOTH dimensions,
+    so per-file min/max statistics prune 2-D predicates — the layout
+    complement of ``sources.io.compact_table``.
+
+    Pure long shift/mask arithmetic: whole-stage-codegen JVM expression,
+    no UDF, and bit-for-bit reproducible in ANSI SQL (the oracle mirrors
+    the same term sum)."""
+    mask = F.lit((1 << bits) - 1)
+    xs = x.cast("long").bitwiseAND(mask)
+    ys = y.cast("long").bitwiseAND(mask)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.shiftleft(F.shiftright(xs, i).bitwiseAND(F.lit(1)), 2 * i)
+        out = out + F.shiftleft(F.shiftright(ys, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return out

@@ -446,3 +446,130 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'discount', CAST(l_discount AS DOUBLE)) AS (measure, val)"
         ),
     )
+
+
+# -- event-stream product analytics (funnel / cohort) -----------------------
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel view -> click -> purchase over the
+    events feed (the dashboard query family the reference's PR p.17
+    "event volume" panel implies but never ships).
+
+    Step semantics are strictly sequential: a user counts for step N only
+    with an event of step N's type AT OR AFTER their step-(N-1) entry
+    time, so out-of-order histories (purchase before first view) do not
+    leak forward.
+
+    Plan shape: ONE pass over events — three chained whole-partition
+    window minima over the same user_id partitioning (one Exchange, no
+    sort: unordered frames), then a per-user rollup that reuses the same
+    partitioning, then a single-row count.  The naive form (one
+    aggregate-and-join per step) re-derives every earlier stage's subtree
+    per step — 6 scans of the feed by step 3 — where this plan reads it
+    once regardless of funnel depth.  Step timestamps are per-user window
+    constants, so a step-N candidate filters against them row-locally.
+    Timestamps truncate to seconds so both engines bucket identically.
+
+    Output: one row per funnel step with the surviving-user count and the
+    step-over-step conversion ratio (exact BIGINT/BIGINT division,
+    row-local on the single counts row — no ratio join)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id")
+    e = events.select(
+        "user_id",
+        F.date_trunc("second", F.col("ts")).alias("ts_s"),
+        "event_type",
+    )
+    staged = (
+        e.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts_s"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts_s") >= F.col("t1")),
+                    F.col("ts_s"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts_s") >= F.col("t2")),
+                    F.col("ts_s"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    )
+    # all three counts sit in ONE row, so the step-over-step ratios are
+    # row-local arithmetic inside the unpivot — a self-join here would
+    # re-derive the whole window pipeline (second feed scan) for a 3-row
+    # frame
+    return counts.select(
+        F.expr(
+            "stack(3, 1, 'view', n1, CAST(NULL AS DOUBLE), "
+            "2, 'click', n2, n2 / n1, "
+            "3, 'purchase', n3, n3 / n2) "
+            "AS (step, step_name, n_users, conv_from_prev)"
+        )
+    ).select(
+        F.col("step").cast("int").alias("step"),
+        "step_name",
+        "n_users",
+        "conv_from_prev",
+    )
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen DAY, distinct
+    active users per (cohort, days-since-first) cell, plus the retention
+    ratio against the cohort's size.  (Day granularity because the events
+    feed spans ~one month; the month variant is the same plan with a
+    coarser truncation.)
+
+    Plan shape: first-seen is a min-aggregate per user; the activity join
+    lands on the same user_id partitioning (exchange reused); the matrix
+    is a two-column hash aggregate with an exact COUNT(DISTINCT) (Spark
+    expands this to a two-level aggregate — partial distinct per
+    partition, then merge — so no single task ever holds a cohort's full
+    user set).  Cohort sizes are the offset-0 cells, broadcast back —
+    day cardinality, never user cardinality.  Day arithmetic is integer
+    date subtraction, immune to timezone/DST interval edge cases."""
+    events = load_table(spark, "events", sf_dir)
+    e = events.select("user_id", F.to_date(F.col("ts")).alias("d"))
+    first_seen = e.groupBy("user_id").agg(F.min("d").alias("d0"))
+    cells = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            F.col("d0").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("d0")).cast("int").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = cells.where(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+        )
+    )

@@ -1747,3 +1747,102 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str, iters: int = 2) -> DataF
             )
         )
     )
+
+
+# -- snapshot CDC diff + multi-dimensional layout ---------------------------
+
+
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff between two warehouse snapshots of orders:
+    emits one row per inserted / deleted / updated key with the before and
+    after measure, dropping unchanged rows.  The batch cousin of
+    ``events_stream_upsert`` — a nightly reconciliation job answers "what
+    did yesterday's load actually change" with exactly this operator.
+
+    The two snapshots are carved deterministically from the one committed
+    orders table (no side files, so the oracle sees identical inputs):
+    keys ending in 3 are missing from the old snapshot (-> insert), keys
+    ending in 5 are missing from the new one (-> delete), keys ending in
+    7 carry a corrected price (-> update).
+
+    Plan shape: ONE full-outer equi-join on the natural key — both sides
+    hash-partition on o_orderkey, so at 100 TB this is a co-partitioned
+    shuffle join (or exchange-free over snapshots bucketed on the key,
+    the ``fact_lineitem_bucketed`` layout); the change classification is
+    pure row-local projection.  Never a row-by-row driver loop."""
+    orders = load_table(spark, "orders", sf_dir)
+    base = orders.select("o_orderkey", "o_totalprice")
+    old = base.where(F.pmod(F.col("o_orderkey"), F.lit(10)) != 3).select(
+        F.col("o_orderkey").alias("k_old"),
+        F.when(
+            F.pmod(F.col("o_orderkey"), F.lit(10)) == 7,
+            F.col("o_totalprice") - F.lit(10.0),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("old_totalprice"),
+    )
+    new = base.where(F.pmod(F.col("o_orderkey"), F.lit(10)) != 5).select(
+        F.col("o_orderkey").alias("k_new"),
+        F.col("o_totalprice").alias("new_totalprice"),
+    )
+    diff = old.join(new, old.k_old == new.k_new, "full_outer")
+    return (
+        diff.select(
+            F.coalesce("k_old", "k_new").alias("o_orderkey"),
+            F.when(F.col("k_old").isNull(), F.lit("insert"))
+            .when(F.col("k_new").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            "old_totalprice",
+            "new_totalprice",
+        )
+        .where(
+            F.col("old_totalprice").isNull()
+            | F.col("new_totalprice").isNull()
+            | (F.col("old_totalprice") != F.col("new_totalprice"))
+        )
+    )
+
+
+def orders_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering profile of orders over the two
+    dominant filter axes, order day x customer key: every row gets the
+    interleaved-bit key (``functions.keys.zorder_key``), and the profile
+    aggregates each coarse z-range (z_key >> 18) to its row count and its
+    min/max span on BOTH axes.
+
+    This is the planning half of OPTIMIZE ZORDER: sorting/range-
+    partitioning the write by ``z_key`` (through ``sources.io
+    .compact_table``'s rewrite) makes each output file's min/max span
+    narrow on day AND customer simultaneously, so a 2-D predicate prunes
+    files on either axis — where a single-column sort only prunes one.
+    The profile itself is the evidence: per-range day spans and customer
+    spans are both small fractions of the global range.  All pure long
+    arithmetic in one hash aggregate; no shuffle beyond the groupBy."""
+    from logistream_data_pipeline_aws_spark.functions.keys import zorder_key
+
+    orders = load_table(spark, "orders", sf_dir)
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    z = zorder_key(day, F.col("o_custkey"), bits=16)
+    return (
+        orders.select(
+            F.shiftright(z, 18).cast("int").alias("z_range"),
+            z.alias("z_key"),
+            day.cast("long").alias("day_nr"),
+            F.col("o_custkey").cast("long").alias("custkey"),
+        )
+        .groupBy("z_range")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("z_key").alias("z_min"),
+            F.max("z_key").alias("z_max"),
+            F.min("day_nr").alias("day_min"),
+            F.max("day_nr").alias("day_max"),
+            F.min("custkey").alias("cust_min"),
+            F.max("custkey").alias("cust_max"),
+        )
+        .select(
+            "z_range", "n_rows", "z_min", "z_max",
+            "day_min", "day_max", "cust_min", "cust_max",
+        )
+    )
