@@ -159,6 +159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # until it is rotated into the head window.
     return {
         # -- new this round (never driver-verified) -------------------------
+        # stream-static broadcast enrichment (stateless per-batch join)
+        "events_stream_enriched": X.events_stream_enriched,
+        # overlapping context-window chunking (RAG/embedding prep)
+        "doc_chunking": X.doc_chunking,
+        # 7-day trailing moving average (bounded-preceding frame)
+        "daily_sales_moving_avg": A.daily_sales_moving_avg,
         # ordered-step conversion funnel over the events feed
         "events_funnel": A.events_funnel,
         # first-seen-month cohort retention matrix
@@ -1293,10 +1299,35 @@ def _zorder_terms(xcol: str, ycol: str, bits: int = 16) -> str:
 def oracle_sql() -> dict[str, str]:
     out = _ext_oracles()
     out.update({
+        "events_stream_enriched": (
+            "SELECT e.event_id, e.user_id, UPPER(TRIM(c.c_mktsegment)) AS segment, e.value "
+            "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"
+        ),
+        "doc_chunking": (
+            # list-form generate_series + unnest mirrors Spark's sequence
+            # stride (the table-function form cannot take column params)
+            "WITH g AS (SELECT doc_id, text, "
+            "unnest(generate_series(0, CAST(length(text) AS BIGINT) - 1, 150)) AS s "
+            "FROM documents WHERE text IS NOT NULL AND length(text) > 0) "
+            "SELECT doc_id, CAST(s / 150 AS INTEGER) AS chunk_id, "
+            "CAST(s AS INTEGER) AS chunk_start, "
+            "substr(text, CAST(s AS INTEGER) + 1, 200) AS chunk_text, "
+            "CAST(length(substr(text, CAST(s AS INTEGER) + 1, 200)) AS INTEGER) AS chunk_chars "
+            "FROM g"
+        ),
+        "daily_sales_moving_avg": (
+            # decimal inside the window frame; single double division
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS order_day, "
+            "SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS _d, COUNT(*) AS n_orders "
+            "FROM orders GROUP BY 1) "
+            "SELECT order_day, CAST(_d AS DOUBLE) AS daily_sales, n_orders, "
+            "CAST(SUM(_d) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS mov7_avg "
+            "FROM d WINDOW w AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+        ),
         "events_funnel": (
             # strictly-sequential funnel: each step joins the previous
             # step's per-user entry time and keeps events at-or-after it
-            "WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type FROM events), "
+            "WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type FROM events WHERE user_id IS NOT NULL), "
             "v AS (SELECT user_id, MIN(ts_s) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1), "
             "c AS (SELECT e.user_id, MIN(e.ts_s) AS t2 FROM e JOIN v ON e.user_id = v.user_id "
             "AND e.ts_s >= v.t1 WHERE e.event_type = 'click' GROUP BY 1), "

@@ -478,7 +478,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id")
-    e = events.select(
+    # anonymous events are not funnel-attributable — and the gate keeps
+    # the window form equivalent to the join form (a NULL user would be a
+    # real window partition but never survive an equi-join)
+    e = events.where(F.col("user_id").isNotNull()).select(
         "user_id",
         F.date_trunc("second", F.col("ts")).alias("ts_s"),
         "event_type",
@@ -544,9 +547,12 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a two-column hash aggregate with an exact COUNT(DISTINCT) (Spark
     expands this to a two-level aggregate — partial distinct per
     partition, then merge — so no single task ever holds a cohort's full
-    user set).  Cohort sizes are the offset-0 cells, broadcast back —
-    day cardinality, never user cardinality.  Day arithmetic is integer
+    user set).  Cohort sizes read the offset-0 cells of the same
+    aggregated matrix through a partitioned window — never a join back
+    that would rescan the feed.  Day arithmetic is integer
     date subtraction, immune to timezone/DST interval edge cases."""
+    from pyspark.sql import Window
+
     events = load_table(spark, "events", sf_dir)
     e = events.select("user_id", F.to_date(F.col("ts")).alias("d"))
     first_seen = e.groupBy("user_id").agg(F.min("d").alias("d0"))
@@ -560,16 +566,49 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
-    sizes = cells.where(F.col("day_offset") == 0).select(
-        "cohort_day", F.col("n_active").alias("cohort_size")
+    # cohort sizes are the offset-0 cells of the SAME aggregated matrix:
+    # a windowed max over cohort_day reads it in place, where a filter +
+    # join-back would re-derive the whole aggregation subtree (second
+    # scan of the feed).  The window input is the (cohort x offset)
+    # matrix — thousands of rows at any fact scale — and it is
+    # partitioned, so no single-task funnel.
+    w = Window.partitionBy("cohort_day")
+    return cells.select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        F.max(F.when(F.col("day_offset") == 0, F.col("n_active")))
+        .over(w)
+        .alias("cohort_size"),
+    ).withColumn("retention", F.col("n_active") / F.col("cohort_size"))
+
+
+def daily_sales_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average of daily sales — the bounded-
+    preceding window frame (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+    the one frame shape the surface lacked next to the running total's
+    unbounded frame and LAG's offset.
+
+    Same scale discipline as ``cumulative_monthly_sales``: the window
+    input is the pre-aggregated daily table (a few thousand rows at any
+    fact scale), never the raw fact, so the global ordering is cheap;
+    the frame sum stays DECIMAL inside the window (cross-engine windowed
+    double sums diverge) and the average divides two exact quantities
+    once, as double arithmetic both engines share bit-for-bit."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("_d"),
+        F.count(F.lit(1)).alias("n_orders"),
     )
-    return (
-        cells.join(F.broadcast(sizes), "cohort_day")
-        .select(
-            "cohort_day",
-            "day_offset",
-            "n_active",
-            "cohort_size",
-            (F.col("n_active") / F.col("cohort_size")).alias("retention"),
-        )
+    w = Window.orderBy("order_day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "order_day",
+        F.col("_d").cast("double").alias("daily_sales"),
+        "n_orders",
+        (
+            F.sum("_d").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("mov7_avg"),
     )

@@ -1846,3 +1846,70 @@ def orders_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_min", "day_max", "cust_min", "cust_max",
         )
     )
+
+
+def doc_chunking(
+    spark: SparkSession, sf_dir: str, window: int = 200, stride: int = 150
+) -> DataFrame:
+    """Overlapping context-window chunking of documents — the step between
+    "cleaned corpus" and "embedding/RAG input": each doc yields character
+    windows of ``window`` chars every ``stride`` chars (trailing chunks
+    shorter, empty/NULL docs yield nothing).
+
+    Plan shape: chunk starts are a ``sequence`` array of ints (cheap,
+    codegen) exploded with position, and the chunk text is a substring of
+    the ORIGINAL text column — so the per-row work is O(chunks), no
+    re-derivation of an expensive array (the ``explode_once`` trap only
+    bites CPU-heavy array builds), no shuffle at all: scan -> generate ->
+    project.  At 100 TB this is embarrassingly parallel and the output
+    inherits the input partitioning."""
+    docs = load_table(spark, "documents", sf_dir)
+    n = F.length("text")
+    starts = F.when(
+        F.col("text").isNotNull() & (n > 0),
+        F.sequence(F.lit(0), n - F.lit(1), F.lit(stride)),
+    )
+    return (
+        docs.select("doc_id", "text", starts.alias("_starts"))
+        .select("doc_id", "text", F.posexplode("_starts").alias("chunk_id", "chunk_start"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.substring(F.col("text"), F.col("chunk_start") + F.lit(1), F.lit(window)).alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_chars", F.length("chunk_text").cast("int"))
+    )
+
+
+def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-static broadcast enrichment as a driver-checkable
+    query (``streaming.pipeline.stream_static_join``): file-source events
+    stream joined per micro-batch against the static customer dimension
+    (user_id -> c_custkey, the dual-feed scenario's lookup side).  The
+    join is stateless — the dim is broadcast to each micro-batch, no
+    stream-side state, no watermark needed — so the availableNow drain
+    is deterministic and the oracle is the equivalent batch left join.
+
+    At scale this is the canonical "enrich the firehose" shape: the
+    static side refreshes per batch and never shuffles the stream."""
+    from logistream_data_pipeline_aws_spark.catalog import events_stream
+    from logistream_data_pipeline_aws_spark.functions.normalize import norm_key
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        run_available_now,
+        stream_static_join,
+    )
+
+    dim = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"),
+        norm_key("c_mktsegment").alias("segment"),
+    )
+    name = "events_stream_enriched_sink"
+    with events_stream(spark, sf_dir) as stream:
+        enriched = stream_static_join(
+            stream.select("event_id", "user_id", "value"), dim, on="user_id"
+        ).select("event_id", "user_id", "segment", "value")
+        run_available_now(enriched, name, output_mode="append")
+    return spark.table(name)

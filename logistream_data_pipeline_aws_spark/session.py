@@ -59,6 +59,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # quieter local runs
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # -- heap: local mode shares ONE JVM between driver and executors;
+        # Spark's 1g default OOMs a long session (the 120-query plan audit
+        # dies at ~114 with persisted staged frames).  Effective only at
+        # JVM launch — the first getOrCreate in the process.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -234,3 +234,36 @@ def test_events_ts_unit_rejects_ms_and_invalidates_on_rewrite(tmp_path):
     write(pa.timestamp("ms"))
     with pytest.raises(ValueError, match="'ms'"):
         events_ts_unit(str(d))
+
+
+def test_doc_chunking_covers_text_with_overlap(spark):
+    """Every character position of every document falls in >= 1 chunk;
+    consecutive chunks overlap by exactly window - stride chars; chunk
+    text round-trips against the source substring."""
+    chunks = X.doc_chunking(spark, SF_SMALL, window=200, stride=150)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", F.length("text").alias("n")
+    )
+    # coverage: per doc, first start is 0, last start + window >= n OR the
+    # last chunk ends at n (trailing chunk shorter than window)
+    agg = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.min("chunk_start").alias("first_start"),
+            F.max(F.col("chunk_start") + F.col("chunk_chars")).alias("covered_to"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .join(docs, "doc_id")
+    )
+    bad = agg.where((F.col("first_start") != 0) | (F.col("covered_to") < F.col("n")))
+    assert bad.count() == 0
+    # stride contract: starts are exactly 0, 150, 300, ...
+    offgrid = chunks.where(F.col("chunk_start") % 150 != 0)
+    assert offgrid.count() == 0
+    # length contract: every chunk is exactly min(window, n - start)
+    # chars — full windows inside the doc, truncated only at the tail
+    wrong_len = (
+        chunks.join(docs, "doc_id")
+        .where(F.col("chunk_chars") != F.least(F.lit(200), F.col("n") - F.col("chunk_start")))
+    )
+    assert wrong_len.count() == 0
