@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # until it is rotated into the head window.
     return {
         # -- new this round (never driver-verified) -------------------------
+        # equi-depth decile binning via broadcast cutpoints
+        "events_value_binning": X.events_value_binning,
         # stream-static broadcast enrichment (stateless per-batch join)
         "events_stream_enriched": X.events_stream_enriched,
         # overlapping context-window chunking (RAG/embedding prep)
@@ -1299,6 +1301,16 @@ def _zorder_terms(xcol: str, ycol: str, bits: int = 16) -> str:
 def oracle_sql() -> dict[str, str]:
     out = _ext_oracles()
     out.update({
+        "events_value_binning": (
+            # quantile_cont mirrors Spark percentile at 6dp (proven by
+            # events_value_quantiles); NULL values excluded on both sides
+            "WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL), "
+            "cuts AS (SELECT event_type, round(quantile_cont(value, 0.1), 6) AS p1, round(quantile_cont(value, 0.2), 6) AS p2, round(quantile_cont(value, 0.3), 6) AS p3, round(quantile_cont(value, 0.4), 6) AS p4, round(quantile_cont(value, 0.5), 6) AS p5, round(quantile_cont(value, 0.6), 6) AS p6, round(quantile_cont(value, 0.7), 6) AS p7, round(quantile_cont(value, 0.8), 6) AS p8, round(quantile_cont(value, 0.9), 6) AS p9 FROM e GROUP BY 1), "
+            "b AS (SELECT e.event_type, CAST(CASE WHEN e.value > c.p1 THEN 1 ELSE 0 END + CASE WHEN e.value > c.p2 THEN 1 ELSE 0 END + CASE WHEN e.value > c.p3 THEN 1 ELSE 0 END + CASE WHEN e.value > c.p4 THEN 1 ELSE 0 END + CASE WHEN e.value > c.p5 THEN 1 ELSE 0 END + CASE WHEN e.value > c.p6 THEN 1 ELSE 0 END + CASE WHEN e.value > c.p7 THEN 1 ELSE 0 END + CASE WHEN e.value > c.p8 THEN 1 ELSE 0 END + CASE WHEN e.value > c.p9 THEN 1 ELSE 0 END AS INTEGER) AS bin, e.value "
+            "FROM e JOIN cuts c ON e.event_type = c.event_type) "
+            "SELECT event_type, bin, COUNT(*) AS n_events, "
+            "MIN(value) AS lo, MAX(value) AS hi FROM b GROUP BY 1, 2"
+        ),
         "events_stream_enriched": (
             "SELECT e.event_id, e.user_id, UPPER(TRIM(c.c_mktsegment)) AS segment, e.value "
             "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"

@@ -1913,3 +1913,41 @@ def events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("event_id", "user_id", "segment", "value")
         run_available_now(enriched, name, output_mode="append")
     return spark.table(name)
+
+
+def events_value_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) feature binning of the events value per event
+    type — the discretization step between raw telemetry and a model
+    feature.  Two passes: per-type decile cutpoints (exact interpolated
+    percentile, the oracle-checkable baseline; at 100 TB swap in
+    approx_percentile exactly as events_value_quantiles notes), then the
+    cutpoint rows — types x 9 doubles, trivially broadcast — join back
+    and the bin index is a row-local sum of threshold comparisons.  The
+    profile aggregates each (type, bin) to count and value span.
+
+    NULL values are excluded up front (percentile ignores them; a NULL
+    comparison would bin them arbitrarily); cutpoints round to 6dp, the
+    proven cross-engine-exact surface for interpolated percentiles."""
+    events = load_table(spark, "events", sf_dir).where(F.col("value").isNotNull())
+    qs = [i / 10 for i in range(1, 10)]
+    cuts = events.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"p{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    bin_expr = sum(
+        F.when(F.col("value") > F.col(f"p{i}"), F.lit(1)).otherwise(F.lit(0))
+        for i in range(1, 10)
+    )
+    return (
+        events.join(F.broadcast(cuts), "event_type")
+        .select("event_type", bin_expr.cast("int").alias("bin"), "value")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .select("event_type", "bin", "n_events", "lo", "hi")
+    )
