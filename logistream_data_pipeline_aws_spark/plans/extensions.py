@@ -1688,6 +1688,12 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_heavy_hitters(events, ["user_id"], threshold_denom=2000)
 
 
+# Staged bipartite edge list for the PageRank rounds (see
+# supplier_pagerank docstring): keyed by (applicationId, sf_dir) so a
+# restarted session never sees a stale persisted plan.
+_PAGERANK_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def supplier_pagerank(spark: SparkSession, sf_dir: str, iters: int = 2) -> DataFrame:
     """PageRank (damping 0.85, two synchronous rounds) over the bipartite
     customer-supplier graph induced by order lineitems — the second
@@ -1698,18 +1704,30 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str, iters: int = 2) -> DataF
     DECIMAL(38,18) before the sum (exact, order-independent), and the
     0.15 + 0.85 * sum recombination runs in double on both engines.
 
-    Scale shape: the edge list shuffles once per round on the uniform
+    Scale shape: the edge list — the expensive lineitem-joins-orders
+    distinct — is STAGED (persisted once per application + sf_dir, the
+    minhash-signature discipline): the unrolled rounds reference it
+    ~8x, and without the persist every reference re-derived the whole
+    join+distinct subtree (the plan audit showed 8 feed scans / 38
+    exchanges).  Per round the cached edges shuffle once on the uniform
     join key (customer then supplier), degrees broadcast-join back, and
     score vectors are one row per node.  A fixed 2-round unroll needs no
-    checkpointing; production-depth iteration would persist each score
-    vector per round (the connected_components discipline)."""
-    li = load_table(spark, "lineitem", sf_dir)
-    orders = load_table(spark, "orders", sf_dir)
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    checkpointing; production-depth iteration would also persist each
+    score vector per round (the connected_components discipline)."""
+    def build_edges() -> DataFrame:
+        li = load_table(spark, "lineitem", sf_dir)
+        orders = load_table(spark, "orders", sf_dir)
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+            .distinct()
+        )
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    edges = _PAGERANK_EDGE_CACHE.get(cache_key)
+    if edges is None:
+        edges = build_edges().persist()
+        _PAGERANK_EDGE_CACHE[cache_key] = edges
     deg_c = edges.groupBy("c").agg(F.count(F.lit(1)).alias("deg_c"))
     deg_s = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg_s"))
     r_c = deg_c.select("c", F.lit(1.0).alias("r"))
