@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # until it is rotated into the head window.
     return {
         # -- new this round (never driver-verified) -------------------------
+        # DAU/WAU rolling-distinct active users + stickiness
+        "events_active_users": X.events_active_users,
         # equi-depth decile binning via broadcast cutpoints
         "events_value_binning": X.events_value_binning,
         # stream-static broadcast enrichment (stateless per-batch join)
@@ -1301,6 +1303,17 @@ def _zorder_terms(xcol: str, ycol: str, bits: int = 16) -> str:
 def oracle_sql() -> dict[str, str]:
     out = _ext_oracles()
     out.update({
+        "events_active_users": (
+            # rolling distinct via the same 7-anchor scatter decomposition
+            "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events "
+            "WHERE user_id IS NOT NULL), "
+            "dau AS (SELECT d, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1), "
+            "offs AS (SELECT unnest(generate_series(0, 6)) AS off), "
+            "anchored AS (SELECT du.d + CAST(offs.off AS INTEGER) AS anchor, du.user_id FROM du, offs), "
+            "wau AS (SELECT anchor, COUNT(DISTINCT user_id) AS wau FROM anchored GROUP BY 1) "
+            "SELECT dau.d, dau.dau, wau.wau, dau.dau / wau.wau AS stickiness "
+            "FROM dau JOIN wau ON dau.d = wau.anchor"
+        ),
         "events_value_binning": (
             # quantile_cont mirrors Spark percentile at 6dp (proven by
             # events_value_quantiles); NULL values excluded on both sides

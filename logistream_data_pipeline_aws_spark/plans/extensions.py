@@ -1969,3 +1969,31 @@ def events_value_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "bin", "n_events", "lo", "hi")
     )
+
+
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily / weekly active users and stickiness (DAU/WAU) — the product
+    health metric family.  The hard part is the ROLLING DISTINCT: WAU on
+    day d counts distinct users over [d-6, d], and no window frame can
+    sum distincts.  Decomposition: dedup to (day, user) pairs once, then
+    scatter each pair onto the 7 anchor days it contributes to (explode
+    of a constant 0..6 offset array — a 7x fan-out of the already
+    day-deduped pairs, NOT of raw events) and count distinct per anchor.
+    Exact, shuffle-bounded by (days x users), no per-day window sort.
+    At 100 TB the same shape runs with HLL sketches (approx_count_
+    distinct merges across anchors) — this exact form is the
+    oracle-checkable baseline.  Stickiness = DAU/WAU, the one double
+    division both engines share bit-for-bit."""
+    events = load_table(spark, "events", sf_dir).where(F.col("user_id").isNotNull())
+    du = events.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    dau = du.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    anchored = du.select(
+        "d", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    ).select(F.date_add(F.col("d"), F.col("off")).alias("anchor"), "user_id")
+    wau = anchored.groupBy("anchor").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, dau.d == wau.anchor)
+        .select(
+            "d", "dau", "wau", (F.col("dau") / F.col("wau")).alias("stickiness")
+        )
+    )
