@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # until it is rotated into the head window.
     return {
         # -- new this round (never driver-verified) -------------------------
+        # market-basket co-occurrence (frequent part pairs, k=2)
+        "basket_part_pairs": X.basket_part_pairs,
         # DAU/WAU rolling-distinct active users + stickiness
         "events_active_users": X.events_active_users,
         # equi-depth decile binning via broadcast cutpoints
@@ -1303,6 +1305,12 @@ def _zorder_terms(xcol: str, ycol: str, bits: int = 16) -> str:
 def oracle_sql() -> dict[str, str]:
     out = _ext_oracles()
     out.update({
+        "basket_part_pairs": (
+            "WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
+            "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders "
+            "FROM bp a JOIN bp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2"
+        ),
         "events_active_users": (
             # rolling distinct via the same 7-anchor scatter decomposition
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events "

@@ -1997,3 +1997,30 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d", "dau", "wau", (F.col("dau") / F.col("wau")).alias("stickiness")
         )
     )
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str, min_support: int = 2) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in at
+    least ``min_support`` orders — the frequent-itemset k=2 pass every
+    retail stack runs (and the candidate-generation step of Apriori).
+
+    Plan shape: dedup to (order, part) pairs, then ONE co-partitioned
+    self equi-join on the order key with ``part_a < part_b`` ordering
+    the pair canonically and halving the output.  The fan-out is bounded
+    by order size squared (orders hold ~a few parts), NOT corpus
+    size — this is the same bounded-blowup argument as the LSH bucket
+    caps, and at 100 TB the join is a single shuffle of the deduped
+    pair list (or exchange-free over order-bucketed tables).  The
+    support HAVING prunes the long tail before it leaves the
+    aggregation."""
+    li = load_table(spark, "lineitem", sf_dir)
+    bp = li.select("l_orderkey", "l_partkey").distinct()
+    a = bp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = bp.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (a.o == b.o2) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= min_support)
+        .select("part_a", "part_b", "n_orders")
+    )
