@@ -165,3 +165,41 @@ def test_scd2_history_invariants(spark, rows):
         for a, b in zip(intervals, intervals[1:]):
             assert a.effective_to == b.effective_from
             assert a.state != b.state or (a.state is None) != (b.state is None)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_key_property(spark, pts):
+    """zorder_key == the textbook Morton interleave for arbitrary 16-bit
+    points, stays within 32 bits, and is injective on distinct points."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from logistream_data_pipeline_aws_spark.functions.keys import zorder_key
+
+    def morton(x: int, y: int) -> int:
+        out = 0
+        for i in range(16):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame([Row(x=x, y=y) for x, y in pts])
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == morton(x, y)
+        assert 0 <= got[(x, y)] < (1 << 32)
+    assert len(set(got.values())) == len(pts)
