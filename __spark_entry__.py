@@ -159,6 +159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # until it is rotated into the head window.
     return {
         # -- new this round (never driver-verified) -------------------------
+        # hypertable gap-fill: dense hourly spine + LOCF interpolation
+        "events_gapfill_locf": X.events_gapfill_locf,
+        # daily time-weighted average (irregular-sampling aggregate)
+        "events_twap": X.events_twap,
+        # first/last-touch purchase attribution over the events feed
+        "events_attribution": X.events_attribution,
         # market-basket co-occurrence (frequent part pairs, k=2)
         "basket_part_pairs": X.basket_part_pairs,
         # DAU/WAU rolling-distinct active users + stickiness
@@ -1305,6 +1311,50 @@ def _zorder_terms(xcol: str, ycol: str, bits: int = 16) -> str:
 def oracle_sql() -> dict[str, str]:
     out = _ext_oracles()
     out.update({
+        "events_gapfill_locf": (
+            # per-type hourly spine via generate_series; decimal-sum
+            # average; IGNORE NULLS running last_value carries it forward
+            "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n, "
+            "SUM(CAST(value AS DECIMAL(30,6))) AS sv, COUNT(value) AS nv FROM events GROUP BY 1, 2), "
+            "b AS (SELECT event_type, MIN(hr) AS mn, MAX(hr) AS mx FROM h GROUP BY 1), "
+            "s AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM b), "
+            "j AS (SELECT s.event_type, s.hr, h.n, "
+            "CASE WHEN h.nv > 0 THEN CAST(h.sv AS DOUBLE) / h.nv END AS avg_v, "
+            "h.n IS NULL AS is_gap FROM s LEFT JOIN h ON s.event_type = h.event_type AND s.hr = h.hr) "
+            "SELECT event_type, CAST(hr AS TIMESTAMP) AS hr, CAST(COALESCE(n, 0) AS BIGINT) AS n_events, is_gap, "
+            "last_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf FROM j"
+        ),
+        "events_twap": (
+            # LEAD inside the (type, day) partition, integer-microsecond
+            # weights, decimal weighted sum, one closing double division
+            "WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d, ts, event_id, value "
+            "FROM events WHERE value IS NOT NULL), "
+            "p AS (SELECT event_type, d, value, "
+            "epoch_us(lead(ts) OVER (PARTITION BY event_type, d ORDER BY ts, event_id)) - epoch_us(ts) AS dt_us FROM e) "
+            "SELECT event_type, d, COUNT(*) AS n_intervals, CAST(SUM(dt_us) AS BIGINT) AS span_us, "
+            # scale 2 (the value grain): keeps the summed unscaled int
+            # under 2^53 so DuckDB's decimal->double cast rounds once;
+            # width 30 because DuckDB's multiply keeps the wider OPERAND
+            # width and 18 overflows on sparse days; divisor cast to
+            # BIGINT because DOUBLE / DECIMAL(38,0) is a non-IEEE path
+            "CAST(SUM(CAST(value AS DECIMAL(30,2)) * CAST(dt_us AS DECIMAL(14,0))) AS DOUBLE) / CAST(SUM(dt_us) AS BIGINT) AS twap "
+            "FROM p WHERE dt_us IS NOT NULL GROUP BY 1, 2"
+        ),
+        "events_attribution": (
+            # strictly-preceding frame: a purchase never attributes to
+            # itself; opening purchases land in the (NULL, NULL) bucket
+            "WITH e AS (SELECT user_id, ts, event_id, event_type, value FROM events "
+            "WHERE user_id IS NOT NULL), "
+            "a AS (SELECT event_type, value, "
+            "first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) OVER w AS first_touch, "
+            "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) OVER w AS last_touch "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+            "SELECT first_touch, last_touch, COUNT(*) AS n_purchases, "
+            "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS attributed_value "
+            "FROM a WHERE event_type = 'purchase' GROUP BY 1, 2"
+        ),
         "basket_part_pairs": (
             "WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
             "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders "

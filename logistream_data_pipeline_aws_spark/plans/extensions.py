@@ -2024,3 +2024,169 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str, min_support: int = 2) ->
         .where(F.col("n_orders") >= min_support)
         .select("part_a", "part_b", "n_orders")
     )
+
+
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup with last-observation-carried-forward
+    interpolation — the hypertable `time_bucket_gapfill + locf` shape
+    that turns an irregular event feed into a dense, chartable series.
+
+    One pass over the feed: hourly aggregate (decimal sum -> one double
+    division, the proven cross-engine-exact average), then each observed
+    bucket SCATTERS itself plus the empty hours up to its successor
+    (``lead`` + ``sequence`` explode — no bounds frame, no spine join,
+    so the aggregate subtree is never re-derived and events is scanned
+    once), and a running ``last(ignorenulls)`` window carries the latest
+    observed average across the fill rows (and through buckets whose
+    events all carry NULL values — scattering the source average alone
+    would stop the carry there).  Both windows share the per-event_type
+    partitioning, so the whole fill stage costs ONE shuffle after the
+    aggregate, and its state is bounded by the TIME RANGE, not the
+    corpus: at 100 TB the hourly aggregate has already reduced the feed
+    to (types x hours) rows.  Empty buckets report n_events = 0,
+    is_gap = true, and the carried value (NULL until a type's first
+    observation)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir)
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("sv"),
+        F.count("value").alias("nv"),
+    )
+    scattered = (
+        hourly.withColumn(
+            "nxt", F.lead("hr").over(Window.partitionBy("event_type").orderBy("hr"))
+        )
+        .select(
+            "event_type",
+            "n",
+            "nv",
+            "sv",
+            F.col("hr").alias("src_hr"),
+            F.explode(
+                F.expr(
+                    "sequence(hr, coalesce(nxt - interval 1 hour, hr), interval 1 hour)"
+                )
+            ).alias("hr"),
+        )
+    )
+    observed = F.col("hr") == F.col("src_hr")
+    filled = scattered.select(
+        "event_type",
+        "hr",
+        F.when(observed, F.col("n")).otherwise(F.lit(0)).cast("long").alias(
+            "n_events"
+        ),
+        (~observed).alias("is_gap"),
+        F.when(
+            observed & (F.col("nv") > 0), F.col("sv").cast("double") / F.col("nv")
+        ).alias("_avg"),
+    )
+    wfill = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "hr",
+        "n_events",
+        "is_gap",
+        F.last("_avg", ignorenulls=True).over(wfill).alias("value_locf"),
+    )
+
+
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average (TWAP) of the events value per event
+    type — the time-series aggregate where each observation is weighted
+    by how long it was the latest one, not by its sample count (the
+    standard fix for irregular sampling, e.g. prices or sensor gauges).
+
+    Each event is paired with its successor via LEAD inside a
+    (event_type, day) partition — deliberately day-scoped so the window
+    state is bounded by a day's events and the job parallelizes across
+    days at 100 TB (the cross-midnight interval is dropped, the standard
+    daily-TWAP convention).  Weights are integer microseconds; the
+    weighted sum runs in decimal and the single closing double division
+    is the one float op, so both engines agree bit-for-bit.  NULL-valued
+    events are excluded up front (they are non-observations, and leaving
+    them in would silently zero their interval's contribution)."""
+    from pyspark.sql import Window
+
+    events = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("value").isNotNull())
+        .select("event_type", F.to_date("ts").alias("d"), "ts", "event_id", "value")
+    )
+    w = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    paired = events.select(
+        "event_type",
+        "d",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias(
+            "dt_us"
+        ),
+    ).where(F.col("dt_us").isNotNull())
+    return paired.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_us").alias("span_us"),
+        # Exactness contract: dt_us is cast to DECIMAL(14,0) explicitly
+        # (a bare decimal x bigint multiply exceeds Spark's 38-digit cap
+        # and silently shaves scale), and value is cast at SCALE 2 — its
+        # data grain — not 6, so the weighted sum's unscaled integer
+        # stays under 2^53 and both engines' decimal->double casts round
+        # once (DuckDB double-rounds int128-sized decimals).
+        (
+            F.sum(
+                F.col("value").cast("decimal(18,2)")
+                * F.col("dt_us").cast("decimal(14,0)")
+            ).cast("double")
+            / F.sum("dt_us")
+        ).alias("twap"),
+    )
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: every purchase
+    is credited to the channel (event type) of the user's first and most
+    recent preceding non-purchase events, then revenue rolls up per
+    (first_touch, last_touch) path — the marketing-attribution query
+    every event warehouse serves.
+
+    One pass over the feed: a per-user ordered window computes
+    ``first(touch, ignorenulls)`` and ``last(touch, ignorenulls)`` over
+    the strictly-preceding frame (UNBOUNDED PRECEDING .. 1 PRECEDING),
+    so a purchase never attributes to itself or to later events, and a
+    user's opening purchase lands in the (NULL, NULL) organic bucket.
+    The window is partitioned by user — bounded by one user's history,
+    shuffle-parallel across users at any scale.  Revenue sums run in
+    decimal (order-independent); ties inside a user's history break on
+    event_id so both engines walk the same sequence."""
+    from pyspark.sql import Window
+
+    events = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    attributed = events.select(
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    ).where(F.col("event_type") == "purchase")
+    return attributed.groupBy("first_touch", "last_touch").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias(
+            "attributed_value"
+        ),
+    )

@@ -468,3 +468,106 @@ def test_doc_repetition_edges(spark):
     assert out[1].repetition_ratio == 1.0 and out[1].n_grams == 4
     assert out[2].max_gram_freq == 1
     assert abs(out[2].repetition_ratio - round(1 / 4, 6)) < 1e-9
+
+
+def _with_events_fixture(spark, rows, fn):
+    """Run an extensions query with load_table patched to a fixture
+    events frame (event_id, ts, user_id, event_type, value)."""
+    from pyspark.sql import types as T
+
+    import logistream_data_pipeline_aws_spark.catalog as C
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    events = spark.createDataFrame(rows, schema)
+    orig = C.load_table
+    try:
+        C.load_table = lambda spark, name, sf_dir: events  # noqa: ARG005
+        X.load_table = C.load_table
+        return fn(X, spark)
+    finally:
+        C.load_table = orig
+        X.load_table = orig
+
+
+def test_gapfill_locf_fills_and_carries(spark):
+    """Empty hours appear with n_events=0/is_gap and carry the latest
+    observed hourly average; an all-NULL-value hour is a real bucket
+    whose own average is NULL until an observation exists."""
+    import datetime as dt
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = [
+        (1, t(0, 5), 1, "a", 10.0),
+        (2, t(3, 5), 1, "a", 20.0),   # hours 1-2 are gaps for type a
+        (3, t(0, 1), 1, "b", None),   # type b: one bucket, NULL average
+    ]
+    out = _with_events_fixture(
+        spark, rows,
+        lambda X, s: X.events_gapfill_locf(s, "unused").collect(),
+    )
+    a = {r.hr.hour: r for r in out if r.event_type == "a"}
+    assert sorted(a) == [0, 1, 2, 3]
+    assert (a[0].n_events, a[0].is_gap, a[0].value_locf) == (1, False, 10.0)
+    assert (a[1].n_events, a[1].is_gap, a[1].value_locf) == (0, True, 10.0)
+    assert (a[2].n_events, a[2].is_gap, a[2].value_locf) == (0, True, 10.0)
+    assert (a[3].n_events, a[3].is_gap, a[3].value_locf) == (1, False, 20.0)
+    b = [r for r in out if r.event_type == "b"]
+    assert len(b) == 1 and b[0].n_events == 1 and not b[0].is_gap
+    assert b[0].value_locf is None
+
+
+def test_twap_weights_by_holding_time(spark):
+    """10s at value 10 + 20s at value 20 -> 500/30; the closing
+    observation has no successor and carries no weight; NULL-valued
+    events are non-observations (the pairing skips over them)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda secs: t0 + dt.timedelta(seconds=secs)
+    rows = [
+        (1, s(0), 1, "a", 10.0),
+        (2, s(5), 1, "a", None),    # filtered out: 0->10s stays one interval
+        (3, s(10), 1, "a", 20.0),
+        (4, s(30), 1, "a", 99.0),   # closing observation, weight 0
+        (5, s(0), 1, "solo", 7.0),  # single event: no interval, no row
+    ]
+    out = _with_events_fixture(
+        spark, rows, lambda X, sp: X.events_twap(sp, "unused").collect()
+    )
+    rowz = {r.event_type: r for r in out}
+    assert set(rowz) == {"a"}
+    a = rowz["a"]
+    assert a.n_intervals == 2
+    assert a.span_us == 30_000_000
+    assert abs(a.twap - (10.0 * 10 + 20.0 * 20) / 30) < 1e-12
+
+
+def test_attribution_uses_strictly_preceding_touches(spark):
+    """A purchase credits the user's first and latest preceding
+    NON-purchase events; consecutive purchases look through each other;
+    a user's opening purchase lands in the (NULL, NULL) organic bucket."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, t(0), 1, "view", None),
+        (2, t(1), 1, "click", None),
+        (3, t(2), 1, "purchase", 100.0),
+        (4, t(3), 1, "purchase", 50.0),   # prior purchase is not a touch
+        (5, t(0), 2, "purchase", 30.0),   # organic: nothing precedes
+        (6, t(0), None, "view", None),    # NULL user dropped
+    ]
+    out = _with_events_fixture(
+        spark, rows, lambda X, sp: X.events_attribution(sp, "unused").collect()
+    )
+    got = {(r.first_touch, r.last_touch): (r.n_purchases, r.attributed_value) for r in out}
+    assert got == {("view", "click"): (2, 150.0), (None, None): (1, 30.0)}
