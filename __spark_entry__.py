@@ -159,6 +159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # until it is rotated into the head window.
     return {
         # -- new this round (never driver-verified) -------------------------
+        # first-order Markov transition matrix over user journeys
+        "events_transition_matrix": X.events_transition_matrix,
+        # RFM quintile scoring via broadcast percentile cutpoints
+        "customer_rfm_scores": A.customer_rfm_scores,
+        # ABC/Pareto revenue classification (decomposed global cumsum)
+        "lineitem_abc_pareto": A.lineitem_abc_pareto,
         # hypertable gap-fill: dense hourly spine + LOCF interpolation
         "events_gapfill_locf": X.events_gapfill_locf,
         # daily time-weighted average (irregular-sampling aggregate)
@@ -1311,6 +1317,60 @@ def _zorder_terms(xcol: str, ycol: str, bits: int = 16) -> str:
 def oracle_sql() -> dict[str, str]:
     out = _ext_oracles()
     out.update({
+        "events_transition_matrix": (
+            # LAG per user, counts collapsed before the normalizing
+            # window; BIGINT cast keeps the division on the IEEE path
+            "WITH e AS (SELECT user_id, ts, event_id, event_type FROM events "
+            "WHERE user_id IS NOT NULL), "
+            "p AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, "
+            "event_type AS next_type FROM e) "
+            "SELECT prev_type, next_type, COUNT(*) AS n_transitions, "
+            "COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS BIGINT) AS p_transition "
+            "FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2"
+        ),
+        "customer_rfm_scores": (
+            # quintile cutpoints rounded to 6dp (the proven percentile
+            # surface); R counts cutpoints above (small days = recent),
+            # F/M below; scores are row-local threshold sums
+            "WITH pc AS (SELECT o_custkey, "
+            "CAST(datediff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2002-01-01') AS BIGINT) AS recency_days, "
+            "COUNT(*) AS frequency, CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS monetary "
+            "FROM orders GROUP BY 1), "
+            "st AS (SELECT "
+            + ", ".join(
+                f"round(quantile_cont({m}, {q}), 6) AS {m[0]}p{i}"
+                for m in ("recency_days", "frequency", "monetary")
+                for i, q in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+            )
+            + " FROM pc), "
+            "sc AS (SELECT o_custkey, recency_days, frequency, monetary, "
+            "CAST(1 + "
+            + " + ".join(f"(CASE WHEN rp{i} > recency_days THEN 1 ELSE 0 END)" for i in range(1, 5))
+            + " AS INTEGER) AS r_score, "
+            "CAST(1 + "
+            + " + ".join(f"(CASE WHEN frequency > fp{i} THEN 1 ELSE 0 END)" for i in range(1, 5))
+            + " AS INTEGER) AS f_score, "
+            "CAST(1 + "
+            + " + ".join(f"(CASE WHEN monetary > mp{i} THEN 1 ELSE 0 END)" for i in range(1, 5))
+            + " AS INTEGER) AS m_score FROM pc, st) "
+            "SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS rfm_segment FROM sc"
+        ),
+        "lineitem_abc_pareto": (
+            # the oracle runs the plain global cumulative window; the
+            # Spark side's decile decomposition must sum the identical
+            # decimal addends, so the doubles match bit-for-bit
+            "WITH r AS (SELECT l_partkey, "
+            "SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS rev "
+            "FROM lineitem GROUP BY 1), "
+            "t AS (SELECT SUM(rev) AS total FROM r), "
+            "c AS (SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue, "
+            "CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum FROM r) "
+            "SELECT l_partkey, revenue, cum / CAST(t.total AS DOUBLE) AS cum_share, "
+            "CASE WHEN cum / CAST(t.total AS DOUBLE) <= 0.80 THEN 'A' "
+            "WHEN cum / CAST(t.total AS DOUBLE) <= 0.95 THEN 'B' ELSE 'C' END AS abc_class "
+            "FROM c, t"
+        ),
         "events_gapfill_locf": (
             # per-type hourly spine via generate_series; decimal-sum
             # average; IGNORE NULLS running last_value carries it forward

@@ -583,6 +583,172 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("retention", F.col("n_active") / F.col("cohort_size"))
 
 
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring — the
+    segmentation every CRM warehouse derives from the order history.
+
+    Quintile scores come from broadcast percentile cutpoints (the
+    ``events_value_binning`` shape), NOT from a global ``ntile`` window:
+    the customer dimension grows with the fact at scale, and cutpoints
+    make the scoring a row-local threshold sum after one broadcast —
+    no total-order sort anywhere.  Recency is measured in days before a
+    fixed anchor just past the data's horizon (small = recent, so the
+    R score counts cutpoints ABOVE the value while F/M count below);
+    monetary runs through the decimal-sum contract; cutpoints round to
+    6dp, the proven cross-engine-exact surface for interpolated
+    percentiles."""
+    anchor = "2002-01-01"
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(anchor).cast("date"), F.max(F.to_date("o_orderdate"))
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    qs = [i / 5 for i in range(1, 5)]
+    stats = per_cust.agg(
+        *[
+            F.round(F.expr(f"percentile({m}, {q})"), 6).alias(f"{m[0]}p{i}")
+            for m in ("recency_days", "frequency", "monetary")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    def _score(value: str, prefix: str, above: bool) -> Column:
+        hits = [
+            F.when(
+                F.col(f"{prefix}p{i}") > F.col(value)
+                if above
+                else F.col(value) > F.col(f"{prefix}p{i}"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            for i in range(1, 5)
+        ]
+        return (sum(hits) + F.lit(1)).cast("int")
+
+    scored = per_cust.crossJoin(F.broadcast(stats)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _score("recency_days", "r", above=True).alias("r_score"),
+        _score("frequency", "f", above=False).alias("f_score"),
+        _score("monetary", "m", above=False).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )
+
+
+# Per-part revenue staged once per (application, sf_dir): the Pareto
+# query references it from three shapes (ranked rows, decile cutpoints,
+# decile totals), and without staging each reference re-derives the
+# full lineitem aggregation — the re-derivation trap (BUILDLOG r4).
+_PART_REVENUE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _staged_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    rev = _PART_REVENUE_CACHE.get(cache_key)
+    if rev is None:
+        li = load_table(spark, "lineitem", sf_dir)
+        rev = (
+            li.groupBy("l_partkey")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                    .cast("decimal(30,4)")
+                ).alias("rev")
+            )
+            .persist()
+        )
+        _PART_REVENUE_CACHE[cache_key] = rev
+    return rev
+
+
+def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue (A = first 80% of
+    cumulative revenue, B = next 15%, C = tail) — the inventory-priority
+    analysis at the heart of supply-chain planning.
+
+    The global running total is DECOMPOSED, never a single-task window:
+    parts land in revenue-ordered deciles via broadcast percentile
+    cutpoints, the cumulative sum runs inside each decile (partitioned
+    window, decimal in-frame), and each decile's opening offset is a
+    triangular join over the 10-row decile-totals frame — the
+    ``with_sequential_key_ranged`` shape applied to a running sum, so
+    the plan survives a part dimension that grows with the fact table.
+    Scale 4 is the exact width of 2dp price x 2dp discount factor, and
+    keeps every decimal-to-double cast under 2^53 (above that DuckDB's
+    int128 conversion double-rounds).  Decile assignment is row-local,
+    so equal-revenue rows share a decile and the per-decile
+    (rev DESC, partkey) order concatenates to the exact global order."""
+    from pyspark.sql import Window
+
+    rev = _staged_part_revenue(spark, sf_dir)
+    rev_d = rev.withColumn("rev_dbl", F.col("rev").cast("double"))
+    qs = [i / 10 for i in range(1, 10)]
+    cuts = rev_d.agg(
+        *[
+            F.round(F.expr(f"percentile(rev_dbl, {q})"), 6).alias(f"p{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    decile_expr = sum(
+        F.when(F.col("rev_dbl") > F.col(f"p{i}"), F.lit(1)).otherwise(F.lit(0))
+        for i in range(1, 10)
+    )
+    binned = rev_d.crossJoin(F.broadcast(cuts)).select(
+        "l_partkey", "rev", "rev_dbl", decile_expr.cast("int").alias("decile")
+    )
+    totals = binned.groupBy("decile").agg(F.sum("rev").alias("dec_total"))
+    upper = totals.select(
+        F.col("decile").alias("d2"), F.col("dec_total").alias("t2")
+    )
+    offsets = (
+        totals.join(upper, F.col("d2") > F.col("decile"), "left")
+        .groupBy("decile")
+        .agg(F.sum("t2").alias("offset"))
+    )
+    wc = (
+        Window.partitionBy("decile")
+        .orderBy(F.col("rev").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        binned.join(F.broadcast(offsets.select("decile", "offset")), "decile")
+        .select(
+            "l_partkey",
+            "rev_dbl",
+            (
+                F.coalesce(F.col("offset"), F.lit(0).cast("decimal(30,4)"))
+                + F.sum("rev").over(wc)
+            ).alias("cum"),
+        )
+    )
+    total = rev.agg(F.sum("rev").alias("total"))
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            F.col("rev_dbl").alias("revenue"),
+            share.alias("cum_share"),
+            F.when(share <= 0.80, F.lit("A"))
+            .when(share <= 0.95, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+        )
+    )
+
+
 def daily_sales_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day trailing moving average of daily sales — the bounded-
     preceding window frame (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),

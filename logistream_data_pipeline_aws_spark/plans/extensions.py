@@ -2026,6 +2026,45 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str, min_support: int = 2) ->
     )
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys: how
+    often each event type follows each other type, with the row-
+    normalized transition probability — the sequence-mining summary
+    behind next-action prediction and journey anomaly alerts.
+
+    One LAG window partitioned per user (bounded by one user's history,
+    shuffle-parallel at any scale) pairs each event with its
+    predecessor; the pair counts collapse to a (types x types) frame
+    before the normalizing window runs, so the per-prev-type total is a
+    whole-partition sum over ~25 rows, never over raw events.  The
+    probability is one long/long double division — bit-identical in
+    both engines."""
+    from pyspark.sql import Window
+
+    events = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wt = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions") / F.sum("n_transitions").over(wt)
+        ).alias("p_transition"),
+    )
+
+
 def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly rollup with last-observation-carried-forward
     interpolation — the hypertable `time_bucket_gapfill + locf` shape

@@ -470,12 +470,30 @@ def test_doc_repetition_edges(spark):
     assert abs(out[2].repetition_ratio - round(1 / 4, 6)) < 1e-9
 
 
+def _with_table_fixture(spark, df, fn):
+    """Run a plans query with load_table patched (in the catalog and in
+    every plans module that imported it by name) to a fixture frame."""
+    import logistream_data_pipeline_aws_spark.catalog as C
+    from logistream_data_pipeline_aws_spark.plans import analytics as A
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    orig = C.load_table
+    try:
+        C.load_table = lambda spark, name, sf_dir: df  # noqa: ARG005
+        X.load_table = C.load_table
+        A.load_table = C.load_table
+        return fn(spark)
+    finally:
+        C.load_table = orig
+        X.load_table = orig
+        A.load_table = orig
+
+
 def _with_events_fixture(spark, rows, fn):
     """Run an extensions query with load_table patched to a fixture
     events frame (event_id, ts, user_id, event_type, value)."""
     from pyspark.sql import types as T
 
-    import logistream_data_pipeline_aws_spark.catalog as C
     from logistream_data_pipeline_aws_spark.plans import extensions as X
 
     schema = T.StructType(
@@ -488,14 +506,7 @@ def _with_events_fixture(spark, rows, fn):
         ]
     )
     events = spark.createDataFrame(rows, schema)
-    orig = C.load_table
-    try:
-        C.load_table = lambda spark, name, sf_dir: events  # noqa: ARG005
-        X.load_table = C.load_table
-        return fn(X, spark)
-    finally:
-        C.load_table = orig
-        X.load_table = orig
+    return _with_table_fixture(spark, events, lambda s: fn(X, s))
 
 
 def test_gapfill_locf_fills_and_carries(spark):
@@ -571,3 +582,119 @@ def test_attribution_uses_strictly_preceding_touches(spark):
     )
     got = {(r.first_touch, r.last_touch): (r.n_purchases, r.attributed_value) for r in out}
     assert got == {("view", "click"): (2, 150.0), (None, None): (1, 30.0)}
+
+
+def test_transition_matrix_counts_and_rows_normalize(spark):
+    """Per-user LAG pairing: user 1 contributes v->c, c->v, v->c; user 2
+    contributes c->c; probabilities normalize per prev row."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, t(0), 1, "v", None),
+        (2, t(1), 1, "c", None),
+        (3, t(2), 1, "v", None),
+        (4, t(3), 1, "c", None),
+        (5, t(0), 2, "c", None),
+        (6, t(1), 2, "c", None),
+        (7, t(0), None, "v", None),   # NULL user contributes nothing
+    ]
+    out = _with_events_fixture(
+        spark, rows,
+        lambda X, s: X.events_transition_matrix(s, "unused").collect(),
+    )
+    got = {(r.prev_type, r.next_type): (r.n_transitions, r.p_transition) for r in out}
+    assert got == {
+        ("v", "c"): (2, 1.0),        # v is always followed by c
+        ("c", "v"): (1, 0.5),
+        ("c", "c"): (1, 0.5),
+    }
+
+
+def test_rfm_scores_rank_quintiles(spark):
+    """Score direction: the most recent/frequent/highest-spend customer
+    scores 5 on each axis, the stalest/sparsest/lowest scores 1, and the
+    segment string concatenates the three digits."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from logistream_data_pipeline_aws_spark.plans import analytics as A
+
+    schema = T.StructType(
+        [
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    rows = []
+    # customer k (1..5): k orders, last order k days before the anchor,
+    # each order worth 100*k — so every axis ranks 5 > 4 > ... > 1
+    for k in range(1, 6):
+        for j in range(k):
+            rows.append((k, dt.datetime(2001, 12, 31) - dt.timedelta(days=k - 1 + j), 100.0 * k))
+    orders = spark.createDataFrame(rows, schema)
+    out = _with_table_fixture(
+        spark, orders, lambda s: A.customer_rfm_scores(s, "unused").collect()
+    )
+    by_cust = {r.o_custkey: r for r in out}
+    assert len(by_cust) == 5
+    # recency: customer 1 is most recent (1 day) -> r_score 5; customer 5 -> 1
+    assert by_cust[1].r_score == 5 and by_cust[5].r_score == 1
+    # frequency/monetary: customer 5 leads -> 5; customer 1 trails -> 1
+    assert by_cust[5].f_score == 5 and by_cust[1].f_score == 1
+    assert by_cust[5].m_score == 5 and by_cust[1].m_score == 1
+    for r in out:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.rfm_segment == f"{r.r_score}{r.f_score}{r.m_score}"
+
+
+def test_abc_pareto_matches_plain_cumsum_and_stays_partitioned(spark):
+    """The decile-decomposed cumulative must equal the single-window
+    reference (including revenue ties), classes split at 80/95, and the
+    plan must contain no unpartitioned window."""
+    import re
+
+    from pyspark.sql import types as T
+
+    import logistream_data_pipeline_aws_spark.plans.analytics as A
+
+    schema = T.StructType(
+        [
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+        ]
+    )
+    # 30 parts, descending revenue, with deliberate ties (pairs share a
+    # revenue) so decile-boundary ordering is exercised
+    rows = []
+    pk = 0
+    for v in range(30, 0, -1):
+        rows.append((pk, float(v * 100), 0.0)); pk += 1
+        if v % 3 == 0:
+            rows.append((pk, float(v * 100), 0.0)); pk += 1
+    li = spark.createDataFrame(rows, schema)
+    A._PART_REVENUE_CACHE.clear()
+    try:
+        df = _with_table_fixture(spark, li, lambda s: A.lineitem_abc_pareto(s, "unused"))
+        out = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        A._PART_REVENUE_CACHE.clear()
+    # reference: plain python cumulative over (rev desc, partkey)
+    revs = sorted(((r[1] * (1 - r[2]), r[0]) for r in rows), key=lambda t: (-t[0], t[1]))
+    total = sum(v for v, _ in revs)
+    cum, expect = 0.0, {}
+    for v, k in revs:
+        cum += v
+        share = cum / total
+        expect[k] = "A" if share <= 0.80 else ("B" if share <= 0.95 else "C")
+    got = {r.l_partkey: r.abc_class for r in out}
+    assert got == expect
+    shares = {r.l_partkey: r.cum_share for r in out}
+    assert max(shares.values()) == 1.0
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert not re.search(r"windowspecdefinition\([^,()]*(ASC|DESC)", line), line
