@@ -159,6 +159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # until it is rotated into the head window.
     return {
         # -- new this round (never driver-verified) -------------------------
+        # BFS hop distance (frontier expansion over the staged edges)
+        "graph_hop_distance": X.graph_hop_distance,
+        # median/MAD robust z-score alerting on daily volumes
+        "events_anomaly_mad": X.events_anomaly_mad,
         # first-order Markov transition matrix over user journeys
         "events_transition_matrix": X.events_transition_matrix,
         # RFM quintile scoring via broadcast percentile cutpoints
@@ -1317,6 +1321,36 @@ def _zorder_terms(xcol: str, ycol: str, bits: int = 16) -> str:
 def oracle_sql() -> dict[str, str]:
     out = _ext_oracles()
     out.update({
+        "events_anomaly_mad": (
+            # median + MAD as whole-partition quantile windows; 6dp
+            # rounding on both percentiles; identical arithmetic order
+            "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, "
+            "CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS daily_total, COUNT(*) AS n_events "
+            "FROM events GROUP BY 1, 2), "
+            "m AS (SELECT *, round(quantile_cont(daily_total, 0.5) OVER (PARTITION BY event_type), 6) AS med FROM daily), "
+            "dv AS (SELECT *, round(quantile_cont(abs(daily_total - med), 0.5) OVER (PARTITION BY event_type), 6) AS mad FROM m) "
+            "SELECT event_type, d, daily_total, n_events, "
+            "CASE WHEN mad > 0 THEN (0.6745 * (daily_total - med)) / mad END AS robust_z, "
+            "COALESCE(abs(CASE WHEN mad > 0 THEN (0.6745 * (daily_total - med)) / mad END) > 2.5, FALSE) AS is_anomaly "
+            "FROM dv"
+        ),
+        "graph_hop_distance": (
+            # directed doubled-edge table keeps the recursive join
+            # hashable; UNION dedup + hops < 4 bound termination; MIN
+            # collapses revisits at higher hops
+            "WITH RECURSIVE e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+            "seed AS (SELECT MIN(s) AS s FROM e), "
+            "d AS (SELECT 'S' AS ft, s AS fi, 'C' AS tt, c AS ti FROM e "
+            "UNION ALL SELECT 'C', c, 'S', s FROM e), "
+            "walk(node_type, node_id, hops) AS ("
+            "SELECT 'S', s, 0 FROM seed "
+            "UNION "
+            "SELECT d.tt, d.ti, w.hops + 1 FROM walk w "
+            "JOIN d ON d.ft = w.node_type AND d.fi = w.node_id WHERE w.hops < 4) "
+            "SELECT node_type, node_id, CAST(MIN(hops) AS INTEGER) AS hops "
+            "FROM walk GROUP BY 1, 2"
+        ),
         "events_transition_matrix": (
             # LAG per user, counts collapsed before the normalizing
             # window; BIGINT cast keeps the division on the IEEE path

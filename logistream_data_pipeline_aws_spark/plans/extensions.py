@@ -1688,10 +1688,83 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_heavy_hitters(events, ["user_id"], threshold_denom=2000)
 
 
-# Staged bipartite edge list for the PageRank rounds (see
-# supplier_pagerank docstring): keyed by (applicationId, sf_dir) so a
-# restarted session never sees a stale persisted plan.
+# Staged bipartite edge list shared by the iterative graph operators
+# (PageRank rounds, BFS hop distance): keyed by (applicationId, sf_dir)
+# so a restarted session never sees a stale persisted plan.
 _PAGERANK_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _staged_cust_supp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    edges = _PAGERANK_EDGE_CACHE.get(cache_key)
+    if edges is None:
+        li = load_table(spark, "lineitem", sf_dir)
+        orders = load_table(spark, "orders", sf_dir)
+        edges = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+            .distinct()
+            .persist()
+        )
+        _PAGERANK_EDGE_CACHE[cache_key] = edges
+    return edges
+
+
+def graph_hop_distance(spark: SparkSession, sf_dir: str, max_hops: int = 4) -> DataFrame:
+    """BFS hop distance from a seed supplier over the bipartite
+    customer-supplier graph — the frontier-expansion iteration pattern
+    (reach analysis, blast-radius queries) next to the label-propagation
+    (``dedup_clusters``) and score-push (``supplier_pagerank``) shapes.
+
+    The seed is the graph's minimum supplier key (derived from the
+    staged edge list, not hardcoded, so it exists at every scale
+    factor).  Each unrolled round joins ONLY the new frontier against
+    the staged edges and anti-joins the seen set — classic distributed
+    BFS where per-round work is bounded by the frontier, not the graph,
+    and first-discovery order is irrelevant (set semantics, no
+    tie-break needed).  Bipartite structure alternates sides, so seen
+    sets accumulate per side.  A production run would persist per-round
+    frontiers past ~6 hops (lineage growth — the connected_components
+    discipline); at 4 unrolled rounds the plan stays linear."""
+    edges = _staged_cust_supp_edges(spark, sf_dir)
+    seed = edges.agg(F.min("s").alias("s"))
+    seen_s = seed.select("s", F.lit(0).alias("hops"))
+    seen_c = None
+    frontier_s, frontier_c = seed, None
+    for hop in range(1, max_hops + 1):
+        if hop % 2 == 1:
+            # no broadcast hint: hop-1's frontier is one row but later
+            # frontiers approach the full node set — AQE picks the
+            # strategy per round from the actual frontier size
+            cand = edges.join(frontier_s.select("s"), "s").select("c").distinct()
+            if seen_c is not None:
+                cand = cand.join(seen_c.select("c"), "c", "left_anti")
+            frontier_c = cand
+            found = cand.select("c", F.lit(hop).alias("hops"))
+            seen_c = found if seen_c is None else seen_c.unionByName(found)
+        else:
+            cand = (
+                edges.join(frontier_c.select("c"), "c")
+                .select("s")
+                .distinct()
+                .join(seen_s.select("s"), "s", "left_anti")
+            )
+            frontier_s = cand
+            seen_s = seen_s.unionByName(cand.select("s", F.lit(hop).alias("hops")))
+    return (
+        seen_s.select(
+            F.lit("S").alias("node_type"),
+            F.col("s").alias("node_id"),
+            F.col("hops").cast("int").alias("hops"),
+        )
+        .unionByName(
+            seen_c.select(
+                F.lit("C").alias("node_type"),
+                F.col("c").alias("node_id"),
+                F.col("hops").cast("int").alias("hops"),
+            )
+        )
+    )
 
 
 def supplier_pagerank(spark: SparkSession, sf_dir: str, iters: int = 2) -> DataFrame:
@@ -1714,20 +1787,7 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str, iters: int = 2) -> DataF
     score vectors are one row per node.  A fixed 2-round unroll needs no
     checkpointing; production-depth iteration would also persist each
     score vector per round (the connected_components discipline)."""
-    def build_edges() -> DataFrame:
-        li = load_table(spark, "lineitem", sf_dir)
-        orders = load_table(spark, "orders", sf_dir)
-        return (
-            li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-            .distinct()
-        )
-
-    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    edges = _PAGERANK_EDGE_CACHE.get(cache_key)
-    if edges is None:
-        edges = build_edges().persist()
-        _PAGERANK_EDGE_CACHE[cache_key] = edges
+    edges = _staged_cust_supp_edges(spark, sf_dir)
     deg_c = edges.groupBy("c").agg(F.count(F.lit(1)).alias("deg_c"))
     deg_s = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg_s"))
     r_c = deg_c.select("c", F.lit(1.0).alias("r"))
@@ -2023,6 +2083,52 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str, min_support: int = 2) ->
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= min_support)
         .select("part_a", "part_b", "n_orders")
+    )
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on daily volume per event type: median /
+    MAD (median absolute deviation) z-scores, the outlier test that a
+    single spike cannot poison the way it poisons mean/stddev — the
+    alerting query behind every operational "traffic looks wrong" page.
+
+    One scan: the daily aggregate (decimal sum at the value's 2dp
+    grain), then median and MAD attach via two whole-partition
+    percentile WINDOWS over the same per-type partitioning — no
+    join-back, no re-derivation, one shuffle total, and the window
+    input is the aggregated (types x days) frame, never raw events.
+    The robust z is the textbook 0.6745 * (x - med) / mad with the two
+    percentiles rounded at 6dp (the proven cross-engine surface) and
+    the remaining arithmetic ordered identically in both engines;
+    an all-constant series (MAD 0) yields NULL z and never alerts."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias(
+            "daily_total"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wm = Window.partitionBy("event_type")
+    withmed = daily.withColumn(
+        "med", F.round(F.expr("percentile(daily_total, 0.5)").over(wm), 6)
+    )
+    withmad = withmed.withColumn(
+        "mad",
+        F.round(F.expr("percentile(abs(daily_total - med), 0.5)").over(wm), 6),
+    )
+    z = F.when(
+        F.col("mad") > 0,
+        (F.lit(0.6745) * (F.col("daily_total") - F.col("med"))) / F.col("mad"),
+    )
+    return withmad.select(
+        "event_type",
+        "d",
+        "daily_total",
+        "n_events",
+        z.alias("robust_z"),
+        F.coalesce(F.abs(z) > 2.5, F.lit(False)).alias("is_anomaly"),
     )
 
 

@@ -698,3 +698,56 @@ def test_abc_pareto_matches_plain_cumsum_and_stays_partitioned(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert not re.search(r"windowspecdefinition\([^,()]*(ASC|DESC)", line), line
+
+
+def test_graph_hop_distance_layers_and_unreachable(spark):
+    """Seed is the minimum supplier; hops alternate sides; a
+    disconnected component never appears."""
+    import logistream_data_pipeline_aws_spark.catalog as C
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    # orders: order o belongs to customer c; lineitem: order o uses supplier s
+    orders = spark.createDataFrame(
+        [(100, 1), (101, 1), (102, 2), (103, 3)], ["o_orderkey", "o_custkey"]
+    )
+    lineitem = spark.createDataFrame(
+        # c1-{s10,s11}, c2-s11, c3-s12 (c3/s12 disconnected from seed s10)
+        [(100, 10), (101, 11), (102, 11), (103, 12)], ["l_orderkey", "l_suppkey"]
+    )
+    tables = {"orders": orders, "lineitem": lineitem}
+    orig = C.load_table
+    X._PAGERANK_EDGE_CACHE.clear()
+    try:
+        C.load_table = lambda spark, name, sf_dir: tables[name]  # noqa: ARG005
+        X.load_table = C.load_table
+        out = X.graph_hop_distance(spark, "unused").collect()
+    finally:
+        C.load_table = orig
+        X.load_table = orig
+        X._PAGERANK_EDGE_CACHE.clear()
+    got = {(r.node_type, r.node_id): r.hops for r in out}
+    assert got == {("S", 10): 0, ("C", 1): 1, ("S", 11): 2, ("C", 2): 3}
+
+
+def test_anomaly_mad_flags_spike_and_survives_zero_mad(spark):
+    """A spike against a stable baseline alerts; an all-constant series
+    has MAD 0 and must yield NULL z, never a division blowup."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    # type 'stable': identical totals -> MAD 0 -> no anomaly possible
+    for day in range(5):
+        rows.append((eid, dt.datetime(2024, 1, 1 + day, 12), 1, "stable", 10.0)); eid += 1
+    # type 'spiky': 10,12,14,16 baseline then a 1000 spike
+    for day, v in enumerate([10.0, 12.0, 14.0, 16.0, 1000.0]):
+        rows.append((eid, dt.datetime(2024, 1, 1 + day, 12), 1, "spiky", v)); eid += 1
+    out = _with_events_fixture(
+        spark, rows, lambda X, s: X.events_anomaly_mad(s, "unused").collect()
+    )
+    stable = [r for r in out if r.event_type == "stable"]
+    assert all(r.robust_z is None and not r.is_anomaly for r in stable)
+    spiky = {r.d.day: r for r in out if r.event_type == "spiky"}
+    # med 14, MAD 2: spike z = 0.6745 * 986 / 2
+    assert abs(spiky[5].robust_z - 0.6745 * 986 / 2) < 1e-9
+    assert spiky[5].is_anomaly and not any(spiky[d].is_anomaly for d in (1, 2, 3, 4))
