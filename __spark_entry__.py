@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hop_distance": X.graph_hop_distance,
         # median/MAD robust z-score alerting on daily volumes
         "events_anomaly_mad": X.events_anomaly_mad,
+        # daily OHLC candle downsample (first/last by ordered rank)
+        "events_ohlc": X.events_ohlc,
         # first-order Markov transition matrix over user journeys
         "events_transition_matrix": X.events_transition_matrix,
         # RFM quintile scoring via broadcast percentile cutpoints
@@ -1321,6 +1323,20 @@ def _zorder_terms(xcol: str, ycol: str, bits: int = 16) -> str:
 def oracle_sql() -> dict[str, str]:
     out = _ext_oracles()
     out.update({
+        "events_ohlc": (
+            # row_number first/last: neither engine's argmin takes a
+            # composite tie-break, but rank semantics match everywhere
+            "WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d, ts, event_id, value "
+            "FROM events WHERE value IS NOT NULL), "
+            "r AS (SELECT event_type, d, value, "
+            "row_number() OVER (PARTITION BY event_type, d ORDER BY ts, event_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY event_type, d) AS n FROM e) "
+            "SELECT event_type, d, "
+            "MAX(CASE WHEN rn = 1 THEN value END) AS open, "
+            "MAX(value) AS high, MIN(value) AS low, "
+            "MAX(CASE WHEN rn = n THEN value END) AS close, "
+            "COUNT(*) AS n_ticks FROM r GROUP BY 1, 2"
+        ),
         "events_anomaly_mad": (
             # median + MAD as whole-partition quantile windows; 6dp
             # rounding on both percentiles; identical arithmetic order

@@ -2086,6 +2086,46 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str, min_support: int = 2) ->
     )
 
 
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open / high / low / close) candle per event type —
+    the canonical time-bucket downsample for any tick-shaped feed
+    (prices, sensor gauges, metrics), and the other classic hypertable
+    rollup next to gap-fill and TWAP.
+
+    Open and close are the first/last values by (ts, event_id) inside
+    the bucket — row_number against one ordered window partitioned per
+    (type, day), with the bucket size from a whole-partition frame on
+    the SAME partitioning (no second shuffle), then a conditional-max
+    aggregate collapses the bucket.  This shape is deliberately
+    portable: neither engine's argmin/argmax accepts a composite
+    tie-break key, but row_number semantics are identical everywhere.
+    NULL values are non-ticks and are excluded before ranking so open
+    and close are always real observations."""
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("value").isNotNull())
+        .select("event_type", F.to_date("ts").alias("d"), "ts", "event_id", "value")
+    )
+    wo = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type", "d")
+    ranked = e.select(
+        "event_type",
+        "d",
+        "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return ranked.groupBy("event_type", "d").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust anomaly detection on daily volume per event type: median /
     MAD (median absolute deviation) z-scores, the outlier test that a

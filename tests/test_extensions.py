@@ -751,3 +751,25 @@ def test_anomaly_mad_flags_spike_and_survives_zero_mad(spark):
     # med 14, MAD 2: spike z = 0.6745 * 986 / 2
     assert abs(spiky[5].robust_z - 0.6745 * 986 / 2) < 1e-9
     assert spiky[5].is_anomaly and not any(spiky[d].is_anomaly for d in (1, 2, 3, 4))
+
+
+def test_ohlc_first_last_by_time_with_ties(spark):
+    """Open/close are the earliest/latest observations with event_id
+    breaking a timestamp tie; NULL values are non-ticks."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (2, t(0), 1, "a", 11.0),   # ts tie with event 1: id 1 wins open
+        (1, t(0), 1, "a", 10.0),
+        (3, t(1), 1, "a", 99.0),   # high
+        (4, t(2), 1, "a", 1.0),    # low
+        (5, t(3), 1, "a", None),   # non-tick: close stays 42
+        (6, t(2), 1, "a", 42.0),   # wait: ts(2) ties event 4; id 6 later
+    ]
+    out = _with_events_fixture(
+        spark, rows, lambda X, s: X.events_ohlc(s, "unused").collect()
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert (r.open, r.high, r.low, r.close, r.n_ticks) == (10.0, 99.0, 1.0, 42.0, 5)
