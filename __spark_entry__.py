@@ -165,6 +165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_mad": X.events_anomaly_mad,
         # daily OHLC candle downsample (first/last by ordered rank)
         "events_ohlc": X.events_ohlc,
+        # sliding-window streaming aggregate (1h window, 15m slide)
+        "events_stream_sliding": X.events_stream_sliding,
+        # exact-recall near-dup mining via PPJoin prefix filtering
+        "dedup_prefix_filter": X.dedup_prefix_filter,
         # first-order Markov transition matrix over user journeys
         "events_transition_matrix": X.events_transition_matrix,
         # RFM quintile scoring via broadcast percentile cutpoints
@@ -1323,6 +1327,42 @@ def _zorder_terms(xcol: str, ycol: str, bits: int = 16) -> str:
 def oracle_sql() -> dict[str, str]:
     out = _ext_oracles()
     out.update({
+        "dedup_prefix_filter": (
+            # prefix filter over word 5-shingles: rarity rank (df,
+            # shingle) per doc, prefix cut n - ceil(t*n) + 1, bucket cap
+            # 2..1024, exact-jaccard verify on the full shingle sets
+            "WITH tok AS (SELECT doc_id, " + _TOKENS + " AS tk FROM documents), "
+            "shx AS (SELECT doc_id, "
+            "CASE WHEN len(tk) >= 5 THEN list_distinct(list_transform(range(0, len(tk) - 4), "
+            "i -> array_to_string(tk[(i+1):(i+5)], ' '))) ELSE [] END AS sh FROM tok), "
+            "base AS (SELECT doc_id, sh FROM shx WHERE len(sh) > 0), "
+            "td AS (SELECT doc_id, unnest(sh) AS token FROM base), "
+            "dfreq AS (SELECT token, COUNT(*) AS df FROM td GROUP BY 1), "
+            "ranked AS (SELECT td.doc_id, td.token, "
+            "row_number() OVER (PARTITION BY td.doc_id ORDER BY df, token) AS rn, "
+            "COUNT(*) OVER (PARTITION BY td.doc_id) AS n FROM td JOIN dfreq USING (token)), "
+            "pref AS (SELECT doc_id, token FROM ranked "
+            "WHERE rn <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1), "
+            "pb AS (SELECT token FROM pref GROUP BY token HAVING COUNT(*) BETWEEN 2 AND 1024), "
+            "pp AS (SELECT pref.* FROM pref JOIN pb USING (token)), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM pp a JOIN pp b ON a.token = b.token AND a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, "
+            "round(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) / len(list_distinct(ta.sh || tb.sh)), 6) AS jaccard "
+            "FROM cand JOIN base ta ON ta.doc_id = cand.id_a JOIN base tb ON tb.doc_id = cand.id_b "
+            "WHERE round(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) / len(list_distinct(ta.sh || tb.sh)), 6) >= 0.5"
+        ),
+        "events_stream_sliding": (
+            # scatter each event to its four 15-min-aligned hour windows
+            "WITH k AS (SELECT unnest(generate_series(0, 3)) AS k), "
+            "s AS (SELECT e.event_type, e.value, "
+            "time_bucket(INTERVAL '15 minutes', e.ts) - (k.k * INTERVAL '15 minutes') AS window_start "
+            "FROM events e, k) "
+            "SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value "
+            "FROM s GROUP BY 1, 2"
+        ),
         "events_ohlc": (
             # row_number first/last: neither engine's argmin takes a
             # composite tie-break, but rank semantics match everywhere

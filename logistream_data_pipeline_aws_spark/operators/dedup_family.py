@@ -463,6 +463,91 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k_shingle: int | None = 5,
+    max_token_bucket: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Set-similarity join by PREFIX FILTERING (the PPJoin family): two
+    token sets with Jaccard >= t MUST share a token among each side's
+    (n - ceil(t*n) + 1) rarest tokens, so candidate generation joins
+    only on those prefix tokens instead of blocking on a surrogate key.
+    Rarity ordering is the global document frequency (ties on the token
+    string), which makes prefix buckets intrinsically small — the
+    filter selects exactly the tokens that discriminate — and the
+    residual hot-prefix-token risk is capped by ``bounded_blocks`` like
+    every other blocked-quadratic operator here.
+
+    Pipeline: distinct sorted token sets -> (doc, token) pairs -> df
+    counts -> per-doc rarity rank (window partitioned by doc) -> prefix
+    cut -> token-bucket self-join -> exact Jaccard verify on the full
+    sets.  Compared to ``ngram_jaccard_pairs`` (blocking key) and
+    MinHash-LSH (probabilistic), this is the exact-recall scale path:
+    every qualifying pair is guaranteed a shared prefix token.
+
+    ``k_shingle`` sets the set items: word k-shingles (default 5 — on a
+    template-heavy corpus raw tokens and even 3-shingles are shared so
+    broadly that the prefix prunes nothing; 5-shingles make the prefix
+    near-perfect: candidates ≈ true pairs) or raw distinct tokens with
+    ``k_shingle=None`` (the textbook formulation, right for short
+    records like names/addresses).
+    """
+    from pyspark.sql import Window
+
+    if k_shingle is None:
+        items = F.array_distinct(tokens(text_col))
+        min_tokens = 1
+    else:
+        items = word_shingles(tokens(text_col), k_shingle)
+        min_tokens = k_shingle
+    base = (
+        parallelize_cpu_stage(df.select(F.col(id_col), F.col(text_col)))
+        # cheap pre-filter, not size(items) > 0 — see minhash_signatures
+        # >= min_tokens on the raw token count guarantees a non-empty
+        # item set in both modes, so no filter on the computed array
+        # (which would re-evaluate it — the explode_once trap)
+        .where(F.size(tokens(text_col)) >= min_tokens)
+        .select(F.col(id_col).alias("doc_id"), items.alias("tk"))
+    )
+    td = base.select("doc_id", F.explode("tk").alias("token"))
+    dfreq = td.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    wn = Window.partitionBy("doc_id")
+    ranked = (
+        td.join(dfreq, "token")
+        .select(
+            "doc_id",
+            "token",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("doc_id", F.col("token").alias("block"))
+    prefix = bounded_blocks(prefix, max_token_bucket, "prefix_token_cap")
+    cand = (
+        prefix.select("block", F.col("doc_id").alias("id_a"))
+        .join(prefix.select("block", F.col("doc_id").alias("id_b")), "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = base.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("tk_a"))
+    b = base.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tk_b"))
+    inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("double")
+    union = F.size(F.array_union("tk_a", "tk_b")).cast("double")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iters: int = 20
 ) -> DataFrame:

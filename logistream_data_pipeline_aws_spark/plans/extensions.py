@@ -1046,6 +1046,47 @@ def events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregate — ``window(ts, '1 hour', '15
+    minutes')`` — the overlapping-window shape the tumbling entry
+    (events_stream_hourly) cannot express: each event lands in four
+    hour-long windows, the moving-average view every live dashboard
+    renders.  Same watermark/state discipline as the tumbling form
+    (state keyed by (window, type), bounded by the watermark); a
+    single-file source is one micro-batch so the drain is deterministic.
+    The oracle scatters each event onto its four 15-minute-aligned
+    window starts — Spark's slide alignment and DuckDB's time_bucket
+    agree because the hour length is a multiple of the slide."""
+    from logistream_data_pipeline_aws_spark.catalog import events_stream
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        run_available_now,
+    )
+
+    name = "events_stream_sliding_sink"
+    with events_stream(spark, sf_dir) as stream:
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(
+                F.window("ts", "1 hour", "15 minutes").alias("w"),
+                F.col("event_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(30,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+        run_available_now(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
 def events_stream_order_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The declared dual-feed scenario as a driver-checkable query:
     STREAM-STREAM inner join with watermarks and an event-time range
@@ -2170,6 +2211,18 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("robust_z"),
         F.coalesce(F.abs(z) > 2.5, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall near-dup pair mining via prefix filtering (see
+    operators.dedup_family.prefix_filter_pairs): candidates join only on
+    each document's rarest 5-shingles, so unlike MinHash-LSH every
+    qualifying pair is guaranteed found, and unlike the blocked-jaccard
+    form no surrogate blocking key partitions the corpus.  On this
+    corpus the prefix is near-perfect: candidate count equals the true
+    pair count at sf0.1."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5, k_shingle=5)
 
 
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

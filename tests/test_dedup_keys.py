@@ -102,3 +102,42 @@ def test_winnow_fingerprint_cap_drops_ubiquitous_boilerplate(spark, tmp_path):
         f"clone pairs leaked past the fingerprint cap: {sorted(pairs)[:5]}"
     )
     assert (1001, 1002) in pairs and pairs[(1001, 1002)] >= 0.2
+
+
+def test_prefix_filter_exact_recall(spark):
+    """Prefix filtering must find EVERY pair with jaccard >= t (the
+    guarantee that distinguishes it from LSH), verified against a
+    brute-force python reference on shingle sets; raw-token mode and
+    the bucket cap degrade loudly, not silently."""
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        prefix_filter_pairs,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "the quick brown fox jumps over the lazy dog today",
+        3: "the quick brown fox jumps over the lazy dog",
+        4: "an entirely different sentence about database engines here",
+        5: "an entirely different sentence about database engines there",
+        6: "short text",
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    out = prefix_filter_pairs(df, "doc_id", "text", threshold=0.5, k_shingle=3)
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+
+    def shingles(t, k=3):
+        w = t.split()
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    expect = {}
+    ids = [i for i in texts if len(texts[i].split()) >= 3]
+    for i in ids:
+        for j in ids:
+            if i < j:
+                a, b = shingles(texts[i]), shingles(texts[j])
+                jac = len(a & b) / len(a | b)
+                if round(jac, 6) >= 0.5:
+                    expect[(i, j)] = round(jac, 6)
+    assert got == expect and len(got) >= 3  # recall is exact, fixture nontrivial
+    # doc 6 (< k tokens) never appears
+    assert all(6 not in p for p in got)
