@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "events_funnel",
     "snapshot_cdc_diff",
     "orders_zorder_clustering",
+    # round-4 second-continuation surfaces: the decomposed Pareto cumsum,
+    # the exact-recall prefix-filter join, and the one-pass gap-fill
+    "lineitem_abc_pareto",
+    "dedup_prefix_filter",
+    "events_gapfill_locf",
 ]
 
 

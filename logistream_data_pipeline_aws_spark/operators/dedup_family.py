@@ -463,6 +463,31 @@ def ngram_jaccard_pairs(
     )
 
 
+def build_item_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int | None = 5,
+) -> DataFrame:
+    """(doc_id, tk) item-set frame for ``prefix_filter_pairs``: distinct
+    word k-shingles (or raw distinct tokens with ``k_shingle=None``).
+    The raw-token-count pre-filter guarantees a non-empty item set in
+    both modes, so no filter touches the computed array (which would
+    re-evaluate it — the explode_once trap)."""
+    if k_shingle is None:
+        items = F.array_distinct(tokens(text_col))
+        min_tokens = 1
+    else:
+        items = word_shingles(tokens(text_col), k_shingle)
+        min_tokens = k_shingle
+    return (
+        parallelize_cpu_stage(df.select(F.col(id_col), F.col(text_col)))
+        # cheap pre-filter, not size(items) > 0 — see minhash_signatures
+        .where(F.size(tokens(text_col)) >= min_tokens)
+        .select(F.col(id_col).alias("doc_id"), items.alias("tk"))
+    )
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     id_col: str,
@@ -470,6 +495,7 @@ def prefix_filter_pairs(
     threshold: float = 0.5,
     k_shingle: int | None = 5,
     max_token_bucket: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Set-similarity join by PREFIX FILTERING (the PPJoin family): two
     token sets with Jaccard >= t MUST share a token among each side's
@@ -494,24 +520,17 @@ def prefix_filter_pairs(
     near-perfect: candidates ≈ true pairs) or raw distinct tokens with
     ``k_shingle=None`` (the textbook formulation, right for short
     records like names/addresses).
+
+    ``base`` injects a pre-built (doc_id, tk) item-set frame: the frame
+    is referenced three times (rarity explode + both verify sides), so
+    callers should persist it once (``build_item_sets`` + the staging
+    cache in plans.extensions) instead of re-running the CPU-heavy
+    shingle build per reference.
     """
     from pyspark.sql import Window
 
-    if k_shingle is None:
-        items = F.array_distinct(tokens(text_col))
-        min_tokens = 1
-    else:
-        items = word_shingles(tokens(text_col), k_shingle)
-        min_tokens = k_shingle
-    base = (
-        parallelize_cpu_stage(df.select(F.col(id_col), F.col(text_col)))
-        # cheap pre-filter, not size(items) > 0 — see minhash_signatures
-        # >= min_tokens on the raw token count guarantees a non-empty
-        # item set in both modes, so no filter on the computed array
-        # (which would re-evaluate it — the explode_once trap)
-        .where(F.size(tokens(text_col)) >= min_tokens)
-        .select(F.col(id_col).alias("doc_id"), items.alias("tk"))
-    )
+    if base is None:
+        base = build_item_sets(df, id_col, text_col, k_shingle)
     td = base.select("doc_id", F.explode("tk").alias("token"))
     dfreq = td.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
