@@ -203,3 +203,106 @@ def test_zorder_key_property(spark, pts):
         assert got[(x, y)] == morton(x, y)
         assert 0 <= got[(x, y)] < (1 << 32)
     assert len(set(got.values())) == len(pts)
+
+
+@_slow
+@given(
+    st.lists(
+        # docs drawn from a tiny vocabulary so near-dups actually occur
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_prefix_filter_recall_is_exact(spark, wordlists):
+    """The PPJoin guarantee, property-tested: for ANY corpus, the
+    prefix-filtered join finds exactly the pairs whose shingle-set
+    jaccard clears the threshold — no missed pair (the LSH failure
+    mode), no phantom pair."""
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        prefix_filter_pairs,
+    )
+
+    k, t = 2, 0.4
+    texts = {i: " ".join(ws) for i, ws in enumerate(wordlists)}
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_pairs(
+            df, "doc_id", "text", threshold=t, k_shingle=k
+        ).collect()
+    }
+
+    def shingles(s):
+        w = s.split()
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    expect = set()
+    for i in texts:
+        for j in texts:
+            if i < j:
+                a, b = shingles(texts[i]), shingles(texts[j])
+                if a and b and round(len(a & b) / len(a | b), 6) >= t:
+                    expect.add((i, j))
+    assert got == expect
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=86_399),      # second of day
+            st.integers(min_value=0, max_value=30_000),      # value in cents
+        ),
+        min_size=2,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_twap_matches_brute_force(spark, ticks):
+    """TWAP against an exact-fraction python reference: same intervals,
+    same weights, same closing division."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import logistream_data_pipeline_aws_spark.catalog as C
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from pyspark.sql import types as T
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=s), 1, "a", c / 100.0)
+        for i, (s, c) in enumerate(ticks)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    events = spark.createDataFrame(rows, schema)
+    orig = C.load_table
+    try:
+        C.load_table = lambda spark, name, sf_dir: events  # noqa: ARG005
+        X.load_table = C.load_table
+        out = X.events_twap(spark, "unused").collect()
+    finally:
+        C.load_table = orig
+        X.load_table = orig
+    assert len(out) == 1
+    r = out[0]
+    ordered = sorted(ticks)
+    ws = Decimal(0)
+    sd = 0
+    for (s1, c1), (s2, _) in zip(ordered, ordered[1:]):
+        dt_us = (s2 - s1) * 1_000_000
+        # the engine casts the double value to DECIMAL(18,2); mirror that
+        v = Decimal(c1 / 100.0).quantize(Decimal("0.01"))
+        ws += v * dt_us
+        sd += dt_us
+    assert r.n_intervals == len(ordered) - 1
+    assert r.span_us == sd
+    assert r.twap == float(ws) / sd
