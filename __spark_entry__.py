@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sliding": X.events_stream_sliding,
         # exact-recall near-dup mining via PPJoin prefix filtering
         "dedup_prefix_filter": X.dedup_prefix_filter,
+        # WKT polyline geometry: path/straight length + sinuosity
+        "route_geometry_stats": X.route_geometry_stats,
         # first-order Markov transition matrix over user journeys
         "events_transition_matrix": X.events_transition_matrix,
         # RFM quintile scoring via broadcast percentile cutpoints
@@ -1900,6 +1902,25 @@ def oracle_sql() -> dict[str, str]:
     out["fact_lineitem_bucketed"] = out["fact_lineitem"]
     # the CSV round-trip must carry the same values as the direct flatten
     out["routes_csv_readback"] = out["geojson_routes"]
+    # geometry stats compose on the routes oracle: parse the WKT back
+    # (decimal-string -> double is correctly rounded in both engines) and
+    # use only IEEE ops in fixed order — left-fold path sum like _dot
+    out["route_geometry_stats"] = (
+        "WITH r AS (" + out["geojson_routes"] + "), "
+        "p AS (SELECT origin_lat, origin_long, dest_lat, dest_long, "
+        "string_split(regexp_replace(shape_wkt, '^LINESTRING\\(|\\)$', '', 'g'), ', ') AS pts FROM r), "
+        "w AS (SELECT origin_lat, origin_long, dest_lat, dest_long, "
+        "list_transform(pts, q -> CAST(string_split(q, ' ')[1] AS DOUBLE)) AS xs, "
+        "list_transform(pts, q -> CAST(string_split(q, ' ')[2] AS DOUBLE)) AS ys, "
+        "CAST(len(pts) AS INTEGER) AS n_points FROM p), "
+        "s AS (SELECT origin_lat, origin_long, dest_lat, dest_long, n_points, "
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, n_points), i -> "
+        "sqrt((xs[i+1]-xs[i])*(xs[i+1]-xs[i]) + (ys[i+1]-ys[i])*(ys[i+1]-ys[i])))), (a, b) -> a + b) AS path_deg, "
+        "sqrt((xs[n_points]-xs[1])*(xs[n_points]-xs[1]) + (ys[n_points]-ys[1])*(ys[n_points]-ys[1])) AS straight_deg "
+        "FROM w) "
+        "SELECT origin_lat, origin_long, dest_lat, dest_long, n_points, path_deg, straight_deg, "
+        "CASE WHEN straight_deg > 0 THEN path_deg / straight_deg END AS sinuosity FROM s"
+    )
     # the ORC round-trip must carry the same values as the dimension build
     out["warehouse_orc_readback"] = out["dim_geography"]
     return out

@@ -966,6 +966,62 @@ def geojson_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_geojson_routes(read_geojson(spark, ROUTES_GEOJSON_PATH))
 
 
+def route_geometry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry analytics over the shipping routes: per-route vertex
+    count, polyline path length, straight-line origin-dest distance
+    (both in coordinate degrees — the reference treats WKT as an opaque
+    string and ships no geodesic library, so degree space is the honest
+    unit), and sinuosity (path / straight, the route-efficiency ratio
+    dispatchers watch).
+
+    Exactness: the WKT strings are hash-verified identical cross-engine
+    (``geojson_routes``), decimal-string -> double parsing is correctly
+    rounded in both engines, and every derived number uses only IEEE
+    ops in a fixed order — dx*dx + dy*dy, sqrt, and a LEFT FOLD for the
+    path sum (``F.aggregate`` and DuckDB's list_reduce both fold left,
+    the ``_dot`` oracle discipline) — so no rounding shim is needed.
+    Plan: one projection over the 5-column routes frame, zero shuffles;
+    at scale this is an embarrassingly parallel scan."""
+    routes = geojson_routes(spark, sf_dir)
+    pts = F.split(
+        F.regexp_replace("shape_wkt", r"^LINESTRING\(|\)$", ""), ", "
+    )
+    xs = F.transform(pts, lambda p: F.split(p, " ")[0].cast("double"))
+    ys = F.transform(pts, lambda p: F.split(p, " ")[1].cast("double"))
+    withp = routes.select(
+        "origin_lat",
+        "origin_long",
+        "dest_lat",
+        "dest_long",
+        xs.alias("xs"),
+        ys.alias("ys"),
+        F.size(pts).alias("n_points"),
+    )
+
+    def seg(i):
+        dx = F.element_at("xs", i + 1) - F.element_at("xs", i)
+        dy = F.element_at("ys", i + 1) - F.element_at("ys", i)
+        return F.sqrt(dx * dx + dy * dy)
+
+    segs = F.transform(F.sequence(F.lit(1), F.col("n_points") - 1), seg)
+    path_len = F.aggregate(
+        segs, F.lit(0.0), lambda acc, x: acc + x
+    )
+    sdx = F.element_at("xs", F.col("n_points")) - F.element_at("xs", 1)
+    sdy = F.element_at("ys", F.col("n_points")) - F.element_at("ys", 1)
+    straight = F.sqrt(sdx * sdx + sdy * sdy)
+    return withp.select(
+        "origin_lat",
+        "origin_long",
+        "dest_lat",
+        "dest_long",
+        "n_points",
+        path_len.alias("path_deg"),
+        straight.alias("straight_deg"),
+        F.when(straight > 0, path_len / straight).alias("sinuosity"),
+    )
+
+
 def routes_csv_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Lambda's actual sink (LJ:24): processed routes written as CSV
     WITH header, then read back with an explicit schema — driver-verified

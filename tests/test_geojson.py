@@ -44,3 +44,22 @@ def test_flatten_routes(spark, tmp_path):
     wkt2 = "LINESTRING(10 20, 30.5 40.25)"
     r2 = out[wkt2]
     assert (r2.origin_lat, r2.origin_long, r2.dest_lat, r2.dest_long) == (20.0, 10.0, 40.25, 30.5)
+
+
+def test_route_geometry_stats_invariants(spark):
+    """Path length can never beat the straight line (triangle
+    inequality), sinuosity is >= 1 whenever defined, and every route
+    has at least two vertices."""
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        route_geometry_stats,
+    )
+
+    rows = route_geometry_stats(spark, "unused").collect()
+    assert len(rows) == 41
+    for r in rows:
+        assert r.n_points >= 2
+        assert r.path_deg >= r.straight_deg - 1e-12
+        if r.sinuosity is not None:
+            assert r.sinuosity >= 1.0 - 1e-12
+    # the fixture contains genuinely wiggly routes, not just segments
+    assert any(r.sinuosity and r.sinuosity > 1.01 for r in rows)
