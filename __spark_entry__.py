@@ -169,8 +169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sliding": X.events_stream_sliding,
         # exact-recall near-dup mining via PPJoin prefix filtering
         "dedup_prefix_filter": X.dedup_prefix_filter,
-        # WKT polyline geometry: path/straight length + sinuosity
-        "route_geometry_stats": X.route_geometry_stats,
         # first-order Markov transition matrix over user journeys
         "events_transition_matrix": X.events_transition_matrix,
         # RFM quintile scoring via broadcast percentile cutpoints
@@ -260,6 +258,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local sweeps at sf0.01 AND sf0.1 and digest-pinned. ==============
         "events_stream_hourly": X.events_stream_hourly,
         "dedup_near_survivors": X.dedup_near_survivors,
+        # route_geometry_stats is fixture-static and sf-independent: the
+        # driver's sf0.01 run would recompute byte-identically what the
+        # local check already verified, so it cedes its head slot to the
+        # changed dedup_embedding (unique staged-norm path)
+        "route_geometry_stats": X.route_geometry_stats,
         "repeat_customers_yoy": A.repeat_customers_yoy,
         "dedup_exact": X.dedup_exact,
         "dedup_survivors": X.dedup_survivors,
