@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sliding": X.events_stream_sliding,
         # exact-recall near-dup mining via PPJoin prefix filtering
         "dedup_prefix_filter": X.dedup_prefix_filter,
+        # mergeable HLL rollup: daily sketches unioned to weekly
+        "events_hll_mergeable_rollup": X.events_hll_mergeable_rollup,
         # first-order Markov transition matrix over user journeys
         "events_transition_matrix": X.events_transition_matrix,
         # RFM quintile scoring via broadcast percentile cutpoints
@@ -1339,6 +1341,15 @@ def _zorder_terms(xcol: str, ycol: str, bits: int = 16) -> str:
 def oracle_sql() -> dict[str, str]:
     out = _ext_oracles()
     out.update({
+        "events_hll_mergeable_rollup": (
+            # deterministic columns + literal TRUE verdict — a broken
+            # sketch union flips the boolean and fails the value hash
+            "SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week, "
+            "COUNT(DISTINCT CAST(ts AS DATE)) AS n_days, "
+            "COUNT(DISTINCT user_id) AS exact_users, "
+            "TRUE AS merged_estimate_ok "
+            "FROM events GROUP BY 1, 2"
+        ),
         "dedup_prefix_filter": (
             # prefix filter over word 5-shingles: rarity rank (df,
             # shingle) per doc, prefix cut n - ceil(t*n) + 1, bucket cap

@@ -743,6 +743,47 @@ def events_sketch_profile_checked(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def events_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup — the pattern that makes distinct counts
+    incremental at 100 TB: one Datasketches HLL sketch per (type, day)
+    (``hll_sketch_agg``), then the weekly figure is a SKETCH UNION
+    (``hll_union_agg``) of the daily sketches, never a re-scan of raw
+    events.  A production continuous aggregate stores the daily binary
+    sketches and answers any coarser grain by merging them; this query
+    is that plan shape end-to-end.
+
+    Driver-checkable via the ``events_sketch_profile`` verdict form:
+    the exact weekly distinct (computed here only to pin the sketch —
+    at scale it's exactly what you refuse to compute) rides alongside,
+    and the output emits a BOOLEAN accuracy verdict (default lgK=12 →
+    ~1.6% rsd; 10% allowed) the oracle pins to TRUE, so every column
+    stays engine-exact while the sketch path stays in the checked
+    plan."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        F.to_date("ts").alias("d"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = daily.groupBy("event_type", "wk").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = events.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return weekly.join(exact, ["event_type", "wk"]).select(
+        "event_type",
+        F.to_date("wk").alias("week"),
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.10 * F.col("exact_users")
+        ).alias("merged_estimate_ok"),
+    )
+
+
 def events_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe per-user aggregation via the two-stage salted pattern
     (operators.skew.salted_aggregate): partial sums on (user, salt) —

@@ -773,3 +773,24 @@ def test_ohlc_first_last_by_time_with_ties(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.open, r.high, r.low, r.close, r.n_ticks) == (10.0, 99.0, 1.0, 42.0, 5)
+
+
+def test_hll_merge_does_not_double_count(spark):
+    """Sketch UNION semantics: the same 40 users active on three days
+    must merge to ~40 weekly distinct, not 120 (a sum-of-estimates bug
+    would triple-count and flip the verdict)."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for day in range(3):          # Mon..Wed of one ISO week
+        for u in range(40):
+            rows.append((eid, dt.datetime(2024, 1, 1 + day, 10), u, "a", 1.0))
+            eid += 1
+    out = _with_events_fixture(
+        spark, rows,
+        lambda X, s: X.events_hll_mergeable_rollup(s, "unused").collect(),
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_days, r.exact_users, r.merged_estimate_ok) == (3, 40, True)
