@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_filter": X.dedup_prefix_filter,
         # mergeable HLL rollup: daily sketches unioned to weekly
         "events_hll_mergeable_rollup": X.events_hll_mergeable_rollup,
+        # interval-overlap backlog via the scatter/accumulate pattern
+        "orders_backlog_series": A.orders_backlog_series,
         # first-order Markov transition matrix over user journeys
         "events_transition_matrix": X.events_transition_matrix,
         # RFM quintile scoring via broadcast percentile cutpoints
@@ -1343,6 +1345,19 @@ def _zorder_terms(xcol: str, ycol: str, bits: int = 16) -> str:
 def oracle_sql() -> dict[str, str]:
     out = _ext_oracles()
     out.update({
+        "orders_backlog_series": (
+            # +1 at order date, -1 at last ship date, running net
+            "WITH opened AS (SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders), "
+            "closed AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS day, -1 AS delta "
+            "FROM lineitem GROUP BY l_orderkey), "
+            "daily AS (SELECT day, "
+            "CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_opened, "
+            "CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed, "
+            "SUM(delta) AS net FROM (SELECT * FROM opened UNION ALL SELECT * FROM closed) GROUP BY 1) "
+            "SELECT day, n_opened, n_closed, "
+            "CAST(SUM(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog "
+            "FROM daily"
+        ),
         "events_hll_mergeable_rollup": (
             # deterministic columns + literal TRUE verdict — a broken
             # sketch union flips the boolean and fails the value hash

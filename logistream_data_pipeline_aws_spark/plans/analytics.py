@@ -749,6 +749,50 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog — the classic interval-overlap count
+    ("how many orders were in flight on day X"), computed by the
+    scatter/accumulate decomposition that scales: each order emits a +1
+    delta at its order date and a -1 at its LAST ship date (the day it
+    fully leaves the backlog), deltas collapse to one row per day, and
+    the running sum walks the ~calendar-sized daily frame — never an
+    O(orders x days) overlap join.  An order with no lineitems simply
+    never decrements (it stays open, which is the truthful answer).
+
+    Integer arithmetic end to end; the cumulative window follows the
+    ``daily_sales_moving_avg`` precedent (global order over the
+    pre-aggregated daily table, bounded by the calendar at any fact
+    scale)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    opened = orders.select(
+        F.to_date("o_orderdate").alias("day"), F.lit(1).alias("delta")
+    )
+    closed = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("day"))
+        .select("day", F.lit(-1).alias("delta"))
+    )
+    daily = (
+        opened.unionByName(closed)
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias("n_opened"),
+            F.sum(F.when(F.col("delta") < 0, 1).otherwise(0)).alias("n_closed"),
+            F.sum("delta").alias("_net"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum("_net").over(w).alias("backlog"),
+    )
+
+
 def daily_sales_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day trailing moving average of daily sales — the bounded-
     preceding window frame (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),

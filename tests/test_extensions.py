@@ -794,3 +794,36 @@ def test_hll_merge_does_not_double_count(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.n_days, r.exact_users, r.merged_estimate_ok) == (3, 40, True)
+
+
+def test_backlog_series_counts_in_flight_orders(spark):
+    """Two overlapping orders and one never-shipped order: the running
+    backlog rises with each open, falls only at the LAST ship date, and
+    the never-shipped order keeps the closing backlog at 1."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    import logistream_data_pipeline_aws_spark.catalog as C
+    from logistream_data_pipeline_aws_spark.plans import analytics as A
+
+    d = lambda n: dt.datetime(2024, 1, n)
+    orders = spark.createDataFrame(
+        [(1, d(1)), (2, d(2)), (3, d(5))], ["o_orderkey", "o_orderdate"]
+    )
+    # order 1 ships in two parts (last on day 4); order 2 on day 3;
+    # order 3 never ships
+    lineitem = spark.createDataFrame(
+        [(1, d(2)), (1, d(4)), (2, d(3))], ["l_orderkey", "l_shipdate"]
+    )
+    tables = {"orders": orders, "lineitem": lineitem}
+    orig = C.load_table
+    try:
+        C.load_table = lambda spark, name, sf_dir: tables[name]  # noqa: ARG005
+        A.load_table = C.load_table
+        out = {r.day.isoformat(): r for r in A.orders_backlog_series(spark, "unused").collect()}
+    finally:
+        C.load_table = orig
+        A.load_table = orig
+    assert [out[k].backlog for k in sorted(out)] == [1, 2, 1, 0, 1]
+    assert out["2024-01-04"].n_closed == 1  # order 1 closes at its LAST ship

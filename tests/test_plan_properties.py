@@ -179,3 +179,47 @@ def test_fact_date_slice_prunes_partitions(spark):
     m = re.search(r"partition count: (\d+)", plan)
     if m:  # Spark prints this in the scan metadata when known
         assert int(m.group(1)) <= 6
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark):
+    """Spark's runtime Bloom-filter injection — the row-level pruning
+    that saves a big-big shuffle join at warehouse scale: the selective
+    side aggregates a bloom_filter_agg and the probe side gains a
+    might_contain filter BELOW its shuffle.  Default thresholds target
+    cluster scale (10 GB application side), so the test tunes them to
+    testdata size; the capability, not the threshold, is what's
+    pinned."""
+    import re
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1MB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet").where(
+            F.col("o_totalprice") > 450000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert re.search(r"might_contain|BloomFilterMightContain", plan), plan[:500]
+        # correctness unchanged by the filter
+        with_bloom = {(r.o_orderpriority, r["count"]) for r in j.collect()}
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        without = {(r.o_orderpriority, r["count"]) for r in j.collect()}
+        assert with_bloom == without
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        for k, v in saved.items():
+            spark.conf.set(k, v)
