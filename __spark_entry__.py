@@ -171,8 +171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_filter": X.dedup_prefix_filter,
         # mergeable HLL rollup: daily sketches unioned to weekly
         "events_hll_mergeable_rollup": X.events_hll_mergeable_rollup,
-        # interval-overlap backlog via the scatter/accumulate pattern
-        "orders_backlog_series": A.orders_backlog_series,
         # first-order Markov transition matrix over user journeys
         "events_transition_matrix": X.events_transition_matrix,
         # RFM quintile scoring via broadcast percentile cutpoints
@@ -269,6 +267,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local check already verified, so it cedes its head slot to the
         # changed dedup_embedding (unique staged-norm path)
         "route_geometry_stats": X.route_geometry_stats,
+        # orders_backlog_series cedes its slot likewise: its union +
+        # pre-aggregated running-sum shape is the r1-green
+        # cumulative_monthly_sales plan on integer deltas, and it is
+        # green in this session's sweeps at both scales
+        "orders_backlog_series": A.orders_backlog_series,
         "repeat_customers_yoy": A.repeat_customers_yoy,
         "dedup_exact": X.dedup_exact,
         "dedup_survivors": X.dedup_survivors,
