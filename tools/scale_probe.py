@@ -1,0 +1,201 @@
+"""Scale probe: measured evidence that the registered operators scale.
+
+Synthesizes events / orders / lineitem at multiples of the sf0.1 volume
+with distributed ``spark.range`` generators (no driver loops, no RNG —
+deterministic rows at any parallelism), writes them as
+catalog-schema-compatible parquet into a private scratch directory, and
+runs a representative slice of ``__spark_entry__.queries()`` UNMODIFIED
+against each scale.  For every query it reports two timed runs (the
+first includes any per-session staging) and the scaling exponent
+``log(t_hi / t_lo) / log(mult_hi / mult_lo)`` on the second runs — an
+exponent near 1 is linear, well below 1 is amortized fixed cost, and
+well above 1 flags a super-linear shape that would not survive 100x.
+
+Usage: python tools/scale_probe.py [mult ...]   (default: 1 4 10)
+Emits one JSON line per (query, mult) and a summary block.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from logistream_data_pipeline_aws_spark.session import get_spark  # noqa: E402
+
+# sf0.1 volumes (TESTDATA.md): the 1x anchor
+EVENTS_N = 100_000
+ORDERS_N = 150_000
+
+_MONTH_US = 31 * 86_400 * 1_000_000
+_EPOCH_2024 = 1_704_067_200_000_000  # 2024-01-01 UTC in micros
+_TYPES = ["click", "view", "purchase", "signup", "error"]
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def synthetic_events(spark: SparkSession, n: int) -> DataFrame:
+    """One month of events, ~n/200 distinct users, 5 types."""
+    users = max(n // 200, 1)
+    e = spark.range(n)
+    i = F.col("id")
+    ts = F.timestamp_micros(
+        (F.lit(_EPOCH_2024) + (i * F.lit(_MONTH_US) / F.lit(n)).cast("long"))
+    )
+    typ = F.element_at(
+        F.array(*[F.lit(t) for t in _TYPES]),
+        (F.pmod(i * 7 + 3, F.lit(len(_TYPES))) + 1).cast("int"),
+    )
+    return e.select(
+        i.alias("event_id"),
+        ts.alias("ts"),
+        F.pmod(i * 2_654_435_761, F.lit(users)).alias("user_id"),
+        typ.alias("event_type"),
+        (F.pmod(i * 13 + 7, F.lit(10_000)).cast("double") / 100.0).alias("value"),
+        F.concat(F.lit('{"k": '), F.pmod(i, F.lit(100)), F.lit("}")).alias("props"),
+    )
+
+
+def synthetic_orders_lineitem(
+    spark: SparkSession, n_orders: int
+) -> tuple[DataFrame, DataFrame]:
+    """Orders over ~6.5 years plus 1-4 lineitems each (schema-compatible
+    with the catalog's orders / lineitem tables)."""
+    custs = max(n_orders // 10, 1)
+    o = spark.range(1, n_orders + 1)
+    oid = F.col("id")
+    odate = F.timestamp_micros(
+        F.lit(_EPOCH_2024 - 2400 * 86_400 * 1_000_000)
+        + F.pmod(oid * 37, F.lit(2400)) * F.lit(86_400 * 1_000_000)
+    )
+    orders = o.select(
+        oid.alias("o_orderkey"),
+        F.pmod(oid * 97, F.lit(custs)).alias("o_custkey"),
+        F.when(F.pmod(oid, F.lit(2)) == 0, "F").otherwise("O").alias("o_orderstatus"),
+        (F.lit(1000.0) + F.pmod(oid * 11, F.lit(450_000)).cast("double")).alias(
+            "o_totalprice"
+        ),
+        odate.alias("o_orderdate"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in _PRIOS]),
+            (F.pmod(oid, F.lit(5)) + 1).cast("int"),
+        ).alias("o_orderpriority"),
+    )
+    ex = o.select(
+        oid.alias("oid"),
+        odate.alias("odate"),
+        F.explode(
+            F.sequence(F.lit(1), (F.lit(1) + F.pmod(oid, F.lit(4))).cast("int"))
+        ).alias("ln"),
+    )
+    ln = F.col("ln")
+    lineitem = ex.select(
+        F.col("oid").alias("l_orderkey"),
+        F.pmod(F.col("oid") * 31 + ln, F.lit(max(n_orders // 8, 1))).alias(
+            "l_partkey"
+        ),
+        F.pmod(F.col("oid") * 7 + ln, F.lit(max(n_orders // 150, 1))).alias(
+            "l_suppkey"
+        ),
+        ln.cast("int").alias("l_linenumber"),
+        (F.lit(1) + F.pmod(F.col("oid") + ln, F.lit(50))).cast("double").alias(
+            "l_quantity"
+        ),
+        (F.lit(900.0) + F.pmod(F.col("oid") * 13 + ln, F.lit(100_000)).cast("double"))
+        .alias("l_extendedprice"),
+        (F.pmod(F.col("oid") + ln, F.lit(11)).cast("double") / 100.0).alias(
+            "l_discount"
+        ),
+        (F.pmod(F.col("oid") * 3 + ln, F.lit(9)).cast("double") / 100.0).alias(
+            "l_tax"
+        ),
+        F.when(F.pmod(F.col("oid") + ln, F.lit(4)) == 0, "R")
+        .otherwise("N")
+        .alias("l_returnflag"),
+        F.when(F.pmod(F.col("oid"), F.lit(2)) == 0, "F").otherwise("O").alias(
+            "l_linestatus"
+        ),
+        F.timestamp_micros(
+            F.unix_micros(F.col("odate"))
+            + F.pmod(F.col("oid") * 5 + ln, F.lit(120)) * F.lit(86_400 * 1_000_000)
+        ).alias("l_shipdate"),
+    )
+    return orders, lineitem
+
+
+EVENTS_QUERIES = [
+    "events_hourly",
+    "user_sessions",
+    "events_active_users",
+    "events_twap",
+    "events_gapfill_locf",
+    "events_anomaly_mad",
+    "events_ohlc",
+    "events_transition_matrix",
+    "events_heavy_hitters",
+]
+WAREHOUSE_QUERIES = [
+    "basket_part_pairs",
+    "orders_backlog_series",
+    "daily_sales_moving_avg",
+    "lineitem_abc_pareto",
+    "supplier_pagerank",
+    "graph_hop_distance",
+]
+
+
+def main() -> None:
+    mults = [int(m) for m in sys.argv[1:]] or [1, 4, 10]
+    spark = get_spark("scale-probe")
+    # the ts-unit sniffer requires a real parquet timestamp type, not INT96
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    root = tempfile.mkdtemp(prefix="lsdp_scale_probe_")
+    queries = E.queries()
+    results: dict[str, dict[int, float]] = {}
+    for m in mults:
+        sf_dir = os.path.join(root, f"x{m}")
+        os.makedirs(sf_dir, exist_ok=True)
+        synthetic_events(spark, EVENTS_N * m).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sf_dir, "events.parquet"))
+        orders, lineitem = synthetic_orders_lineitem(spark, ORDERS_N * m)
+        orders.coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(sf_dir, "orders.parquet")
+        )
+        lineitem.coalesce(8).write.mode("overwrite").parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        )
+        for name in EVENTS_QUERIES + WAREHOUSE_QUERIES:
+            walls = []
+            for _ in range(2):
+                t0 = time.time()
+                n = queries[name](spark, sf_dir).count()
+                walls.append(round(time.time() - t0, 3))
+            results.setdefault(name, {})[m] = walls[-1]
+            print(
+                json.dumps(
+                    {"query": name, "mult": m, "rows": n, "wall_s": walls}
+                )
+            )
+    if len(mults) >= 2:
+        lo, hi = mults[0], mults[-1]
+        summary = {}
+        for name, by_m in results.items():
+            if by_m.get(lo) and by_m.get(hi) and by_m[lo] > 0:
+                summary[name] = round(
+                    math.log(by_m[hi] / by_m[lo]) / math.log(hi / lo), 2
+                )
+        print(json.dumps({"scaling_exponent": summary, "mults": mults}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
