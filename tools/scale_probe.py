@@ -35,6 +35,7 @@ from logistream_data_pipeline_aws_spark.session import get_spark  # noqa: E402
 # sf0.1 volumes (TESTDATA.md): the 1x anchor
 EVENTS_N = 100_000
 ORDERS_N = 150_000
+DOCS_N = 5_000
 
 _MONTH_US = 31 * 86_400 * 1_000_000
 _EPOCH_2024 = 1_704_067_200_000_000  # 2024-01-01 UTC in micros
@@ -131,6 +132,60 @@ def synthetic_orders_lineitem(
     return orders, lineitem
 
 
+_WORDS = [
+    "logistics", "shipment", "carrier", "route", "delivery", "pallet",
+    "invoice", "customs", "manifest", "freight", "terminal", "transit",
+    "warehouse", "dispatch", "tracking", "courier", "container", "lading",
+    "port", "linehaul", "depot", "network", "schedule", "forecast",
+    "inventory", "backlog", "priority", "express", "standard", "economy",
+]
+
+
+def synthetic_documents(spark: SparkSession, n: int) -> DataFrame:
+    """Template-family corpus: ~n/5 base templates of ~60 words, five
+    variants each (word substitutions at pmod-picked offsets) — so exact
+    dups, near dups, and distinct docs all exist at every scale, and the
+    dedup family has real work to do."""
+    d = spark.range(n)
+    i = F.col("id")
+    fam = (i / 5).cast("long")
+    variant = F.pmod(i, F.lit(5))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda j: F.element_at(
+            F.array(*[F.lit(w) for w in _WORDS]),
+            (
+                F.pmod(
+                    fam * 31 + j * 7 + F.when(F.pmod(j, F.lit(12)) == 0, variant).otherwise(0),
+                    F.lit(len(_WORDS)),
+                )
+                + 1
+            ).cast("int"),
+        ),
+    )
+    text = F.array_join(words, " ")
+    return d.select(
+        i.alias("doc_id"),
+        text.alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("es")),
+            (F.pmod(fam, F.lit(3)) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(F.lit("src"), F.pmod(fam, F.lit(4))).alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+CORPUS_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_prefix_filter",
+    "corpus_quality_filter",
+    "doc_winnowing",
+    "lang_id",
+    "sequence_packing",
+]
+
 EVENTS_QUERIES = [
     "events_hourly",
     "user_sessions",
@@ -173,7 +228,10 @@ def main() -> None:
         lineitem.coalesce(8).write.mode("overwrite").parquet(
             os.path.join(sf_dir, "lineitem.parquet")
         )
-        for name in EVENTS_QUERIES + WAREHOUSE_QUERIES:
+        synthetic_documents(spark, DOCS_N * m).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sf_dir, "documents.parquet"))
+        for name in EVENTS_QUERIES + WAREHOUSE_QUERIES + CORPUS_QUERIES:
             walls = []
             for _ in range(2):
                 t0 = time.time()
