@@ -259,7 +259,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (composes the in-head minhash + clusters machinery), and the
         # repeat_customers_yoy rotation refresh.  All are green in this
         # session's full local sweeps at sf0.01 AND sf0.1 and
-        # digest-pinned. ====================================================
+        # digest-pinned.  Tail entry user_sessions gained a NULL-ts gate
+        # this session (behavior-identical on every shipped testdata
+        # encoding, which has no NULL ts; hash-green at both scales on
+        # re-verification) — the in-head events_stream_sessions
+        # exercises the sessionization machinery. ==========================
         "events_stream_hourly": X.events_stream_hourly,
         "dedup_near_survivors": X.dedup_near_survivors,
         # route_geometry_stats is fixture-static and sf-independent: the
@@ -818,7 +822,8 @@ def _ext_oracles() -> dict[str, str]:
         ),
         "user_sessions": (
             # gaps-and-islands mirror of session_window on second-truncated ts
-            "WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value FROM events), "
+            "WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value FROM events "
+            "WHERE ts IS NOT NULL), "
             # strictly greater: session_window merges an event at exactly
             # prev + gap (inclusive window end) — verified at sf0.1
             "marked AS (SELECT user_id, ts_s, value, CASE WHEN ts_s - LAG(ts_s) OVER "
@@ -1264,7 +1269,7 @@ def _ext_oracles() -> dict[str, str]:
             "WITH ordered AS (SELECT user_id, event_type, ts, event_id, "
             "CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1 "
             "WHEN event_type IS NOT DISTINCT FROM LAG(event_type) OVER w THEN 0 "
-            "ELSE 1 END AS is_change FROM events "
+            "ELSE 1 END AS is_change FROM events WHERE ts IS NOT NULL "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
             "runs AS (SELECT user_id, event_type, ts, "
             "CAST(SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id "
@@ -1368,7 +1373,7 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT CAST(ts AS DATE)) AS n_days, "
             "COUNT(DISTINCT user_id) AS exact_users, "
             "TRUE AS merged_estimate_ok "
-            "FROM events GROUP BY 1, 2"
+            "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"
         ),
         "dedup_prefix_filter": (
             # prefix filter over word 5-shingles: rarity rank (df,
@@ -1454,7 +1459,7 @@ def oracle_sql() -> dict[str, str]:
             # LAG per user, counts collapsed before the normalizing
             # window; BIGINT cast keeps the division on the IEEE path
             "WITH e AS (SELECT user_id, ts, event_id, event_type FROM events "
-            "WHERE user_id IS NOT NULL), "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
             "p AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, "
             "event_type AS next_type FROM e) "
             "SELECT prev_type, next_type, COUNT(*) AS n_transitions, "
@@ -1508,12 +1513,15 @@ def oracle_sql() -> dict[str, str]:
             # per-type hourly spine via generate_series; decimal-sum
             # average; IGNORE NULLS running last_value carries it forward
             "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n, "
-            "SUM(CAST(value AS DECIMAL(30,6))) AS sv, COUNT(value) AS nv FROM events GROUP BY 1, 2), "
+            "SUM(CAST(value AS DECIMAL(30,6))) AS sv, COUNT(value) AS nv FROM events "
+            "WHERE ts IS NOT NULL GROUP BY 1, 2), "
             "b AS (SELECT event_type, MIN(hr) AS mn, MAX(hr) AS mx FROM h GROUP BY 1), "
             "s AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM b), "
             "j AS (SELECT s.event_type, s.hr, h.n, "
             "CASE WHEN h.nv > 0 THEN CAST(h.sv AS DOUBLE) / h.nv END AS avg_v, "
-            "h.n IS NULL AS is_gap FROM s LEFT JOIN h ON s.event_type = h.event_type AND s.hr = h.hr) "
+            # null-safe type match: a NULL-event_type series is still a
+            # series, and the Spark side's scatter keeps it
+            "h.n IS NULL AS is_gap FROM s LEFT JOIN h ON s.event_type IS NOT DISTINCT FROM h.event_type AND s.hr = h.hr) "
             "SELECT event_type, CAST(hr AS TIMESTAMP) AS hr, CAST(COALESCE(n, 0) AS BIGINT) AS n_events, is_gap, "
             "last_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf FROM j"
@@ -1538,7 +1546,7 @@ def oracle_sql() -> dict[str, str]:
             # strictly-preceding frame: a purchase never attributes to
             # itself; opening purchases land in the (NULL, NULL) bucket
             "WITH e AS (SELECT user_id, ts, event_id, event_type, value FROM events "
-            "WHERE user_id IS NOT NULL), "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
             "a AS (SELECT event_type, value, "
             "first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) OVER w AS first_touch, "
             "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) OVER w AS last_touch "

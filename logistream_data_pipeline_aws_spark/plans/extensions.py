@@ -759,7 +759,10 @@ def events_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1.6% rsd; 10% allowed) the oracle pins to TRUE, so every column
     stays engine-exact while the sketch path stays in the checked
     plan."""
-    events = load_table(spark, "events", sf_dir)
+    # NULL ts excluded: a NULL week key would silently fall out of the
+    # weekly-exact equi-join while the oracle's GROUP BY keeps it
+    # (NULL-degenerate probe finding)
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
     daily = events.groupBy(
         "event_type",
         F.date_trunc("week", F.col("ts")).alias("wk"),
@@ -770,9 +773,14 @@ def events_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
     )
     exact = events.groupBy(
-        "event_type", F.date_trunc("week", F.col("ts")).alias("wk")
+        F.col("event_type").alias("e2"), F.date_trunc("week", F.col("ts")).alias("w2")
     ).agg(F.countDistinct("user_id").alias("exact_users"))
-    return weekly.join(exact, ["event_type", "wk"]).select(
+    # null-safe on event_type: a NULL-type series still rolls up, and a
+    # plain equi-join would silently drop it (NULL-degenerate probe)
+    return weekly.join(
+        exact,
+        weekly.event_type.eqNullSafe(exact.e2) & (weekly.wk == exact.w2),
+    ).select(
         "event_type",
         F.to_date("wk").alias("week"),
         "n_days",
@@ -1231,8 +1239,11 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     seconds first so the session boundaries are engine-exact (the oracle
     mirrors this with gaps-and-islands window SQL on the same truncated
     values).  Session end is reported as max(ts), not window.end (which
-    Spark pads by the gap)."""
-    events = load_table(spark, "events", sf_dir)
+    Spark pads by the gap).  NULL-timestamp events are excluded on both
+    sides: ``session_window`` keys on event time, while the oracle's
+    gaps-and-islands walk would silently absorb a NULL-ts row into its
+    user's trailing island (NULL-degenerate probe finding)."""
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
     sec = F.date_trunc("second", F.col("ts"))
     return (
         events.select("user_id", sec.alias("ts_s"), "value")
@@ -1620,7 +1631,10 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators.dimensions.scd2_history`` for the window decomposition."""
     from logistream_data_pipeline_aws_spark.operators.dimensions import scd2_history
 
-    events = load_table(spark, "events", sf_dir)
+    # NULL ts excluded: a change event without a time cannot anchor a
+    # validity interval, and the engines order NULLs at opposite ends of
+    # the history walk (NULL-degenerate probe finding)
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
     return scd2_history(events, "user_id", "event_type", "ts", "event_id")
 
 
@@ -2354,7 +2368,10 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = (
         load_table(spark, "events", sf_dir)
-        .where(F.col("user_id").isNotNull())
+        # NULL ts excluded: the walk order would diverge (Spark NULLS
+        # FIRST vs DuckDB NULLS LAST) and a timeless event has no place
+        # in a sequence anyway (NULL-degenerate probe finding)
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", "ts", "event_id", "event_type")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2395,10 +2412,13 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus: at 100 TB the hourly aggregate has already reduced the feed
     to (types x hours) rows.  Empty buckets report n_events = 0,
     is_gap = true, and the carried value (NULL until a type's first
-    observation)."""
+    observation).  NULL-timestamp events have no position in time and
+    are excluded — Spark orders NULLS FIRST where DuckDB orders them
+    LAST, so leaving them in diverges the lead walk (NULL-degenerate
+    probe finding)."""
     from pyspark.sql import Window
 
-    events = load_table(spark, "events", sf_dir)
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
     hourly = events.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
     ).agg(
@@ -2519,7 +2539,9 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = (
         load_table(spark, "events", sf_dir)
-        .where(F.col("user_id").isNotNull())
+        # NULL ts excluded for the same walk-order reason as the
+        # transition matrix (NULL-degenerate probe finding)
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", "ts", "event_id", "event_type", "value")
     )
     w = (
