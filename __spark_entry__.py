@@ -786,7 +786,7 @@ def _ext_oracles() -> dict[str, str]:
             "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, "
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value "
-            "FROM events GROUP BY 1, 2"
+            "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"
         ),
         "events_asof_last_purchase": (
             "WITH base AS (SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type FROM events), "
@@ -956,7 +956,8 @@ def _ext_oracles() -> dict[str, str]:
         # stateful streaming sessionizer: one availableNow batch closes all
         # but each user's final (still-open) session
         "events_stream_sessions": (
-            "WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s FROM events), "
+            "WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s FROM events "
+            "WHERE ts IS NOT NULL), "
             "marked AS (SELECT user_id, ts_s, CASE WHEN ts_s - LAG(ts_s) OVER "
             "(PARTITION BY user_id ORDER BY ts_s) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM e), "
             "islands AS (SELECT user_id, ts_s, SUM(new_s) OVER "
@@ -1405,7 +1406,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH k AS (SELECT unnest(generate_series(0, 3)) AS k), "
             "s AS (SELECT e.event_type, e.value, "
             "time_bucket(INTERVAL '15 minutes', e.ts) - (k.k * INTERVAL '15 minutes') AS window_start "
-            "FROM events e, k) "
+            "FROM events e, k WHERE e.ts IS NOT NULL) "
             "SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type, "
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value "

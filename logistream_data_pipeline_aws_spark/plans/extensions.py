@@ -1170,7 +1170,10 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "events_stream_sliding_sink"
     with events_stream(spark, sf_dir) as stream:
         agg = (
-            stream.withWatermark("ts", "2 hours")
+            # explicit NULL-ts gate: event-time windows drop timeless
+            # rows anyway; the gate keeps the oracle on the same page
+            stream.where(F.col("ts").isNotNull())
+            .withWatermark("ts", "2 hours")
             .groupBy(
                 F.window("ts", "1 hour", "15 minutes").alias("w"),
                 F.col("event_type"),

@@ -58,10 +58,14 @@ def windowed_aggregate(
     """Tumbling-window counts/sums per event type with late-data bound.
 
     Same logical aggregate as plans.analytics.events_hourly — the batch
-    and streaming surfaces share semantics by construction.
+    and streaming surfaces share semantics by construction.  NULL
+    timestamps are filtered explicitly: event-time windowing drops them
+    anyway, and the explicit gate keeps any batch mirror (and the
+    DuckDB oracle) on identical semantics.
     """
     return (
-        events.withWatermark("ts", watermark)
+        events.where(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -115,7 +119,12 @@ def sessionize(events: DataFrame) -> DataFrame:
     cloudpickle ships it by value — Python workers never need this
     package importable (the driver harness runs from an arbitrary cwd
     with no PYTHONPATH to the repo).
+
+    NULL timestamps are filtered before the stateful stage: a NaT would
+    crash the Arrow worker's epoch conversion mid-stream (found by the
+    NULL-degenerate probe), and a timeless event belongs to no session.
     """
+    events = events.where(F.col("ts").isNotNull())
 
     def _session_fn(
         key: tuple[Any, ...],
