@@ -789,7 +789,8 @@ def _ext_oracles() -> dict[str, str]:
             "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"
         ),
         "events_asof_last_purchase": (
-            "WITH base AS (SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type FROM events), "
+            "WITH base AS (SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
             "p AS (SELECT DISTINCT user_id, ts_s AS purchase_ts FROM base WHERE event_type = 'purchase') "
             "SELECT b.event_id, b.user_id, b.ts_s, p.purchase_ts AS asof_purchase_ts, "
             "CAST(epoch(b.ts_s) - epoch(p.purchase_ts) AS BIGINT) AS secs_since_purchase "

@@ -595,10 +595,16 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for every event, the most recent purchase at-or-before
     it by the same user (merge-based one-pass join; DuckDB mirrors it
     with a native ASOF JOIN).  Timestamps truncated to seconds for
-    cross-engine exactness."""
+    cross-engine exactness.  NULL timestamps are excluded: a timeless
+    event has no "as of" point, and the engines walk NULLs from
+    opposite ends of the merge order; NULL users are excluded likewise —
+    Spark's partition-based merge groups NULL keys together where an
+    equi-ASOF never matches them (NULL-degenerate probe findings)."""
     from logistream_data_pipeline_aws_spark.operators.asof import as_of_join
 
-    events = load_table(spark, "events", sf_dir)
+    events = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     base = events.select(
         "event_id", "user_id", F.date_trunc("second", "ts").alias("ts_s"), "event_type"
     )

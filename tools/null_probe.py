@@ -60,6 +60,12 @@ DEFAULT_QUERIES = {
         "events_anomaly_mad", "events_hll_mergeable_rollup",
         "events_multigrain_rollup", "events_json_kv",
         "events_salted_user_stats", "scd2_user_state",
+        "events_asof_last_purchase", "events_lookback_count",
+        "events_heavy_hitters", "events_sketch_profile",
+        "events_stream_hourly", "events_stream_sliding",
+        "events_stream_sessions", "events_stream_dedup",
+        "events_stream_enriched", "events_stream_order_shipment",
+        "events_stream_upsert", "snapshot_cdc_diff",
     ],
     "documents": [
         "dedup_exact", "dedup_survivors", "dedup_minhash_lsh",
