@@ -1358,9 +1358,10 @@ def oracle_sql() -> dict[str, str]:
     out.update({
         "orders_backlog_series": (
             # +1 at order date, -1 at last ship date, running net
-            "WITH opened AS (SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders), "
-            "closed AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS day, -1 AS delta "
-            "FROM lineitem GROUP BY l_orderkey), "
+            "WITH opened AS (SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders "
+            "WHERE o_orderdate IS NOT NULL), "
+            "closed AS (SELECT day, delta FROM (SELECT MAX(CAST(l_shipdate AS DATE)) AS day, -1 AS delta "
+            "FROM lineitem GROUP BY l_orderkey) WHERE day IS NOT NULL), "
             "daily AS (SELECT day, "
             "CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_opened, "
             "CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed, "
@@ -1606,7 +1607,7 @@ def oracle_sql() -> dict[str, str]:
             # decimal inside the window frame; single double division
             "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS order_day, "
             "SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS _d, COUNT(*) AS n_orders "
-            "FROM orders GROUP BY 1) "
+            "FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1) "
             "SELECT order_day, CAST(_d AS DOUBLE) AS daily_sales, n_orders, "
             "CAST(SUM(_d) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS mov7_avg "
             "FROM d WINDOW w AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
@@ -1653,7 +1654,7 @@ def oracle_sql() -> dict[str, str]:
             "old_totalprice, new_totalprice "
             "FROM snap_old FULL OUTER JOIN snap_new ON snap_old.o_orderkey = snap_new.o_orderkey "
             "WHERE snap_old.o_orderkey IS NULL OR snap_new.o_orderkey IS NULL "
-            "OR old_totalprice <> new_totalprice"
+            "OR old_totalprice IS DISTINCT FROM new_totalprice"
         ),
         "orders_zorder_clustering": (
             # bit-for-bit mirror of functions.keys.zorder_key(day, custkey)
@@ -1781,7 +1782,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH m AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, "
             "CAST(month(o_orderdate) AS INTEGER) AS order_month, "
             + _dsum("o_totalprice", "total_sales")
-            + ", COUNT(*) AS n_orders FROM orders GROUP BY 1, 2) "
+            + ", COUNT(*) AS n_orders FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2) "
             "SELECT order_year, order_month, total_sales, "
             "total_sales - LAG(total_sales) OVER (ORDER BY order_year, order_month) AS mom_delta "
             "FROM m"
@@ -1790,7 +1791,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH m AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, "
             "CAST(month(o_orderdate) AS INTEGER) AS order_month, "
             + _dsum("o_totalprice", "total_sales")
-            + ", COUNT(*) AS n_orders FROM orders GROUP BY 1, 2) "
+            + ", COUNT(*) AS n_orders FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2) "
             "SELECT order_year, order_month, total_sales, "
             "CAST(SUM(CAST(total_sales AS DECIMAL(30,6))) OVER (ORDER BY order_year, order_month "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cumulative_sales "

@@ -152,10 +152,13 @@ def a6_sales_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a6_sales_trend_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month delta via LAG over the monthly trend — the one
     genuinely windowed analytic in the surface (reference has none,
-    SURVEY §2.5; this is the BI-layer's implicit time intelligence)."""
+    SURVEY §2.5; this is the BI-layer's implicit time intelligence).
+    The undated-orders bucket (NULL month) is excluded before the walk:
+    it has no position in the order, and the engines sort NULLs at
+    opposite ends (NULL-degenerate probe finding)."""
     from pyspark.sql import Window
 
-    monthly = a6_sales_trend(spark, sf_dir)
+    monthly = a6_sales_trend(spark, sf_dir).where(F.col("order_year").isNotNull())
     w = Window.orderBy("order_year", "order_month")
     return monthly.select(
         "order_year",
@@ -172,7 +175,8 @@ def cumulative_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale — never window over the raw fact."""
     from pyspark.sql import Window
 
-    monthly = a6_sales_trend(spark, sf_dir)
+    # NULL-month bucket excluded before the walk (see a6_sales_trend_mom)
+    monthly = a6_sales_trend(spark, sf_dir).where(F.col("order_year").isNotNull())
     w = (
         Window.orderBy("order_year", "order_month")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -767,12 +771,17 @@ def orders_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
-    opened = orders.select(
+    # undated deltas are excluded on both ends: an order without an
+    # order date never opens, and an order whose lineitems all lack
+    # ship dates never closes (stays in the backlog) — and a NULL day
+    # would sit at opposite ends of the running walk per engine
+    opened = orders.where(F.col("o_orderdate").isNotNull()).select(
         F.to_date("o_orderdate").alias("day"), F.lit(1).alias("delta")
     )
     closed = (
         li.groupBy("l_orderkey")
         .agg(F.max(F.to_date("l_shipdate")).alias("day"))
+        .where(F.col("day").isNotNull())
         .select("day", F.lit(-1).alias("delta"))
     )
     daily = (
@@ -807,7 +816,11 @@ def daily_sales_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, as double arithmetic both engines share bit-for-bit."""
     from pyspark.sql import Window
 
-    orders = load_table(spark, "orders", sf_dir)
+    # undated orders excluded: the moving-average walk needs a total
+    # order and the engines sort NULLs at opposite ends (probe finding)
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate").isNotNull()
+    )
     daily = orders.groupBy(F.to_date("o_orderdate").alias("order_day")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("_d"),
         F.count(F.lit(1)).alias("n_orders"),

@@ -2036,9 +2036,12 @@ def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_totalprice",
         )
         .where(
-            F.col("old_totalprice").isNull()
-            | F.col("new_totalprice").isNull()
-            | (F.col("old_totalprice") != F.col("new_totalprice"))
+            # presence diff (insert/delete) or a NULL-SAFE value diff:
+            # a key whose measure is NULL in both snapshots is unchanged,
+            # and a bare isNull arm would report it forever (probe find)
+            F.col("k_old").isNull()
+            | F.col("k_new").isNull()
+            | ~F.col("old_totalprice").eqNullSafe(F.col("new_totalprice"))
         )
     )
 

@@ -49,6 +49,27 @@ INJECTIONS = {
           CASE WHEN doc_id % 17 = 0 THEN NULL ELSE n_chars END AS n_chars
         FROM read_parquet('{src}')
     """,
+    # keys stay NOT NULL (referential integrity is a generator invariant);
+    # dates, measures, and flags are the plausibly-nullable columns
+    "orders": """
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 31 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+          CASE WHEN o_orderkey % 23 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice,
+          CASE WHEN o_orderkey % 53 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate,
+          CASE WHEN o_orderkey % 29 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+        FROM read_parquet('{src}')
+    """,
+    "lineitem": """
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+          CASE WHEN (l_orderkey + l_linenumber) % 23 = 0 THEN NULL ELSE l_quantity END AS l_quantity,
+          CASE WHEN (l_orderkey + l_linenumber) % 29 = 0 THEN NULL ELSE l_extendedprice END AS l_extendedprice,
+          CASE WHEN (l_orderkey + l_linenumber) % 31 = 0 THEN NULL ELSE l_discount END AS l_discount,
+          CASE WHEN (l_orderkey + l_linenumber) % 37 = 0 THEN NULL ELSE l_tax END AS l_tax,
+          CASE WHEN (l_orderkey + l_linenumber) % 41 = 0 THEN NULL ELSE l_returnflag END AS l_returnflag,
+          CASE WHEN (l_orderkey + l_linenumber) % 43 = 0 THEN NULL ELSE l_linestatus END AS l_linestatus,
+          CASE WHEN (l_orderkey + l_linenumber) % 53 = 0 THEN NULL ELSE l_shipdate END AS l_shipdate
+        FROM read_parquet('{src}')
+    """,
 }
 
 DEFAULT_QUERIES = {
@@ -66,6 +87,25 @@ DEFAULT_QUERIES = {
         "events_stream_sessions", "events_stream_dedup",
         "events_stream_enriched", "events_stream_order_shipment",
         "events_stream_upsert", "snapshot_cdc_diff",
+    ],
+    "orders": [
+        "a6_sales_trend", "a6_sales_trend_mom", "cumulative_monthly_sales",
+        "daily_sales_moving_avg", "orders_backlog_series",
+        "customer_rfm_scores", "repeat_customers_yoy", "top_customers",
+        "snapshot_cdc_diff", "orders_zorder_clustering", "scd2_user_state",
+        "sql_shipping_priority", "sql_customer_order_distribution",
+        "sql_orders_above_customer_avg", "sql_large_volume_orders",
+        "sql_lapsed_big_spenders", "sql_unshipped_orders",
+        "sql_prospect_customers", "supplier_pagerank", "graph_hop_distance",
+    ],
+    "lineitem": [
+        "q1_pricing_summary", "a5_profit_rollup", "a5_profit_by_hierarchy",
+        "a5_profit_cube", "a7_schedule_adherence", "a8_returns_by_nation",
+        "lineitem_abc_pareto", "basket_part_pairs", "orders_backlog_series",
+        "lineitem_measures_unpivot", "fact_lineitem", "fact_write_readback",
+        "sql_promo_revenue", "sql_forecast_revenue", "sql_disjunctive_basket",
+        "sql_returned_item_losses", "sql_priority_shipping_split",
+        "sql_volume_shipping", "sql_market_share", "sql_top_supplier",
     ],
     "documents": [
         "dedup_exact", "dedup_survivors", "dedup_minhash_lsh",
