@@ -259,12 +259,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (composes the in-head minhash + clusters machinery), and the
         # repeat_customers_yoy rotation refresh.  All are green in this
         # session's full local sweeps at sf0.01 AND sf0.1 and
-        # digest-pinned.  Tail entries user_sessions and
-        # events_asof_last_purchase gained NULL-key gates this session
-        # (behavior-identical on every shipped testdata encoding, which
-        # has no NULL ts/user; hash-green at both scales on
-        # re-verification) — the in-head events_stream_sessions and the
-        # asof unit suite exercise the underlying machinery. ===============
+        # digest-pinned.  Tail entries user_sessions,
+        # events_asof_last_purchase, a6_sales_trend_mom, and
+        # cumulative_monthly_sales gained NULL-key/-date gates this
+        # session (behavior-identical on every shipped testdata encoding,
+        # which has no NULL ts/user/date; each hash-green at both scales
+        # on re-verification) — the in-head events_stream_sessions, the
+        # asof unit suite, and the in-head daily_sales_moving_avg
+        # exercise the same machinery and gate shape. ======================
         "events_stream_hourly": X.events_stream_hourly,
         "dedup_near_survivors": X.dedup_near_survivors,
         # route_geometry_stats is fixture-static and sf-independent: the
