@@ -279,6 +279,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cumulative_monthly_sales plan on integer deltas, and it is
         # green in this session's sweeps at both scales
         "orders_backlog_series": A.orders_backlog_series,
+        # post-window additions (never driver-verified; locally swept
+        # green at both scales on add): exact time-decay attribution
+        # (power-of-two weights, integer-scaled decimal sum) and the
+        # percent-of-parent revenue share
+        "events_attribution_decayed": X.events_attribution_decayed,
+        "brand_share_within_type": A.brand_share_within_type,
         "repeat_customers_yoy": A.repeat_customers_yoy,
         "dedup_exact": X.dedup_exact,
         "dedup_survivors": X.dedup_survivors,
@@ -1547,6 +1553,37 @@ def oracle_sql() -> dict[str, str]:
             # BIGINT because DOUBLE / DECIMAL(38,0) is a non-IEEE path
             "CAST(SUM(CAST(value AS DECIMAL(30,2)) * CAST(dt_us AS DECIMAL(14,0))) AS DOUBLE) / CAST(SUM(dt_us) AS BIGINT) AS twap "
             "FROM p WHERE dt_us IS NOT NULL GROUP BY 1, 2"
+        ),
+        "events_attribution_decayed": (
+            # exact exponential decay: integer-scaled decimal sum, one
+            # closing division by 2^20 — no transcendental executes
+            "WITH e AS (SELECT user_id, ts, event_id, event_type, value FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "a AS (SELECT event_type, value, CAST(ts AS DATE) AS p_day, "
+            "last_value(CASE WHEN event_type <> 'purchase' THEN "
+            "struct_pack(d := CAST(ts AS DATE), t := event_type) END IGNORE NULLS) OVER w AS lt "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+            "b AS (SELECT lt.t AS channel, value, datediff('day', lt.d, p_day) AS age_days "
+            "FROM a WHERE event_type = 'purchase'), "
+            "c AS (SELECT channel, value, age_days FROM b "
+            "WHERE channel IS NOT NULL AND age_days <= 20 AND value IS NOT NULL) "
+            "SELECT channel, COUNT(*) AS n_purchases, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,2)) * "
+            "CAST((CAST(1 AS BIGINT) << (20 - age_days)) AS DECIMAL(12,0))) AS DOUBLE) / 1048576.0 AS decayed_value "
+            "FROM c GROUP BY 1"
+        ),
+        "brand_share_within_type": (
+            # percent-of-parent via a whole-partition window over the
+            # (type x brand) aggregate; decimal until the one division
+            "WITH r AS (SELECT l_partkey, "
+            "SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS _rev, "
+            "COUNT(*) AS _n FROM lineitem GROUP BY 1), "
+            "b AS (SELECT p_type, p_brand, SUM(_rev) AS br, CAST(SUM(_n) AS BIGINT) AS n_items "
+            "FROM r LEFT JOIN part ON l_partkey = p_partkey GROUP BY 1, 2) "
+            "SELECT p_type, p_brand, CAST(br AS DOUBLE) AS brand_revenue, n_items, "
+            "CAST(br AS DOUBLE) / CAST(SUM(br) OVER (PARTITION BY p_type) AS DOUBLE) AS share_of_type "
+            "FROM b"
         ),
         "events_attribution": (
             # strictly-preceding frame: a purchase never attributes to

@@ -587,6 +587,40 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("retention", F.col("n_active") / F.col("cohort_size"))
 
 
+def brand_share_within_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent: each brand's share of its part type's revenue
+    — the ubiquitous BI ratio ("% of subtotal") the rollup/cube surface
+    doesn't express directly.  The type total attaches via a
+    whole-partition window over the (brand x type)-sized aggregate (no
+    join-back, no re-derivation), both operands stay decimal until the
+    single closing division, and the window input is the aggregated
+    frame, never the fact."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, "part", sf_dir)
+    by_brand = (
+        _revenue_by_partkey(spark, sf_dir)
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left",
+        )
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum("_rev").alias("_brand_rev"), F.sum("_n").alias("n_items"))
+    )
+    wt = Window.partitionBy("p_type")
+    return by_brand.select(
+        "p_type",
+        "p_brand",
+        F.col("_brand_rev").cast("double").alias("brand_revenue"),
+        "n_items",
+        (
+            F.col("_brand_rev").cast("double")
+            / F.sum("_brand_rev").over(wt).cast("double")
+        ).alias("share_of_type"),
+    )
+
+
 def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) customer scoring — the
     segmentation every CRM warehouse derives from the order history.

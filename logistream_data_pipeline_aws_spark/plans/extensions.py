@@ -2363,6 +2363,70 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_attribution_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution: each purchase credits its most recent
+    preceding touch with ``value * 2^-age_days`` (halving per day,
+    20-day window — the width also keeps the scaled decimal sum's
+    unscaled integer under 2^53, where DuckDB's int128-to-double cast
+    starts double-rounding) — the recency-weighted sibling of the
+    first/last touch model.
+
+    EXACT across engines despite the exponential: the decay base is 2
+    and the age is an integer, so the weight is an exact binary
+    fraction; the sum runs as ``decimal(value) * 2^(30-age)`` — an
+    integer-scaled decimal, order-independent — and one closing
+    division by 2^20 (an exact double scaling, not a rounding) restores
+    the magnitude.  No transcendental ever executes, so there is
+    nothing for libm to disagree about.  Same strictly-preceding
+    per-user frame and NULL gates as ``events_attribution``."""
+    from pyspark.sql import Window
+
+    events = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase",
+        F.struct(F.to_date("ts").alias("d"), F.col("event_type").alias("t")),
+    )
+    last_touch = F.last(touch, ignorenulls=True).over(w)
+    attributed = (
+        events.select(
+            "event_type",
+            "value",
+            F.to_date("ts").alias("p_day"),
+            last_touch.alias("lt"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("lt.t").alias("channel"),
+            "value",
+            F.datediff(F.col("p_day"), F.col("lt.d")).alias("age_days"),
+        )
+        .where(
+            F.col("channel").isNotNull()
+            & (F.col("age_days") <= 20)
+            & F.col("value").isNotNull()
+        )
+    )
+    # SQL form: the python shiftleft binding only takes a literal count
+    scaled = F.col("value").cast("decimal(18,2)") * F.expr(
+        "shiftleft(1L, 20 - age_days)"
+    ).cast("decimal(12,0)")
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        (F.sum(scaled).cast("double") / F.lit(float(1 << 20))).alias(
+            "decayed_value"
+        ),
+    )
+
+
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over user journeys: how
     often each event type follows each other type, with the row-

@@ -827,3 +827,26 @@ def test_backlog_series_counts_in_flight_orders(spark):
         A.load_table = orig
     assert [out[k].backlog for k in sorted(out)] == [1, 2, 1, 0, 1]
     assert out["2024-01-04"].n_closed == 1  # order 1 closes at its LAST ship
+
+
+def test_decayed_attribution_halves_per_day(spark):
+    """value * 2^-age with a 20-day window: same-day touch credits the
+    full value, a 2-day-old touch a quarter, a 21-day-old touch nothing;
+    purchases with no touch never appear."""
+    import datetime as dt
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)
+    rows = [
+        (1, d(1), 1, "click", None),
+        (2, d(1, 5), 1, "purchase", 80.0),    # age 0 -> 80
+        (3, d(3, 5), 1, "purchase", 80.0),    # age 2 -> 20
+        (4, d(1), 2, "view", None),
+        (5, d(22), 2, "purchase", 64.0),      # age 21 -> outside window
+        (6, d(2), 3, "purchase", 10.0),       # organic: no touch, no row
+    ]
+    out = _with_events_fixture(
+        spark, rows,
+        lambda X, s: X.events_attribution_decayed(s, "unused").collect(),
+    )
+    got = {r.channel: (r.n_purchases, r.decayed_value) for r in out}
+    assert got == {"click": (2, 100.0)}
