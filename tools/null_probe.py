@@ -87,6 +87,7 @@ DEFAULT_QUERIES = {
         "events_stream_sessions", "events_stream_dedup",
         "events_stream_enriched", "events_stream_order_shipment",
         "events_stream_upsert", "snapshot_cdc_diff",
+        "events_attribution_decayed",
     ],
     "orders": [
         "a6_sales_trend", "a6_sales_trend_mom", "cumulative_monthly_sales",
@@ -106,6 +107,7 @@ DEFAULT_QUERIES = {
         "sql_promo_revenue", "sql_forecast_revenue", "sql_disjunctive_basket",
         "sql_returned_item_losses", "sql_priority_shipping_split",
         "sql_volume_shipping", "sql_market_share", "sql_top_supplier",
+        "brand_share_within_type", "lineitem_abc_pareto",
     ],
     "documents": [
         "dedup_exact", "dedup_survivors", "dedup_minhash_lsh",
