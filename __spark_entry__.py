@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # percent-of-parent revenue share
         "events_attribution_decayed": X.events_attribution_decayed,
         "brand_share_within_type": A.brand_share_within_type,
+        "daily_sales_range_frame": A.daily_sales_range_frame,
         "repeat_customers_yoy": A.repeat_customers_yoy,
         "dedup_exact": X.dedup_exact,
         "dedup_survivors": X.dedup_survivors,
@@ -1572,6 +1573,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(value AS DECIMAL(18,2)) * "
             "CAST((CAST(1 AS BIGINT) << (20 - age_days)) AS DECIMAL(12,0))) AS DOUBLE) / 1048576.0 AS decayed_value "
             "FROM c GROUP BY 1"
+        ),
+        "daily_sales_range_frame": (
+            # RANGE frame over epoch days: last 7 CALENDAR days, so a
+            # gapped series shrinks the window instead of reaching back
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS order_day, "
+            "SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS _d, COUNT(*) AS n_orders "
+            "FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1), "
+            "n AS (SELECT *, datediff('day', DATE '1970-01-01', order_day) AS _day_n FROM d) "
+            "SELECT order_day, CAST(_d AS DOUBLE) AS daily_sales, n_orders, "
+            "COUNT(*) OVER w AS days_in_window, "
+            "CAST(SUM(_d) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS range7_avg "
+            "FROM n WINDOW w AS (ORDER BY _day_n RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"
         ),
         "brand_share_within_type": (
             # percent-of-parent via a whole-partition window over the

@@ -587,6 +587,39 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("retention", F.col("n_active") / F.col("cohort_size"))
 
 
+def daily_sales_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware trailing-week aggregate via a RANGE frame — the
+    frame type the surface lacked next to ROWS (bounded + unbounded):
+    ``RANGE BETWEEN 6 PRECEDING AND CURRENT ROW`` over an epoch-day
+    ordering covers the last SEVEN CALENDAR DAYS, so a gap in the daily
+    series shrinks the window's row count instead of silently reaching
+    further back the way the ROWS form does (the two agree only on a
+    gap-free calendar — ``daily_sales_moving_avg`` is the ROWS cousin).
+    Same scale discipline: the frame walks the pre-aggregated daily
+    table, decimal inside the frame, one closing division."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate").isNotNull()
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("_d"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    # RANGE frames need a numeric ordering key: epoch days
+    withday = daily.withColumn("_day_n", F.unix_date(F.col("order_day")))
+    w = Window.orderBy("_day_n").rangeBetween(-6, 0)
+    return withday.select(
+        "order_day",
+        F.col("_d").cast("double").alias("daily_sales"),
+        "n_orders",
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+        (
+            F.sum("_d").over(w).cast("double") / F.count(F.lit(1)).over(w)
+        ).alias("range7_avg"),
+    )
+
+
 def brand_share_within_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-parent: each brand's share of its part type's revenue
     — the ubiquitous BI ratio ("% of subtotal") the rollup/cube surface

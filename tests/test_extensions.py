@@ -850,3 +850,37 @@ def test_decayed_attribution_halves_per_day(spark):
     )
     got = {r.channel: (r.n_purchases, r.decayed_value) for r in out}
     assert got == {"click": (2, 100.0)}
+
+
+def test_range_frame_respects_calendar_gaps(spark):
+    """RANGE 6-preceding over epoch days covers calendar days, so a gap
+    SHRINKS the window; the ROWS cousin would reach further back."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    import logistream_data_pipeline_aws_spark.catalog as C
+    from logistream_data_pipeline_aws_spark.plans import analytics as A
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    # days 1, 2, then a jump to day 20: the day-20 window must contain
+    # only itself (days 14-20 have no other data)
+    rows = [(1, dt.datetime(2024, 1, 1), 10.0), (2, dt.datetime(2024, 1, 2), 20.0),
+            (3, dt.datetime(2024, 1, 20), 40.0)]
+    orders = spark.createDataFrame(rows, schema)
+    orig = C.load_table
+    try:
+        C.load_table = lambda spark, name, sf_dir: orders  # noqa: ARG005
+        A.load_table = C.load_table
+        out = {r.order_day.day: r for r in A.daily_sales_range_frame(spark, "unused").collect()}
+    finally:
+        C.load_table = orig
+        A.load_table = orig
+    assert (out[2].days_in_window, out[2].range7_avg) == (2, 15.0)
+    assert (out[20].days_in_window, out[20].range7_avg) == (1, 40.0)
