@@ -667,7 +667,9 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     R score counts cutpoints ABOVE the value while F/M count below);
     monetary runs through the decimal-sum contract; cutpoints round to
     6dp, the proven cross-engine-exact surface for interpolated
-    percentiles."""
+    percentiles.  Like the Pareto cutpoints, the exact percentile here
+    is the oracle-checkable baseline — at warehouse scale swap in
+    approx_percentile (the events_value_binning note)."""
     anchor = "2002-01-01"
     orders = load_table(spark, "orders", sf_dir)
     per_cust = orders.groupBy("o_custkey").agg(
@@ -756,6 +758,11 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangular join over the 10-row decile-totals frame — the
     ``with_sequential_key_ranged`` shape applied to a running sum, so
     the plan survives a part dimension that grows with the fact table.
+    The decile cutpoints use EXACT percentile for oracle parity; it
+    aggregates one global buffer, which the 100x scale probe shows
+    becoming the dominant cost around ~2M parts — at warehouse scale
+    swap in approx_percentile exactly as events_value_binning notes
+    (the decomposition itself is unchanged).
     Scale 4 is the exact width of 2dp price x 2dp discount factor, and
     keeps every decimal-to-double cast under 2^53 (above that DuckDB's
     int128 conversion double-rounds).  Decile assignment is row-local,

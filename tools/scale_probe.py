@@ -48,9 +48,10 @@ def synthetic_events(spark: SparkSession, n: int) -> DataFrame:
     users = max(n // 200, 1)
     e = spark.range(n)
     i = F.col("id")
-    ts = F.timestamp_micros(
-        (F.lit(_EPOCH_2024) + (i * F.lit(_MONTH_US) / F.lit(n)).cast("long"))
-    )
+    # spacing precomputed in Python: id * _MONTH_US overflows a long at
+    # ~3e3x scale, while id * (month // n) never can
+    spacing = max(_MONTH_US // n, 1)
+    ts = F.timestamp_micros(F.lit(_EPOCH_2024) + i * F.lit(spacing))
     typ = F.element_at(
         F.array(*[F.lit(t) for t in _TYPES]),
         (F.pmod(i * 7 + 3, F.lit(len(_TYPES))) + 1).cast("int"),
