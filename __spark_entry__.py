@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_decayed": X.events_attribution_decayed,
         "brand_share_within_type": A.brand_share_within_type,
         "daily_sales_range_frame": A.daily_sales_range_frame,
+        "sql_small_quantity_revenue": V.sql_small_quantity_revenue,
         "repeat_customers_yoy": A.repeat_customers_yoy,
         "dedup_exact": X.dedup_exact,
         "dedup_survivors": X.dedup_survivors,
@@ -1573,6 +1574,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(value AS DECIMAL(18,2)) * "
             "CAST((CAST(1 AS BIGINT) << (20 - age_days)) AS DECIMAL(12,0))) AS DOUBLE) / 1048576.0 AS decayed_value "
             "FROM c GROUP BY 1"
+        ),
+        "sql_small_quantity_revenue": (
+            # Q17: decorrelated per-part AVG threshold; decimal-exact
+            # average, one 0.2x scaling, closing /7.0 annualization
+            "WITH pa AS (SELECT l_partkey, "
+            "0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(l_quantity)) AS qty_cut "
+            "FROM lineitem GROUP BY l_partkey) "
+            "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / 7.0 AS avg_yearly, "
+            "COUNT(*) AS n_small "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "JOIN pa ON pa.l_partkey = lineitem.l_partkey "
+            "WHERE p_brand = 'Brand#4' AND p_size <= 10 AND l_quantity < qty_cut"
         ),
         "daily_sales_range_frame": (
             # RANGE frame over epoch days: last 7 CALENDAR days, so a

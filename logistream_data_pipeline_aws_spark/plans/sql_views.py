@@ -589,3 +589,30 @@ def sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name, s.s_name
         """
     )
+
+
+def sql_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue that would be lost by refusing
+    small-quantity orders of a brand's small parts — the correlated
+    scalar AVG subquery (l_quantity < 0.2 * per-part average), which
+    Catalyst decorrelates into a per-part aggregate joined back to the
+    probe.  The per-part average divides a decimal-exact sum by its
+    count once, so the 0.2x threshold compares identical doubles on
+    both engines; the closing /7.0 is the classic annualization."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH pa AS (
+          SELECT l_partkey,
+                 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                        / COUNT(l_quantity)) AS qty_cut
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN pa ON pa.l_partkey = lineitem.l_partkey
+        WHERE p_brand = 'Brand#4' AND p_size <= 10 AND l_quantity < qty_cut
+        """
+    )
