@@ -196,6 +196,22 @@ def main() -> None:
                 file=sys.stderr,
             )
     load_end = os.getloadavg()
+    # Provenance detail (raw runs, load sentinels, table rows) goes on its
+    # OWN earlier line: round 4's enriched single line overflowed the
+    # driver's 2000-byte tail capture and the official artifact recorded
+    # "parsed": null.  The compact gate line must print LAST and stay small.
+    print(
+        json.dumps(
+            {
+                "detail": "bench_provenance",
+                "runs": runs,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in load_end],
+                "variance_flagged": flagged,
+                "table_rows": _table_rows(sf_dir),
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -204,13 +220,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # provenance: raw runs + load sentinels make a
-                # load-contaminated artifact self-identifying
-                "runs": runs,
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in load_end],
-                "variance_flagged": flagged,
-                "table_rows": _table_rows(sf_dir),
             }
         )
     )

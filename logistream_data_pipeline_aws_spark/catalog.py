@@ -296,14 +296,26 @@ class events_stream:
         self._prev: str | None = None
         self._flipped = False
 
+    def _source(self, reader, schema) -> DataFrame:
+        """The events table may be a single flat file named
+        ``events.parquet`` (driver testdata) or a directory of part
+        files under that name (any Spark writer, the scale probe) —
+        point the file source at whichever exists.  A glob filter only
+        matches LEAF file names, so the flat layout needs it while the
+        directory layout must not have it."""
+        path = table_path("events", self.sf_dir)
+        if os.path.isdir(path):
+            return reader.schema(schema).parquet(path)
+        return (
+            reader.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(self.sf_dir)
+        )
+
     def __enter__(self) -> DataFrame:
         reader = self.spark.readStream
         if events_ts_unit(self.sf_dir) == "us":
-            return (
-                reader.schema(TESTDATA_SCHEMAS["events"])
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(self.sf_dir)
-            )
+            return self._source(reader, TESTDATA_SCHEMAS["events"])
         try:
             self._prev = self.spark.conf.get(self._CONF)
         except Exception:
@@ -312,11 +324,8 @@ class events_stream:
         self._flipped = True
         from pyspark.sql import functions as F
 
-        return (
-            reader.schema(EVENTS_RAW_NS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(self.sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return self._source(reader, EVENTS_RAW_NS_SCHEMA).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
 
     def __exit__(self, *exc) -> None:

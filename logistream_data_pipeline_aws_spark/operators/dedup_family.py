@@ -511,8 +511,14 @@ def prefix_filter_pairs(
     counts -> per-doc rarity rank (window partitioned by doc) -> prefix
     cut -> token-bucket self-join -> exact Jaccard verify on the full
     sets.  Compared to ``ngram_jaccard_pairs`` (blocking key) and
-    MinHash-LSH (probabilistic), this is the exact-recall scale path:
-    every qualifying pair is guaranteed a shared prefix token.
+    MinHash-LSH (probabilistic), this is the near-exact-recall scale
+    path: every qualifying pair shares a prefix token, so recall is
+    exact SUBJECT TO the ``max_token_bucket`` cap — a true pair whose
+    only shared prefix token exceeds the cap is dropped (the drop is
+    observable in the ``prefix_token_cap`` metric, and the rarity
+    ordering makes hot prefix tokens rare by construction).  Pass
+    ``max_token_bucket=None`` for unconditionally exact recall at the
+    cost of unbounded hot-bucket expansion.
 
     ``k_shingle`` sets the set items: word k-shingles (default 5 — on a
     template-heavy corpus raw tokens and even 3-shingles are shared so

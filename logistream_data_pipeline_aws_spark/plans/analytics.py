@@ -670,9 +670,27 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles.  Like the Pareto cutpoints, the exact percentile here
     is the oracle-checkable baseline — at warehouse scale swap in
     approx_percentile (the events_value_binning note)."""
+    per_cust = _rfm_per_customer(spark, sf_dir)
+    stats = per_cust.agg(*_rfm_cutpoints(exact=True))
+    scored = per_cust.crossJoin(F.broadcast(stats)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _rfm_score("recency_days", "r", above=True).alias("r_score"),
+        _rfm_score("frequency", "f", above=False).alias("f_score"),
+        _rfm_score("monetary", "m", above=False).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )
+
+
+def _rfm_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = "2002-01-01"
     orders = load_table(spark, "orders", sf_dir)
-    per_cust = orders.groupBy("o_custkey").agg(
+    return orders.groupBy("o_custkey").agg(
         F.datediff(
             F.lit(anchor).cast("date"), F.max(F.to_date("o_orderdate"))
         )
@@ -683,38 +701,108 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
+
+
+def _rfm_cutpoints(exact: bool, cp: str = "") -> list[Column]:
+    """Quintile cutpoint aggregates for the three RFM measures, aliased
+    ``{cp}{r|f|m}p{1..4}``.  ``exact`` picks the interpolated exact
+    percentile (oracle-parity baseline, single global buffer) vs the
+    KLL-sketch ``approx_percentile`` at accuracy 10000 (map-side
+    combinable, rank error <= 1e-4 — the 100 TB form)."""
     qs = [i / 5 for i in range(1, 5)]
-    stats = per_cust.agg(
-        *[
-            F.round(F.expr(f"percentile({m}, {q})"), 6).alias(f"{m[0]}p{i}")
+    if exact:
+        return [
+            F.round(F.expr(f"percentile({m}, {q})"), 6).alias(f"{cp}{m[0]}p{i}")
             for m in ("recency_days", "frequency", "monetary")
             for i, q in enumerate(qs, start=1)
         ]
-    )
-    def _score(value: str, prefix: str, above: bool) -> Column:
-        hits = [
-            F.when(
-                F.col(f"{prefix}p{i}") > F.col(value)
-                if above
-                else F.col(value) > F.col(f"{prefix}p{i}"),
-                F.lit(1),
-            ).otherwise(F.lit(0))
-            for i in range(1, 5)
-        ]
-        return (sum(hits) + F.lit(1)).cast("int")
+    return [
+        F.expr(f"approx_percentile({m}, {q}, 10000)")
+        .cast("double")
+        .alias(f"{cp}{m[0]}p{i}")
+        for m in ("recency_days", "frequency", "monetary")
+        for i, q in enumerate(qs, start=1)
+    ]
 
+
+def _rfm_score(value: str, prefix: str, above: bool, cp: str = "") -> Column:
+    """Row-local threshold-sum quintile score against the broadcast
+    cutpoints named ``{cp}{prefix}p{1..4}``."""
+    hits = [
+        F.when(
+            F.col(f"{cp}{prefix}p{i}") > F.col(value)
+            if above
+            else F.col(value) > F.col(f"{cp}{prefix}p{i}"),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for i in range(1, 5)
+    ]
+    return (sum(hits) + F.lit(1)).cast("int")
+
+
+def customer_rfm_scores_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB production form of the RFM scoring: identical plan to
+    ``customer_rfm_scores`` except the quintile cutpoints come from
+    ``approx_percentile`` (KLL sketch, map-side combinable, fixed
+    memory) instead of the exact global-buffer ``percentile`` that the
+    100x scale probe measured super-linear (VERDICT r4).  Unlike the
+    Pareto twin the cutpoints here ARE the semantics, so scores near a
+    quintile boundary may differ from the exact form by at most 1 (the
+    sketch's 1e-4 rank error window around each cutpoint; windows of
+    adjacent cutpoints cannot overlap, so no score moves by 2).  The
+    driver-registered entry is ``customer_rfm_scores_approx_checked``,
+    which folds that +/-1 bound into the plan as boolean verdicts."""
+    per_cust = _rfm_per_customer(spark, sf_dir)
+    stats = per_cust.agg(*_rfm_cutpoints(exact=False))
     scored = per_cust.crossJoin(F.broadcast(stats)).select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        _score("recency_days", "r", above=True).alias("r_score"),
-        _score("frequency", "f", above=False).alias("f_score"),
-        _score("monetary", "m", above=False).alias("m_score"),
+        _rfm_score("recency_days", "r", above=True).alias("r_score"),
+        _rfm_score("frequency", "f", above=False).alias("f_score"),
+        _rfm_score("monetary", "m", above=False).alias("m_score"),
     )
     return scored.withColumn(
         "rfm_segment",
         F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+    )
+
+
+def customer_rfm_scores_approx_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable form of the approx RFM scoring (the
+    ``events_sketch_profile_checked`` pattern): ONE cutpoint aggregation
+    computes both the exact and the sketch quintiles, every customer is
+    scored against both, and the plan emits the deterministic base
+    columns plus BOOLEAN verdicts asserting each approx score lands
+    within +/-1 of its exact counterpart.  The DuckDB oracle computes
+    the base columns exactly and literal TRUE for the verdicts, so a
+    broken sketch (null cutpoint, wild estimate, misaligned alias)
+    flips a boolean and fails the value hash.  The +/-1 bound is
+    deterministic: the sketch's rank error (1e-4 at accuracy 10000) is
+    orders of magnitude narrower than the 0.2 rank gap between adjacent
+    quintile cutpoints, so at most one cutpoint per measure can flip
+    for any given customer.  The production projection is
+    ``customer_rfm_scores_approx`` above."""
+    per_cust = _rfm_per_customer(spark, sf_dir)
+    stats = per_cust.agg(
+        *_rfm_cutpoints(exact=True), *_rfm_cutpoints(exact=False, cp="a")
+    )
+    both = per_cust.crossJoin(F.broadcast(stats))
+
+    def ok(value: str, prefix: str, above: bool) -> Column:
+        exact = _rfm_score(value, prefix, above)
+        approx = _rfm_score(value, prefix, above, cp="a")
+        return (F.abs(exact - approx) <= F.lit(1)).alias(f"{prefix}_score_ok")
+
+    return both.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        ok("recency_days", "r", above=True),
+        ok("frequency", "f", above=False),
+        ok("monetary", "m", above=False),
     )
 
 
@@ -761,15 +849,14 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     The decile cutpoints use EXACT percentile for oracle parity; it
     aggregates one global buffer, which the 100x scale probe shows
     becoming the dominant cost around ~2M parts — at warehouse scale
-    swap in approx_percentile exactly as events_value_binning notes
-    (the decomposition itself is unchanged).
+    use the registered ``lineitem_abc_pareto_approx`` twin, whose
+    approx_percentile cutpoints are provably result-identical (the
+    decomposition itself is unchanged).
     Scale 4 is the exact width of 2dp price x 2dp discount factor, and
     keeps every decimal-to-double cast under 2^53 (above that DuckDB's
     int128 conversion double-rounds).  Decile assignment is row-local,
     so equal-revenue rows share a decile and the per-decile
     (rev DESC, partkey) order concatenates to the exact global order."""
-    from pyspark.sql import Window
-
     rev = _staged_part_revenue(spark, sf_dir)
     rev_d = rev.withColumn("rev_dbl", F.col("rev").cast("double"))
     qs = [i / 10 for i in range(1, 10)]
@@ -779,6 +866,43 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, q in enumerate(qs, start=1)
         ]
     )
+    return _pareto_from_cuts(rev_d, cuts)
+
+
+def lineitem_abc_pareto_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE registered form of the ABC/Pareto classification:
+    identical output to ``lineitem_abc_pareto`` — same oracle SQL, full
+    hash-exact parity — with the one super-linear piece replaced.
+
+    Why the swap is provably result-identical: in the decomposed
+    cumulative sum the decile cutpoints are ONLY a partitioning device.
+    Binning is row-local (count of cutpoints strictly below the value),
+    so ANY threshold set bins equal revenues together and keeps bins
+    revenue-ordered; the per-bin (rev DESC, partkey) windows then
+    concatenate to the exact global order regardless of where the
+    thresholds fell — the thresholds affect load balance, never values.
+    ``approx_percentile`` (KLL-style sketch: map-side combinable, fixed
+    memory, one pass) therefore replaces the exact ``percentile`` whose
+    single global aggregation buffer the 100x scale probe measured going
+    super-linear (~40 s at ~2M parts, VERDICT r4 "What's wrong" #1).
+    The exact form above stays registered as the oracle-parity baseline;
+    this is the form to copy at warehouse scale."""
+    rev = _staged_part_revenue(spark, sf_dir)
+    rev_d = rev.withColumn("rev_dbl", F.col("rev").cast("double"))
+    qs = ", ".join(str(i / 10) for i in range(1, 10))
+    cuts = rev_d.agg(
+        F.expr(f"approx_percentile(rev_dbl, array({qs}), 10000)").alias("aq")
+    ).select(*[F.col("aq")[i].alias(f"p{i + 1}") for i in range(9)])
+    return _pareto_from_cuts(rev_d, cuts)
+
+
+def _pareto_from_cuts(rev_d: DataFrame, cuts: DataFrame) -> DataFrame:
+    """Shared decomposed-cumsum tail of the two Pareto forms: bin by the
+    broadcast 9-cutpoint frame (strict >, row-local), run the cumulative
+    decimal window inside each bin, offset each bin by the triangular
+    join over the 10-row bin-totals frame, then classify."""
+    from pyspark.sql import Window
+
     decile_expr = sum(
         F.when(F.col("rev_dbl") > F.col(f"p{i}"), F.lit(1)).otherwise(F.lit(0))
         for i in range(1, 10)
@@ -811,7 +935,7 @@ def lineitem_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum"),
         )
     )
-    total = rev.agg(F.sum("rev").alias("total"))
+    total = rev_d.agg(F.sum("rev").alias("total"))
     share = F.col("cum").cast("double") / F.col("total").cast("double")
     return (
         cum.crossJoin(F.broadcast(total))

@@ -1058,7 +1058,15 @@ def route_geometry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dy = F.element_at("ys", i + 1) - F.element_at("ys", i)
         return F.sqrt(dx * dx + dy * dy)
 
-    segs = F.transform(F.sequence(F.lit(1), F.col("n_points") - 1), seg)
+    # Degenerate 1-vertex LINESTRING gate: sequence(1, 0) is DESCENDING
+    # ([1, 0]) in Spark, so the ungated transform would evaluate
+    # element_at(xs, 0) -> INVALID_INDEX_OF_ZERO, while the oracle's
+    # range(1, 1) is simply empty.  CASE WHEN evaluates lazily, so the
+    # sequence never materializes for single-vertex routes.
+    segs = F.when(
+        F.col("n_points") >= 2,
+        F.transform(F.sequence(F.lit(1), F.col("n_points") - 1), seg),
+    ).otherwise(F.array().cast("array<double>"))
     path_len = F.aggregate(
         segs, F.lit(0.0), lambda acc, x: acc + x
     )
@@ -1504,11 +1512,14 @@ def events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     landed table holds one row per user: the argmax event by
     (ts, event_id), independent of micro-batch slicing (see
     ``streaming.pipeline.foreach_batch_upsert``), so the oracle is the
-    plain batch argmax over events.
+    plain batch argmax over events.  The readback resolves the table's
+    committed manifest (``read_upsert_table``) — the atomic-snapshot
+    read path, not a raw directory scan.
     """
     from logistream_data_pipeline_aws_spark.catalog import events_stream
     from logistream_data_pipeline_aws_spark.streaming.pipeline import (
         foreach_batch_upsert,
+        read_upsert_table,
     )
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
@@ -1527,7 +1538,7 @@ def events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise TimeoutError("events_stream_upsert did not drain in 300s")
     return (
-        spark.read.parquet(path)
+        read_upsert_table(spark, path)
         .select(
             "user_id",
             F.col("event_id").alias("last_event_id"),
@@ -1886,7 +1897,20 @@ def graph_hop_distance(spark: SparkSession, sf_dir: str, max_hops: int = 4) -> D
     tie-break needed).  Bipartite structure alternates sides, so seen
     sets accumulate per side.  A production run would persist per-round
     frontiers past ~6 hops (lineage growth — the connected_components
-    discipline); at 4 unrolled rounds the plan stays linear."""
+    discipline); at 4 unrolled rounds the plan stays linear.
+
+    ``max_hops`` must be an even integer >= 2: the bipartite alternation
+    discovers customers on odd hops and suppliers on even hops, so an
+    odd/zero count would end mid-alternation (and with 0 the customer
+    side is never populated at all) — fail loudly at plan-construction
+    time rather than with an AttributeError deep in the union.  For
+    depth-until-quiescence, use ``graph_hop_distance_converged``."""
+    if max_hops < 2 or max_hops % 2 != 0:
+        raise ValueError(
+            f"max_hops must be an even integer >= 2 (got {max_hops}): "
+            "the bipartite BFS discovers customers on odd hops and "
+            "suppliers on even hops, so both sides need at least one round"
+        )
     edges = _staged_cust_supp_edges(spark, sf_dir)
     seed = edges.agg(F.min("s").alias("s"))
     seen_s = seed.select("s", F.lit(0).alias("hops"))
@@ -2342,10 +2366,12 @@ _ITEMSET_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-recall near-dup pair mining via prefix filtering (see
+    """Near-exact-recall near-dup pair mining via prefix filtering (see
     operators.dedup_family.prefix_filter_pairs): candidates join only on
     each document's rarest 5-shingles, so unlike MinHash-LSH every
-    qualifying pair is guaranteed found, and unlike the blocked-jaccard
+    qualifying pair sharing an under-cap prefix token is guaranteed
+    found (recall is exact subject to the 1024-id prefix-bucket cap,
+    whose drops the operator logs), and unlike the blocked-jaccard
     form no surrogate blocking key partitions the corpus.  On this
     corpus the prefix is near-perfect: candidate count equals the true
     pair count at sf0.1.  The 5-shingle item-set frame is staged per

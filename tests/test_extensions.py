@@ -884,3 +884,15 @@ def test_range_frame_respects_calendar_gaps(spark):
         A.load_table = orig
     assert (out[2].days_in_window, out[2].range7_avg) == (2, 15.0)
     assert (out[20].days_in_window, out[20].range7_avg) == (1, 40.0)
+
+
+def test_graph_hop_distance_rejects_bad_max_hops(spark):
+    """The bipartite BFS alternates sides, so an odd or sub-2 hop count
+    must fail loudly at plan-construction time (ADVICE r4: max_hops=0
+    crashed with AttributeError, odd counts silently desynced the
+    unrolled oracle)."""
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    for bad in (0, 1, 3, -2):
+        with pytest.raises(ValueError, match="even integer"):
+            X.graph_hop_distance(spark, "unused", max_hops=bad)

@@ -63,3 +63,26 @@ def test_route_geometry_stats_invariants(spark):
             assert r.sinuosity >= 1.0 - 1e-12
     # the fixture contains genuinely wiggly routes, not just segments
     assert any(r.sinuosity and r.sinuosity > 1.01 for r in rows)
+
+
+def test_route_geometry_stats_single_vertex_route(spark, monkeypatch):
+    """A degenerate 1-point LINESTRING yields path 0 / straight 0 /
+    sinuosity NULL instead of INVALID_INDEX_OF_ZERO: Spark's
+    sequence(1, 0) is descending ([1, 0]), so the ungated segment
+    transform would evaluate element_at(xs, 0) (ADVICE r4)."""
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    routes = spark.createDataFrame(
+        [
+            (1.0, 2.0, 1.0, 2.0, "LINESTRING(2 1)"),
+            (0.0, 0.0, 4.0, 3.0, "LINESTRING(0 0, 3 4)"),
+        ],
+        ["origin_lat", "origin_long", "dest_lat", "dest_long", "shape_wkt"],
+    )
+    monkeypatch.setattr(X, "geojson_routes", lambda spark, sf_dir: routes)
+    rows = {r.n_points: r for r in X.route_geometry_stats(spark, "unused").collect()}
+    assert rows[1].path_deg == 0.0
+    assert rows[1].straight_deg == 0.0
+    assert rows[1].sinuosity is None
+    assert abs(rows[2].path_deg - 5.0) < 1e-12
+    assert abs(rows[2].straight_deg - 5.0) < 1e-12

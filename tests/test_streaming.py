@@ -13,6 +13,7 @@ from logistream_data_pipeline_aws_spark.streaming.pipeline import (
     EVENTS_STREAM_SCHEMA,
     foreach_batch_append,
     read_events_stream,
+    read_upsert_table,
     run_available_now,
     sessionize,
     stream_static_join,
@@ -243,7 +244,7 @@ def test_foreach_batch_upsert_revises_landed_row(spark, tmp_path):
     def landed():
         return {
             r.user_id: r
-            for r in spark.read.parquet(path).drop("_ub").collect()
+            for r in read_upsert_table(spark, path).drop("_ub").collect()
         }
 
     # initial load: one row per user
@@ -306,7 +307,7 @@ def test_foreach_batch_upsert_is_slicing_invariant(spark, tmp_path):
             q.awaitTermination(120)
             assert not q.isActive
         return sorted(
-            tuple(r) for r in spark.read.parquet(path).drop("_ub").collect()
+            tuple(r) for r in read_upsert_table(spark, path).drop("_ub").collect()
         )
 
     one_shot = land("all", [events])
@@ -314,3 +315,116 @@ def test_foreach_batch_upsert_is_slicing_invariant(spark, tmp_path):
     reversed_ = land("rev", [[e] for e in sorted(events, key=lambda e: (e[1], e[0]), reverse=True)])
     assert one_shot == in_order == reversed_
     assert len(one_shot) == 5  # one landed row per user
+
+
+def test_upsert_staged_data_invisible_until_manifest_swap(spark, tmp_path):
+    """The commit protocol's core invariant (VERDICT r4 next-round #4):
+    publication IS the manifest rename.  Data staged under data/ but not
+    referenced by _manifest.json — a crashed writer mid-stage, or a
+    commit between its stage and its publish — must be invisible to
+    readers."""
+    import json
+    import os
+
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+    )
+
+    src = str(tmp_path / "feed")
+    path = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, _ts(0, 5), 100, "order", 10.0, "{}")], EVENTS_STREAM_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = foreach_batch_upsert(
+        read_events_stream(spark, src).select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        ),
+        path, ckpt, key_cols=["user_id"], order_cols=["ts", "event_id"],
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    before = sorted(tuple(r) for r in read_upsert_table(spark, path).collect())
+    assert len(before) == 1
+
+    # simulate a crashed writer: a fully-written but unpublished commit
+    rogue = os.path.join(path, "data", "c999")
+    spark.createDataFrame(
+        [(999, _ts(5, 0), 100, "rogue", 666.0, "{}")], EVENTS_STREAM_SCHEMA
+    ).select(
+        "user_id", "event_id", "ts", "event_type", "value",
+        F.lit(7).cast("int").alias("_ub"),
+    ).write.mode("overwrite").partitionBy("_ub").parquet(rogue)
+
+    after = sorted(tuple(r) for r in read_upsert_table(spark, path).collect())
+    assert after == before  # staged-but-unpublished data never surfaces
+    manifest = json.load(open(os.path.join(path, "_manifest.json")))
+    assert "data/c999" not in manifest["buckets"].values()
+
+
+def test_upsert_concurrent_reader_sees_old_or_new_never_a_mix(spark, tmp_path):
+    """Interleave reads with a merge that rewrites an already-landed
+    bucket (VERDICT r4 next-round #4 done-criterion): every snapshot a
+    concurrent reader resolves must equal exactly the pre-merge or the
+    post-merge table — never a blend, never a missing-file error (the
+    old dynamic-partition-overwrite swap could expose both)."""
+    import threading
+
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+    )
+
+    src = str(tmp_path / "feed")
+    path = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(rows):
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        q = foreach_batch_upsert(
+            read_events_stream(spark, src).select(
+                "user_id", "event_id", "ts", "event_type", "value"
+            ),
+            path, ckpt, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    # snapshot A: 40 users landed
+    feed([(i, _ts(0, i % 60), 100 + i % 40, "t", float(i), "{}") for i in range(200)])
+    drain()
+    snap_a = sorted(tuple(r) for r in read_upsert_table(spark, path).collect())
+
+    # snapshot B rewrites every bucket (all 40 users get corrections)
+    feed([(1000 + i, _ts(2, i % 60), 100 + i % 40, "fix", float(i), "{}") for i in range(200)])
+
+    observed: list[tuple] = []
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                df = read_upsert_table(spark, path)
+                observed.append(tuple(sorted(tuple(r) for r in df.collect())))
+            except Exception as exc:  # missing-file mid-swap would land here
+                errors.append(exc)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        drain()
+    finally:
+        stop.set()
+        t.join(60)
+    snap_b = sorted(tuple(r) for r in read_upsert_table(spark, path).collect())
+    assert not errors, errors[:1]
+    assert snap_b != snap_a
+    allowed = {tuple(snap_a), tuple(snap_b)}
+    assert observed and all(o in allowed for o in observed), (
+        f"reader saw {len([o for o in observed if o not in allowed])} "
+        f"mixed snapshots out of {len(observed)}"
+    )

@@ -43,8 +43,13 @@ _TYPES = ["click", "view", "purchase", "signup", "error"]
 _PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
-def synthetic_events(spark: SparkSession, n: int) -> DataFrame:
-    """One month of events, ~n/200 distinct users, 5 types."""
+def synthetic_events(spark: SparkSession, n: int, hot_frac: float = 0.0) -> DataFrame:
+    """One month of events, ~n/200 distinct users, 5 types.
+
+    ``hot_frac`` > 0 routes that fraction of all events to a single
+    celebrity user (id 0) — the skew axis for the per-user-ordered
+    operators (as-of join, sessionization), where one hot key lands an
+    entire user's history in one task."""
     users = max(n // 200, 1)
     e = spark.range(n)
     i = F.col("id")
@@ -56,10 +61,15 @@ def synthetic_events(spark: SparkSession, n: int) -> DataFrame:
         F.array(*[F.lit(t) for t in _TYPES]),
         (F.pmod(i * 7 + 3, F.lit(len(_TYPES))) + 1).cast("int"),
     )
+    uid = F.pmod(i * 2_654_435_761, F.lit(users))
+    if hot_frac > 0:
+        uid = F.when(
+            F.pmod(i * 48_271, F.lit(1000)) < int(hot_frac * 1000), F.lit(0)
+        ).otherwise(uid)
     return e.select(
         i.alias("event_id"),
         ts.alias("ts"),
-        F.pmod(i * 2_654_435_761, F.lit(users)).alias("user_id"),
+        uid.alias("user_id"),
         typ.alias("event_type"),
         (F.pmod(i * 13 + 7, F.lit(10_000)).cast("double") / 100.0).alias("value"),
         F.concat(F.lit('{"k": '), F.pmod(i, F.lit(100)), F.lit("}")).alias("props"),
@@ -197,14 +207,27 @@ EVENTS_QUERIES = [
     "events_ohlc",
     "events_transition_matrix",
     "events_heavy_hitters",
+    "events_asof_last_purchase",
+    "events_stream_sessions",
 ]
 WAREHOUSE_QUERIES = [
     "basket_part_pairs",
     "orders_backlog_series",
     "daily_sales_moving_avg",
     "lineitem_abc_pareto",
+    "lineitem_abc_pareto_approx",
     "supplier_pagerank",
     "graph_hop_distance",
+]
+# Celebrity-key axis: the same per-user-ordered operators re-run on an
+# events table where one user owns 30% of all rows.  The merge as-of
+# and the applyInPandasWithState sessionizer both group by user, so one
+# hot user concentrates that work in one task — the probe line measures
+# whether that's a wall-clock cliff or an absorbed imbalance.
+SKEW_QUERIES = [
+    "events_asof_last_purchase",
+    "user_sessions",
+    "events_stream_sessions",
 ]
 
 
@@ -242,6 +265,24 @@ def main() -> None:
             print(
                 json.dumps(
                     {"query": name, "mult": m, "rows": n, "wall_s": walls}
+                )
+            )
+        # skew axis: same mult, 30% of events on one celebrity user
+        skew_dir = os.path.join(root, f"x{m}_skew")
+        os.makedirs(skew_dir, exist_ok=True)
+        synthetic_events(spark, EVENTS_N * m, hot_frac=0.30).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(skew_dir, "events.parquet"))
+        for name in SKEW_QUERIES:
+            walls = []
+            for _ in range(2):
+                t0 = time.time()
+                n = queries[name](spark, skew_dir).count()
+                walls.append(round(time.time() - t0, 3))
+            results.setdefault(name + "@skew", {})[m] = walls[-1]
+            print(
+                json.dumps(
+                    {"query": name + "@skew", "mult": m, "rows": n, "wall_s": walls}
                 )
             )
     if len(mults) >= 2:
