@@ -50,10 +50,13 @@ _BRANDS_CTE = (
     "FROM (SELECT DISTINCT p_brand AS brand_name FROM part))"
 )
 _TYPES_CTE = (
+    # null-safe parent join (IS NOT DISTINCT FROM): a NULL brand is a
+    # keyed dim member on both engines, mirroring the Spark side's
+    # eqNullSafe hierarchy join
     "types AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.type_name, t.brand_name) AS BIGINT) AS type_key, "
     "t.type_name, t.brand_name, b.brand_key "
     "FROM (SELECT DISTINCT p_type AS type_name, p_brand AS brand_name FROM part) t "
-    "LEFT JOIN brands b USING (brand_name))"
+    "LEFT JOIN brands b ON t.brand_name IS NOT DISTINCT FROM b.brand_name)"
 )
 _STATUS_CTE = (
     "status AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY order_status, order_priority, return_flag) AS BIGINT) AS status_key, "
@@ -1720,7 +1723,8 @@ def oracle_sql() -> dict[str, str]:
             "p.p_partkey, p.p_name AS product_name, p.p_brand AS brand_name, "
             "p.p_type AS type_name, p.p_retailprice AS product_price, t.type_key "
             "FROM part p LEFT JOIN types t "
-            "ON p.p_type = t.type_name AND p.p_brand = t.brand_name"
+            "ON p.p_type IS NOT DISTINCT FROM t.type_name "
+            "AND p.p_brand IS NOT DISTINCT FROM t.brand_name"
         ),
         "dim_customer": (
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY c.c_custkey) AS BIGINT) AS customer_key, "

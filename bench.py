@@ -60,10 +60,13 @@ BENCH_QUERIES = [
     "snapshot_cdc_diff",
     "orders_zorder_clustering",
     # round-4 second-continuation surfaces: the decomposed Pareto cumsum,
-    # the exact-recall prefix-filter join, and the one-pass gap-fill
+    # the prefix-filter join (near-exact recall), and the one-pass gap-fill
     "lineitem_abc_pareto",
     "dedup_prefix_filter",
     "events_gapfill_locf",
+    # round-5: the scale-safe approx-cutpoint Pareto twin (result-identical
+    # to the exact form; the delta is pure cutpoint-derivation cost)
+    "lineitem_abc_pareto_approx",
 ]
 
 

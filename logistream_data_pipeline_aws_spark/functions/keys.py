@@ -44,19 +44,29 @@ def with_sequential_key(
     through one task and the bench log stays free of single-partition
     ``WindowExec`` warnings.  O(d²) comparisons; fine for d ≤ ~10⁴.
 
-    ``order_by`` must be a unique, non-null natural key of ``df`` or the
-    assignment is nondeterministic between runs.
+    ``order_by`` must be a unique natural key of ``df`` or the assignment
+    is nondeterministic between runs.  NULL key components are legal and
+    ordered NULLS LAST (matching DuckDB/ANSI default ASC ordering — the
+    r5 dim-axis NULL probe caught Spark's bare ``<`` silently dropping
+    NULL members from the count, colliding them with key 1 while the
+    oracle's ROW_NUMBER put them last).
     """
     rhs = df.select(
-        *[F.col(c).alias(f"__r_{c}") for c in order_by]
+        F.lit(1).alias("__r_one"),
+        *[F.col(c).alias(f"__r_{c}") for c in order_by],
     )
-    # right < left, lexicographically over the natural key
+    # right sorts strictly before left, lexicographically, NULLS LAST:
+    # a non-null right precedes a null left; equality is null-safe so
+    # ties chain to the next component even through NULL members
     lt = None
     for i in reversed(range(len(order_by))):
         l, r = F.col(order_by[i]), F.col(f"__r_{order_by[i]}")
-        lt = (r < l) if lt is None else (r < l) | ((r == l) & lt)
+        lt_i = (r < l) | (l.isNull() & r.isNotNull())
+        lt = lt_i if lt is None else lt_i | (r.eqNullSafe(l) & lt)
     joined = df.join(F.broadcast(rhs), lt, "left")
-    key = F.count(F.col(f"__r_{order_by[0]}")) + F.lit(1)
+    # count the join marker, not a key column: a matched smaller row may
+    # have NULL in any key component and must still count
+    key = F.count(F.col("__r_one")) + F.lit(1)
     return (
         joined.groupBy(*df.columns)
         .agg(key.cast("long").alias(key_name))

@@ -408,11 +408,16 @@ def acctbal_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-partition frame (the default frame stops at CURRENT ROW, which
     would make last_value a running copy of the current row — the
     classic frame bug this entry pins).  Total order via the
-    (acctbal, custkey) tiebreak keeps every rank engine-deterministic."""
+    (acctbal, custkey) tiebreak keeps every rank engine-deterministic;
+    the acctbal leg is explicitly NULLS LAST — Spark's bare ASC is
+    NULLS FIRST while DuckDB's is NULLS LAST, a rank divergence on any
+    NULL balance (r5 customer-axis NULL probe finding)."""
     from pyspark.sql import Window
 
     customer = load_table(spark, "customer", sf_dir)
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc_nulls_last(), "c_custkey"
+    )
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return customer.select(
         "c_custkey",

@@ -2012,6 +2012,149 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str, iters: int = 2) -> DataF
     )
 
 
+def graph_hop_distance_converged(
+    spark: SparkSession, sf_dir: str, max_hops: int = 20
+) -> DataFrame:
+    """Run-to-quiescence BFS (VERDICT r4 next-round #7): the same
+    frontier-expansion rounds as ``graph_hop_distance``, but iterating
+    until the frontier is EMPTY (every reachable node labeled) instead
+    of a fixed unroll — the form a user actually points at an arbitrary
+    graph, where the diameter is unknown.  ``max_hops`` is the runaway
+    bound, not the expected depth.
+
+    Driver-loop discipline: each round's frontier is persisted and
+    counted — the count IS the quiescence check (a metadata-sized
+    decision, the standard distributed-BFS shape; Pregel supersteps make
+    the same call).  In a bipartite graph an empty frontier on either
+    side ends the walk: the other side can only grow from it.  The
+    fixed-unroll ``graph_hop_distance`` stays the oracle entry (its
+    4-hop plan is exactly replayable in SQL); this is the production
+    variant."""
+    edges = _staged_cust_supp_edges(spark, sf_dir)
+    seed = edges.agg(F.min("s").alias("s"))
+    seen_s = seed.select("s", F.lit(0).alias("hops"))
+    seen_c = None
+    frontier_s, frontier_c = seed, None
+    frontiers = []
+    hop = 0
+    while hop < max_hops:
+        hop += 1
+        if hop % 2 == 1:
+            cand = edges.join(frontier_s.select("s"), "s").select("c").distinct()
+            if seen_c is not None:
+                cand = cand.join(seen_c.select("c"), "c", "left_anti")
+        else:
+            cand = (
+                edges.join(frontier_c.select("c"), "c")
+                .select("s")
+                .distinct()
+                .join(seen_s.select("s"), "s", "left_anti")
+            )
+        # eager localCheckpoint: materializes the frontier for the
+        # quiescence check AND truncates lineage so the per-round plan
+        # stays constant-size at any depth (a 30-round nested join plan
+        # OOMed the driver during analysis before this)
+        cand = cand.localCheckpoint(eager=True)
+        frontiers.append(cand)
+        if cand.isEmpty():
+            break
+        if hop % 2 == 1:
+            frontier_c = cand
+            found = cand.select("c", F.lit(hop).alias("hops"))
+            seen_c = found if seen_c is None else seen_c.unionByName(found)
+        else:
+            frontier_s = cand
+            seen_s = seen_s.unionByName(cand.select("s", F.lit(hop).alias("hops")))
+    out_s = seen_s.select(
+        F.lit("S").alias("node_type"),
+        F.col("s").alias("node_id"),
+        F.col("hops").cast("int").alias("hops"),
+    )
+    if seen_c is None:
+        return out_s
+    return out_s.unionByName(
+        seen_c.select(
+            F.lit("C").alias("node_type"),
+            F.col("c").alias("node_id"),
+            F.col("hops").cast("int").alias("hops"),
+        )
+    )
+
+
+def supplier_pagerank_converged(
+    spark: SparkSession,
+    sf_dir: str,
+    tol: float = 1e-6,
+    max_iters: int = 30,
+) -> DataFrame:
+    """Delta-terminated PageRank (VERDICT r4 next-round #7): the same
+    synchronous score-push rounds as ``supplier_pagerank``, iterating
+    until the largest per-node score change on both sides drops below
+    ``tol`` (or ``max_iters`` as the runaway bound).  The per-round
+    delta is one max-aggregate over the joined old/new score vectors —
+    a scalar action per iteration, the standard driver-loop shape for
+    fixed-point algorithms.  Score vectors are EAGERLY localCheckpointed
+    per round — materialized AND lineage-truncated, so the per-round plan
+    stays constant-size at any iteration count (nested persist-only
+    plans OOMed driver analysis around 30 rounds).  The fixed 2-round
+    ``supplier_pagerank`` stays the oracle entry (exactly replayable as
+    unrolled SQL); this is the variant to run to an actual fixed
+    point."""
+    edges = _staged_cust_supp_edges(spark, sf_dir)
+    deg_c = edges.groupBy("c").agg(F.count(F.lit(1)).alias("deg_c")).persist()
+    deg_s = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg_s")).persist()
+    r_c = deg_c.select("c", F.lit(1.0).alias("r")).localCheckpoint(eager=True)
+    r_s = deg_s.select("s", F.lit(1.0).alias("r")).localCheckpoint(eager=True)
+
+    def push(scores: DataFrame, deg: DataFrame, from_col: str, to_col: str) -> DataFrame:
+        contrib = (
+            edges.join(scores, from_col)
+            .join(deg, from_col)
+            .select(
+                F.col(to_col),
+                (F.col("r") / F.col(f"deg_{from_col}")).cast("decimal(38,18)").alias("_w"),
+            )
+        )
+        return contrib.groupBy(to_col).agg(
+            (F.lit(0.15) + F.lit(0.85) * F.sum("_w").cast("double")).alias("r")
+        )
+
+    def max_delta(new: DataFrame, old: DataFrame, key: str) -> float:
+        d = (
+            new.withColumnRenamed("r", "r_new")
+            .join(old.withColumnRenamed("r", "r_old"), key, "full")
+            .agg(
+                F.max(
+                    F.abs(F.coalesce("r_new", F.lit(0.0)) - F.coalesce("r_old", F.lit(0.0)))
+                ).alias("d")
+            )
+            .first()["d"]
+        )
+        return 0.0 if d is None else float(d)
+
+    for _ in range(max_iters):
+        r_s_new = push(r_c, deg_c, "c", "s").localCheckpoint(eager=True)
+        r_c_new = push(r_s, deg_s, "s", "c").localCheckpoint(eager=True)
+        delta = max(max_delta(r_s_new, r_s, "s"), max_delta(r_c_new, r_c, "c"))
+        r_c, r_s = r_c_new, r_s_new
+        if delta < tol:
+            break
+    return (
+        r_c.select(
+            F.lit("C").alias("node_type"),
+            F.col("c").alias("node_id"),
+            F.round("r", 6).alias("score"),
+        )
+        .unionByName(
+            r_s.select(
+                F.lit("S").alias("node_type"),
+                F.col("s").alias("node_id"),
+                F.round("r", 6).alias("score"),
+            )
+        )
+    )
+
+
 # -- snapshot CDC diff + multi-dimensional layout ---------------------------
 
 

@@ -83,8 +83,19 @@ def _brand_type_hierarchy(part: DataFrame) -> DataFrame:
         pairs.select("brand_name").distinct(), "brand_key", ["brand_name"]
     )
     types = with_sequential_key(pairs, "type_key", ["type_name", "brand_name"])
-    return types.join(F.broadcast(brands), "brand_name", "left").select(
-        "type_key", "type_name", "brand_name", "brand_key"
+    # null-safe parent join: a NULL brand is a legitimate (keyed) dim
+    # member — a plain equi-join would orphan it, silently dropping its
+    # key from every consumer (r5 dim-axis NULL probe finding)
+    b = brands.select(
+        F.col("brand_name").alias("__b_brand_name"), "brand_key"
+    )
+    return (
+        types.join(
+            F.broadcast(b),
+            F.col("brand_name").eqNullSafe(F.col("__b_brand_name")),
+            "left",
+        )
+        .select("type_key", "type_name", "brand_name", "brand_key")
     )
 
 
@@ -140,11 +151,19 @@ def dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").alias("type_name"),
         F.col("p_retailprice").alias("product_price"),
     )
+    # null-safe hierarchy lookup: products with a NULL type/brand attr
+    # still resolve their (keyed) hierarchy member (r5 NULL-probe finding)
+    t = types.select(
+        "type_key",
+        F.col("type_name").alias("__t_type_name"),
+        F.col("brand_name").alias("__t_brand_name"),
+    )
     return (
         attrs.join(keys, "p_partkey")
         .join(
-            F.broadcast(types.select("type_key", "type_name", "brand_name")),
-            ["type_name", "brand_name"],
+            F.broadcast(t),
+            F.col("type_name").eqNullSafe(F.col("__t_type_name"))
+            & F.col("brand_name").eqNullSafe(F.col("__t_brand_name")),
             "left",
         )
         .select(

@@ -25,6 +25,31 @@ def test_sequential_key_contiguous_and_stable(spark):
     assert out == {"a": 1, "b": 2, "c": 3}  # IDENTITY(1,1) parity: 1..N by natural key
 
 
+def test_sequential_key_null_member_sorts_last(spark):
+    """r5 dim-axis NULL probe regression: a NULL natural-key member must
+    get the LAST key (ANSI/DuckDB NULLS LAST), not silently collide at
+    key 1 — Spark's bare < comparison dropped it from the triangular
+    count entirely."""
+    df = spark.createDataFrame([("c",), (None,), ("a",)], ["name"])
+    out = {
+        r.name: r.key for r in with_sequential_key(df, "key", ["name"]).collect()
+    }
+    assert out == {"a": 1, "c": 2, None: 3}
+
+
+def test_sequential_key_null_component_ties_chain(spark):
+    """Composite keys with a NULL component: null-safe equality chains
+    the tie to the next component, so two NULL-first-col rows still
+    order deterministically by the second."""
+    rows = [("x", 2), (None, 9), (None, 1), ("x", 1)]
+    df = spark.createDataFrame(rows, ["g", "n"])
+    out = {
+        (r.g, r.n): r.key
+        for r in with_sequential_key(df, "key", ["g", "n"]).collect()
+    }
+    assert out == {("x", 1): 1, ("x", 2): 2, (None, 1): 3, (None, 9): 4}
+
+
 def test_surrogate_key_unique(spark):
     df = spark.range(1000).repartition(8)
     out = with_surrogate_key(df, "sk")

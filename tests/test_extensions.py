@@ -896,3 +896,108 @@ def test_graph_hop_distance_rejects_bad_max_hops(spark):
     for bad in (0, 1, 3, -2):
         with pytest.raises(ValueError, match="even integer"):
             X.graph_hop_distance(spark, "unused", max_hops=bad)
+
+
+def _with_graph_tables(spark, edges_cs, fn):
+    """Run fn() with load_table serving a bipartite graph whose (cust,
+    supp) edges are edges_cs — the graph_hop_distance test harness
+    generalized."""
+    import logistream_data_pipeline_aws_spark.catalog as C
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    orders = spark.createDataFrame(
+        [(100 + i, c) for i, (c, _) in enumerate(edges_cs)],
+        ["o_orderkey", "o_custkey"],
+    )
+    lineitem = spark.createDataFrame(
+        [(100 + i, s) for i, (_, s) in enumerate(edges_cs)],
+        ["l_orderkey", "l_suppkey"],
+    )
+    tables = {"orders": orders, "lineitem": lineitem}
+    orig = C.load_table
+    X._PAGERANK_EDGE_CACHE.clear()
+    try:
+        C.load_table = lambda spark, name, sf_dir: tables[name]  # noqa: ARG005
+        X.load_table = C.load_table
+        return fn()
+    finally:
+        C.load_table = orig
+        X.load_table = orig
+        X._PAGERANK_EDGE_CACHE.clear()
+
+
+# bipartite chain s10-c1-s11-c2-s12-c3-s13: diameter 6 > the fixed
+# 4-hop unroll — the case the delta-terminated variants exist for
+_CHAIN = [(1, 10), (1, 11), (2, 11), (2, 12), (3, 12), (3, 13)]
+
+
+def test_graph_hop_distance_converged_passes_the_fixed_horizon(spark):
+    """VERDICT r4 next-round #7 done-criterion: on a diameter-6 chain the
+    fixed 4-hop form is NOT converged (misses the far tail) while the
+    delta-terminated form labels every reachable node and stops at
+    quiescence."""
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    def run():
+        fixed = {
+            (r.node_type, r.node_id): r.hops
+            for r in X.graph_hop_distance(spark, "unused").collect()
+        }
+        conv = {
+            (r.node_type, r.node_id): r.hops
+            for r in X.graph_hop_distance_converged(spark, "unused").collect()
+        }
+        return fixed, conv
+
+    fixed, conv = _with_graph_tables(spark, _CHAIN, run)
+    assert ("C", 3) not in fixed and ("S", 13) not in fixed  # horizon hit
+    assert conv == {
+        ("S", 10): 0, ("C", 1): 1, ("S", 11): 2, ("C", 2): 3,
+        ("S", 12): 4, ("C", 3): 5, ("S", 13): 6,
+    }
+    # converged is a superset consistent with the fixed prefix
+    assert all(conv[k] == v for k, v in fixed.items())
+
+
+def test_graph_hop_distance_converged_excludes_disconnected(spark):
+    """Quiescence termination never leaks an unreachable component."""
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    edges = [(1, 10), (1, 11), (2, 11), (3, 12)]  # c3/s12 disconnected
+
+    def run():
+        return {
+            (r.node_type, r.node_id): r.hops
+            for r in X.graph_hop_distance_converged(spark, "unused").collect()
+        }
+
+    got = _with_graph_tables(spark, edges, run)
+    assert got == {("S", 10): 0, ("C", 1): 1, ("S", 11): 2, ("C", 2): 3}
+
+
+def test_supplier_pagerank_converged_reaches_fixed_point(spark):
+    """The 2-round unroll has NOT converged on the chain graph; the
+    delta-terminated variant has: one more tolerance decade changes
+    nothing at the output's 6dp rounding, while the fixed form visibly
+    differs from the fixed point."""
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    def run():
+        fixed = {
+            (r.node_type, r.node_id): r.score
+            for r in X.supplier_pagerank(spark, "unused").collect()
+        }
+        conv8 = {
+            (r.node_type, r.node_id): r.score
+            for r in X.supplier_pagerank_converged(spark, "unused", tol=1e-8).collect()
+        }
+        conv10 = {
+            (r.node_type, r.node_id): r.score
+            for r in X.supplier_pagerank_converged(spark, "unused", tol=1e-10).collect()
+        }
+        return fixed, conv8, conv10
+
+    fixed, conv8, conv10 = _with_graph_tables(spark, _CHAIN, run)
+    assert conv8 == conv10  # fixed point: tighter tol changes nothing
+    assert set(fixed) == set(conv8)
+    assert max(abs(fixed[k] - conv8[k]) for k in fixed) > 1e-4  # 2 rounds short

@@ -164,3 +164,48 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     back = spark.read.parquet(d)
     assert back.count() == 10000
     assert back.agg({"k": "sum"}).collect()[0][0] == 10000 * 9999 // 2
+
+
+def test_compact_partitions_preserves_readback_and_pruning(spark, tmp_path):
+    """VERDICT r4 next-round #5: fragment a hive-partitioned fact with
+    incremental appends, compact per partition, and assert the file
+    count drops while the full-table readback (values + partition
+    column + pruning) is unchanged."""
+    import os
+
+    from logistream_data_pipeline_aws_spark.sources.io import compact_partitions
+
+    d = str(tmp_path / "fact_part")
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("pm"),
+        (F.col("id") * 7 % 1000).alias("v"),
+    )
+    # 8 incremental appends x 4 tasks -> ~32 files per partition
+    for _ in range(8):
+        base.repartition(4).write.mode("append").partitionBy("pm").parquet(d)
+
+    def part_files(pm):
+        pd_ = os.path.join(d, f"pm={pm}")
+        return [f for f in os.listdir(pd_) if f.endswith(".parquet")]
+
+    before_rows = sorted(
+        tuple(r) for r in spark.read.parquet(d).select("k", "pm", "v").collect()
+    )
+    assert len(part_files("0")) >= 16
+
+    results = compact_partitions(spark, d, target_file_bytes=1 << 30)
+    assert set(results) == {"pm=0", "pm=1", "pm=2"}
+    assert all(n == 1 for n in results.values())
+    assert len(part_files("0")) == 1
+
+    after = spark.read.parquet(d)
+    after_rows = sorted(tuple(r) for r in after.select("k", "pm", "v").collect())
+    assert after_rows == before_rows  # readback identical
+    # partition pruning still works on the compacted layout
+    plan = after.where(F.col("pm") == "1")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(pm" in plan
+    # second pass is a no-op: everything already at target
+    assert compact_partitions(spark, d, target_file_bytes=1 << 30) == {}

@@ -59,6 +59,34 @@ INJECTIONS = {
           CASE WHEN o_orderkey % 29 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
         FROM read_parquet('{src}')
     """,
+    # dim-source attribute axes (VERDICT r4 next-round #6): the J6/J7
+    # normalized joins and the dim_* builders run upper(trim(...)) /
+    # dedup / surrogate-keygen over these attribute columns — NULLs here
+    # exercise exactly the paths the four original axes skipped
+    "part": """
+        SELECT p_partkey,
+          CASE WHEN p_partkey % 13 = 0 THEN NULL ELSE p_name END AS p_name,
+          CASE WHEN p_partkey % 11 = 0 THEN NULL ELSE p_brand END AS p_brand,
+          CASE WHEN p_partkey % 17 = 0 THEN NULL ELSE p_type END AS p_type,
+          CASE WHEN p_partkey % 19 = 0 THEN NULL ELSE p_size END AS p_size,
+          CASE WHEN p_partkey % 23 = 0 THEN NULL ELSE p_retailprice END AS p_retailprice
+        FROM read_parquet('{src}')
+    """,
+    "supplier": """
+        SELECT s_suppkey,
+          CASE WHEN s_suppkey % 13 = 0 THEN NULL ELSE s_name END AS s_name,
+          CASE WHEN s_suppkey % 11 = 0 THEN NULL ELSE s_nationkey END AS s_nationkey,
+          CASE WHEN s_suppkey % 17 = 0 THEN NULL ELSE s_acctbal END AS s_acctbal
+        FROM read_parquet('{src}')
+    """,
+    "customer": """
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_name END AS c_name,
+          CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_nationkey END AS c_nationkey,
+          CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+          CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+        FROM read_parquet('{src}')
+    """,
     "lineitem": """
         SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
           CASE WHEN (l_orderkey + l_linenumber) % 23 = 0 THEN NULL ELSE l_quantity END AS l_quantity,
@@ -98,6 +126,7 @@ DEFAULT_QUERIES = {
         "sql_orders_above_customer_avg", "sql_large_volume_orders",
         "sql_lapsed_big_spenders", "sql_unshipped_orders",
         "sql_prospect_customers", "supplier_pagerank", "graph_hop_distance",
+        "dim_junk_status", "fact_lineitem", "customer_rfm_scores_approx",
     ],
     "lineitem": [
         "q1_pricing_summary", "a5_profit_rollup", "a5_profit_by_hierarchy",
@@ -107,7 +136,35 @@ DEFAULT_QUERIES = {
         "sql_promo_revenue", "sql_forecast_revenue", "sql_disjunctive_basket",
         "sql_returned_item_losses", "sql_priority_shipping_split",
         "sql_volume_shipping", "sql_market_share", "sql_top_supplier",
-        "brand_share_within_type", "lineitem_abc_pareto",
+        "brand_share_within_type", "dim_junk_status",
+        "lineitem_abc_pareto_approx",
+    ],
+    "part": [
+        "dim_brand", "dim_product_type", "dim_product", "fact_lineitem",
+        "fact_write_readback", "a5_profit_rollup", "a5_profit_by_hierarchy",
+        "a5_profit_cube", "brand_share_within_type", "basket_part_pairs",
+        "sql_promo_revenue", "sql_important_parts", "sql_cheapest_supplier",
+        "sql_supplier_part_variety", "sql_small_quantity_revenue",
+        "sql_forecast_revenue", "sql_profit_by_hierarchy",
+        "sql_product_profit_by_nation_year",
+    ],
+    "supplier": [
+        "fact_lineitem", "a8_returns_by_nation", "sql_top_supplier",
+        "sql_cheapest_supplier", "sql_excess_suppliers",
+        "sql_waiting_suppliers", "sql_local_supplier_volume",
+        "sql_volume_shipping", "sql_market_share",
+        "sql_product_profit_by_nation_year", "supplier_pagerank",
+        "sql_profit_by_hierarchy",
+    ],
+    "customer": [
+        "dim_customer", "dim_geography", "fact_lineitem", "top_customers",
+        "customer_rank_in_nation", "acctbal_band_join",
+        "acctbal_window_profile", "segment_region_pivot",
+        "repeat_customers_yoy", "sql_shipping_priority",
+        "sql_local_supplier_volume", "sql_market_share",
+        "sql_lapsed_big_spenders", "sql_prospect_customers",
+        "sql_customer_order_distribution", "sql_orders_above_customer_avg",
+        "sql_volume_shipping",
     ],
     "documents": [
         "dedup_exact", "dedup_survivors", "dedup_minhash_lsh",
