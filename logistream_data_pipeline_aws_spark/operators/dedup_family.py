@@ -423,7 +423,14 @@ def bounded_blocks(
     keep = counts.where(
         (F.col("_n_docs") > 1) & (F.col("_n_docs") <= max_block_size)
     ).select("block")
-    return base.join(keep, "block")
+    # keep scales with the block-key vocabulary (shingles/bands grow with
+    # the corpus), so it must NEVER be a broadcast build side: Catalyst's
+    # static size estimate for this aggregated frame is unreliable and
+    # the 100x probe watched it pick a multi-GB broadcast and OOM the
+    # driver.  A sort-merge join partitions base by block — exactly the
+    # partitioning the downstream self-join needs, so the exchange is
+    # reused, and AQE keeps it cheap at small scale.
+    return base.join(keep.hint("merge"), "block")
 
 
 def ngram_jaccard_pairs(
@@ -541,8 +548,13 @@ def prefix_filter_pairs(
     dfreq = td.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
     wn = Window.partitionBy("doc_id")
+    # the shingle vocabulary scales with the corpus — dfreq must never be
+    # a broadcast build side (static size estimates for this aggregate
+    # are unreliable; the 100x probe watched a multi-GB broadcast OOM the
+    # driver).  Shuffle-hash on token co-partitions the (doc, token)
+    # pairs with their frequencies.
     ranked = (
-        td.join(dfreq, "token")
+        td.join(dfreq.hint("merge"), "token")
         .select(
             "doc_id",
             "token",
@@ -554,8 +566,12 @@ def prefix_filter_pairs(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     ).select("doc_id", F.col("token").alias("block"))
     prefix = bounded_blocks(prefix, max_token_bucket, "prefix_token_cap")
+    # prefix-token self-join: both sides scale with the corpus — shuffle,
+    # never broadcast (bucket caps bound the per-key expansion, not the
+    # frame size)
     cand = (
         prefix.select("block", F.col("doc_id").alias("id_a"))
+        .hint("merge")
         .join(prefix.select("block", F.col("doc_id").alias("id_b")), "block")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
@@ -565,8 +581,13 @@ def prefix_filter_pairs(
     b = base.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tk_b"))
     inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("double")
     union = F.size(F.array_union("tk_a", "tk_b")).cast("double")
+    # verify joins: the item-set side carries the full shingle arrays and
+    # scales with the corpus — hint the (smaller) candidate-pair side of
+    # EACH join so the planner never broadcasts the arrays (the hint does
+    # not survive the first join, so the intermediate is re-hinted)
+    with_a = cand.hint("merge").join(a, "id_a")
     return (
-        cand.join(a, "id_a")
+        with_a.hint("merge")
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)

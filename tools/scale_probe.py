@@ -156,22 +156,38 @@ def synthetic_documents(spark: SparkSession, n: int) -> DataFrame:
     """Template-family corpus: ~n/5 base templates of ~60 words, five
     variants each (word substitutions at pmod-picked offsets) — so exact
     dups, near dups, and distinct docs all exist at every scale, and the
-    dedup family has real work to do."""
+    dedup family has real work to do.
+
+    The vocabulary SCALES with the corpus (every 6th slot draws from a
+    ~n/50-token synthetic lexicon mixed by family): with only the fixed
+    30-word lexicon, family patterns repeat every 30 families, so at
+    >=10x EVERY shingle is shared by thousands of documents — the whole
+    corpus becomes one hot bucket, the cap drops everything, and the
+    probe measures the degenerate-drop path instead of real mining.
+    Real corpora have heavy-tailed vocabularies; the scaled lexicon
+    restores that shape at any mult (probe numbers from r5 on are not
+    comparable to the r4 fixed-vocabulary corpus lines)."""
     d = spark.range(n)
     i = F.col("id")
     fam = (i / 5).cast("long")
     variant = F.pmod(i, F.lit(5))
+    vocab = max(n // 50, 100)
     words = F.transform(
         F.sequence(F.lit(0), F.lit(59)),
-        lambda j: F.element_at(
-            F.array(*[F.lit(w) for w in _WORDS]),
-            (
-                F.pmod(
-                    fam * 31 + j * 7 + F.when(F.pmod(j, F.lit(12)) == 0, variant).otherwise(0),
-                    F.lit(len(_WORDS)),
-                )
-                + 1
-            ).cast("int"),
+        lambda j: F.when(
+            F.pmod(j, F.lit(12)) == 6,
+            F.concat(F.lit("tok"), F.pmod(fam * 7919 + j, F.lit(vocab))),
+        ).otherwise(
+            F.element_at(
+                F.array(*[F.lit(w) for w in _WORDS]),
+                (
+                    F.pmod(
+                        fam * 31 + j * 7 + F.when(F.pmod(j, F.lit(12)) == 0, variant).otherwise(0),
+                        F.lit(len(_WORDS)),
+                    )
+                    + 1
+                ).cast("int"),
+            )
         ),
     )
     text = F.array_join(words, " ")
@@ -231,13 +247,62 @@ SKEW_QUERIES = [
 ]
 
 
+def _probe_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered ``events_stream_sessions`` drains its sessions into
+    a MEMORY sink — the driver-contract readback, sized for oracle scale
+    (sf0.01).  At 100x that readback alone pins ~10M rows in driver heap
+    and OOMs the shared probe JVM, so the probe runs the SAME
+    applyInPandasWithState pipeline through its production sink shape
+    (parquet + checkpoint) and reads the files back.  The stateful
+    operator, watermark, and batch shape are identical; only the sink
+    differs — which is exactly what a deployment does."""
+    import tempfile
+
+    from logistream_data_pipeline_aws_spark.catalog import events_stream
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import sessionize
+
+    out = tempfile.mkdtemp(prefix="lsdp_probe_sessions_")
+    with events_stream(spark, sf_dir) as stream:
+        q = (
+            sessionize(stream)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(out, "data"))
+            .option("checkpointLocation", os.path.join(out, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + 900
+        while q.isActive and time.time() < deadline:
+            q.awaitTermination(1)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("probe sessionize drain exceeded 900s")
+    return spark.read.parquet(os.path.join(out, "data"))
+
+
+PROBE_OVERRIDES = {"events_stream_sessions": _probe_stream_sessions}
+
+
+def _drop_stream_sinks(spark: SparkSession) -> None:
+    """Release in-memory streaming sink tables between probe lines: the
+    streaming entries drain into memory-format sinks (the driver-contract
+    readback), which at 100x is ~10M rows PINNED IN DRIVER HEAP per run —
+    two retained sinks OOMed the probe JVM before this.  Production would
+    use a real sink; the probe measures the pipeline and then frees the
+    readback."""
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.endswith("_sink"):
+            spark.catalog.dropTempView(t.name)
+
+
 def main() -> None:
     mults = [int(m) for m in sys.argv[1:]] or [1, 4, 10]
     spark = get_spark("scale-probe")
     # the ts-unit sniffer requires a real parquet timestamp type, not INT96
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     root = tempfile.mkdtemp(prefix="lsdp_scale_probe_")
-    queries = E.queries()
+    queries = {**E.queries(), **PROBE_OVERRIDES}
     results: dict[str, dict[int, float]] = {}
     for m in mults:
         sf_dir = os.path.join(root, f"x{m}")
@@ -257,16 +322,21 @@ def main() -> None:
         ).parquet(os.path.join(sf_dir, "documents.parquet"))
         for name in EVENTS_QUERIES + WAREHOUSE_QUERIES + CORPUS_QUERIES:
             walls = []
-            for _ in range(2):
-                t0 = time.time()
-                n = queries[name](spark, sf_dir).count()
-                walls.append(round(time.time() - t0, 3))
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    n = queries[name](spark, sf_dir).count()
+                    walls.append(round(time.time() - t0, 3))
+            except Exception as exc:  # a failing line is data, not a crash
+                print(json.dumps({"query": name, "mult": m, "error": repr(exc)[:200]}))
+                continue
             results.setdefault(name, {})[m] = walls[-1]
             print(
                 json.dumps(
                     {"query": name, "mult": m, "rows": n, "wall_s": walls}
                 )
             )
+            _drop_stream_sinks(spark)
         # skew axis: same mult, 30% of events on one celebrity user
         skew_dir = os.path.join(root, f"x{m}_skew")
         os.makedirs(skew_dir, exist_ok=True)
@@ -275,16 +345,25 @@ def main() -> None:
         ).parquet(os.path.join(skew_dir, "events.parquet"))
         for name in SKEW_QUERIES:
             walls = []
-            for _ in range(2):
-                t0 = time.time()
-                n = queries[name](spark, skew_dir).count()
-                walls.append(round(time.time() - t0, 3))
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    n = queries[name](spark, skew_dir).count()
+                    walls.append(round(time.time() - t0, 3))
+            except Exception as exc:
+                print(
+                    json.dumps(
+                        {"query": name + "@skew", "mult": m, "error": repr(exc)[:200]}
+                    )
+                )
+                continue
             results.setdefault(name + "@skew", {})[m] = walls[-1]
             print(
                 json.dumps(
                     {"query": name + "@skew", "mult": m, "rows": n, "wall_s": walls}
                 )
             )
+            _drop_stream_sinks(spark)
     if len(mults) >= 2:
         lo, hi = mults[0], mults[-1]
         summary = {}
