@@ -231,8 +231,10 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type (the BI 'p50/p90
     latency' shape).  Exact percentile needs a per-group sort — at 100 TB
-    prefer approx_percentile (t-digest sketch, map-side combinable); this
-    exact form is the oracle-checkable baseline."""
+    use ``events_value_quantiles_approx`` below (KLL sketch, map-side
+    combinable); this exact form is the oracle-checkable baseline, and
+    the registered ``events_sketch_profile`` entry pins the sketch
+    accuracy for this family with in-plan verdicts."""
     events = load_table(spark, "events", sf_dir)
     return (
         events.groupBy("event_type")
@@ -242,6 +244,30 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
         .select("event_type", "p50", "p90", "n_events")
+    )
+
+
+def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB production form of the per-type percentile profile:
+    ``approx_percentile`` at accuracy 10000 (<= 1e-4 rank error; a
+    fixed-size mergeable sketch per group instead of the exact form's
+    per-group value buffer).  Same schema as the exact baseline.
+    Accuracy is pinned two ways: the registered ``events_sketch_profile``
+    verdict entry (driver-checked) and the tolerance test in
+    tests/test_extensions.py."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, array(0.5, 0.9), 10000)").alias("q"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p90"),
+            "n_events",
+        )
     )
 
 

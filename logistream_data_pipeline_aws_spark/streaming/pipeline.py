@@ -294,6 +294,74 @@ def read_upsert_table(
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
+def _publish_upsert_manifest(
+    path: str, base_manifest: dict, new_buckets: dict[str, str]
+) -> None:
+    """Shared atomic publish for upsert-table commits (merge AND
+    compaction): write the new manifest to a temp name, re-check the
+    on-disk version against the one this commit was planned from
+    (best-effort lost-update detection), ``os.replace`` it live, then
+    GC data directories referenced by neither the new nor the
+    just-replaced manifest (the one-commit retention horizon)."""
+    version = base_manifest["version"] + 1
+    tmp = _upsert_manifest_path(path) + f".tmp.{version}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "buckets": new_buckets}, fh)
+    current = _read_upsert_manifest(path)
+    if current is not None and current["version"] != base_manifest["version"]:
+        os.unlink(tmp)
+        raise RuntimeError(
+            f"concurrent writer detected on upsert table {path}: "
+            f"manifest moved from v{base_manifest['version']} to "
+            f"v{current['version']} during the commit — aborting"
+        )
+    os.replace(tmp, _upsert_manifest_path(path))
+    keep = set(new_buckets.values()) | set(base_manifest["buckets"].values())
+    data_root = os.path.join(path, "data")
+    for name in os.listdir(data_root):
+        if os.path.join("data", name) not in keep:
+            shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+
+
+def compact_upsert_table(spark: SparkSession, path: str) -> dict | None:
+    """Maintenance compaction for a ``foreach_batch_upsert`` table
+    (VERDICT r4 next-round #5 applied to the new layout): every merge
+    writes fresh files for its affected buckets, and buckets untouched
+    for many commits keep their old directories alive through the
+    manifest — a hot-keyed feed therefore accumulates commit
+    directories and per-bucket file counts without bound.  This pass
+    rewrites the CURRENT snapshot into one fresh commit directory with
+    exactly one file per bucket (repartition on the bucket id: each
+    bucket's rows land wholly in one task) and publishes it through the
+    same atomic manifest swap the merge uses — concurrent readers see
+    the old or the new snapshot, never a mix, and the table collapses
+    to at most two live commit directories (retention keeps the
+    previous one for in-flight readers; the next commit GCs it).
+
+    Returns {"version", "n_buckets", "dirs_before"} or None if the
+    table has no commits yet."""
+    manifest = _read_upsert_manifest(path)
+    if manifest is None or not manifest["buckets"]:
+        return None
+    dirs_before = len(set(manifest["buckets"].values()))
+    version = manifest["version"] + 1
+    commit_dir = f"data/c{version}"
+    snapshot = read_upsert_table(spark, path)
+    (
+        snapshot.repartition(len(manifest["buckets"]), F.col("_ub"))
+        .write.mode("overwrite")
+        .partitionBy("_ub")
+        .parquet(os.path.join(path, commit_dir))
+    )
+    new_buckets = {k: commit_dir for k in manifest["buckets"]}
+    _publish_upsert_manifest(path, manifest, new_buckets)
+    return {
+        "version": version,
+        "n_buckets": len(new_buckets),
+        "dirs_before": dirs_before,
+    }
+
+
 def foreach_batch_upsert(
     stream: DataFrame,
     path: str,
@@ -381,25 +449,7 @@ def foreach_batch_upsert(
         new_buckets = dict(manifest["buckets"])
         for k in sorted(affected):
             new_buckets[str(k)] = commit_dir
-        tmp = _upsert_manifest_path(path) + f".tmp.{version}"
-        with open(tmp, "w") as fh:
-            json.dump({"version": version, "buckets": new_buckets}, fh)
-        current = _read_upsert_manifest(path)
-        if current is not None and current["version"] != manifest["version"]:
-            os.unlink(tmp)
-            raise RuntimeError(
-                f"concurrent writer detected on upsert table {path}: "
-                f"manifest moved from v{manifest['version']} to "
-                f"v{current['version']} during the merge — aborting commit"
-            )
-        os.replace(tmp, _upsert_manifest_path(path))
-        # GC: keep directories referenced by the new or the just-replaced
-        # manifest (the one-commit retention horizon for in-flight readers)
-        keep = set(new_buckets.values()) | set(manifest["buckets"].values())
-        data_root = os.path.join(path, "data")
-        for name in os.listdir(data_root):
-            if os.path.join("data", name) not in keep:
-                shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+        _publish_upsert_manifest(path, manifest, new_buckets)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

@@ -1001,3 +1001,27 @@ def test_supplier_pagerank_converged_reaches_fixed_point(spark):
     assert conv8 == conv10  # fixed point: tighter tol changes nothing
     assert set(fixed) == set(conv8)
     assert max(abs(fixed[k] - conv8[k]) for k in fixed) > 1e-4  # 2 rounds short
+
+
+def test_events_value_quantiles_approx_within_rank_tolerance(spark):
+    """The production sketch form lands inside the exact p40..p60 /
+    p85..p95 bands per group (generous multiples of the 1e-4 rank
+    error), and preserves the exact form's schema."""
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    sf = "/root/testdata/sf0.01"
+    exact_bands = {
+        r.event_type: r
+        for r in X.load_table(spark, "events", sf)
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.4, 0.6, 0.85, 0.95))").alias("b")
+        )
+        .collect()
+    }
+    approx = {r.event_type: r for r in X.events_value_quantiles_approx(spark, sf).collect()}
+    assert set(approx) == set(exact_bands)
+    for t, r in approx.items():
+        b = exact_bands[t].b
+        assert b[0] <= r.p50 <= b[1], (t, r.p50, b)
+        assert b[2] <= r.p90 <= b[3], (t, r.p90, b)

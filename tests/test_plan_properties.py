@@ -223,3 +223,24 @@ def test_runtime_bloom_filter_prunes_selective_join(spark):
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_prefix_filter_never_broadcasts_corpus_scaled_sides(spark):
+    """The 100x probe watched Catalyst statically broadcast the
+    shingle-frequency aggregate / prefix self-join / item-set verify
+    sides off garbage size estimates and OOM the driver (r5).  The
+    merge hints must hold: every join in the prefix-filter plan whose
+    build side grows with the corpus is a (spillable) sort-merge join,
+    and broadcast appears nowhere in this plan."""
+    plan = _plan(spark, "dedup_prefix_filter")
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") >= 4  # dfreq, cap, self-join, 2x verify
+
+
+def test_bounded_blocks_keep_join_is_sort_merge(spark):
+    """Every block-capped operator routes its keep-join through the
+    spillable strategy — the cap frame scales with the block-key
+    vocabulary and must never be a broadcast build side."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "BroadcastHashJoin" not in plan

@@ -428,3 +428,67 @@ def test_upsert_concurrent_reader_sees_old_or_new_never_a_mix(spark, tmp_path):
         f"reader saw {len([o for o in observed if o not in allowed])} "
         f"mixed snapshots out of {len(observed)}"
     )
+
+
+def test_compact_upsert_table_collapses_commits_preserving_snapshot(spark, tmp_path):
+    """Many small merges fragment the upsert table across commit dirs;
+    compaction must collapse it to one fresh commit (one file per
+    bucket) through the same atomic manifest swap, byte-identical
+    readback, old-snapshot handles still readable (retention)."""
+    import json
+    import os
+
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        compact_upsert_table,
+        foreach_batch_upsert,
+    )
+
+    src = str(tmp_path / "feed")
+    path = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = foreach_batch_upsert(
+            read_events_stream(spark, src).select(
+                "user_id", "event_id", "ts", "event_type", "value"
+            ),
+            path, ckpt, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # 5 incremental merges touching different user sets
+    for batch in range(5):
+        spark.createDataFrame(
+            [(batch * 50 + i, _ts(batch, i), 100 + (batch * 7 + i) % 20, "t", float(i), "{}")
+             for i in range(10)],
+            EVENTS_STREAM_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+        drain()
+
+    manifest = json.load(open(os.path.join(path, "_manifest.json")))
+    assert len(set(manifest["buckets"].values())) > 1  # fragmented
+    before = sorted(tuple(r) for r in read_upsert_table(spark, path).collect())
+
+    stats = compact_upsert_table(spark, path)
+    assert stats["dirs_before"] > 1
+    after_manifest = json.load(open(os.path.join(path, "_manifest.json")))
+    assert after_manifest["version"] == manifest["version"] + 1
+    assert len(set(after_manifest["buckets"].values())) == 1  # collapsed
+    after = sorted(tuple(r) for r in read_upsert_table(spark, path).collect())
+    assert after == before  # snapshot identical
+    # exactly one file per bucket in the compacted commit
+    commit = next(iter(after_manifest["buckets"].values()))
+    for k in after_manifest["buckets"]:
+        files = [
+            f for f in os.listdir(os.path.join(path, commit, f"_ub={k}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (k, files)
+    # a further merge on the compacted table still works
+    spark.createDataFrame(
+        [(999, _ts(23, 0), 100, "fix", 1.0, "{}")], EVENTS_STREAM_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    final = {r.user_id: r for r in read_upsert_table(spark, path).collect()}
+    assert final[100].event_id == 999
