@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hop_distance": X.graph_hop_distance,
         "dedup_prefix_filter": X.dedup_prefix_filter,
         "events_stream_upsert": X.events_stream_upsert,
+        # empty-step nullif guard (ANSI divide-by-zero found by the probe)
+        "events_funnel": A.events_funnel,
         # -- oldest-first rotation: every entry whose newest driver green row
         #    is r1 (VERDICT r4 next-round #3b; digest-pinned unchanged
         #    since, re-greened locally before this rotation was set) ------
@@ -223,7 +225,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_kv": X.events_json_kv,
         "embedding_centered": X.embedding_centered,
         "media_frames": X.media_frames,
-        "events_salted_user_stats": X.events_salted_user_stats,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r4 (rows+schema+hash), byte-stable since
         #    its green row up to behavior-neutral module-file digest
@@ -231,6 +232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    sf0.01 sweep) before the r5 manifest regeneration.  The 11
         #    remaining r2-green entries (sql_customer_order_distribution
         #    ... lang_id) lead the r6 rotation queue. ======================
+        # displaced by the events_funnel fix (unchanged since its r2 green
+        # row; heads the r6 rotation queue with the 11 other r2 entries)
+        "events_salted_user_stats": X.events_salted_user_stats,
         "events_anomaly_mad": X.events_anomaly_mad,
         "events_ohlc": X.events_ohlc,
         "events_stream_sliding": X.events_stream_sliding,
@@ -245,7 +249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_enriched": X.events_stream_enriched,
         "doc_chunking": X.doc_chunking,
         "daily_sales_moving_avg": A.daily_sales_moving_avg,
-        "events_funnel": A.events_funnel,
         "events_cohort_retention": A.events_cohort_retention,
         "snapshot_cdc_diff": X.snapshot_cdc_diff,
         "orders_zorder_clustering": X.orders_zorder_clustering,

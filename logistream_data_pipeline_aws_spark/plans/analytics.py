@@ -529,11 +529,15 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row-local arithmetic inside the unpivot — a self-join here would
     # re-derive the whole window pipeline (second feed scan) for a 3-row
     # frame
+    # nullif guards: an EMPTY funnel step must yield a NULL conversion,
+    # not an ANSI DIVIDE_BY_ZERO crash (DuckDB's x/0 is NULL; Spark 4's
+    # ANSI default throws — found by the r5 scale probe on a corpus
+    # where no user had a view-then-click sequence)
     return counts.select(
         F.expr(
             "stack(3, 1, 'view', n1, CAST(NULL AS DOUBLE), "
-            "2, 'click', n2, n2 / n1, "
-            "3, 'purchase', n3, n3 / n2) "
+            "2, 'click', n2, n2 / nullif(n1, 0), "
+            "3, 'purchase', n3, n3 / nullif(n2, 0)) "
             "AS (step, step_name, n_users, conv_from_prev)"
         )
     ).select(

@@ -1025,3 +1025,30 @@ def test_events_value_quantiles_approx_within_rank_tolerance(spark):
         b = exact_bands[t].b
         assert b[0] <= r.p50 <= b[1], (t, r.p50, b)
         assert b[2] <= r.p90 <= b[3], (t, r.p90, b)
+
+
+def test_events_funnel_empty_step_yields_null_conversion(spark, monkeypatch):
+    """An empty funnel step must produce a NULL conversion ratio like the
+    DuckDB oracle (x/0 -> NULL), not an ANSI DIVIDE_BY_ZERO crash —
+    found by the r5 probe on a corpus where no user had a
+    view-then-click sequence."""
+    import datetime
+
+    import logistream_data_pipeline_aws_spark.catalog as C
+    from logistream_data_pipeline_aws_spark.plans import analytics as A
+
+    events = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 0, 0), 1, "view", 1.0, "{}"),
+            (2, datetime.datetime(2024, 1, 1, 1, 0), 2, "view", 1.0, "{}"),
+            # no clicks anywhere -> steps 2 and 3 are empty
+            (3, datetime.datetime(2024, 1, 1, 2, 0), 1, "purchase", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    monkeypatch.setattr(C, "load_table", lambda spark, name, sf_dir: events)
+    monkeypatch.setattr(A, "load_table", C.load_table)
+    rows = {r.step: r for r in A.events_funnel(spark, "unused").collect()}
+    assert rows[1].n_users == 2 and rows[1].conv_from_prev is None
+    assert rows[2].n_users == 0 and rows[2].conv_from_prev == 0.0
+    assert rows[3].n_users == 0 and rows[3].conv_from_prev is None  # 0/0

@@ -57,9 +57,17 @@ def synthetic_events(spark: SparkSession, n: int, hot_frac: float = 0.0) -> Data
     # ~3e3x scale, while id * (month // n) never can
     spacing = max(_MONTH_US // n, 1)
     ts = F.timestamp_micros(F.lit(_EPOCH_2024) + i * F.lit(spacing))
+    # type index goes through a prime-modulus hash first: user assignment
+    # is an affine map of i, so when the user count shares a factor with
+    # 5 any affine-in-i type index is CONSTANT within a user's events —
+    # each user had a single event type and the funnel/journey operators
+    # saw degenerate input.  pmod by the prime 1000003 (coprime to 5)
+    # breaks the residue-class correlation at every mult.
     typ = F.element_at(
         F.array(*[F.lit(t) for t in _TYPES]),
-        (F.pmod(i * 7 + 3, F.lit(len(_TYPES))) + 1).cast("int"),
+        (F.pmod(F.pmod(i * 48_271 + 11, F.lit(1_000_003)), F.lit(len(_TYPES))) + 1).cast(
+            "int"
+        ),
     )
     uid = F.pmod(i * 2_654_435_761, F.lit(users))
     if hot_frac > 0:
@@ -203,6 +211,32 @@ def synthetic_documents(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
+EMB_N = 500  # sf0.1 anchor (TESTDATA.md)
+
+
+def synthetic_embeddings(spark: SparkSession, n: int, dim: int = 64) -> DataFrame:
+    """Deterministic unit-free float vectors with a mild cluster
+    structure (16 anchor directions + per-vector jitter), schema-matched
+    to the embeddings table — enables the similarity family at any
+    mult."""
+    e = spark.range(n)
+    i = F.col("id")
+    anchor = F.pmod(i, F.lit(16))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            (F.pmod(anchor * 131 + j * 17, F.lit(97)).cast("double") - 48.0) / 48.0
+            + (F.pmod(i * 2_654_435_761 + j * 7919, F.lit(1000)).cast("double") - 500.0)
+            / 2500.0
+        ).cast("float"),
+    )
+    return e.select(
+        i.alias("vec_id"),
+        vec.alias("embedding"),
+        anchor.cast("int").alias("label"),
+    )
+
+
 CORPUS_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -212,9 +246,19 @@ CORPUS_QUERIES = [
     "lang_id",
     "sequence_packing",
 ]
+SIMILARITY_QUERIES = [
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "similarity_ivf_kmeans",
+    "dedup_embedding",
+    "embedding_stats",
+]
 
 EVENTS_QUERIES = [
     "events_hourly",
+    "events_funnel",
+    "events_cohort_retention",
+    "scd2_user_state",
     "user_sessions",
     "events_active_users",
     "events_twap",
@@ -320,7 +364,10 @@ def main() -> None:
         synthetic_documents(spark, DOCS_N * m).coalesce(4).write.mode(
             "overwrite"
         ).parquet(os.path.join(sf_dir, "documents.parquet"))
-        for name in EVENTS_QUERIES + WAREHOUSE_QUERIES + CORPUS_QUERIES:
+        synthetic_embeddings(spark, EMB_N * m).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        for name in EVENTS_QUERIES + WAREHOUSE_QUERIES + CORPUS_QUERIES + SIMILARITY_QUERIES:
             walls = []
             try:
                 for _ in range(2):
