@@ -136,39 +136,94 @@ def sessionize(events: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         # 30-minute-gap sessionization: a row per *closed* session; the
         # open session lives in the state store keyed by user.
+        #
+        # VECTORIZED over the sorted group (numpy segment reduction, not
+        # a per-row Python loop): the r5 skew probe measured a celebrity
+        # user's 3M-event group at a 3.7x wall-clock cliff — the cost was
+        # the Python iteration constant, not the algorithm.  Semantics
+        # are identical to the reference per-row walk (pinned by the
+        # streaming test suite and the batch oracle):
+        #   - rows strictly older than open_start - gap form one
+        #     singleton closed session EACH (too-old stragglers);
+        #   - rows in [open_start - gap, open_end] merge into the open
+        #     session UNCONDITIONALLY (the per-row walk never moves the
+        #     open end backwards, so t - s1 <= 0 <= gap always merges) —
+        #     intra-batch gaps between such stragglers do NOT split them;
+        #   - for the remaining rows (> open_end), ascending order means
+        #     session boundaries are exactly the positions where the gap
+        #     to the previous row exceeds `gap`;
+        #   - the first such segment merges into the open state session
+        #     iff its first row is within gap of the open end, else the
+        #     open session closes;
+        #   - every segment but the last closes; the last becomes the
+        #     new open state.
+        import numpy as np
+
         gap = 30 * 60
-        rows = pd.concat(list(batches)).sort_values("ts")
-        out = []
+        rows = pd.concat(list(batches))
+        ts = rows["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        vals = rows["value"].to_numpy(dtype="float64")[order]
         if state.exists:
-            s0, s1, n, tot = state.get
+            s0_st, s1_st, n_st, tot_st = state.get
         else:
-            s0, s1, n, tot = None, None, 0, 0.0
-        for _, r in rows.iterrows():
-            t = int(r["ts"].timestamp())
-            if s0 is None:
-                s0, s1, n, tot = t, t, 1, float(r["value"])
-            elif t - s1 > gap:
-                out.append((key[0], s0, s1, n, tot))
-                s0, s1, n, tot = t, t, 1, float(r["value"])
-            elif t < s0 - gap:
-                # within-watermark straggler too old to belong to the open
-                # session: it forms its own (already-closed) session —
-                # everything even earlier is watermark-finalized
-                out.append((key[0], t, t, 1, float(r["value"])))
-            else:
-                # straggler within [s0-gap, s1] or an in-order extension:
-                # widen the span, never move the end backwards
-                s0, s1 = min(s0, t), max(s1, t)
-                n, tot = n + 1, tot + float(r["value"])
-        state.update((s0, s1, n, tot))
+            s0_st = None
+        out: list[tuple[int, int, int, float]] = []
+        start = 0
+        if s0_st is not None:
+            # too-old prefix (sorted => a prefix): one singleton each
+            n_old = int(np.searchsorted(ts, s0_st - gap, side="left"))
+            for j in range(n_old):
+                out.append((int(ts[j]), int(ts[j]), 1, float(vals[j])))
+            start = n_old
+            # within-span stragglers in [s0-gap, s1] (sorted => the next
+            # contiguous run): merge them all into the open session — the
+            # open end never moves backwards, so they can never open a gap
+            end_mid = int(np.searchsorted(ts, s1_st, side="right"))
+            if end_mid > start:
+                s0_st = min(s0_st, int(ts[start]))
+                n_st += end_mid - start
+                tot_st += float(vals[start:end_mid].sum())
+                start = end_mid
+        t, v = ts[start:], vals[start:]
+        if len(t) == 0:
+            if s0_st is not None:
+                state.update((s0_st, s1_st, n_st, tot_st))
+        else:
+            bnd = np.empty(len(t), dtype=bool)
+            bnd[0] = True
+            bnd[1:] = (t[1:] - t[:-1]) > gap
+            seg_first = np.flatnonzero(bnd)
+            seg_last = np.append(seg_first[1:] - 1, len(t) - 1)
+            seg_s0 = t[seg_first].astype(np.int64)
+            seg_s1 = t[seg_last].astype(np.int64)
+            seg_n = np.diff(np.append(seg_first, len(t)))
+            seg_tot = np.add.reduceat(v, seg_first)
+            if s0_st is not None:
+                if int(t[0]) - s1_st <= gap:
+                    # first segment merges into the open state session
+                    seg_s0[0] = min(s0_st, int(seg_s0[0]))
+                    seg_s1[0] = max(s1_st, int(seg_s1[0]))
+                    seg_n[0] += n_st
+                    seg_tot[0] += tot_st
+                else:
+                    out.append((s0_st, s1_st, n_st, tot_st))
+            for k in range(len(seg_first) - 1):
+                out.append(
+                    (int(seg_s0[k]), int(seg_s1[k]), int(seg_n[k]), float(seg_tot[k]))
+                )
+            state.update(
+                (int(seg_s0[-1]), int(seg_s1[-1]), int(seg_n[-1]), float(seg_tot[-1]))
+            )
         if out:
             yield pd.DataFrame(
                 {
-                    "user_id": [o[0] for o in out],
-                    "session_start": [pd.Timestamp(o[1], unit="s") for o in out],
-                    "session_end": [pd.Timestamp(o[2], unit="s") for o in out],
-                    "n_events": [o[3] for o in out],
-                    "total_value": [o[4] for o in out],
+                    "user_id": [key[0]] * len(out),
+                    "session_start": [pd.Timestamp(o[0], unit="s") for o in out],
+                    "session_end": [pd.Timestamp(o[1], unit="s") for o in out],
+                    "n_events": [o[2] for o in out],
+                    "total_value": [o[3] for o in out],
                 }
             )
 

@@ -198,6 +198,47 @@ def test_sessionize_too_old_straggler_gets_own_session(spark, tmp_path):
     assert (r.session_start.hour, r.n_events, r.total_value) == (11, 1, 5.0)
 
 
+def test_sessionize_within_span_stragglers_merge_despite_intra_batch_gap(spark, tmp_path):
+    """Stragglers inside the open session's span [s0-gap, s1] merge
+    unconditionally — the open end never moves backwards, so an
+    intra-batch gap BETWEEN two such stragglers must not split them
+    (regression for the vectorized segment reduction)."""
+    import time
+
+    d = str(tmp_path / "bridge_in")
+    # batch 1 builds an open session spanning 12:00..13:00 (4 events)
+    b1 = [
+        (1, _ts(12, 0), 1, "click", 1.0, "{}"),
+        (2, _ts(12, 20), 1, "click", 2.0, "{}"),
+        (3, _ts(12, 40), 1, "click", 3.0, "{}"),
+        (4, _ts(13, 0), 1, "click", 4.0, "{}"),
+    ]
+    # batch 2: two stragglers inside the span, 40min apart (> 30min gap) —
+    # both merge; a naive gap segmentation would split them
+    b2 = [
+        (5, _ts(12, 10), 1, "click", 10.0, "{}"),
+        (6, _ts(12, 50), 1, "click", 20.0, "{}"),
+    ]
+    # batch 3: a >gap event closes the (now 6-event) session
+    b3 = [(7, _ts(14, 0), 1, "click", 100.0, "{}")]
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        time.sleep(1.2)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    run_available_now(sessionize(stream), "t_bridge", output_mode="append")
+    rows = spark.table("t_bridge").collect()
+    assert len(rows) == 1  # exactly one closed session; 14:00 stays open
+    r = rows[0]
+    assert (r.session_start.hour, r.session_end.hour) == (12, 13)
+    assert (r.n_events, r.total_value) == (6, 40.0)
+
+
 def test_sessionize_closes_on_gap(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     sessions = sessionize(stream)
