@@ -193,6 +193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    preserved, oracle-verified at sf0.01+sf0.1); the rest ride
         #    along because the digest is module-grain -------------------
         "events_stream_sessions": X.events_stream_sessions,
+        # new this round: EventTimeTimeout idle-session flush (the live
+        # form of the sessionizer; never driver-verified)
+        "events_stream_sessions_flushed": X.events_stream_sessions_flushed,
         "events_stream_sliding": X.events_stream_sliding,
         "events_stream_enriched": X.events_stream_enriched,
         "events_stream_dedup": X.events_stream_dedup,
@@ -230,7 +233,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_junk_status": W.dim_junk_status,
         "dim_date": W.dim_date,
         "fact_bucket_profile": W.fact_bucket_profile,
-        "dev_sample_cap": W.dev_sample_cap,
         "q1_pricing_summary": A.q1_pricing_summary,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r4 (rows+schema+hash), byte-stable since
@@ -241,8 +243,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    ... lang_id) plus the six r2-green entries displaced by the
         #    streaming rotation (top_customers ... media_frames) lead the
         #    r6 rotation queue. ==========================================
-        # displaced by the streaming-module rotation (digest-unchanged
-        # since their r2 green rows)
+        # displaced by the streaming-module rotation and the flushed-
+        # sessionizer insert (digest-unchanged since their r2 green rows)
+        "dev_sample_cap": W.dev_sample_cap,
         "top_customers": A.top_customers,
         "doc_fingerprints": X.doc_fingerprints,
         "multimodal_meta": X.multimodal_meta,
@@ -931,6 +934,24 @@ def _ext_oracles() -> dict[str, str]:
             "COUNT(*) AS n_events FROM islands GROUP BY user_id, sid) "
             "SELECT user_id, session_start, session_end, n_events FROM s "
             "QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)"
+        ),
+        # flush_idle=True: additionally each user's FINAL session emits iff
+        # its event-time timeout (end + 30min, whole-second ms) is strictly
+        # below the drain's final watermark floor_ms(max ts) - 2h (strict
+        # boundary pinned by test_sessionize_flush_timeout_boundary)
+        "events_stream_sessions_flushed": (
+            "WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s FROM events "
+            "WHERE ts IS NOT NULL), "
+            "wm AS (SELECT epoch_ms(max(ts)) - 7200000 AS wm_ms FROM events WHERE ts IS NOT NULL), "
+            "marked AS (SELECT user_id, ts_s, CASE WHEN ts_s - LAG(ts_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts_s) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM e), "
+            "islands AS (SELECT user_id, ts_s, SUM(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts_s ROWS UNBOUNDED PRECEDING) AS sid FROM marked), "
+            "s AS (SELECT user_id, sid, MIN(ts_s) AS session_start, MAX(ts_s) AS session_end, "
+            "COUNT(*) AS n_events FROM islands GROUP BY user_id, sid) "
+            "SELECT user_id, session_start, session_end, n_events FROM s, wm "
+            "QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id) "
+            "OR epoch_ms(session_end) + 1800000 < wm_ms"
         ),
         "dim_route_shapes": (
             "WITH raw AS (SELECT unnest(features) AS f FROM read_json("

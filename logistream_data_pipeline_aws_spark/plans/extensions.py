@@ -379,6 +379,38 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_sessions_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live-deployment sessionizer: ``flush_idle=True`` layers an
+    EventTimeTimeout at ``session_end + gap`` on the stateful operator,
+    so idle sessions are emitted once the watermark proves no non-late
+    event can extend them (state bounded by ACTIVE users, not all-time).
+
+    Deterministic under availableNow: the single-file source is one
+    data micro-batch (watermark still at zero, so only gap-closed
+    sessions emit there), then Spark's final no-data batch advances the
+    watermark to ``floor_ms(max ts) - 2h`` and fires every timeout
+    STRICTLY below it (boundary pinned by test: timeout == watermark
+    does NOT fire).  Oracle: gaps-and-islands sessions where the
+    session is non-final for its user OR its timeout
+    ``(end + 30min) * 1000 ms`` is strictly below the final watermark.
+    ``total_value`` is excluded like the base entry (in-order float
+    accumulation has no order-independent SQL mirror)."""
+    from logistream_data_pipeline_aws_spark.catalog import events_stream
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        run_available_now,
+        sessionize,
+    )
+
+    name = "events_stream_sessions_flushed_sink"
+    with events_stream(spark, sf_dir) as stream:
+        run_available_now(
+            sessionize(stream, flush_idle=True), name, output_mode="append"
+        )
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
 def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classic pretraining corpus filter chain, composed from the
     text-analysis primitives: keep documents whose heuristic quality

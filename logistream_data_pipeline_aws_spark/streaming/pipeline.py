@@ -108,15 +108,26 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def sessionize(events: DataFrame) -> DataFrame:
+def sessionize(events: DataFrame, flush_idle: bool = False) -> DataFrame:
     """Custom stateful operator: per-user 30-min-gap sessions via
     ``applyInPandasWithState`` (Arrow-batched, state-store backed).
 
     A session row is emitted when a later event *closes* it (gap
-    observed); the open tail session stays in the state store.  NoTimeout
-    keeps availableNow drains terminating deterministically — a live
-    deployment that must flush idle sessions would layer an
-    EventTimeTimeout on top.
+    observed); the open tail session stays in the state store.  With
+    ``flush_idle=False`` (default) NoTimeout keeps availableNow drains
+    terminating deterministically with only gap-closed sessions emitted.
+
+    ``flush_idle=True`` is the live-deployment form: an
+    EventTimeTimeout set to ``session_end + gap`` flushes an idle
+    session as soon as the watermark passes the point where no
+    non-late event could still extend it — the state store stays
+    bounded by the *active* user population instead of the all-time
+    one, and downstream consumers see every session exactly once
+    (closed by gap or closed by timeout).  Determinism under
+    availableNow holds because Spark runs a final no-data micro-batch
+    that advances the watermark to ``max(ts) - delay`` and fires the
+    due timeouts; an open session survives the drain only if its
+    timeout lies at/beyond that final watermark.
 
     The state function is a CLOSURE, not a module-level function, so
     cloudpickle ships it by value — Python workers never need this
@@ -160,6 +171,21 @@ def sessionize(events: DataFrame) -> DataFrame:
         import numpy as np
 
         gap = 30 * 60
+        if flush_idle and state.hasTimedOut:
+            # watermark passed session_end + gap: no non-late event can
+            # extend the open session — flush it and clear the key
+            s0_to, s1_to, n_to, tot_to = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(s0_to, unit="s")],
+                    "session_end": [pd.Timestamp(s1_to, unit="s")],
+                    "n_events": [n_to],
+                    "total_value": [tot_to],
+                }
+            )
+            return
         rows = pd.concat(list(batches))
         ts = rows["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
         order = np.argsort(ts, kind="stable")
@@ -190,6 +216,8 @@ def sessionize(events: DataFrame) -> DataFrame:
         if len(t) == 0:
             if s0_st is not None:
                 state.update((s0_st, s1_st, n_st, tot_st))
+                if flush_idle:
+                    state.setTimeoutTimestamp((s1_st + gap) * 1000)
         else:
             bnd = np.empty(len(t), dtype=bool)
             bnd[0] = True
@@ -216,6 +244,8 @@ def sessionize(events: DataFrame) -> DataFrame:
             state.update(
                 (int(seg_s0[-1]), int(seg_s1[-1]), int(seg_n[-1]), float(seg_tot[-1]))
             )
+            if flush_idle:
+                state.setTimeoutTimestamp((int(seg_s1[-1]) + gap) * 1000)
         if out:
             yield pd.DataFrame(
                 {
@@ -235,7 +265,11 @@ def sessionize(events: DataFrame) -> DataFrame:
             outputStructType=_SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if flush_idle
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

@@ -239,6 +239,49 @@ def test_sessionize_within_span_stragglers_merge_despite_intra_batch_gap(spark, 
     assert (r.n_events, r.total_value) == (6, 40.0)
 
 
+def test_sessionize_flush_idle_emits_timed_out_session(spark, tmp_path):
+    """flush_idle=True: the final no-data micro-batch advances the
+    watermark and flushes an idle open session whose timeout
+    (end + gap) the watermark has passed; a session still within reach
+    of non-late events stays in state."""
+    d = str(tmp_path / "flush_in")
+    rows = [
+        (1, _ts(12, 0), 1, "click", 1.0, "{}"),
+        (2, _ts(12, 10), 1, "click", 2.0, "{}"),
+        # watermark -> 14:00:00.0005 > user 1's 12:40 timeout;
+        # user 2's own 16:30 timeout is beyond it -> stays open
+        (3, datetime.datetime(2024, 1, 1, 16, 0, 0, 500000), 2, "click", 3.0, "{}"),
+    ]
+    spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(d)
+    run_available_now(sessionize(stream, flush_idle=True), "t_flush", output_mode="append")
+    rows = spark.table("t_flush").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.user_id == 1
+    assert (r.session_start.hour, r.session_end.minute) == (12, 10)
+    assert (r.n_events, r.total_value) == (2, 3.0)
+
+
+def test_sessionize_flush_timeout_boundary(spark, tmp_path):
+    """The timeout comparison is STRICT: a session whose timeout equals
+    the final watermark exactly does not fire (the oracle mirrors this
+    boundary, so it must stay pinned)."""
+    d = str(tmp_path / "tie_in")
+    rows = [
+        (1, _ts(12, 0), 1, "click", 1.0, "{}"),   # timeout 12:30:00.000
+        (2, _ts(14, 30), 2, "click", 3.0, "{}"),  # watermark -> 12:30:00.000
+    ]
+    spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(d)
+    run_available_now(sessionize(stream, flush_idle=True), "t_tie", output_mode="append")
+    assert spark.table("t_tie").count() == 0
+
+
 def test_sessionize_closes_on_gap(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     sessions = sessionize(stream)
