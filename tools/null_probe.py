@@ -112,7 +112,8 @@ DEFAULT_QUERIES = {
         "events_asof_last_purchase", "events_lookback_count",
         "events_heavy_hitters", "events_sketch_profile",
         "events_stream_hourly", "events_stream_sliding",
-        "events_stream_sessions", "events_stream_dedup",
+        "events_stream_sessions", "events_stream_sessions_flushed",
+        "events_stream_dedup",
         "events_stream_enriched", "events_stream_order_shipment",
         "events_stream_upsert", "snapshot_cdc_diff",
         "events_attribution_decayed",

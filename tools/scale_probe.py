@@ -269,6 +269,7 @@ EVENTS_QUERIES = [
     "events_heavy_hitters",
     "events_asof_last_purchase",
     "events_stream_sessions",
+    "events_stream_sessions_flushed",
 ]
 WAREHOUSE_QUERIES = [
     "basket_part_pairs",
@@ -288,10 +289,11 @@ SKEW_QUERIES = [
     "events_asof_last_purchase",
     "user_sessions",
     "events_stream_sessions",
+    "events_stream_sessions_flushed",
 ]
 
 
-def _probe_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _probe_stream_sessions(spark: SparkSession, sf_dir: str, flush_idle: bool = False) -> DataFrame:
     """The registered ``events_stream_sessions`` drains its sessions into
     a MEMORY sink — the driver-contract readback, sized for oracle scale
     (sf0.01).  At 100x that readback alone pins ~10M rows in driver heap
@@ -308,7 +310,7 @@ def _probe_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="lsdp_probe_sessions_")
     with events_stream(spark, sf_dir) as stream:
         q = (
-            sessionize(stream)
+            sessionize(stream, flush_idle=flush_idle)
             .writeStream.format("parquet")
             .option("path", os.path.join(out, "data"))
             .option("checkpointLocation", os.path.join(out, "ckpt"))
@@ -325,7 +327,12 @@ def _probe_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out, "data"))
 
 
-PROBE_OVERRIDES = {"events_stream_sessions": _probe_stream_sessions}
+PROBE_OVERRIDES = {
+    "events_stream_sessions": _probe_stream_sessions,
+    "events_stream_sessions_flushed": (
+        lambda spark, sf_dir: _probe_stream_sessions(spark, sf_dir, flush_idle=True)
+    ),
+}
 
 
 def _drop_stream_sinks(spark: SparkSession) -> None:
