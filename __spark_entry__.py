@@ -196,6 +196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round: EventTimeTimeout idle-session flush (the live
         # form of the sessionizer; never driver-verified)
         "events_stream_sessions_flushed": X.events_stream_sessions_flushed,
+        # new this round: point-in-time daily snapshot of the SCD2
+        # history (scd2_history composed with the strict as-of join)
+        "scd2_daily_snapshot": X.scd2_daily_snapshot,
         "events_stream_sliding": X.events_stream_sliding,
         "events_stream_enriched": X.events_stream_enriched,
         "events_stream_dedup": X.events_stream_dedup,
@@ -232,7 +235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_geography": W.dim_geography,
         "dim_junk_status": W.dim_junk_status,
         "dim_date": W.dim_date,
-        "fact_bucket_profile": W.fact_bucket_profile,
         "q1_pricing_summary": A.q1_pricing_summary,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r4 (rows+schema+hash), byte-stable since
@@ -243,9 +245,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    ... lang_id) plus the six r2-green entries displaced by the
         #    streaming rotation (top_customers ... media_frames) lead the
         #    r6 rotation queue. ==========================================
-        # displaced by the streaming-module rotation and the flushed-
-        # sessionizer insert (digest-unchanged since their r2 green rows)
+        # displaced by the streaming-module rotation and the round's new
+        # entries (digest-unchanged since their r2 green rows)
         "dev_sample_cap": W.dev_sample_cap,
+        "fact_bucket_profile": W.fact_bucket_profile,
         "top_customers": A.top_customers,
         "doc_fingerprints": X.doc_fingerprints,
         "multimodal_meta": X.multimodal_meta,
@@ -1268,6 +1271,35 @@ def _ext_oracles() -> dict[str, str]:
             "LEAD(effective_from) OVER wv AS effective_to, n_events, "
             "(LEAD(effective_from) OVER wv IS NULL) AS is_current "
             "FROM collapsed WINDOW wv AS (PARTITION BY user_id ORDER BY version)"
+        ),
+        # point-in-time daily snapshot: per (user, day-from-first-sighting)
+        # the history version valid at day end; effective_from ties keep the
+        # max version (mirrors the as-of tie reduction)
+        "scd2_daily_snapshot": (
+            "WITH ordered AS (SELECT user_id, event_type, ts, event_id, "
+            "CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1 "
+            "WHEN event_type IS NOT DISTINCT FROM LAG(event_type) OVER w THEN 0 "
+            "ELSE 1 END AS is_change FROM events WHERE ts IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "runs AS (SELECT user_id, event_type, ts, "
+            "CAST(SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS INT) AS version FROM ordered), "
+            "collapsed AS (SELECT user_id, version, MIN(event_type) AS state, "
+            "MIN(ts) AS effective_from FROM runs GROUP BY user_id, version), "
+            "hist AS (SELECT * FROM collapsed QUALIFY ROW_NUMBER() OVER "
+            "(PARTITION BY user_id, effective_from ORDER BY version DESC) = 1), "
+            "bounds AS (SELECT CAST(max(ts) AS DATE) AS max_day FROM events WHERE ts IS NOT NULL), "
+            "firstd AS (SELECT user_id, CAST(min(ts) AS DATE) AS first_day "
+            "FROM events WHERE ts IS NOT NULL GROUP BY user_id), "
+            "spine AS (SELECT user_id, CAST(unnest(generate_series(CAST(first_day AS TIMESTAMP), "
+            "CAST(max_day AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS snapshot_date "
+            "FROM firstd, bounds), "
+            "j AS (SELECT s.user_id, s.snapshot_date, h.state, h.version, h.effective_from "
+            "FROM spine s JOIN hist h ON h.user_id = s.user_id "
+            "AND h.effective_from < CAST(s.snapshot_date + INTERVAL 1 DAY AS TIMESTAMP)) "
+            "SELECT user_id, snapshot_date, state, version FROM j "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, snapshot_date "
+            "ORDER BY effective_from DESC, version DESC) = 1"
         ),
         # TPC-H Q21 shape: only-late supplier on finalized multi-supplier
         # orders (late = shipped > 60 days after order date)

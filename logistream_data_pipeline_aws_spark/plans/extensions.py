@@ -1716,6 +1716,59 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(events, "user_id", "event_type", "ts", "event_id")
 
 
+def scd2_daily_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot fan-out of the Type-2 history: for each
+    user and each calendar day from the user's first sighting to the
+    feed's last day, the state version valid at that day's end — the
+    Kimball periodic-snapshot materialization every SCD2 dimension
+    eventually needs for "as of reporting date" joins.
+
+    Composition of two existing operators: ``scd2_history`` builds the
+    validity intervals, then the merge-based ``as_of_join`` (strict, on
+    ``effective_from < day_end``) picks the covering interval per
+    (user, day) — one shuffle on user_id + a per-key sort, never an
+    interval cross join.  Equal ``effective_from`` ties (two change
+    events sharing a timestamp) resolve to the max version, matching
+    the as-of tie reduction.  The spine fan-out (users x days) is the
+    OUTPUT size — inherent to a snapshot table, bounded by the calendar
+    span, and embarrassingly parallel.  States are never NULL: every
+    user's first interval starts at their first event, which is on or
+    before their first snapshot day's end."""
+    from logistream_data_pipeline_aws_spark.operators.asof import as_of_join
+    from logistream_data_pipeline_aws_spark.operators.dimensions import scd2_history
+
+    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    hist = scd2_history(events, "user_id", "event_type", "ts", "event_id")
+    max_day = events.agg(F.max(F.to_date("ts")).alias("_max_day"))
+    spine = (
+        events.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("_first_day"))
+        .crossJoin(F.broadcast(max_day))
+        .select(
+            "user_id",
+            F.explode(F.sequence("_first_day", "_max_day")).alias("snapshot_date"),
+        )
+    )
+    probes = spine.withColumn(
+        "_t", F.date_add("snapshot_date", 1).cast("timestamp")
+    )
+    out = as_of_join(
+        probes,
+        hist,
+        on=["user_id"],
+        left_ts="_t",
+        right_ts="effective_from",
+        right_vals=["version", "state"],
+        strict=True,
+    )
+    return out.select(
+        "user_id",
+        "snapshot_date",
+        F.col("asof_state").alias("state"),
+        F.col("asof_version").alias("version"),
+    )
+
+
 def corpus_stratified_sample(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     """Deterministic fixed-size stratified sample: exactly ``k`` documents
     per language stratum, chosen by md5 rank — uniform without

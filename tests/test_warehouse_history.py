@@ -186,3 +186,37 @@ def test_exact_heavy_hitters_matches_plain_groupby(spark):
     }
     assert got == ref
     assert {k for k, _ in got} == {"hot1", "hot2", "hot3"}
+
+
+def test_scd2_daily_snapshot_day_end_semantics(spark, tmp_path):
+    """Point-in-time snapshot picks the version valid at DAY END: a
+    mid-day state change means that day's snapshot shows the later
+    state; a user appears from their first-sighting day through the
+    feed's last day, carrying the last state forward."""
+    from logistream_data_pipeline_aws_spark.catalog import TESTDATA_SCHEMAS
+    from logistream_data_pipeline_aws_spark.plans.extensions import scd2_daily_snapshot
+
+    def ev(eid, day, hour, uid, typ):
+        return (eid, dt.datetime(2024, 1, day, hour), uid, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 10, 1, "A"),   # day1: A then B -> day-end snapshot = B
+        ev(2, 1, 14, 1, "B"),
+        ev(3, 3, 9, 1, "A"),    # day2 carries B; day3 flips back to A
+        ev(4, 4, 12, 2, "C"),   # user 2 first seen day4 (also feed max day)
+    ]
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.createDataFrame(
+        rows, TESTDATA_SCHEMAS["events"]
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.user_id, r.snapshot_date.isoformat()): (r.state, r.version)
+        for r in scd2_daily_snapshot(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): ("B", 2),
+        (1, "2024-01-02"): ("B", 2),
+        (1, "2024-01-03"): ("A", 3),
+        (1, "2024-01-04"): ("A", 3),
+        (2, "2024-01-04"): ("C", 1),
+    }
