@@ -245,6 +245,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    ... lang_id) plus the six r2-green entries displaced by the
         #    streaming rotation (top_customers ... media_frames) lead the
         #    r6 rotation queue. ==========================================
+        # -- EXPLICIT DRIVER-SLOT WAIVER (per the r4 adjudication
+        #    protocol): corpus_split_assignment + lineitem_column_profile
+        #    are new this round but every head slot is claimed by a
+        #    never-verified or behavior-changed entry; both are verified
+        #    locally (tools/check_oracle.py, sf0.01 AND sf0.1, bare 1 GB
+        #    foreign-cwd probe) and are FIRST in the r6 head queue. ------
+        "corpus_split_assignment": X.corpus_split_assignment,
+        "lineitem_column_profile": X.lineitem_column_profile,
         # displaced by the streaming-module rotation and the round's new
         # entries (digest-unchanged since their r2 green rows)
         "dev_sample_cap": W.dev_sample_cap,
@@ -1300,6 +1308,31 @@ def _ext_oracles() -> dict[str, str]:
             "SELECT user_id, snapshot_date, state, version FROM j "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, snapshot_date "
             "ORDER BY effective_from DESC, version DESC) = 1"
+        ),
+        # deterministic hash split: bucket = first 15 hex digits of the
+        # domain-separated md5, mod 100 (nonneg, so % == pmod)
+        "corpus_split_assignment": (
+            "SELECT doc_id, lang, source, "
+            "CAST(('0x' || substr(md5('split#' || doc_id), 1, 15))::BIGINT % 100 AS INT) AS bucket, "
+            "CASE WHEN ('0x' || substr(md5('split#' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'train' "
+            "WHEN ('0x' || substr(md5('split#' || doc_id), 1, 15))::BIGINT % 100 < 95 THEN 'val' "
+            "ELSE 'test' END AS split FROM documents"
+        ),
+        # per-column profile: one aggregate per column UNION'd — counts
+        # are representation-invariant, so DuckDB counts native values
+        # while Spark counts the stringified unpivot; null_frac is a
+        # single int/int division (bit-identical cross-engine)
+        "lineitem_column_profile": " UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / "
+            f"CAST(COUNT(*) AS DOUBLE) AS null_frac FROM lineitem"
+            for c in (
+                "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate",
+            )
         ),
         # TPC-H Q21 shape: only-late supplier on finalized multi-supplier
         # orders (late = shipped > 60 days after order date)

@@ -2918,3 +2918,86 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_value"
         ),
     )
+
+
+def corpus_split_assignment(
+    spark: SparkSession, sf_dir: str, val_pct: int = 5, test_pct: int = 5
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — the step between
+    corpus curation and training: every document gets a stable split
+    label derived ONLY from its id (md5 bucket 0-99), so the assignment
+    is reproducible run-to-run, engine-to-engine, and under corpus
+    growth (a new document never flips an old one's split — the
+    hash-bucket contract rate-based sampling can't give).  Salted
+    domain-separated hash (``split#`` prefix) keeps this independent of
+    every other md5-derived decision in the pipeline (sampling, shard
+    assignment), so split membership never correlates with, e.g.,
+    shard placement.
+
+    Scale shape: a pure projection — no shuffle, no state, trivially
+    parallel at 100 TB; the label is computable at ingest time.  Hash
+    uniformity gives each stratum the target rates in expectation;
+    the companion aggregate views (GROUP BY split/lang) are one-line
+    consumers of this frame."""
+    if not (0 < val_pct + test_pct < 100):
+        raise ValueError("val_pct + test_pct must be in (0, 100)")
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split#"), F.col("doc_id"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    bucket = F.pmod(h, F.lit(100))
+    split = (
+        F.when(bucket < 100 - val_pct - test_pct, F.lit("train"))
+        .when(bucket < 100 - test_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        bucket.cast("int").alias("bucket"),
+        split.alias("split"),
+    )
+
+
+def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling of the biggest staging table — the
+    data-quality report every ingest pipeline runs before accepting a
+    batch: per column, row count, NULL count, exact distinct count, and
+    NULL fraction.  Complements ``warehouse_integrity_audit`` (which
+    checks referential facts this profile can't see).
+
+    Plan shape: one ``stack`` unpivot (k columns -> k rows per input
+    row, all stringified — counting is representation-invariant, so the
+    cross-engine float-formatting trap never applies) feeding a single
+    grouped aggregation; Spark plans the multi-distinct as the standard
+    two-phase expand (partial distinct on (column, value), then the
+    per-column rollup) — both shuffles are map-side combinable and the
+    second is k rows.  At 100 TB the exact-distinct phase shuffles each
+    column's distinct values once — the honest cost of an exact answer;
+    the sketch path for monitoring-grade profiles is
+    ``events_sketch_profile``'s HLL pattern (approx_count_distinct), a
+    one-line swap.  The NULL fraction is a single int/int division —
+    bit-identical cross-engine without a decimal shim."""
+    li = load_table(spark, "lineitem", sf_dir)
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in li.columns
+    )
+    unpivoted = li.select(
+        F.expr(
+            f"stack({len(li.columns)}, {stack_args}) AS (column_name, val)"
+        )
+    )
+    return unpivoted.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.countDistinct("val").alias("n_distinct"),
+        (
+            F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("null_frac"),
+    )

@@ -267,3 +267,30 @@ def test_doc_chunking_covers_text_with_overlap(spark):
         .where(F.col("chunk_chars") != F.least(F.lit(200), F.col("n") - F.col("chunk_start")))
     )
     assert wrong_len.count() == 0
+
+
+def test_corpus_split_assignment_hash_contract(spark):
+    """The split label is a pure function of doc_id: bucket = first 15
+    md5 hex digits of 'split#<id>' mod 100, thresholds 90/95 — verified
+    against hashlib, so the engine can never silently change the
+    assignment contract (stability under corpus growth is the point)."""
+    import hashlib
+
+    import pytest
+
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        corpus_split_assignment,
+    )
+
+    out = corpus_split_assignment(spark, SF_SMALL).collect()
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert len(out) == n_docs
+    for r in out:
+        b = int(hashlib.md5(f"split#{r.doc_id}".encode()).hexdigest()[:15], 16) % 100
+        assert r.bucket == b
+        assert r.split == ("train" if b < 90 else "val" if b < 95 else "test")
+    counts = {s: sum(1 for r in out if r.split == s) for s in ("train", "val", "test")}
+    # hash-uniformity smoke: train dominates, both holdouts non-degenerate
+    assert counts["train"] > counts["val"] + counts["test"]
+    with pytest.raises(ValueError):
+        corpus_split_assignment(spark, SF_SMALL, val_pct=60, test_pct=50)

@@ -220,3 +220,37 @@ def test_scd2_daily_snapshot_day_end_semantics(spark, tmp_path):
         (1, "2024-01-04"): ("A", 3),
         (2, "2024-01-04"): ("C", 1),
     }
+
+
+def test_lineitem_column_profile_counts(spark, tmp_path):
+    """Profile counts NULLs and exact distincts per column in one pass;
+    n_rows is the table count for every column (stack emits NULL rows),
+    and null_frac is the int/int division of the two."""
+    from logistream_data_pipeline_aws_spark.catalog import TESTDATA_SCHEMAS
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        lineitem_column_profile,
+    )
+
+    rows = [
+        (1, 10, 100, 1, 5.0, 100.0, 0.1, 0.02, "N", "O", dt.datetime(1995, 1, 1)),
+        (1, 11, 100, 2, None, 100.0, 0.1, 0.02, None, "O", None),
+        (2, 10, 101, 1, 5.0, 200.0, None, 0.02, "R", "F", dt.datetime(1995, 1, 2)),
+    ]
+    spark.createDataFrame(rows, TESTDATA_SCHEMAS["lineitem"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    prof = {
+        r.column_name: r
+        for r in lineitem_column_profile(spark, str(tmp_path)).collect()
+    }
+    assert set(prof) == {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    }
+    assert all(r.n_rows == 3 for r in prof.values())
+    assert (prof["l_quantity"].n_null, prof["l_quantity"].n_distinct) == (1, 1)
+    assert (prof["l_returnflag"].n_null, prof["l_returnflag"].n_distinct) == (1, 2)
+    assert (prof["l_orderkey"].n_null, prof["l_orderkey"].n_distinct) == (0, 2)
+    assert (prof["l_shipdate"].n_null, prof["l_shipdate"].n_distinct) == (1, 2)
+    assert prof["l_discount"].null_frac == 1 / 3

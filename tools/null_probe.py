@@ -138,7 +138,7 @@ DEFAULT_QUERIES = {
         "sql_returned_item_losses", "sql_priority_shipping_split",
         "sql_volume_shipping", "sql_market_share", "sql_top_supplier",
         "brand_share_within_type", "dim_junk_status",
-        "lineitem_abc_pareto_approx",
+        "lineitem_abc_pareto_approx", "lineitem_column_profile",
     ],
     "part": [
         "dim_brand", "dim_product_type", "dim_product", "fact_lineitem",
@@ -176,6 +176,7 @@ DEFAULT_QUERIES = {
         "doc_chunking", "pii_scrub_stats", "contamination_check",
         "corpus_mixture_sample", "sequence_packing", "doc_winnowing",
         "corpus_stratified_sample", "corpus_shard_manifest",
+        "corpus_split_assignment",
     ],
 }
 
