@@ -238,6 +238,7 @@ def synthetic_embeddings(spark: SparkSession, n: int, dim: int = 64) -> DataFram
 
 
 CORPUS_QUERIES = [
+    "corpus_split_assignment",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_prefix_filter",
@@ -272,6 +273,7 @@ EVENTS_QUERIES = [
     "events_stream_sessions_flushed",
 ]
 WAREHOUSE_QUERIES = [
+    "lineitem_column_profile",
     "basket_part_pairs",
     "orders_backlog_series",
     "daily_sales_moving_avg",
