@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    foreign-cwd probe) and are FIRST in the r6 head queue. ------
         "corpus_split_assignment": X.corpus_split_assignment,
         "lineitem_column_profile": X.lineitem_column_profile,
+        "dedup_incremental_ingest": X.dedup_incremental_ingest,
         # displaced by the streaming-module rotation and the round's new
         # entries (digest-unchanged since their r2 green rows)
         "dev_sample_cap": W.dev_sample_cap,
@@ -1308,6 +1309,32 @@ def _ext_oracles() -> dict[str, str]:
             "SELECT user_id, snapshot_date, state, version FROM j "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, snapshot_date "
             "ORDER BY effective_from DESC, version DESC) = 1"
+        ),
+        # asymmetric ingest dedup: incoming (doc_id % 10 = 0) vs corpus,
+        # same signature/banding/threshold as dedup_minhash_lsh but with
+        # the bucket cap on the corpus side only (floor 1, not 2)
+        "dedup_incremental_ingest": (
+            "WITH tok AS (SELECT doc_id, " + _TOKENS + " AS tk FROM documents), "
+            f"sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM tok), "
+            "base AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0), "
+            "hs AS (SELECT doc_id, sh, list_transform(sh, x -> ('0x' || substr(md5(x), 1, 10))::BIGINT) AS hs FROM base), "
+            f"sig AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM hs), "
+            f"banded AS (SELECT doc_id, unnest({_BANDS}) AS band_hash FROM sig), "
+            "corp AS (SELECT doc_id, band_hash FROM banded WHERE doc_id % 10 != 0), "
+            "inc AS (SELECT doc_id, band_hash FROM banded WHERE doc_id % 10 = 0), "
+            "keep AS (SELECT band_hash FROM corp GROUP BY band_hash "
+            "HAVING COUNT(DISTINCT doc_id) <= 1024), "
+            "cand AS (SELECT DISTINCT i.doc_id AS in_id, c.doc_id AS corp_id FROM inc i "
+            "JOIN keep k ON i.band_hash = k.band_hash JOIN corp c ON i.band_hash = c.band_hash), "
+            "ver AS (SELECT cand.in_id, cand.corp_id, "
+            "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jac "
+            "FROM cand JOIN base a ON cand.in_id = a.doc_id JOIN base b ON cand.corp_id = b.doc_id), "
+            "m AS (SELECT in_id, CAST(COUNT(*) AS BIGINT) AS n_corpus_dups, MAX(jac) AS best_jaccard "
+            "FROM ver WHERE jac >= 0.2 GROUP BY in_id) "
+            "SELECT d.doc_id, COALESCE(m.n_corpus_dups, CAST(0 AS BIGINT)) AS n_corpus_dups, "
+            "m.best_jaccard, m.in_id IS NULL AS accepted "
+            "FROM documents d LEFT JOIN m ON d.doc_id = m.in_id WHERE d.doc_id % 10 = 0"
         ),
         # deterministic hash split: bucket = first 15 hex digits of the
         # domain-separated md5, mod 100 (nonneg, so % == pmod)

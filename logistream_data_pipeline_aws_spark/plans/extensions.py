@@ -3001,3 +3001,49 @@ def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("null_frac"),
     )
+
+
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 ingest admission: the incoming shard (every 10th doc_id —
+    the held-out-batch convention ``contamination_check`` set) checked
+    against the existing corpus (the other 90%) by ASYMMETRIC banded
+    LSH + exact-Jaccard verify, per ``operators.incremental``.  One
+    report row per incoming doc: how many verified corpus near-dups it
+    has, its best Jaccard, and the admission verdict (``accepted`` =
+    zero corpus near-dups).  Shard docs too short to shingle admit
+    trivially — nothing to collide on.
+
+    Shares the staged signature table with the self-join family
+    (``_staged_minhash_sigs``: tokenize/shingle/hash runs once per
+    session), same banding layout, same threshold (0.2) as
+    ``dedup_minhash_lsh`` — so at warehouse scale this is exactly the
+    "join today's shard against yesterday's signature table" plan, with
+    candidate cost bounded by the shard, never the corpus."""
+    from logistream_data_pipeline_aws_spark.operators.incremental import (
+        incremental_near_duplicates,
+    )
+
+    sigs = _staged_minhash_sigs(spark, sf_dir)
+    incoming = sigs.where(F.col("doc_id") % 10 == 0)
+    corpus = sigs.where(F.col("doc_id") % 10 != 0)
+    pairs = incremental_near_duplicates(
+        incoming, corpus, n_hashes=12, bands=4, threshold=0.2
+    )
+    per_doc = pairs.groupBy("in_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("jaccard").alias("_best"),
+    )
+    shard = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    return (
+        shard.join(per_doc, shard.doc_id == per_doc.in_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_corpus_dups"),
+            F.col("_best").alias("best_jaccard"),
+            F.col("_n").isNull().alias("accepted"),
+        )
+    )

@@ -166,3 +166,53 @@ def test_prefix_filter_exact_recall(spark):
     assert got == expect and len(got) >= 3  # recall is exact, fixture nontrivial
     # doc 6 (< k tokens) never appears
     assert all(6 not in p for p in got)
+
+
+def test_incremental_ingest_is_asymmetric(spark, tmp_path):
+    """Admission checks run ONLY against the corpus: two incoming docs
+    that duplicate each other (but nothing in the corpus) both admit;
+    an incoming doc duplicating a corpus doc is rejected with the pair
+    counted; corpus-internal duplicates are invisible here."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        dedup_incremental_ingest,
+    )
+
+    dup_a = "the quick brown fox jumps over the lazy dog again and again"
+    dup_b = "completely different content about shipping routes and ports"
+    rows = {
+        # incoming shard (doc_id % 10 == 0)
+        10: dup_b,  # duplicates incoming 20 only -> accepted
+        20: dup_b,  # duplicates incoming 10 only -> accepted
+        30: dup_a,  # duplicates corpus 11 -> rejected
+        40: "tiny",  # too short to shingle -> trivially accepted
+        # corpus
+        11: dup_a,
+        21: "unrelated corpus text mentioning warehouses and pallets daily",
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(rows), type=pa.int64()),
+                "text": pa.array(list(rows.values()), type=pa.string()),
+                "lang": pa.array(["en"] * len(rows), type=pa.string()),
+                "source": pa.array(["s0"] * len(rows), type=pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in rows.values()], type=pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r.doc_id: (r.n_corpus_dups, r.accepted)
+        for r in dedup_incremental_ingest(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        10: (0, True),
+        20: (0, True),
+        30: (1, False),
+        40: (0, True),
+    }

@@ -176,7 +176,7 @@ DEFAULT_QUERIES = {
         "doc_chunking", "pii_scrub_stats", "contamination_check",
         "corpus_mixture_sample", "sequence_packing", "doc_winnowing",
         "corpus_stratified_sample", "corpus_shard_manifest",
-        "corpus_split_assignment",
+        "corpus_split_assignment", "dedup_incremental_ingest",
     ],
 }
 

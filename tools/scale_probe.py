@@ -239,6 +239,7 @@ def synthetic_embeddings(spark: SparkSession, n: int, dim: int = 64) -> DataFram
 
 CORPUS_QUERIES = [
     "corpus_split_assignment",
+    "dedup_incremental_ingest",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_prefix_filter",
