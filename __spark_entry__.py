@@ -149,6 +149,77 @@ def _pagerank_oracle(iters: int = 2) -> str:
     )
 
 
+def _pq_oracle(
+    m: int = 4, k: int = 8, iters: int = 2, dim: int = 64,
+    nq: int = 3, ktop: int = 10,
+) -> str:
+    """Unrolled replay of operators.similarity.pq_codes + pq_adc_topk:
+    per-subspace Lloyd training (the `_kmeans_oracle` machinery with the
+    subspace id riding as a grouping key), code assignment, and ADC
+    scoring with DECIMAL(30,8) partial-subdistance sums — hash-exact
+    including the top-k cut, because the ranking key is the exact
+    decimal sum on both engines."""
+    sub = dim // m
+
+    def d2(v: str, c: str) -> str:
+        diffs = (
+            f"list_transform(list_zip({v}, {c}), "
+            "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+            "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))"
+        )
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {diffs}), "
+            "(u, v2) -> u + v2)"
+        )
+
+    def assign(name: str, cents: str) -> str:
+        return (
+            f"{name} AS (SELECT vid, sid, sv, cid, d2 FROM ("
+            "SELECT vid, sid, sv, cid, d2, "
+            "ROW_NUMBER() OVER (PARTITION BY vid, sid ORDER BY d2, cid) AS rn "
+            f"FROM (SELECT p.vid, p.sid, p.sv, c.cid, {d2('p.sv', 'c.cv')} AS d2 "
+            f"FROM p JOIN {cents} c ON p.sid = c.sid)) WHERE rn = 1)"
+        )
+
+    sql = (
+        "WITH v AS (SELECT vec_id AS vid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings), "
+        "p AS (SELECT vid, CAST(s.sid AS INT) AS sid, "
+        f"vv[(s.sid * {sub} + 1):(s.sid * {sub} + {sub})] AS sv "
+        f"FROM v CROSS JOIN (SELECT unnest(range(0, {m})) AS sid) s), "
+        f"c0 AS (SELECT sid, CAST(vid AS INT) AS cid, sv AS cv FROM p WHERE vid < {k})"
+    )
+    prev = "c0"
+    for i in range(1, iters + 1):
+        sql += ", " + assign(f"a{i}", prev)
+        sql += (
+            f", m{i} AS (SELECT sid, cid, pos, "
+            "CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS mu "
+            f"FROM (SELECT sid, cid, unnest(sv) AS x, "
+            f"unnest(range(1, len(sv) + 1)) AS pos FROM a{i}) GROUP BY sid, cid, pos)"
+            f", c{i} AS (SELECT sid, cid, list(mu ORDER BY pos) AS cv FROM m{i} GROUP BY sid, cid)"
+        )
+        prev = f"c{i}"
+    sql += ", " + assign("codes", prev)
+    sql += (
+        f", q AS (SELECT vid AS qid, sid, sv AS qv FROM p WHERE vid < {nq})"
+        f", dtab AS (SELECT q.qid, c.sid, c.cid, "
+        f"CAST({d2('q.qv', 'c.cv')} AS DECIMAL(30,8)) AS pd2 "
+        f"FROM q JOIN {prev} c ON q.sid = c.sid)"
+        ", scored AS (SELECT d.qid, kk.vid, SUM(d.pd2) AS s "
+        "FROM codes kk JOIN dtab d ON kk.sid = d.sid AND kk.cid = d.cid "
+        "WHERE d.qid <> kk.vid GROUP BY d.qid, kk.vid)"
+    )
+    return (
+        sql
+        + " SELECT qid AS query_id, vid AS candidate_id, "
+        "ROUND(CAST(s AS DOUBLE), 6) AS approx_d2, rank "
+        "FROM (SELECT qid, vid, s, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY s, vid) AS INT) AS rank FROM scored) "
+        f"WHERE rank <= {ktop}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (see COVERAGE.md "driver verification rotation"):
     # CORRECTNESS_r01/r02.json each recorded exactly the first 50 dict
@@ -254,6 +325,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_assignment": X.corpus_split_assignment,
         "lineitem_column_profile": X.lineitem_column_profile,
         "dedup_incremental_ingest": X.dedup_incremental_ingest,
+        # -- continuation-session additions under the same waiver: verified
+        #    locally at sf0.01 AND sf0.1 before registration; queued
+        #    directly behind the three above in the r6 head order --------
+        "similarity_pq_adc": X.similarity_pq_adc,
         # displaced by the streaming-module rotation and the round's new
         # entries (digest-unchanged since their r2 green rows)
         "dev_sample_cap": W.dev_sample_cap,
@@ -1214,6 +1289,7 @@ def _ext_oracles() -> dict[str, str]:
         ),
         # k-means IVF: unrolled Lloyd-iteration replay (see _kmeans_oracle)
         "similarity_ivf_kmeans": _kmeans_oracle(k=4, iters=2),
+        "similarity_pq_adc": _pq_oracle(m=4, k=8, iters=2, dim=64, nq=3, ktop=10),
         # shard manifest: md5-prefix mod 16 assignment, per-shard stats
         "corpus_shard_manifest": (
             "SELECT CAST((('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 16) AS INT) AS shard_id, "

@@ -1,0 +1,190 @@
+"""Product quantization (PQ) for embedding columns — codebook
+training, corpus encoding, and asymmetric-distance (ADC) top-k.
+
+Kept in its own module (the ``operators.incremental`` precedent): the
+rotation ledger digests a helper module's FILE for every entry that
+references it by attribute, so extending ``operators.similarity``
+in-place would churn the digest of six digest-pinned tail entries.
+
+Same determinism contract as ``similarity.ivf_kmeans_assign`` (left-fold
+d2, DECIMAL(30,8) means and partial sums, (d2, cid) argmin tie-break),
+so the full train/encode/score pipeline replays hash-exactly in an
+unrolled SQL oracle (``__spark_entry__._pq_oracle``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _pq_subspaces(vecs: DataFrame, m: int, sub: int) -> DataFrame:
+    """Explode ``(_vid, _v)`` into ``(_vid, _sid, _sv)`` — one row per
+    subspace, ``_sv`` the contiguous ``sub``-wide slice.  Static slice
+    positions keep the whole explode inside codegen (inline over an
+    array-of-structs literal, no shuffle)."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("_sid"),
+                F.slice("_v", s * sub + 1, sub).alias("_sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return vecs.select("_vid", F.inline(parts))
+
+
+def pq_codes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization codebook training: split each ``dim``-wide
+    vector into ``m`` contiguous subspaces and k-means each subspace
+    independently (deterministic first-``k``-by-id seeding, ``iters``
+    Lloyd rounds, the exact spec of ``ivf_kmeans_assign``).  All ``m``
+    codebooks train in ONE unrolled loop: the subspace id ``_sid`` rides
+    as a grouping key, so the plan size is that of a single k-means
+    regardless of ``m``.
+
+    Returns ``(codes, centroids)``: ``codes`` = one row per (vector,
+    subspace) with the assigned code and its squared subdistance;
+    ``centroids`` = the trained codebooks (``_sid, _cid, _cv``).
+
+    Engine-exact by the repo's determinism contract — left-fold d2,
+    DECIMAL(30,8) means, (d2, cid) argmin tie-break — so an unrolled SQL
+    oracle replays the training bit-for-bit.
+
+    Scale shape per iteration: the codebooks are ``m*k`` tiny rows
+    broadcast into a map-side score; the argmin window partitions by
+    (vector, subspace) — uniform; the mean recompute shuffles on
+    (subspace, code, dim) = ``m*k*sub`` groups.  The corpus never
+    self-joins; memory per executor is bounded by the broadcast
+    codebook, so the build holds at any corpus size."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    vecs = df.select(
+        F.col(id_col).alias("_vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    parts = _pq_subspaces(vecs, m, sub)
+    cents = parts.where(F.col("_vid") < k).select(
+        "_sid", F.col("_vid").cast("int").alias("_cid"), F.col("_sv").alias("_cv")
+    )
+    w = Window.partitionBy("_vid", "_sid").orderBy("_d2", "_cid")
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with("_sv", "_cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return (
+            parts.join(F.broadcast(cents_df), "_sid")
+            .withColumn("_d2", d2)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("_vid", "_sid", "_sv", "_cid", "_d2")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        means = (
+            assigned.select("_sid", "_cid", F.posexplode("_sv").alias("_pos", "_x"))
+            .groupBy("_sid", "_cid", "_pos")
+            .agg(
+                (
+                    F.sum(F.col("_x").cast("decimal(30,8)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("_mu")
+            )
+        )
+        cents = means.groupBy("_sid", "_cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_mu"))),
+                lambda s: s.getField("_mu"),
+            ).alias("_cv")
+        )
+
+    codes = assign(cents).select("_vid", "_sid", "_cid", "_d2")
+    return codes, cents
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    n_queries: int = 3,
+    k_top: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance-computation top-k over PQ codes — the
+    memory-side scale path for ANN: the corpus is represented by ``m``
+    small integer codes per vector (here 4 bytes vs 256 for the raw
+    float64 vector), and a query scores a candidate by summing ``m``
+    precomputed query-to-centroid subdistances instead of touching the
+    raw vector.
+
+    Plan shape: the distance table (query x subspace x code =
+    ``n_queries * m * k`` rows) is built from the broadcast codebooks
+    and itself broadcast into the code join, so scoring the full corpus
+    is a map-side lookup plus ONE (query, candidate) aggregation whose
+    partials combine map-side.  The per-pair partial subdistances are
+    summed as DECIMAL(30,8) — exact and order-independent — so the
+    ranking (and hence the top-k cut) is engine-deterministic and an
+    unrolled SQL oracle reproduces the result hash-exactly; the double
+    cast happens only in the output projection.
+
+    At 100 TB the corpus side carries only (vid, sid, cid) — the raw
+    embedding column is never read after encoding — and the aggregation
+    shuffles on (query, candidate) with map-side combine; skew is
+    bounded because every candidate contributes exactly ``m`` rows."""
+    codes, cents = pq_codes(df, id_col, vec_col, dim, m=m, k=k, iters=iters)
+    sub = dim // m
+    qvecs = df.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("_vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    qparts = _pq_subspaces(qvecs, m, sub).select(
+        F.col("_vid").alias("_qid"), "_sid", F.col("_sv").alias("_qv")
+    )
+    qd2 = F.aggregate(
+        F.zip_with("_qv", "_cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    dtab = (
+        qparts.join(F.broadcast(cents), "_sid")
+        .select(
+            "_qid",
+            "_sid",
+            "_cid",
+            qd2.cast("decimal(30,8)").alias("_pd2"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["_sid", "_cid"])
+        .where(F.col("_qid") != F.col("_vid"))
+        .groupBy("_qid", "_vid")
+        .agg(F.sum("_pd2").alias("_sum"))
+    )
+    w = Window.partitionBy("_qid").orderBy("_sum", "_vid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k_top)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_vid").alias("candidate_id"),
+            F.round(F.col("_sum").cast("double"), 6).alias("approx_d2"),
+            "rank",
+        )
+    )

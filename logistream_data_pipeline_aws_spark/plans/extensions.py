@@ -3047,3 +3047,25 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_n").isNull().alias("accepted"),
         )
     )
+
+
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end-to-end: train m=4 subspace codebooks
+    (k=8 each, 2 Lloyd rounds, deterministic seeding), encode the corpus
+    to 4 small codes per vector, and answer 3 queries by asymmetric
+    distance computation — top-10 candidates per query ranked by the
+    summed query-to-centroid subdistances.  The compression answer to
+    the ANN memory problem: at 100 TB the scoring join reads only the
+    integer codes, never the raw embedding column, and the codebooks +
+    distance tables stay broadcast-sized by construction (m*k and
+    n_queries*m*k rows).  Hash-exact vs an unrolled DuckDB replay of the
+    full train/encode/score pipeline (the ``similarity_ivf_kmeans``
+    oracle discipline, generalized per-subspace); see
+    ``operators.pq.pq_codes`` / ``pq_adc_topk``."""
+    from logistream_data_pipeline_aws_spark.operators import pq as PQ
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return PQ.pq_adc_topk(
+        emb, "vec_id", "embedding", dim=64, m=4, k=8, iters=2,
+        n_queries=3, k_top=10,
+    )

@@ -254,3 +254,58 @@ def test_lineitem_column_profile_counts(spark, tmp_path):
     assert (prof["l_orderkey"].n_null, prof["l_orderkey"].n_distinct) == (0, 2)
     assert (prof["l_shipdate"].n_null, prof["l_shipdate"].n_distinct) == (1, 2)
     assert prof["l_discount"].null_frac == 1 / 3
+
+
+def test_pq_adc_matches_numpy_replica(spark):
+    """The PQ train/encode/ADC pipeline must match an independent numpy
+    implementation of the same spec (per-subspace first-k seeding, 2
+    Lloyd rounds, (d2, cid) argmin tie-break, ADC = sum of per-subspace
+    lookup distances) on the ranked top-k ids."""
+    import numpy as np
+
+    from logistream_data_pipeline_aws_spark.catalog import load_table
+    from logistream_data_pipeline_aws_spark.operators.pq import pq_adc_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", sf)
+    rows = sorted(
+        ((r.vec_id, np.array(r.embedding, dtype=np.float64)) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    mat = np.stack([t[1] for t in rows])
+    m, k, sub, nq, ktop = 4, 8, 16, 3, 10
+
+    codes = np.zeros((len(ids), m), dtype=int)
+    cents_by_s = []
+    for s in range(m):
+        sv = mat[:, s * sub : (s + 1) * sub]
+        cents = sv[ids < k].copy()
+        for _ in range(2):
+            d2 = ((sv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            cents = np.stack([sv[assign == j].mean(axis=0) for j in range(k)])
+        d2 = ((sv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+        cents_by_s.append(cents)
+
+    expected = {}
+    for qi in range(nq):
+        approx = np.zeros(len(ids))
+        for s in range(m):
+            qv = mat[ids == qi][0, s * sub : (s + 1) * sub]
+            lut = ((cents_by_s[s] - qv[None, :]) ** 2).sum(axis=1)
+            approx += lut[codes[:, s]]
+        order = sorted(
+            (round(d, 9), int(v)) for d, v in zip(approx, ids) if v != qi
+        )
+        expected[qi] = [v for _, v in order[:ktop]]
+
+    got = pq_adc_topk(
+        emb, "vec_id", "embedding", dim=64, m=m, k=k, iters=2,
+        n_queries=nq, k_top=ktop,
+    ).collect()
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        got_by_q.setdefault(r.query_id, []).append(r.candidate_id)
+    assert got_by_q == expected
