@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    locally at sf0.01 AND sf0.1 before registration; queued
         #    directly behind the three above in the r6 head order --------
         "similarity_pq_adc": X.similarity_pq_adc,
+        "lineitem_column_profile_approx": X.lineitem_column_profile_approx,
         # displaced by the streaming-module rotation and the round's new
         # entries (digest-unchanged since their r2 green rows)
         "dev_sample_cap": W.dev_sample_cap,
@@ -1431,6 +1432,23 @@ def _ext_oracles() -> dict[str, str]:
             f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
             f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / "
             f"CAST(COUNT(*) AS DOUBLE) AS null_frac FROM lineitem"
+            for c in (
+                "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate",
+            )
+        ),
+        # verdict form (events_sketch_profile_checked pattern): exact
+        # columns computed by the oracle, the HLL accuracy boolean pinned
+        # TRUE — counting is over the same stringified representation as
+        # the Spark stack unpivot, but COUNT semantics are
+        # representation-invariant so raw columns serve verbatim
+        "lineitem_column_profile_approx": " UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / "
+            f"CAST(COUNT(*) AS DOUBLE) AS null_frac, "
+            f"TRUE AS approx_distinct_ok FROM lineitem"
             for c in (
                 "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
