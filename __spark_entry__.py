@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    directly behind the three above in the r6 head order --------
         "similarity_pq_adc": X.similarity_pq_adc,
         "lineitem_column_profile_approx": X.lineitem_column_profile_approx,
+        "bpe_merge_candidates": X.bpe_merge_candidates,
         # displaced by the streaming-module rotation and the round's new
         # entries (digest-unchanged since their r2 green rows)
         "dev_sample_cap": W.dev_sample_cap,
@@ -1454,6 +1455,23 @@ def _ext_oracles() -> dict[str, str]:
                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
                 "l_returnflag", "l_linestatus", "l_shipdate",
             )
+        ),
+        # BPE merge mining: vocabulary from lowercase letter runs, pair
+        # explode over distinct words only (mirrors the Spark
+        # vocabulary-sized decomposition), HUGEINT sum cast back
+        "bpe_merge_candidates": (
+            "WITH vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq "
+            "FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word "
+            "FROM documents WHERE text IS NOT NULL) WHERE word <> '' GROUP BY word), "
+            "pairs AS (SELECT substring(word, CAST(i AS INT), 2) AS pair, word, freq "
+            "FROM (SELECT word, freq, unnest(range(1, length(word))) AS i "
+            "FROM vocab WHERE length(word) >= 2)) "
+            "SELECT pair, n_words, pair_count, rank FROM ("
+            "SELECT pair, n_words, pair_count, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS INT) AS rank "
+            "FROM (SELECT pair, CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words, "
+            "CAST(SUM(freq) AS BIGINT) AS pair_count FROM pairs GROUP BY pair)) "
+            "WHERE rank <= 30"
         ),
         # TPC-H Q21 shape: only-late supplier on finalized multi-supplier
         # orders (late = shipped > 60 days after order date)

@@ -3111,3 +3111,62 @@ def lineitem_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFram
             <= 0.10 * F.countDistinct("val")
         ).alias("approx_distinct_ok"),
     )
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training at corpus scale: mine
+    the top adjacent-symbol-pair merge candidates, weighted by word
+    frequency.  The decomposition is what makes this 100 TB-safe: the
+    corpus is touched ONCE to build the (word, freq) vocabulary — a
+    classic map-side-combinable word count — and all pair mining runs
+    over the VOCABULARY (bounded by distinct words, not corpus size),
+    exploding each distinct word's adjacent positions with the word's
+    frequency riding along.  A naive per-occurrence explode would
+    shuffle corpus-sized pair rows; this shuffles vocabulary-sized.
+
+    Words are lowercase ASCII letter runs (``[a-z]+`` — identical
+    class-only regex semantics in Java and RE2); single-letter words
+    carry no pairs and are gated BEFORE the position sequence (a
+    length-1 word would make ``sequence(1, 0)`` descend — the
+    ``route_geometry_stats`` degenerate-input lesson applied at design
+    time).  Output: top 30 pairs by total weighted count, ties broken
+    on the pair string; ``n_words`` = distinct vocabulary words
+    containing the pair."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+            ).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        vocab.where(F.length("word") >= 2)
+        .select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(
+            F.expr("substring(word, i, 2)").alias("pair"),
+            "word",
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(
+            F.countDistinct("word").alias("n_words"),
+            F.sum("freq").alias("pair_count"),
+        )
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 30)
+        .select("pair", "n_words", "pair_count", "rank")
+    )

@@ -294,3 +294,45 @@ def test_corpus_split_assignment_hash_contract(spark):
     assert counts["train"] > counts["val"] + counts["test"]
     with pytest.raises(ValueError):
         corpus_split_assignment(spark, SF_SMALL, val_pct=60, test_pct=50)
+
+
+def test_bpe_merge_candidates_matches_python_reference(spark):
+    """The vocabulary-weighted pair mining must equal a direct Python
+    BPE first-merge count over the same corpus: per word occurrence,
+    every adjacent char pair counts once per position (overlaps
+    included — 'aaa' contributes 'aa' twice)."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        bpe_merge_candidates,
+    )
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF_SMALL}/documents.parquet' WHERE text IS NOT NULL"
+        ).fetchall()
+    ]
+    word_freq = Counter(
+        w for t in texts for w in re.findall(r"[a-z]+", t.lower())
+    )
+    pair_count: Counter = Counter()
+    pair_words: dict[str, set] = {}
+    for w, f in word_freq.items():
+        for i in range(len(w) - 1):
+            p = w[i : i + 2]
+            pair_count[p] += f
+            pair_words.setdefault(p, set()).add(w)
+    expected = sorted(
+        ((-c, p) for p, c in pair_count.items())
+    )[:30]
+
+    got = sorted(
+        bpe_merge_candidates(spark, SF_SMALL).collect(), key=lambda r: r.rank
+    )
+    assert [(-r.pair_count, r.pair) for r in got] == expected
+    for r in got:
+        assert r.n_words == len(pair_words[r.pair])
