@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq_adc": X.similarity_pq_adc,
         "lineitem_column_profile_approx": X.lineitem_column_profile_approx,
         "bpe_merge_candidates": X.bpe_merge_candidates,
+        "corpus_epoch_shuffle": X.corpus_epoch_shuffle,
         # displaced by the streaming-module rotation and the round's new
         # entries (digest-unchanged since their r2 green rows)
         "dev_sample_cap": W.dev_sample_cap,
@@ -1455,6 +1456,15 @@ def _ext_oracles() -> dict[str, str]:
                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
                 "l_returnflag", "l_linestatus", "l_shipdate",
             )
+        ),
+        # deterministic epoch permutation: first-nibble range shard +
+        # per-shard rank over the full hash (doc_id formal tiebreak)
+        "corpus_epoch_shuffle": (
+            "SELECT doc_id, "
+            "CAST(('0x' || substr(md5('epoch1#' || doc_id), 1, 1))::BIGINT AS INT) AS shard_id, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY ('0x' || substr(md5('epoch1#' || doc_id), 1, 1))::BIGINT "
+            "ORDER BY md5('epoch1#' || doc_id), doc_id) AS BIGINT) AS pos "
+            "FROM documents"
         ),
         # BPE merge mining: vocabulary from lowercase letter runs, pair
         # explode over distinct words only (mirrors the Spark

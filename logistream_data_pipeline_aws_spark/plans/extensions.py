@@ -3170,3 +3170,41 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 30)
         .select("pair", "n_words", "pair_count", "rank")
     )
+
+
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str, n_shards: int = 16) -> DataFrame:
+    """Deterministic global shuffle for a training epoch: every document
+    gets a pseudo-random permutation position — (shard, intra-shard
+    position) — that any engine reproduces bit-for-bit, so an epoch can
+    be exported, resumed, or audited without materializing a seed state.
+
+    Unlike ``corpus_shard_manifest``'s mod-hash sharding, the shard here
+    is a RANGE bucket of the hash (the first md5 nibble for 16 shards):
+    shard files are hash-contiguous, which is exactly what
+    ``repartitionByRange(hash)`` produces on a cluster — so this plan IS
+    the deterministic replacement for sampled range boundaries, and the
+    (shard, pos) pair defines a total epoch order a trainer can seek
+    into.  The intra-shard window is a per-shard sort (what
+    ``sortWithinPartitions`` does on the export write), skew-free
+    because md5 is uniform; no global single-partition sort anywhere.
+    The hash is domain-separated (``epoch1#``) from the split/shard
+    decisions so epoch order never correlates with split membership;
+    ties are impossible at the full-hash grain but doc_id rides as the
+    formal tiebreak."""
+    from pyspark.sql import Window
+
+    if n_shards != 16:
+        raise ValueError("prefix-nibble sharding is defined for n_shards=16")
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.lit("epoch1#"), F.col("doc_id")))
+    keyed = docs.select(
+        "doc_id",
+        h.alias("shuffle_key"),
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("int").alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

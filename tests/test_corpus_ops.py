@@ -336,3 +336,29 @@ def test_bpe_merge_candidates_matches_python_reference(spark):
     assert [(-r.pair_count, r.pair) for r in got] == expected
     for r in got:
         assert r.n_words == len(pair_words[r.pair])
+
+
+def test_corpus_epoch_shuffle_is_deterministic_permutation(spark):
+    """(shard, pos) must be a total permutation — every shard's
+    positions contiguous from 1 — and the order must equal the hashlib
+    replay of the domain-separated md5 sort key, so the epoch order is
+    engine-independent and reproducible from doc_id alone."""
+    import hashlib
+
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        corpus_epoch_shuffle,
+    )
+
+    out = corpus_epoch_shuffle(spark, SF_SMALL).collect()
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert len(out) == n_docs
+
+    by_shard: dict[int, list] = {}
+    for r in out:
+        h = hashlib.md5(f"epoch1#{r.doc_id}".encode()).hexdigest()
+        assert r.shard_id == int(h[0], 16)
+        by_shard.setdefault(r.shard_id, []).append((r.pos, h, r.doc_id))
+    for shard, rows in by_shard.items():
+        rows.sort()
+        assert [p for p, _, _ in rows] == list(range(1, len(rows) + 1))
+        assert [(h, d) for _, h, d in rows] == sorted((h, d) for _, h, d in rows)
