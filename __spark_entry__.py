@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_column_profile_approx": X.lineitem_column_profile_approx,
         "bpe_merge_candidates": X.bpe_merge_candidates,
         "corpus_epoch_shuffle": X.corpus_epoch_shuffle,
+        "corpus_mixture_plan": X.corpus_mixture_plan,
         # displaced by the streaming-module rotation and the round's new
         # entries (digest-unchanged since their r2 green rows)
         "dev_sample_cap": W.dev_sample_cap,
@@ -1456,6 +1457,22 @@ def _ext_oracles() -> dict[str, str]:
                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
                 "l_returnflag", "l_linestatus", "l_shipdate",
             )
+        ),
+        # temperature mixture plan: sqrt is IEEE-exact (unlike pow), the
+        # cross-source total is a DECIMAL(30,12) exact sum, every ratio a
+        # single double division — no rounding anywhere
+        "corpus_mixture_plan": (
+            "WITH per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            "CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(30,12)) AS s "
+            "FROM documents GROUP BY source), "
+            "tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n, SUM(s) AS ss FROM per_src) "
+            "SELECT source, n_docs, total_chars, "
+            "CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE) AS natural_share, "
+            "CAST(s AS DOUBLE) / CAST(ss AS DOUBLE) AS temp_share, "
+            "(CAST(s AS DOUBLE) / CAST(ss AS DOUBLE)) / "
+            "(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE)) AS repeat_factor "
+            "FROM per_src CROSS JOIN tot"
         ),
         # deterministic epoch permutation: first-nibble range shard +
         # per-shard rank over the full hash (doc_id formal tiebreak)

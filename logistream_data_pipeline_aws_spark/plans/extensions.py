@@ -3208,3 +3208,52 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str, n_shards: int = 16) -
         "shard_id",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture planning — the step BEFORE
+    ``corpus_mixture_sample``'s application: derive per-source sampling
+    weights that upweight minority sources without flattening them
+    completely.  Temperature alpha=0.5 (the multilingual-pretraining
+    convention): temp_share_i = n_i^0.5 / sum_j n_j^0.5, and
+    repeat_factor = temp_share / natural_share is the effective
+    epochs-per-source a trainer applies.
+
+    alpha=0.5 is chosen deliberately for engine determinism: sqrt is
+    IEEE-correctly-rounded in every engine (a general pow(x, alpha) is
+    not), and sqrt(n_i/N) cancels to sqrt(n_i)/sum sqrt(n_j), so each
+    term is a single exact operation on an integer-valued double.  The
+    cross-source total follows the decimal-sum contract (DECIMAL(30,12)
+    quantization — binary doubles never land on .5e-12 ties — exact
+    order-independent sum), and every emitted ratio is one double
+    division of two deterministic values: bit-identical cross-engine
+    with no rounding fudge.
+
+    Scale shape: one k-group aggregation (map-side combinable) and a
+    broadcast singleton total — the corpus is touched once regardless
+    of size."""
+    docs = load_table(spark, "documents", sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    s = F.sqrt(F.col("n_docs").cast("double")).cast("decimal(30,12)")
+    keyed = per_src.withColumn("_s", s)
+    totals = keyed.agg(
+        F.sum("n_docs").alias("_ntot"), F.sum("_s").alias("_stot")
+    )
+    return keyed.join(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        (F.col("n_docs").cast("double") / F.col("_ntot").cast("double")).alias(
+            "natural_share"
+        ),
+        (F.col("_s").cast("double") / F.col("_stot").cast("double")).alias(
+            "temp_share"
+        ),
+        (
+            (F.col("_s").cast("double") / F.col("_stot").cast("double"))
+            / (F.col("n_docs").cast("double") / F.col("_ntot").cast("double"))
+        ).alias("repeat_factor"),
+    )

@@ -362,3 +362,28 @@ def test_corpus_epoch_shuffle_is_deterministic_permutation(spark):
         rows.sort()
         assert [p for p, _, _ in rows] == list(range(1, len(rows) + 1))
         assert [(h, d) for _, h, d in rows] == sorted((h, d) for _, h, d in rows)
+
+
+def test_corpus_mixture_plan_temperature_math(spark):
+    """alpha=0.5 temperature shares: temp_share_i = sqrt(n_i)/sum sqrt,
+    shares sum to ~1, minority sources get repeat_factor > 1 and the
+    majority < 1 (the upweight-without-flattening property)."""
+    import math
+
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        corpus_mixture_plan,
+    )
+
+    rows = corpus_mixture_plan(spark, SF_SMALL).collect()
+    n_by_src = {r.source: r.n_docs for r in rows}
+    tot = sum(n_by_src.values())
+    s_tot = sum(math.sqrt(n) for n in n_by_src.values())
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert abs(r.temp_share - math.sqrt(r.n_docs) / s_tot) < 1e-9
+        assert abs(r.repeat_factor - r.temp_share / (r.n_docs / tot)) < 1e-9
+        if r.n_docs < tot / len(rows):
+            assert r.repeat_factor > 1.0
+        elif r.n_docs > tot / len(rows):
+            assert r.repeat_factor < 1.0

@@ -239,6 +239,8 @@ def synthetic_embeddings(spark: SparkSession, n: int, dim: int = 64) -> DataFram
 
 CORPUS_QUERIES = [
     "corpus_split_assignment",
+    "corpus_epoch_shuffle",
+    "bpe_merge_candidates",
     "dedup_incremental_ingest",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -250,6 +252,7 @@ CORPUS_QUERIES = [
 ]
 SIMILARITY_QUERIES = [
     "similarity_topk",
+    "similarity_pq_adc",
     "similarity_ann_lsh",
     "similarity_ivf_kmeans",
     "dedup_embedding",
@@ -275,6 +278,7 @@ EVENTS_QUERIES = [
 ]
 WAREHOUSE_QUERIES = [
     "lineitem_column_profile",
+    "lineitem_column_profile_approx",
     "basket_part_pairs",
     "orders_backlog_series",
     "daily_sales_moving_avg",
