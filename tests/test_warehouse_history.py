@@ -309,3 +309,35 @@ def test_pq_adc_matches_numpy_replica(spark):
     for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
         got_by_q.setdefault(r.query_id, []).append(r.candidate_id)
     assert got_by_q == expected
+
+
+def test_embedding_outliers_matches_numpy_and_uses_takeordered(spark):
+    """z-scored centroid distances must match a numpy replica (same
+    moment math) on the ranked ids, and the top-k cut must plan as
+    TakeOrdered — per-task heaps, never a global sort Exchange."""
+    import numpy as np
+
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        embedding_outliers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = embedding_outliers(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in emb])
+    mat = np.stack([np.array(r.embedding, dtype=np.float64) for r in emb])
+    cent = mat.mean(axis=0)
+    d2 = ((mat - cent) ** 2).sum(axis=1)
+    z = (d2 - d2.mean()) / np.sqrt((d2 ** 2).mean() - d2.mean() ** 2)
+    order = sorted(zip(-z, ids))[:20]
+    expected = [int(i) for _, i in order]
+
+    got = [r.vec_id for r in sorted(df.collect(), key=lambda r: r.rank)]
+    assert got == expected
+    # and the emitted zscores agree with numpy to float tolerance
+    z_by_id = dict(zip(ids.tolist(), z.tolist()))
+    for r in df.collect():
+        assert abs(r.zscore - z_by_id[r.vec_id]) < 1e-5
