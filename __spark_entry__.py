@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact cap leaves it tail-waivered, locally verified at both
         # SFs, FIRST in the r6 queue)
         "embedding_outliers": X.embedding_outliers,
+        "doc_unigram_score": X.doc_unigram_score,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r4 (rows+schema+hash), byte-stable since
         #    its green row up to behavior-neutral module-file digest
@@ -1472,6 +1473,22 @@ def _ext_oracles() -> dict[str, str]:
                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
                 "l_returnflag", "l_linestatus", "l_shipdate",
             )
+        ),
+        # corpus-LM unigram scoring: p(w)=n_w/N one double division,
+        # cnt*p quantized DECIMAL(30,12) exact sum, one more division —
+        # no logs anywhere (ln is not IEEE-exact cross-engine)
+        "doc_unigram_score": (
+            "WITH words AS (SELECT doc_id, word FROM ("
+            "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word "
+            "FROM documents WHERE text IS NOT NULL) WHERE word <> ''), "
+            "dw AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM words GROUP BY doc_id, word), "
+            "v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_w FROM words GROUP BY word), "
+            "t AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM v) "
+            "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(CAST(cnt * (CAST(n_w AS DOUBLE) / CAST(n_total AS DOUBLE)) "
+            "AS DECIMAL(30,12))) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS mean_token_p "
+            "FROM dw JOIN v USING (word) CROSS JOIN t GROUP BY doc_id"
         ),
         # embedding QC: decimal-exact centroid + d2 moment sums, z-scored
         # top-k cut on the UNROUNDED z (display rounding only)

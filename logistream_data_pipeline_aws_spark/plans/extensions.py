@@ -3347,3 +3347,58 @@ def embedding_outliers(spark: SparkSession, sf_dir: str, k_top: int = 20) -> Dat
             "rank",
         )
     )
+
+
+def doc_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring (the CCNet idea at unigram grain): score
+    each document by the mean corpus probability of its token
+    occurrences — low scorers are gibberish/OOV-heavy docs the local
+    heuristics (``corpus_quality_filter``) cannot see, because the
+    reference model here is the corpus itself.
+
+    Logs are avoided deliberately: ln/log2 are not IEEE-exact and differ
+    in the last ulp across engines, while mean-p needs only exact
+    operations — p(w) = n_w/N is one double division, each doc's
+    contribution cnt*p quantizes to DECIMAL(30,12) and sums exactly, and
+    the final mean is one more double division.  12dp, not 18: a
+    scale-18 cast keeps ~17 significant digits of a ~1e-2 product —
+    inside the zone where Spark's shortest-repr cast and DuckDB's
+    binary-value cast disagree by an ulp — while 12dp stays >=2 digits
+    clear of it at every magnitude here, and the <=5e-13-per-term
+    quantization error is noise against a 1e-2-scale score.  The ranking this induces is monotone in the
+    geometric-ish quality signal a trainer thresholds on.
+
+    Scale shape: (doc, word) pre-aggregation BEFORE the vocabulary join
+    (the join input is distinct-pairs-sized, not occurrence-sized), one
+    equi-join on the uniform word key (broadcastable when the
+    vocabulary is small; the equi-join holds at any vocabulary size),
+    one doc-grain combine.  The corpus is scanned once."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+            ).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    doc_word = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    totals = vocab.agg(F.sum("n_w").alias("_n_total"))
+    p = F.col("n_w").cast("double") / F.col("_n_total").cast("double")
+    return (
+        doc_word.join(vocab, "word")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            (
+                F.sum((F.col("cnt") * p).cast("decimal(30,12)")).cast("double")
+                / F.sum("cnt").cast("double")
+            ).alias("mean_token_p"),
+        )
+    )

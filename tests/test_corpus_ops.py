@@ -387,3 +387,32 @@ def test_corpus_mixture_plan_temperature_math(spark):
             assert r.repeat_factor > 1.0
         elif r.n_docs > tot / len(rows):
             assert r.repeat_factor < 1.0
+
+
+def test_doc_unigram_score_matches_python_reference(spark):
+    """mean_token_p must equal the direct Python computation: corpus
+    unigram MLE over [a-z]+ words, averaged per token occurrence."""
+    from collections import Counter
+    import re
+
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        doc_unigram_score,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet' WHERE text IS NOT NULL"
+    ).fetchall()
+    toks = {d: re.findall(r"[a-z]+", t.lower()) for d, t in rows}
+    vocab = Counter(w for ws in toks.values() for w in ws)
+    n_total = sum(vocab.values())
+
+    got = {r.doc_id: r for r in doc_unigram_score(spark, SF_SMALL).collect()}
+    assert set(got) == {d for d, ws in toks.items() if ws}
+    for d, ws in toks.items():
+        if not ws:
+            continue
+        expected = sum(vocab[w] / n_total for w in ws) / len(ws)
+        assert got[d].n_tokens == len(ws)
+        assert abs(got[d].mean_token_p - expected) < 1e-9

@@ -241,6 +241,7 @@ CORPUS_QUERIES = [
     "corpus_split_assignment",
     "corpus_epoch_shuffle",
     "bpe_merge_candidates",
+    "doc_unigram_score",
     "dedup_incremental_ingest",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -253,6 +254,7 @@ CORPUS_QUERIES = [
 SIMILARITY_QUERIES = [
     "similarity_topk",
     "similarity_pq_adc",
+    "embedding_outliers",
     "similarity_ann_lsh",
     "similarity_ivf_kmeans",
     "dedup_embedding",
