@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SFs, FIRST in the r6 queue)
         "embedding_outliers": X.embedding_outliers,
         "doc_unigram_score": X.doc_unigram_score,
+        "fact_backfill_plan": X.fact_backfill_plan,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r4 (rows+schema+hash), byte-stable since
         #    its green row up to behavior-neutral module-file digest
@@ -2010,6 +2011,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM snap_old FULL OUTER JOIN snap_new ON snap_old.o_orderkey = snap_new.o_orderkey "
             "WHERE snap_old.o_orderkey IS NULL OR snap_new.o_orderkey IS NULL "
             "OR old_totalprice IS DISTINCT FROM new_totalprice"
+        ),
+        # backfill planner: the same carve, changed keys joined back for
+        # their month, two month-grain aggs; NULL-date changed rows drop
+        # from BOTH engines' inner month join (unplannable partitions)
+        "fact_backfill_plan": (
+            "WITH base AS (SELECT o_orderkey, o_totalprice FROM orders), "
+            "snap_old AS (SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 7 "
+            "THEN o_totalprice - 10.0 ELSE o_totalprice END AS old_totalprice "
+            "FROM base WHERE o_orderkey % 10 <> 3), "
+            "snap_new AS (SELECT o_orderkey, o_totalprice AS new_totalprice "
+            "FROM base WHERE o_orderkey % 10 <> 5), "
+            "diff AS (SELECT COALESCE(snap_old.o_orderkey, snap_new.o_orderkey) AS o_orderkey, "
+            "CASE WHEN snap_old.o_orderkey IS NULL THEN 'insert' "
+            "WHEN snap_new.o_orderkey IS NULL THEN 'delete' ELSE 'update' END AS change_type "
+            "FROM snap_old FULL OUTER JOIN snap_new ON snap_old.o_orderkey = snap_new.o_orderkey "
+            "WHERE snap_old.o_orderkey IS NULL OR snap_new.o_orderkey IS NULL "
+            "OR old_totalprice IS DISTINCT FROM new_totalprice), "
+            "m AS (SELECT o_orderkey, CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS month "
+            "FROM orders), "
+            "changed AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS n_changed, "
+            "CAST(SUM(CASE WHEN change_type = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts, "
+            "CAST(SUM(CASE WHEN change_type = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes, "
+            "CAST(SUM(CASE WHEN change_type = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates "
+            "FROM diff JOIN m USING (o_orderkey) GROUP BY month), "
+            "tot AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS month, "
+            "CAST(COUNT(*) AS BIGINT) AS n_total FROM orders GROUP BY 1) "
+            "SELECT month, n_changed, n_inserts, n_deletes, n_updates, n_total, "
+            "CAST(n_changed AS DOUBLE) / CAST(n_total AS DOUBLE) AS change_frac, "
+            "CASE WHEN CAST(n_changed AS DOUBLE) / CAST(n_total AS DOUBLE) > 0.2 "
+            "THEN 'rewrite_partition' ELSE 'merge_rows' END AS action "
+            "FROM changed JOIN tot USING (month)"
         ),
         "orders_zorder_clustering": (
             # bit-for-bit mirror of functions.keys.zorder_key(day, custkey)

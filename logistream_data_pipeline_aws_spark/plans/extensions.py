@@ -3402,3 +3402,61 @@ def doc_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_token_p"),
         )
     )
+
+
+def fact_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planning over a month-partitioned fact: given the CDC
+    diff (``snapshot_cdc_diff``'s deterministic carve), decide PER TIME
+    PARTITION whether the nightly job should rewrite the partition or
+    row-level-merge into it — the dynamic-partition-overwrite vs MERGE
+    decision every lakehouse loader makes, driven by the change
+    fraction (rewrite when >20% of the partition changed: sequential
+    rewrite beats random-access merge on dense change sets).
+
+    Plan shape: the diff's changed KEYS (never payloads) join back to
+    the committed table for their partition month — a co-partitioned
+    key equi-join — then two small month-grain aggregations meet in one
+    broadcastable join.  At 100 TB the plan output is months, the only
+    corpus-sized work is the diff join itself, and the emitted actions
+    drive exactly which partitions the writer touches (the
+    ``fact_date_slice`` pruning contract on the write side)."""
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        snapshot_cdc_diff,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    month = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int")
+    changed = (
+        snapshot_cdc_diff(spark, sf_dir)
+        .select("o_orderkey", "change_type")
+        .join(orders.select("o_orderkey", month.alias("month")), "o_orderkey")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_changed"),
+            F.sum(F.when(F.col("change_type") == "insert", 1).otherwise(0))
+            .cast("long")
+            .alias("n_inserts"),
+            F.sum(F.when(F.col("change_type") == "delete", 1).otherwise(0))
+            .cast("long")
+            .alias("n_deletes"),
+            F.sum(F.when(F.col("change_type") == "update", 1).otherwise(0))
+            .cast("long")
+            .alias("n_updates"),
+        )
+    )
+    totals = orders.groupBy(month.alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    frac = F.col("n_changed").cast("double") / F.col("n_total").cast("double")
+    return changed.join(totals, "month").select(
+        "month",
+        "n_changed",
+        "n_inserts",
+        "n_deletes",
+        "n_updates",
+        "n_total",
+        frac.alias("change_frac"),
+        F.when(frac > 0.2, F.lit("rewrite_partition"))
+        .otherwise(F.lit("merge_rows"))
+        .alias("action"),
+    )

@@ -341,3 +341,24 @@ def test_embedding_outliers_matches_numpy_and_uses_takeordered(spark):
     z_by_id = dict(zip(ids.tolist(), z.tolist()))
     for r in df.collect():
         assert abs(r.zscore - z_by_id[r.vec_id]) < 1e-5
+
+
+def test_fact_backfill_plan_action_thresholds(spark):
+    """Every month's counts must partition into insert/delete/update,
+    the change fraction must equal n_changed/n_total, and the action
+    must flip exactly at the 20% threshold."""
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        fact_backfill_plan,
+    )
+
+    rows = fact_backfill_plan(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.n_changed == r.n_inserts + r.n_deletes + r.n_updates
+        assert abs(r.change_frac - r.n_changed / r.n_total) < 1e-15
+        assert r.action == (
+            "rewrite_partition" if r.change_frac > 0.2 else "merge_rows"
+        )
+    # the deterministic carve touches ~3/10 of keys per month on
+    # average, so the dense-change action must actually fire
+    assert any(r.action == "rewrite_partition" for r in rows)

@@ -286,6 +286,7 @@ WAREHOUSE_QUERIES = [
     "daily_sales_moving_avg",
     "lineitem_abc_pareto",
     "lineitem_abc_pareto_approx",
+    "fact_backfill_plan",
     "supplier_pagerank",
     "graph_hop_distance",
 ]
