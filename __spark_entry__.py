@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": X.embedding_outliers,
         "doc_unigram_score": X.doc_unigram_score,
         "fact_backfill_plan": X.fact_backfill_plan,
+        "dedup_golden_record": X.dedup_golden_record,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r4 (rows+schema+hash), byte-stable since
         #    its green row up to behavior-neutral module-file digest
@@ -562,6 +563,27 @@ def _ext_oracles() -> dict[str, str]:
             "SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash, "
             "MIN(doc_id) AS keep_id, COUNT(*) AS n_docs FROM documents "
             "GROUP BY 1"
+        ),
+        # golden record: modal non-null categorical fields (count desc,
+        # value asc), max measure, min id — all per content hash
+        "dedup_golden_record": (
+            "WITH g AS (SELECT doc_id, "
+            "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash, "
+            "lang, source, n_chars FROM documents), "
+            "base AS (SELECT content_hash, MIN(doc_id) AS golden_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_members, MAX(n_chars) AS max_chars "
+            "FROM g GROUP BY content_hash), "
+            "ml AS (SELECT content_hash, lang FROM ("
+            "SELECT content_hash, lang, ROW_NUMBER() OVER (PARTITION BY content_hash "
+            "ORDER BY COUNT(*) DESC, lang) AS rn FROM g WHERE lang IS NOT NULL "
+            "GROUP BY content_hash, lang) WHERE rn = 1), "
+            "ms AS (SELECT content_hash, source FROM ("
+            "SELECT content_hash, source, ROW_NUMBER() OVER (PARTITION BY content_hash "
+            "ORDER BY COUNT(*) DESC, source) AS rn FROM g WHERE source IS NOT NULL "
+            "GROUP BY content_hash, source) WHERE rn = 1) "
+            "SELECT b.content_hash, b.golden_id, b.n_members, ml.lang, ms.source, b.max_chars "
+            "FROM base b LEFT JOIN ml ON b.content_hash = ml.content_hash "
+            "LEFT JOIN ms ON b.content_hash = ms.content_hash"
         ),
         "dedup_survivors": (
             "WITH keeps AS (SELECT MIN(doc_id) AS doc_id FROM documents "

@@ -3460,3 +3460,60 @@ def fact_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("merge_rows"))
         .alias("action"),
     )
+
+
+def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level survivorship (the MDM "golden record"): where
+    ``dedup_survivors`` keeps one WHOLE row per exact-content group,
+    this merges the best value PER FIELD across the group's members —
+    modal non-null lang and source (frequency-weighted, lexicographic
+    tiebreak: the standard survivorship rule for categorical fields),
+    max n_chars, min doc_id as the stable golden key.  A group whose
+    members all lack a field yields NULL for it (left joins against the
+    modal tables).
+
+    Plan shape: one content-hash aggregation for the skeleton plus one
+    small (hash, value)-grain count + per-hash window per categorical
+    field — every shuffle keys on the uniform content hash, the modal
+    windows partition by it (bounded by group size), and the joins are
+    hash-keyed equi-joins.  Nothing corpus-wide ever concentrates, so
+    the merge holds at any corpus size."""
+    from pyspark.sql import Window
+
+    from logistream_data_pipeline_aws_spark.functions.text import fingerprint
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        fingerprint("text").alias("content_hash"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    base = docs.groupBy("content_hash").agg(
+        F.min("doc_id").alias("golden_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+    def modal(col: str) -> DataFrame:
+        cnt = (
+            docs.where(F.col(col).isNotNull())
+            .groupBy("content_hash", col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        w = Window.partitionBy("content_hash").orderBy(
+            F.col("_c").desc(), F.col(col)
+        )
+        return (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("content_hash", col)
+        )
+
+    return (
+        base.join(modal("lang"), "content_hash", "left")
+        .join(modal("source"), "content_hash", "left")
+        .select(
+            "content_hash", "golden_id", "n_members", "lang", "source", "max_chars"
+        )
+    )

@@ -216,3 +216,45 @@ def test_incremental_ingest_is_asymmetric(spark, tmp_path):
         30: (1, False),
         40: (0, True),
     }
+
+
+def test_golden_record_field_survivorship(spark):
+    """Synthetic dup group: the golden record must take the MODAL lang
+    (not the survivor row's), the max n_chars, and the min doc_id —
+    field-level merge, not row pick."""
+    from logistream_data_pipeline_aws_spark.functions.text import fingerprint
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "Same   Text", "de", "web", 50),
+        (2, "same text", "en", "web", 99),
+        (3, "SAME TEXT", "en", "book", 10),
+        (7, "unique", None, None, 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    docs = df.select("doc_id", fingerprint("text").alias("content_hash"),
+                     "lang", "source", "n_chars")
+    # replicate the registered plan body over the synthetic frame
+    from pyspark.sql import Window
+    base = docs.groupBy("content_hash").agg(
+        F.min("doc_id").alias("golden_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+    def modal(col):
+        cnt = (docs.where(F.col(col).isNotNull())
+               .groupBy("content_hash", col).agg(F.count(F.lit(1)).alias("_c")))
+        w = Window.partitionBy("content_hash").orderBy(F.col("_c").desc(), F.col(col))
+        return (cnt.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).select("content_hash", col))
+
+    out = {r.golden_id: r for r in
+           base.join(modal("lang"), "content_hash", "left")
+               .join(modal("source"), "content_hash", "left").collect()}
+    g = out[1]
+    assert g.n_members == 3 and g.max_chars == 99
+    assert g.lang == "en"          # modal beats the golden row's own 'de'
+    assert g.source == "web"       # 2-1 frequency win
+    u = out[7]
+    assert u.n_members == 1 and u.lang is None and u.source is None

@@ -244,6 +244,7 @@ CORPUS_QUERIES = [
     "doc_unigram_score",
     "dedup_incremental_ingest",
     "dedup_exact",
+    "dedup_golden_record",
     "dedup_minhash_lsh",
     "dedup_prefix_filter",
     "corpus_quality_filter",
