@@ -3420,10 +3420,6 @@ def fact_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized work is the diff join itself, and the emitted actions
     drive exactly which partitions the writer touches (the
     ``fact_date_slice`` pruning contract on the write side)."""
-    from logistream_data_pipeline_aws_spark.plans.extensions import (
-        snapshot_cdc_diff,
-    )
-
     orders = load_table(spark, "orders", sf_dir)
     month = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int")
     changed = (
