@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_score": X.doc_unigram_score,
         "fact_backfill_plan": X.fact_backfill_plan,
         "dedup_golden_record": X.dedup_golden_record,
+        "sales_trendline_ols": X.sales_trendline_ols,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r4 (rows+schema+hash), byte-stable since
         #    its green row up to behavior-neutral module-file digest
@@ -563,6 +564,29 @@ def _ext_oracles() -> dict[str, str]:
             "SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash, "
             "MIN(doc_id) AS keep_id, COUNT(*) AS n_docs FROM documents "
             "GROUP BY 1"
+        ),
+        # closed-form OLS: integer moments exact in 64-bit (< 2^53 so the
+        # double casts are exact), revenue moments DECIMAL(30,6)-summed,
+        # derived stats a fixed dag of double ops, 6dp display rounding
+        "sales_trendline_ols": (
+            "WITH daily AS (SELECT c_mktsegment, "
+            "CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS x, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS y "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE o_orderdate IS NOT NULL GROUP BY 1, 2), "
+            "m AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_days, "
+            "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx, "
+            "CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy, "
+            "CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy, "
+            "CAST(SUM(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy FROM daily GROUP BY 1) "
+            "SELECT c_mktsegment, n_days, "
+            "ROUND(CASE WHEN den_x > 0 THEN num / den_x END, 6) AS slope, "
+            "ROUND(CASE WHEN den_x > 0 THEN (sy - (num / den_x) * CAST(sx AS DOUBLE)) / CAST(n_days AS DOUBLE) END, 6) AS intercept, "
+            "ROUND(CASE WHEN den_x > 0 AND den_y > 0 THEN (num * num) / (den_x * den_y) END, 6) AS r2 "
+            "FROM (SELECT c_mktsegment, n_days, sx, sy, "
+            "CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den_x, "
+            "CAST(n_days AS DOUBLE) * syy - sy * sy AS den_y, "
+            "CAST(n_days AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num FROM m)"
         ),
         # golden record: modal non-null categorical fields (count desc,
         # value asc), max measure, min id — all per content hash

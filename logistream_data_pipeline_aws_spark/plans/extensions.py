@@ -3513,3 +3513,72 @@ def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_hash", "golden_id", "n_members", "lang", "source", "max_chars"
         )
     )
+
+
+def sales_trendline_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment revenue trendline by closed-form OLS over daily
+    totals — the "is this segment growing and how fast" regression a
+    BI layer fits constantly, computed as pure aggregation: y = daily
+    revenue (exact DECIMAL(30,6) sum per day), x = day number, and the
+    five moment sums (n, Sx, Sxx, Sy, Sxy, Syy) reduce in ONE
+    map-side-combinable pass; slope/intercept/r2 are closed-form row
+    arithmetic on the 5-row result.  No iterative fitting, no window —
+    the classic "ML as aggregation" decomposition that scales as a
+    word count.
+
+    Determinism: the integer moments (n, Sx, Sxx) are exact longs (max
+    ~4e13, inside both engines' 64-bit range and double-exact), the
+    revenue moments quantize each term to DECIMAL(30,6) and sum
+    exactly, and every derived statistic is a fixed dag of double
+    ops on those deterministic values — bit-identical cross-engine,
+    rounded 6dp only at the output.  Degenerate groups (a single day:
+    zero x-variance) yield NULL slope/intercept/r2 via an explicit
+    denominator gate."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    daily = (
+        orders.where(F.col("o_orderdate").isNotNull())
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            "c_mktsegment",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    m = daily.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(30,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    den_x = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    den_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    slope = F.when(den_x > 0, num / den_x)
+    intercept = F.when(
+        den_x > 0, (F.col("sy") - slope * F.col("sx").cast("double")) / n
+    )
+    r2 = F.when((den_x > 0) & (den_y > 0), (num * num) / (den_x * den_y))
+    return m.select(
+        "c_mktsegment",
+        "n_days",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -362,3 +362,37 @@ def test_fact_backfill_plan_action_thresholds(spark):
     # the deterministic carve touches ~3/10 of keys per month on
     # average, so the dense-change action must actually fire
     assert any(r.action == "rewrite_partition" for r in rows)
+
+
+def test_sales_trendline_ols_matches_numpy(spark):
+    """Closed-form moment OLS must equal numpy.polyfit on the same
+    (day, daily revenue) points per segment."""
+    import numpy as np
+
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        sales_trendline_ols,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.c_mktsegment: r for r in sales_trendline_ols(spark, sf).collect()}
+
+    import duckdb
+    daily = duckdb.sql(f"""
+        SELECT c_mktsegment, CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS x,
+               SUM(o_totalprice) AS y
+        FROM '{sf}/orders.parquet' o JOIN '{sf}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
+    """).fetchall()
+    by_seg: dict = {}
+    for seg, x, y in daily:
+        by_seg.setdefault(seg, []).append((x, float(y)))
+    for seg, pts in by_seg.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        g = got[seg]
+        assert g.n_days == len(pts)
+        assert abs(g.slope - slope) < 1e-4 * max(1, abs(slope))
+        assert abs(g.intercept - intercept) < 1e-4 * max(1, abs(intercept))
+        assert abs(g.r2 - r * r) < 1e-6

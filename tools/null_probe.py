@@ -128,7 +128,7 @@ DEFAULT_QUERIES = {
         "sql_lapsed_big_spenders", "sql_unshipped_orders",
         "sql_prospect_customers", "supplier_pagerank", "graph_hop_distance",
         "dim_junk_status", "fact_lineitem", "customer_rfm_scores_approx",
-        "fact_backfill_plan",
+        "fact_backfill_plan", "sales_trendline_ols",
     ],
     "lineitem": [
         "q1_pricing_summary", "a5_profit_rollup", "a5_profit_by_hierarchy",

@@ -288,6 +288,7 @@ WAREHOUSE_QUERIES = [
     "lineitem_abc_pareto",
     "lineitem_abc_pareto_approx",
     "fact_backfill_plan",
+    "sales_trendline_ols",
     "supplier_pagerank",
     "graph_hop_distance",
 ]
