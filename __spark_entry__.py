@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_backfill_plan": X.fact_backfill_plan,
         "dedup_golden_record": X.dedup_golden_record,
         "sales_trendline_ols": X.sales_trendline_ols,
+        "events_orc_readback": X.events_orc_readback,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r4 (rows+schema+hash), byte-stable since
         #    its green row up to behavior-neutral module-file digest
@@ -1192,6 +1193,11 @@ def _ext_oracles() -> dict[str, str]:
         # JSON-lines round trip: oracle reads the original parquet, so any
         # encode/decode infidelity (ts precision, escaping) breaks the hash
         "events_json_readback": (
+            "SELECT event_id, ts, user_id, event_type, value, props FROM events"
+        ),
+        # ORC round trip: the oracle reads the ORIGINAL parquet — any
+        # ORC encode/decode infidelity breaks the hash
+        "events_orc_readback": (
             "SELECT event_id, ts, user_id, event_type, value, props FROM events"
         ),
         # time-partitioned fact readback: band recomputed from raw tables,

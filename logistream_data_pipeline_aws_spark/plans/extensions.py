@@ -3582,3 +3582,35 @@ def sales_trendline_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def events_orc_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round trip — the third columnar container after
+    parquet and the row formats (S7/S8 family): the events table is
+    written as ORC (Spark's native reader/writer, zlib default) and
+    re-read with the explicit engine schema.  The oracle reads the
+    ORIGINAL parquet, so any ORC encode/decode infidelity — timestamp
+    precision (ORC stores nanos-capable timestamps; the round trip must
+    preserve the micros exactly), NULL handling, string encoding in the
+    nested-JSON props column — breaks the hash.  At scale ORC is the
+    interop surface for Hive-era warehouses; the engine treats it as a
+    first-class citizen of the same catalog schema contract
+    (never inferSchema)."""
+    from pyspark.sql import types as T
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = _scratch(f"events_orc_{tag}")
+    events = load_table(spark, "events", sf_dir)
+    events.write.mode("overwrite").orc(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).orc(path)
+    return back.select("event_id", "ts", "user_id", "event_type", "value", "props")

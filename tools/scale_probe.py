@@ -237,6 +237,25 @@ def synthetic_embeddings(spark: SparkSession, n: int, dim: int = 64) -> DataFram
     )
 
 
+def synthetic_customer(spark: SparkSession, n_orders: int) -> DataFrame:
+    """Customer dim matching synthetic_orders_lineitem's custkey domain
+    (o_custkey = pmod(orderkey*97, n_orders//10)) — segments cycle so the
+    per-segment trendline groups stay balanced at every mult."""
+    custs = max(n_orders // 10, 1)
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    c = spark.range(0, custs)
+    return c.select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.col("id")).alias("c_name"),
+        F.pmod(F.col("id"), F.lit(25)).cast("int").alias("c_nationkey"),
+        (F.pmod(F.col("id") * 13, F.lit(10_000)).cast("double") - F.lit(1000.0)).alias("c_acctbal"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in segs]),
+            (F.pmod(F.col("id"), F.lit(5)) + 1).cast("int"),
+        ).alias("c_mktsegment"),
+    )
+
+
 CORPUS_QUERIES = [
     "corpus_split_assignment",
     "corpus_epoch_shuffle",
@@ -377,6 +396,9 @@ def main() -> None:
         orders.coalesce(4).write.mode("overwrite").parquet(
             os.path.join(sf_dir, "orders.parquet")
         )
+        synthetic_customer(spark, ORDERS_N * m).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sf_dir, "customer.parquet"))
         lineitem.coalesce(8).write.mode("overwrite").parquet(
             os.path.join(sf_dir, "lineitem.parquet")
         )
