@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_golden_record": X.dedup_golden_record,
         "sales_trendline_ols": X.sales_trendline_ols,
         "events_orc_readback": X.events_orc_readback,
+        "events_stream_jdbc_hourly": X.events_stream_jdbc_hourly,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r4 (rows+schema+hash), byte-stable since
         #    its green row up to behavior-neutral module-file digest
@@ -905,6 +906,14 @@ def _ext_oracles() -> dict[str, str]:
             "WHERE s.ship_ts >= o.order_ts AND s.ship_ts <= o.order_ts + INTERVAL 48 HOUR"
         ),
         "events_stream_hourly": (
+            "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value "
+            "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"
+        ),
+        # same aggregate through the Derby round trip: the readback must
+        # still equal the batch truth after the RDBMS type mapping
+        "events_stream_jdbc_hourly": (
             "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, "
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value "

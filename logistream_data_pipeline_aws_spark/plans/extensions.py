@@ -3614,3 +3614,41 @@ def events_orc_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.schema(schema).orc(path)
     return back.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def events_stream_jdbc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregate maintained in an RDBMS: the watermarked hourly
+    rollup drains through ``foreach_batch_jdbc_overwrite`` into embedded
+    in-memory Derby (the container's only real database — a deployment
+    swaps the URL for its warehouse) and the registered result is the
+    JDBC READBACK, so the oracle check covers the whole
+    stream -> complete-mode foreachBatch -> RDBMS -> subquery-read loop,
+    including Derby's type round trip (BIGINT/DOUBLE/TIMESTAMP/VARCHAR).
+    Composes S4/S5 (JDBC read/append, previously batch-only) with the
+    §2.9 streaming surface."""
+    from logistream_data_pipeline_aws_spark.catalog import events_stream
+    from logistream_data_pipeline_aws_spark.sources.jdbc import read_subquery
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        foreach_batch_jdbc_overwrite,
+        windowed_aggregate,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    url = f"jdbc:derby:memory:lsdp_stream_sink_{tag};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    ckpt = _scratch(f"events_stream_jdbc_hourly_ckpt_{tag}")
+    with events_stream(spark, sf_dir) as stream:
+        agg = windowed_aggregate(stream, "1 hour", "2 hours")
+        foreach_batch_jdbc_overwrite(
+            agg, url, "stream_hourly", props, checkpoint=ckpt
+        )
+    # Spark's JDBC writer CREATEs the COLUMNS quoted (case-preserving)
+    # but leaves the TABLE name to Derby's upper-casing — so the
+    # readback quotes exactly the identifiers the writer quoted
+    return read_subquery(
+        spark,
+        url,
+        'SELECT "window_start", "event_type", "n_events", "total_value" '
+        "FROM stream_hourly",
+        props,
+    )

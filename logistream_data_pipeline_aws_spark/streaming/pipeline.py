@@ -567,3 +567,42 @@ def run_available_now(
         q.stop()
         raise TimeoutError(f"streaming query {table_name} did not drain in {timeout_s}s")
     return q
+
+
+def foreach_batch_jdbc_overwrite(
+    stream: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    checkpoint: str,
+    timeout_s: int = 120,
+):
+    """Maintain a SMALL streaming aggregate in an external RDBMS: each
+    complete-mode micro-batch carries the full updated aggregate, and the
+    sink swaps the table wholesale (``mode="overwrite"`` = the reference's
+    TRUNCATE+append window, GE:46-59, driven by a stream).  Overwrite
+    makes replays idempotent by construction — re-running a batch writes
+    the same table — which is exactly-once for an aggregate whose state
+    lives in the checkpoint, at the cost of rewriting the (small) result
+    each batch: right for dashboard-grade rollups, wrong for event-grain
+    data (that's ``foreach_batch_upsert``).  The batch writer runs driver
+    -side under ``foreachBatch``; the JDBC write itself parallelizes over
+    the aggregate's partitions."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.jdbc(url, table, mode="overwrite", properties=properties)
+
+    q = (
+        stream.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + timeout_s
+    while q.isActive and time.time() < deadline:
+        q.awaitTermination(1)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"jdbc streaming sink did not drain in {timeout_s}s")
+    return q
