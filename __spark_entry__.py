@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_trendline_ols": X.sales_trendline_ols,
         "events_orc_readback": X.events_orc_readback,
         "events_stream_jdbc_hourly": X.events_stream_jdbc_hourly,
+        "media_image_features": X.media_image_features,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r4 (rows+schema+hash), byte-stable since
         #    its green row up to behavior-neutral module-file digest
@@ -1203,6 +1204,23 @@ def _ext_oracles() -> dict[str, str]:
         # encode/decode infidelity (ts precision, escaping) breaks the hash
         "events_json_readback": (
             "SELECT event_id, ts, user_id, event_type, value, props FROM events"
+        ),
+        # Arrow fake-codec replay: hex-pair byte extraction; integer
+        # byte sum exact, mean one double division, empty payload -> 0.0
+        "media_image_features": (
+            "WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload "
+            "FROM documents WHERE text IS NOT NULL), "
+            "sums AS (SELECT media_id, CAST(SUM(('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2))::BIGINT) AS BIGINT) AS total "
+            "FROM (SELECT media_id, hex(payload) AS h, "
+            "unnest(range(0, octet_length(payload))) AS i FROM m) GROUP BY media_id) "
+            "SELECT m.media_id, "
+            "CAST(1 + octet_length(m.payload) % 64 AS INT) AS width, "
+            "CAST(1 + (octet_length(m.payload) // 64) % 64 AS INT) AS height, "
+            "CAST(octet_length(m.payload) AS BIGINT) AS n_bytes, "
+            "CASE WHEN octet_length(m.payload) > 0 "
+            "THEN CAST(s.total AS DOUBLE) / CAST(octet_length(m.payload) AS DOUBLE) "
+            "ELSE 0.0 END AS mean_byte "
+            "FROM m LEFT JOIN sums s ON m.media_id = s.media_id"
         ),
         # ORC round trip: the oracle reads the ORIGINAL parquet — any
         # ORC encode/decode infidelity breaks the hash

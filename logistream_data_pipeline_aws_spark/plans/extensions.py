@@ -3652,3 +3652,27 @@ def events_stream_jdbc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM stream_hourly",
         props,
     )
+
+
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched multimodal CODEC path under the driver gate:
+    binary payloads (document text bytes — the container's stand-in for
+    media blobs) flow through ``extract_image_features``'s
+    ``mapInPandas`` record batches with the deterministic fake codec
+    pinned explicitly (``use_fake_codec=True`` — the oracle must stay
+    stable even on a machine where PIL exists).  The fake derives
+    (width, height, mean_byte) purely from the payload bytes, so a
+    DuckDB oracle replays it via hex-pair byte extraction — upgrading
+    the codec plumbing from pytest-only to hash-exact evidence.  NULL
+    payloads are gated (a real codec has nothing to decode; the oracle
+    mirrors the gate)."""
+    from logistream_data_pipeline_aws_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.where(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return extract_image_features(media, use_fake_codec=True)
