@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_orc_readback": X.events_orc_readback,
         "events_stream_jdbc_hourly": X.events_stream_jdbc_hourly,
         "media_image_features": X.media_image_features,
+        "events_conversion_lag": X.events_conversion_lag,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r4 (rows+schema+hash), byte-stable since
         #    its green row up to behavior-neutral module-file digest
@@ -1204,6 +1205,27 @@ def _ext_oracles() -> dict[str, str]:
         # encode/decode infidelity (ts precision, escaping) breaks the hash
         "events_json_readback": (
             "SELECT event_id, ts, user_id, event_type, value, props FROM events"
+        ),
+        # CEP forward as-of: min over the following-rows frame, the
+        # (us, event_id) tie rule mirrored verbatim; integer-microsecond
+        # arithmetic end-to-end
+        "events_conversion_lag": (
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, "
+            "CAST(date_trunc('hour', ts) AS TIMESTAMP) AS click_hour, event_id "
+            "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL "
+            "AND event_type IN ('click', 'purchase')), "
+            "c AS (SELECT click_hour, us, event_type, "
+            "MIN(CASE WHEN event_type = 'purchase' THEN us END) OVER "
+            "(PARTITION BY user_id ORDER BY us, event_id "
+            "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us FROM e) "
+            "SELECT click_hour, CAST(COUNT(*) AS BIGINT) AS n_clicks, "
+            "CAST(SUM(conv) AS BIGINT) AS n_converted, "
+            "CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS conversion_rate, "
+            "CAST(SUM(lag_us) AS DOUBLE) / CAST(SUM(conv) AS DOUBLE) / 1000000.0 AS avg_lag_s "
+            "FROM (SELECT click_hour, "
+            "CASE WHEN next_us IS NOT NULL AND next_us - us <= 3600000000 THEN 1 ELSE 0 END AS conv, "
+            "CASE WHEN next_us IS NOT NULL AND next_us - us <= 3600000000 THEN next_us - us END AS lag_us "
+            "FROM c WHERE event_type = 'click') GROUP BY click_hour"
         ),
         # Arrow fake-codec replay: hex-pair byte extraction; integer
         # byte sum exact, mean one double division, empty payload -> 0.0

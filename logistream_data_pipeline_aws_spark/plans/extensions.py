@@ -3676,3 +3676,71 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
     )
     return extract_image_features(media, use_fake_codec=True)
+
+
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern matching as a window plan — "A followed by B within
+    T": for every click, the user's NEXT purchase (a FORWARD as-of,
+    expressed as a min over the following-rows frame of the per-user
+    ordered event walk) decides conversion within one hour, aggregated
+    to hourly conversion rate and mean lag.  The MATCH_RECOGNIZE-style
+    question answered with one shuffle: partition by user, order by
+    (event time, event_id) — the deterministic total order every
+    time-walk in this engine uses — and a single frame aggregate; no
+    self-join, no per-user explode.
+
+    All arithmetic is integer microseconds (``unix_micros`` /
+    ``epoch_us`` — exact in both engines): the lag sum stays a 64-bit
+    integer (< 2^53, double-exact), and rate / mean-lag are fixed dags
+    of double ops.  NULL timestamps and users are gated on both sides
+    (the NULLS FIRST/LAST window divergence class).  Purchases at the
+    exact click timestamp count as following only by event_id order —
+    the tie rule the oracle mirrors verbatim."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    tagged = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.date_trunc("hour", "ts").alias("click_hour"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("us"))
+    ).over(w)
+    clicks = tagged.withColumn("next_us", next_purchase).where(
+        F.col("event_type") == "click"
+    )
+    lag_us = F.col("next_us") - F.col("us")
+    converted = F.col("next_us").isNotNull() & (lag_us <= 3_600_000_000)
+    per_click = clicks.select(
+        "click_hour",
+        converted.cast("int").alias("conv"),
+        F.when(converted, lag_us).alias("lag_us"),
+    )
+    return per_click.groupBy("click_hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.sum("conv").cast("long").alias("n_converted"),
+        (
+            F.sum("conv").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("conversion_rate"),
+        # UNROUNDED deliberately: the raw value is a fixed dag over
+        # exact integers, bit-identical cross-engine — ROUND(x, 6)
+        # re-opens the half-tie gap exactly when the ratio terminates
+        # at 7dp (observed at sf0.1: ...2418605 -> HALF_UP vs binary)
+        (
+            F.sum("lag_us").cast("double")
+            / F.sum("conv").cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("avg_lag_s"),
+    )

@@ -1052,3 +1052,51 @@ def test_events_funnel_empty_step_yields_null_conversion(spark, monkeypatch):
     assert rows[1].n_users == 2 and rows[1].conv_from_prev is None
     assert rows[2].n_users == 0 and rows[2].conv_from_prev == 0.0
     assert rows[3].n_users == 0 and rows[3].conv_from_prev is None  # 0/0
+
+
+def test_conversion_lag_forward_asof_semantics(spark):
+    """Synthetic walk: same-timestamp purchase counts only by event_id
+    order; a purchase 1h+1us later does not convert; the nearest
+    FOLLOWING purchase wins even when an earlier one belongs to
+    another user."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    us = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # u1: click then purchase 10s later -> converts, lag 10
+        (1, us(0), 1, "click", 1.0, None),
+        (2, us(10), 1, "purchase", 1.0, None),
+        # u2: click with purchase exactly 3600s later -> converts
+        (3, us(0), 2, "click", 1.0, None),
+        (4, us(3600), 2, "purchase", 1.0, None),
+        # u3: click with purchase 3601s later -> does NOT convert
+        (5, us(0), 3, "click", 1.0, None),
+        (6, us(3601), 3, "purchase", 1.0, None),
+        # u4: purchase at the SAME ts as the click, higher event_id ->
+        # counts as following, lag 0
+        (7, us(0), 4, "click", 1.0, None),
+        (8, us(0), 4, "purchase", 1.0, None),
+        # u5: purchase BEFORE the click only -> no conversion
+        (9, us(0), 5, "purchase", 1.0, None),
+        (10, us(5), 5, "click", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="lsdp_convlag_")
+    # the catalog's ts-unit sniffer needs a real parquet timestamp
+    # type, not INT96 (the scale-probe harness does the same)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = X.events_conversion_lag(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_clicks == 5 and r.n_converted == 3
+    assert abs(r.conversion_rate - 0.6) < 1e-15
+    assert abs(r.avg_lag_s - (10 + 3600 + 0) / 3) < 1e-9

@@ -295,6 +295,7 @@ EVENTS_QUERIES = [
     "events_transition_matrix",
     "events_heavy_hitters",
     "events_asof_last_purchase",
+    "events_conversion_lag",
     "events_stream_sessions",
     "events_stream_sessions_flushed",
 ]
