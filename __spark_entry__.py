@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_jdbc_hourly": X.events_stream_jdbc_hourly,
         "media_image_features": X.media_image_features,
         "events_conversion_lag": X.events_conversion_lag,
+        "events_stickiness_hll": X.events_stickiness_hll,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r4 (rows+schema+hash), byte-stable since
         #    its green row up to behavior-neutral module-file digest
@@ -1205,6 +1206,22 @@ def _ext_oracles() -> dict[str, str]:
         # encode/decode infidelity (ts precision, escaping) breaks the hash
         "events_json_readback": (
             "SELECT event_id, ts, user_id, event_type, value, props FROM events"
+        ),
+        # sliding-distinct verdict form: exact trailing WAU/MAU via the
+        # day-spine range join, stickiness one int/int double division
+        # (unrounded), HLL accuracy exits only as TRUE-pinned booleans
+        "events_stickiness_hll": (
+            "WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+            "days AS (SELECT DISTINCT d FROM e), "
+            "w7 AS (SELECT days.d, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau_exact "
+            "FROM days JOIN e ON e.d BETWEEN days.d - 6 AND days.d GROUP BY days.d), "
+            "w30 AS (SELECT days.d, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS mau_exact "
+            "FROM days JOIN e ON e.d BETWEEN days.d - 29 AND days.d GROUP BY days.d) "
+            "SELECT w7.d AS day, wau_exact, mau_exact, "
+            "CAST(wau_exact AS DOUBLE) / CAST(mau_exact AS DOUBLE) AS stickiness, "
+            "TRUE AS wau_ok, TRUE AS mau_ok "
+            "FROM w7 JOIN w30 ON w7.d = w30.d"
         ),
         # CEP forward as-of: min over the following-rows frame, the
         # (us, event_id) tie rule mirrored verbatim; integer-microsecond

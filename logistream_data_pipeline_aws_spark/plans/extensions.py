@@ -3744,3 +3744,87 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1_000_000.0)
         ).alias("avg_lag_s"),
     )
+
+
+def events_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct counts — DAU/WAU/MAU stickiness — via
+    MERGEABLE sketches: one HLL sketch per day, then WAU/MAU per day as
+    a SKETCH UNION over a trailing RANGE frame (7/30 days).  This is
+    why re-aggregatable sketches matter at 100 TB: an exact trailing
+    distinct must re-touch every (day, user) pair per output day
+    (window x days work), while the sketch path unions ~30 fixed-size
+    binaries per day off a table that is built once and is
+    incrementally maintainable (``events_hll_mergeable_rollup``'s
+    contract, extended to sliding frames).
+
+    Driver-verifiable via the verdict pattern: the exact trailing
+    distincts ride along (computed here only to pin the sketches — the
+    broadcast day-spine range join is exactly the quadratic shape the
+    sketch path avoids), stickiness = WAU/MAU is a single int/int
+    double division (deterministic, UNROUNDED), and the HLL estimates
+    exit only as 10%-tolerance booleans the oracle pins TRUE.  The
+    day-grain windows order a ~days-sized frame — bounded by the
+    calendar, not the corpus."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    keyed = events.select(
+        F.to_date("ts").alias("day"),
+        F.datediff(F.to_date("ts"), F.lit("1992-01-01").cast("date")).alias("dayn"),
+        "user_id",
+    )
+    daily = keyed.groupBy("day", "dayn").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    w7 = Window.orderBy("dayn").rangeBetween(-6, 0)
+    w30 = Window.orderBy("dayn").rangeBetween(-29, 0)
+    est = daily.select(
+        "day",
+        "dayn",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w7)).alias("_wau_est"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w30)).alias("_mau_est"),
+    )
+    pairs = keyed.select("dayn", "user_id").distinct()
+
+    def exact(window_days: int, alias: str, dcol: str) -> DataFrame:
+        spine = daily.select(
+            F.col("day").alias(dcol), F.col("dayn").alias(f"_dn{window_days}")
+        )
+        return (
+            F.broadcast(spine)
+            .join(
+                pairs,
+                pairs.dayn.between(
+                    F.col(f"_dn{window_days}") - (window_days - 1),
+                    F.col(f"_dn{window_days}"),
+                ),
+            )
+            .groupBy(dcol)
+            .agg(F.countDistinct("user_id").alias(alias))
+        )
+
+    ex7 = exact(7, "wau_exact", "_d7")
+    ex30 = exact(30, "mau_exact", "_d30")
+    return (
+        est.join(ex7, est.day == ex7._d7)
+        .join(ex30, est.day == ex30._d30)
+        .select(
+            "day",
+            "wau_exact",
+            "mau_exact",
+            (
+                F.col("wau_exact").cast("double")
+                / F.col("mau_exact").cast("double")
+            ).alias("stickiness"),
+            (
+                F.abs(F.col("_wau_est") - F.col("wau_exact"))
+                <= 0.10 * F.col("wau_exact")
+            ).alias("wau_ok"),
+            (
+                F.abs(F.col("_mau_est") - F.col("mau_exact"))
+                <= 0.10 * F.col("mau_exact")
+            ).alias("mau_ok"),
+        )
+    )

@@ -117,6 +117,7 @@ DEFAULT_QUERIES = {
         "events_stream_enriched", "events_stream_order_shipment",
         "events_stream_upsert", "snapshot_cdc_diff", "events_orc_readback",
         "events_stream_jdbc_hourly", "events_conversion_lag",
+        "events_stickiness_hll",
         "events_attribution_decayed",
     ],
     "orders": [

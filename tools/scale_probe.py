@@ -294,6 +294,7 @@ EVENTS_QUERIES = [
     "events_ohlc",
     "events_transition_matrix",
     "events_heavy_hitters",
+    "events_stickiness_hll",
     "events_asof_last_purchase",
     "events_conversion_lag",
     "events_stream_sessions",
