@@ -1733,11 +1733,18 @@ def scd2_daily_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     OUTPUT size — inherent to a snapshot table, bounded by the calendar
     span, and embarrassingly parallel.  States are never NULL: every
     user's first interval starts at their first event, which is on or
-    before their first snapshot day's end."""
+    before their first snapshot day's end.
+
+    NULL user_id gated out (mirroring ``events_conversion_lag``): the
+    window-based as-of groups NULL keys together and would emit
+    NULL-user snapshot rows, while the oracle's equi-join drops them —
+    a history keyed on an unknown entity is meaningless either way."""
     from logistream_data_pipeline_aws_spark.operators.asof import as_of_join
     from logistream_data_pipeline_aws_spark.operators.dimensions import scd2_history
 
-    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    events = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     hist = scd2_history(events, "user_id", "event_type", "ts", "event_id")
     max_day = events.agg(F.max(F.to_date("ts")).alias("_max_day"))
     spine = (

@@ -24,6 +24,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from collections.abc import Iterator
 from functools import reduce
 from typing import Any
@@ -383,33 +384,79 @@ def read_upsert_table(
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
+class CommitConflict(RuntimeError):
+    """Another writer claimed this manifest version first.  The caller
+    must drop its staged commit directory, re-read the manifest, re-plan
+    the merge against the fresh snapshot, and publish again."""
+
+
+def _new_commit_dir(version: int) -> str:
+    """Collision-free staging directory for one commit ATTEMPT.  Two
+    writers planning from the same manifest version previously both
+    staged into ``data/c<version+1>`` with mode('overwrite') — the
+    second stage clobbered the first writer's files BEFORE either
+    published, so the CAS race check could not catch it (the first
+    publisher's manifest then pointed at the second writer's data).
+    A per-attempt unique suffix makes staged directories private; only
+    the manifest decides which one becomes visible."""
+    return f"data/c{version}-{uuid.uuid4().hex[:8]}"
+
+
 def _publish_upsert_manifest(
     path: str, base_manifest: dict, new_buckets: dict[str, str]
 ) -> None:
     """Shared atomic publish for upsert-table commits (merge AND
-    compaction): write the new manifest to a temp name, re-check the
-    on-disk version against the one this commit was planned from
-    (best-effort lost-update detection), ``os.replace`` it live, then
-    GC data directories referenced by neither the new nor the
-    just-replaced manifest (the one-commit retention horizon)."""
+    compaction), serialized by a create-exclusive commit marker (a CAS,
+    not best-effort detection): exactly one writer can create
+    ``_commit.v<N>`` (O_CREAT|O_EXCL), so exactly one commit can ever
+    publish version N — the loser gets :class:`CommitConflict` and
+    retries from the fresh manifest.  The winner writes the new manifest
+    to a temp name and ``os.replace``-s it live (atomic on POSIX), then
+    GCs the data directories RETIRED BY THE PREVIOUS commit (recorded in
+    the base manifest's ``retired`` list — the one-commit retention
+    horizon).  GC never scans ``data/`` for unreferenced names: another
+    writer's in-flight private staging directory (``_new_commit_dir``)
+    is unreferenced by design, and deleting it would corrupt that
+    writer's commit.  A crashed writer's abandoned staging directory
+    therefore leaks until compaction-level vacuuming — disk, not
+    correctness."""
     version = base_manifest["version"] + 1
-    tmp = _upsert_manifest_path(path) + f".tmp.{version}"
-    with open(tmp, "w") as fh:
-        json.dump({"version": version, "buckets": new_buckets}, fh)
+    marker = os.path.join(path, f"_commit.v{version}")
+    try:
+        os.close(os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    except FileExistsError:
+        raise CommitConflict(
+            f"upsert table {path}: version {version} already claimed by a "
+            "concurrent writer — re-plan from the current manifest"
+        ) from None
     current = _read_upsert_manifest(path)
     if current is not None and current["version"] != base_manifest["version"]:
-        os.unlink(tmp)
+        # cannot happen while we hold the v<N> marker (publishing N+1
+        # requires planning from N, which does not exist yet) — kept as
+        # a cheap invariant check against external mutation of the dir
         raise RuntimeError(
-            f"concurrent writer detected on upsert table {path}: "
-            f"manifest moved from v{base_manifest['version']} to "
-            f"v{current['version']} during the commit — aborting"
+            f"upsert table {path}: manifest moved from "
+            f"v{base_manifest['version']} to v{current['version']} while "
+            f"holding the v{version} commit marker — table corrupted?"
+        )
+    retired = sorted(
+        set(base_manifest["buckets"].values()) - set(new_buckets.values())
+    )
+    tmp = _upsert_manifest_path(path) + f".tmp.{version}"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"version": version, "buckets": new_buckets, "retired": retired}, fh
         )
     os.replace(tmp, _upsert_manifest_path(path))
-    keep = set(new_buckets.values()) | set(base_manifest["buckets"].values())
-    data_root = os.path.join(path, "data")
-    for name in os.listdir(data_root):
-        if os.path.join("data", name) not in keep:
-            shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+    for d in base_manifest.get("retired", []):
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    for name in os.listdir(path):  # prune markers older than v-1
+        if name.startswith("_commit.v"):
+            try:
+                if int(name[len("_commit.v"):]) < version - 1:
+                    os.unlink(os.path.join(path, name))
+            except (ValueError, OSError):
+                pass
 
 
 def compact_upsert_table(spark: SparkSession, path: str) -> dict | None:
@@ -429,26 +476,98 @@ def compact_upsert_table(spark: SparkSession, path: str) -> dict | None:
 
     Returns {"version", "n_buckets", "dirs_before"} or None if the
     table has no commits yet."""
-    manifest = _read_upsert_manifest(path)
-    if manifest is None or not manifest["buckets"]:
-        return None
-    dirs_before = len(set(manifest["buckets"].values()))
-    version = manifest["version"] + 1
-    commit_dir = f"data/c{version}"
-    snapshot = read_upsert_table(spark, path)
-    (
-        snapshot.repartition(len(manifest["buckets"]), F.col("_ub"))
-        .write.mode("overwrite")
-        .partitionBy("_ub")
-        .parquet(os.path.join(path, commit_dir))
-    )
-    new_buckets = {k: commit_dir for k in manifest["buckets"]}
-    _publish_upsert_manifest(path, manifest, new_buckets)
-    return {
-        "version": version,
-        "n_buckets": len(new_buckets),
-        "dirs_before": dirs_before,
-    }
+    last_conflict: CommitConflict | None = None
+    for attempt in range(5):
+        manifest = _read_upsert_manifest(path)
+        if manifest is None or not manifest["buckets"]:
+            return None
+        dirs_before = len(set(manifest["buckets"].values()))
+        version = manifest["version"] + 1
+        commit_dir = _new_commit_dir(version)
+        snapshot = read_upsert_table(spark, path)
+        (
+            snapshot.repartition(len(manifest["buckets"]), F.col("_ub"))
+            .write.mode("overwrite")
+            .partitionBy("_ub")
+            .parquet(os.path.join(path, commit_dir))
+        )
+        new_buckets = {k: commit_dir for k in manifest["buckets"]}
+        try:
+            _publish_upsert_manifest(path, manifest, new_buckets)
+        except CommitConflict as exc:
+            # a live merge claimed this version first: drop our private
+            # staging dir and re-compact the (newer) snapshot
+            shutil.rmtree(os.path.join(path, commit_dir), ignore_errors=True)
+            last_conflict = exc
+            time.sleep(0.05 * (attempt + 1))
+            continue
+        return {
+            "version": version,
+            "n_buckets": len(new_buckets),
+            "dirs_before": dirs_before,
+        }
+    raise last_conflict
+
+
+def merge_upsert_batch(
+    batch_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    n_buckets: int = 32,
+    max_attempts: int = 5,
+) -> None:
+    """One MERGE-on-key commit against an upsert table (the body of
+    ``foreach_batch_upsert``'s foreachBatch, callable directly for batch
+    corrections and for the conflict tests): plan from the committed
+    manifest, merge the affected buckets with the incoming rows
+    (argmax per ``key_cols`` by ``order_cols``), stage the winners into
+    a private commit directory, publish via the CAS marker.  On
+    :class:`CommitConflict` (another writer claimed the version) the
+    staged directory is dropped and the WHOLE merge re-plans from the
+    fresh manifest — the retry merges against the other writer's
+    now-committed rows, so both writers' data survives regardless of
+    interleaving."""
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    bucket = F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+    incoming = batch_df.withColumn("_ub", bucket)
+    affected = {r["_ub"] for r in incoming.select("_ub").distinct().collect()}
+    if not affected:  # empty micro-batch: nothing to commit
+        return
+    last_conflict: CommitConflict | None = None
+    for attempt in range(max_attempts):
+        manifest = _read_upsert_manifest(path) or {"version": 0, "buckets": {}}
+        existing = (
+            read_upsert_table(spark, path, buckets=affected)
+            if manifest["buckets"]
+            else None
+        )
+        merged = incoming if existing is None else existing.unionByName(incoming)
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        winners = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        commit_dir = _new_commit_dir(manifest["version"] + 1)
+        winners.write.mode("overwrite").partitionBy("_ub").parquet(
+            os.path.join(path, commit_dir)
+        )
+        new_buckets = dict(manifest["buckets"])
+        for k in sorted(affected):
+            new_buckets[str(k)] = commit_dir
+        try:
+            _publish_upsert_manifest(path, manifest, new_buckets)
+            return
+        except CommitConflict as exc:
+            shutil.rmtree(os.path.join(path, commit_dir), ignore_errors=True)
+            last_conflict = exc
+            time.sleep(0.05 * (attempt + 1))
+    raise last_conflict
 
 
 def foreach_batch_upsert(
@@ -492,10 +611,14 @@ def foreach_batch_upsert(
     keep a time-based horizon, the Iceberg ``expire_snapshots`` knob).
 
     Writer concurrency: Structured Streaming's checkpoint guarantees one
-    live foreachBatch writer per query; against an accidental second
-    writer the commit re-reads the manifest version just before publish
-    and aborts on drift (best-effort lost-update detection, not a CAS —
-    a real multi-writer table needs a transactional catalog).
+    live foreachBatch writer per query; against a genuine second writer
+    (e.g. maintenance compaction racing the stream) each commit attempt
+    stages into a PRIVATE ``data/c<v>-<token>`` directory and publishes
+    through a create-exclusive ``_commit.v<N>`` marker — a real CAS:
+    exactly one writer wins each version, the loser drops its staging
+    dir and re-merges from the fresh manifest
+    (``merge_upsert_batch``'s retry loop), so no committed row is ever
+    lost and no manifest can point at another writer's staged files.
 
     Scale shape: per batch only the affected buckets are read (manifest
     pruning: the incoming bucket ids — at most ``n_buckets`` integers,
@@ -504,41 +627,8 @@ def foreach_batch_upsert(
     buckets + batch, and the publish is a metadata rename.  Nothing
     data-sized collects to the driver."""
 
-    from pyspark.sql import Window
-
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        bucket = F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
-        incoming = batch_df.withColumn("_ub", bucket)
-        manifest = _read_upsert_manifest(path) or {"version": 0, "buckets": {}}
-        affected = {
-            r["_ub"] for r in incoming.select("_ub").distinct().collect()
-        }
-        if not affected:  # empty micro-batch: nothing to commit
-            return
-        existing = (
-            read_upsert_table(spark, path, buckets=affected)
-            if manifest["buckets"]
-            else None
-        )
-        merged = incoming if existing is None else existing.unionByName(incoming)
-        w = Window.partitionBy(*key_cols).orderBy(
-            *[F.col(c).desc() for c in order_cols]
-        )
-        winners = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        version = manifest["version"] + 1
-        commit_dir = f"data/c{version}"
-        winners.write.mode("overwrite").partitionBy("_ub").parquet(
-            os.path.join(path, commit_dir)
-        )
-        new_buckets = dict(manifest["buckets"])
-        for k in sorted(affected):
-            new_buckets[str(k)] = commit_dir
-        _publish_upsert_manifest(path, manifest, new_buckets)
+        merge_upsert_batch(batch_df, path, key_cols, order_cols, n_buckets)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

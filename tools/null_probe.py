@@ -118,7 +118,7 @@ DEFAULT_QUERIES = {
         "events_stream_upsert", "snapshot_cdc_diff", "events_orc_readback",
         "events_stream_jdbc_hourly", "events_conversion_lag",
         "events_stickiness_hll",
-        "events_attribution_decayed",
+        "events_attribution_decayed", "scd2_daily_snapshot",
     ],
     "orders": [
         "a6_sales_trend", "a6_sales_trend_mom", "cumulative_monthly_sales",
