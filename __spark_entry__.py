@@ -1032,10 +1032,17 @@ def _ext_oracles() -> dict[str, str]:
         ),
         # winnowing (k=8, w=4): rolling gram hashes -> window minima ->
         # distinct fingerprints; mirrors functions.text.char_gram_hashes/
-        # winnow_minima exactly (28-bit md5-prefix hashes)
+        # winnow_minima exactly (28-bit md5-prefix hashes).  The capped
+        # CTE replays the registered form's deterministic md5-rank
+        # max_docs=20000 size guard (inactive at test SFs, binding at
+        # probe scale)
         "doc_winnowing": (
-            "WITH norm AS (SELECT doc_id, "
-            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents), "
+            "WITH capped AS (SELECT doc_id, text FROM ("
+            "SELECT doc_id, text, ROW_NUMBER() OVER ("
+            "ORDER BY md5('winnow#' || CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 20000), "
+            "norm AS (SELECT doc_id, "
+            "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM capped), "
             "g AS (SELECT doc_id, list_transform(range(1, len(s) - 6), "
             "i -> ('0x' || substr(md5(substr(s, i, 8)), 1, 7))::BIGINT) AS hs "
             "FROM norm WHERE len(s) >= 11), "

@@ -756,11 +756,15 @@ def customer_rfm_scores_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory) instead of the exact global-buffer ``percentile`` that the
     100x scale probe measured super-linear (VERDICT r4).  Unlike the
     Pareto twin the cutpoints here ARE the semantics, so scores near a
-    quintile boundary may differ from the exact form by at most 1 (the
-    sketch's 1e-4 rank error window around each cutpoint; windows of
-    adjacent cutpoints cannot overlap, so no score moves by 2).  The
-    driver-registered entry is ``customer_rfm_scores_approx_checked``,
-    which folds that +/-1 bound into the plan as boolean verdicts."""
+    quintile boundary may differ from the exact form — by at most 1 on
+    all-distinct measures (the 1e-4 rank-error windows of adjacent
+    cutpoints cannot overlap), at most 2 when adjacent exact cutpoints
+    tie on a heavily-duplicated value (r5 ADVICE).  The verdict entry is
+    ``customer_rfm_scores_approx_checked``, which folds that bound into
+    the plan as boolean verdicts; THIS sketch-only form is also
+    registered (rows+schema check) and benched — it is the one to copy
+    at warehouse scale, since it never aggregates the exact global
+    percentile buffer."""
     per_cust = _rfm_per_customer(spark, sf_dir)
     stats = per_cust.agg(*_rfm_cutpoints(exact=False))
     scored = per_cust.crossJoin(F.broadcast(stats)).select(
@@ -787,11 +791,17 @@ def customer_rfm_scores_approx_checked(spark: SparkSession, sf_dir: str) -> Data
     within +/-1 of its exact counterpart.  The DuckDB oracle computes
     the base columns exactly and literal TRUE for the verdicts, so a
     broken sketch (null cutpoint, wild estimate, misaligned alias)
-    flips a boolean and fails the value hash.  The +/-1 bound is
-    deterministic: the sketch's rank error (1e-4 at accuracy 10000) is
-    orders of magnitude narrower than the 0.2 rank gap between adjacent
-    quintile cutpoints, so at most one cutpoint per measure can flip
-    for any given customer.  The production projection is
+    flips a boolean and fails the value hash.  The bound is +/-2, not
+    +/-1: the sketch's rank error (1e-4 at accuracy 10000) is orders of
+    magnitude narrower than the 0.2 rank gap between adjacent quintile
+    cutpoints, so on an all-distinct measure at most one cutpoint per
+    measure can flip — but on heavily TIED distributions (frequency and
+    monetary here are small discrete counts / repeated totals) two
+    adjacent exact cutpoints can land on the same value, and a sketch
+    estimate straddling that tie run's boundary can then move a score by
+    2 (r5 ADVICE).  +/-2 stays deterministic under ties while still
+    catching every real sketch failure mode (NULL cutpoints and wild
+    estimates shift scores by far more).  The production projection is
     ``customer_rfm_scores_approx`` above."""
     per_cust = _rfm_per_customer(spark, sf_dir)
     stats = per_cust.agg(
@@ -802,7 +812,7 @@ def customer_rfm_scores_approx_checked(spark: SparkSession, sf_dir: str) -> Data
     def ok(value: str, prefix: str, above: bool) -> Column:
         exact = _rfm_score(value, prefix, above)
         approx = _rfm_score(value, prefix, above, cp="a")
-        return (F.abs(exact - approx) <= F.lit(1)).alias(f"{prefix}_score_ok")
+        return (F.abs(exact - approx) <= F.lit(2)).alias(f"{prefix}_score_ok")
 
     return both.select(
         "o_custkey",

