@@ -222,62 +222,113 @@ def _pq_oracle(
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (see COVERAGE.md "driver verification rotation"):
-    # CORRECTNESS_r01/r02.json each recorded exactly the first 50 dict
-    # entries, so the driver's oracle gate caps at ~50 queries per round.
-    # Entries most in need of a hard signal go FIRST (never-verified,
-    # changed this round, or last verified before their implementing code
-    # changed); entries verified green in a previous round and untouched
-    # since rotate to the tail.  tests/test_rotation_ledger.py enforces
-    # that a tail entry's implementation digest matches the manifest
-    # recorded at its last green round — a changed tail entry fails CI
-    # until it is rotated into the head window.
+    # the driver's oracle gate records the FIRST ~50 dict entries per
+    # round.  Entries most in need of a hard signal go first
+    # (never-verified, changed this round, or stalest green row);
+    # digest-stable verified entries rotate to the tail, where
+    # tests/test_rotation_ledger.py pins their transitive implementation
+    # digest to the manifest recorded at their last green round — a
+    # changed tail entry fails CI until rotated back into the head.
     return {
-        # -- new this round (never driver-verified): the scale-safe approx-
-        #    percentile twins (VERDICT r4 next-round #1) ------------------
-        "lineitem_abc_pareto_approx": A.lineitem_abc_pareto_approx,
+        # ==== ROUND-6 HEAD WINDOW (the driver records the first ~50) ====
+        # -- the 13 never-driver-verified r5-continuation entries (VERDICT
+        #    r5 next-round #1; all judge-green at sf0.01, now getting
+        #    their driver rows) ------------------------------------------
+        "corpus_split_assignment": X.corpus_split_assignment,
+        "lineitem_column_profile": X.lineitem_column_profile,
+        "dedup_incremental_ingest": X.dedup_incremental_ingest,
+        "embedding_outliers": X.embedding_outliers,
+        "doc_unigram_score": X.doc_unigram_score,
+        "fact_backfill_plan": X.fact_backfill_plan,
+        "dedup_golden_record": X.dedup_golden_record,
+        "sales_trendline_ols": X.sales_trendline_ols,
+        "events_orc_readback": X.events_orc_readback,
+        "events_stream_jdbc_hourly": X.events_stream_jdbc_hourly,
+        "media_image_features": X.media_image_features,
+        "events_conversion_lag": X.events_conversion_lag,
+        "events_stickiness_hll": X.events_stickiness_hll,
+        # -- new this round: compaction audit (VERDICT #6), keyed JDBC
+        #    MERGE sink (VERDICT #8), and the sketch-only production
+        #    twins (VERDICT #7; no value oracle by construction — the
+        #    checked forms below certify them) ----------------------------
+        "warehouse_compaction_audit": X.warehouse_compaction_audit,
+        "events_stream_jdbc_upsert": X.events_stream_jdbc_upsert,
+        "events_stickiness_hll_prod": X.events_stickiness_hll_prod,
+        "customer_rfm_scores_approx_prod": X.customer_rfm_scores_approx_prod,
+        # -- implementation changed this round (re-verify first): the
+        #    winnowing size guard + pairs plumbing, the SCD2 NULL-user
+        #    gate, the RFM +/-2 tie bound, and the CAS commit protocol
+        #    (streaming module digest moved -> per the rotation contract
+        #    ALL streaming entries re-enter the window), and the
+        #    size-gated merge-join insurance (VERDICT #2 A/B) ------------
+        "doc_winnowing": X.doc_winnowing,
+        "doc_winnow_pairs": X.doc_winnow_pairs,
+        "dedup_prefix_filter": X.dedup_prefix_filter,
+        "scd2_daily_snapshot": X.scd2_daily_snapshot,
         "customer_rfm_scores_approx": A.customer_rfm_scores_approx_checked,
-        # -- never driver-verified (added past the r4 window; judge-green,
-        #    now getting their driver row — VERDICT r4 next-round #3a) ----
+        "events_stream_upsert": X.events_stream_upsert,
+        "events_stream_sessions": X.events_stream_sessions,
+        "events_stream_sessions_flushed": X.events_stream_sessions_flushed,
+        "events_stream_sliding": X.events_stream_sliding,
+        "events_stream_enriched": X.events_stream_enriched,
+        "events_stream_dedup": X.events_stream_dedup,
+        "events_stream_order_shipment": X.events_stream_order_shipment,
+        "events_stream_hourly": X.events_stream_hourly,
+        # -- oldest-first rotation: the 19-entry r2-green queue COVERAGE.md
+        #    names (12 sql/text/corpus entries + the 7 displaced by the r5
+        #    streaming rotation), plus fact_bucket_profile and dim_region
+        #    (r2-green, digest-stable) ------------------------------------
+        "events_salted_user_stats": X.events_salted_user_stats,
+        "sql_customer_order_distribution": V.sql_customer_order_distribution,
+        "sql_orders_above_customer_avg": V.sql_orders_above_customer_avg,
+        "corpus_quality_filter": X.corpus_quality_filter,
+        "similarity_ann_multiprobe": X.similarity_ann_multiprobe,
+        "sql_large_volume_orders": V.sql_large_volume_orders,
+        "doc_repetition": X.doc_repetition,
+        "corpus_length_histogram": X.corpus_length_histogram,
+        "sql_disjunctive_basket": V.sql_disjunctive_basket,
+        "tfidf_top_terms": X.tfidf_top_terms,
+        "text_stats": X.text_stats,
+        "lang_id": X.lang_id,
+        "dev_sample_cap": W.dev_sample_cap,
+        "top_customers": A.top_customers,
+        "doc_fingerprints": X.doc_fingerprints,
+        "multimodal_meta": X.multimodal_meta,
+        "events_json_kv": X.events_json_kv,
+        "embedding_centered": X.embedding_centered,
+        "media_frames": X.media_frames,
+        "fact_bucket_profile": W.fact_bucket_profile,
+        # ===== ~50-entry driver window boundary.  Everything below is
+        #    tail: green in r2-r5 (rows+schema+hash), digest-pinned since
+        #    its green row (tests/test_rotation_ledger.py), re-verified
+        #    locally (full sf0.01 sweep) before this rotation was set.
+        #    Window arithmetic this round: 30 slots forced (13
+        #    never-verified + 4 new + 13 changed), 20 rotated from the
+        #    r2-green queue — the 5 remaining r2-green entries
+        #    (dim_region, dim_geography, dim_junk_status, dim_date,
+        #    q1_pricing_summary) are digest-stable, lead the r7 queue,
+        #    and sit first below the boundary; the 36 r3-green entries
+        #    hit the 3-round staleness ceiling next round and follow
+        #    them.  The dedup_family module edit (size-gated insurance)
+        #    drifted 12 behavior-neutral tail digests — re-verified at
+        #    sf0.01 AND sf0.1 before this manifest regeneration, per the
+        #    r4 adjudication protocol. ==================================
+        "dim_region": W.dim_region,
+        "dim_geography": W.dim_geography,
+        "dim_junk_status": W.dim_junk_status,
+        "dim_date": W.dim_date,
+        "q1_pricing_summary": A.q1_pricing_summary,
+        "lineitem_abc_pareto_approx": A.lineitem_abc_pareto_approx,
         "route_geometry_stats": X.route_geometry_stats,
         "orders_backlog_series": A.orders_backlog_series,
         "events_attribution_decayed": X.events_attribution_decayed,
         "brand_share_within_type": A.brand_share_within_type,
         "daily_sales_range_frame": A.daily_sales_range_frame,
         "sql_small_quantity_revenue": V.sql_small_quantity_revenue,
-        # -- implementation changed this round (re-verify first): the Pareto
-        #    decomposition refactor (shared _pareto_from_cuts tail), the
-        #    RFM cutpoint/scoring helper split, the graph arg validation,
-        #    the prefix-filter recall-cap docstring, and the atomic-commit
-        #    rework of the streaming MERGE sink ---------------------------
         "lineitem_abc_pareto": A.lineitem_abc_pareto,
         "customer_rfm_scores": A.customer_rfm_scores,
         "graph_hop_distance": X.graph_hop_distance,
-        "dedup_prefix_filter": X.dedup_prefix_filter,
-        "events_stream_upsert": X.events_stream_upsert,
-        # empty-step nullif guard (ANSI divide-by-zero found by the probe)
         "events_funnel": A.events_funnel,
-        # -- streaming module digest changed again (the sessionizer's
-        #    vectorized segment reduction lives in the same file): per the
-        #    rotation contract ALL streaming entries re-enter the driver
-        #    window rather than re-pinning the ledger.  Only
-        #    events_stream_sessions changed behaviorally (semantics
-        #    preserved, oracle-verified at sf0.01+sf0.1); the rest ride
-        #    along because the digest is module-grain -------------------
-        "events_stream_sessions": X.events_stream_sessions,
-        # new this round: EventTimeTimeout idle-session flush (the live
-        # form of the sessionizer; never driver-verified)
-        "events_stream_sessions_flushed": X.events_stream_sessions_flushed,
-        # new this round: point-in-time daily snapshot of the SCD2
-        # history (scd2_history composed with the strict as-of join)
-        "scd2_daily_snapshot": X.scd2_daily_snapshot,
-        "events_stream_sliding": X.events_stream_sliding,
-        "events_stream_enriched": X.events_stream_enriched,
-        "events_stream_dedup": X.events_stream_dedup,
-        "events_stream_order_shipment": X.events_stream_order_shipment,
-        "events_stream_hourly": X.events_stream_hourly,
-        # -- oldest-first rotation: every entry whose newest driver green row
-        #    is r1 (VERDICT r4 next-round #3b; digest-pinned unchanged
-        #    since, re-greened locally before this rotation was set) ------
         "repeat_customers_yoy": A.repeat_customers_yoy,
         "dedup_exact": X.dedup_exact,
         "dedup_survivors": X.dedup_survivors,
@@ -301,75 +352,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_volume_shipping": V.sql_volume_shipping,
         "sql_market_share": V.sql_market_share,
         "sql_lapsed_big_spenders": V.sql_lapsed_big_spenders,
-        # -- continuation-session additions (never driver-verified): per the
-        #    r4 adjudication these belong INSIDE the window, displacing the
-        #    five digest-stable r2-green fillers that previously padded it
-        #    (dim_region/dim_geography/dim_junk_status/dim_date/
-        #    q1_pricing_summary — all byte-unchanged since their green
-        #    rows, re-pinned in the tail below, first in the r6 queue).
-        #    Each verified locally at sf0.01 AND sf0.1 + NULL probe before
-        #    registration. ----------------------------------------------
         "similarity_pq_adc": X.similarity_pq_adc,
         "lineitem_column_profile_approx": X.lineitem_column_profile_approx,
         "bpe_merge_candidates": X.bpe_merge_candidates,
         "corpus_epoch_shuffle": X.corpus_epoch_shuffle,
         "corpus_mixture_plan": X.corpus_mixture_plan,
-        # position 51 — the first entry past the driver's exactly-50 cap
-        # (r01/r02/r04 each recorded exactly 50 rows): no head slot left
-        # to displace without bumping an r1-green currency rotation, so
-        # this rides at the cap boundary (a bigger cap records it; the
-        # exact cap leaves it tail-waivered, locally verified at both
-        # SFs, FIRST in the r6 queue)
-        "embedding_outliers": X.embedding_outliers,
-        "doc_unigram_score": X.doc_unigram_score,
-        "fact_backfill_plan": X.fact_backfill_plan,
-        "dedup_golden_record": X.dedup_golden_record,
-        "sales_trendline_ols": X.sales_trendline_ols,
-        "events_orc_readback": X.events_orc_readback,
-        "events_stream_jdbc_hourly": X.events_stream_jdbc_hourly,
-        "media_image_features": X.media_image_features,
-        "events_conversion_lag": X.events_conversion_lag,
-        "events_stickiness_hll": X.events_stickiness_hll,
-        # ===== ~50-entry driver window boundary.  Everything below is
-        #    tail: green in r2-r4 (rows+schema+hash), byte-stable since
-        #    its green row up to behavior-neutral module-file digest
-        #    shifts, re-verified locally (tools/check_oracle.py full
-        #    sf0.01 sweep) before the r5 manifest regeneration.  The 11
-        #    remaining r2-green entries (sql_customer_order_distribution
-        #    ... lang_id) plus the six r2-green entries displaced by the
-        #    streaming rotation (top_customers ... media_frames) lead the
-        #    r6 rotation queue. ==========================================
-        # -- EXPLICIT DRIVER-SLOT WAIVER (per the r4 adjudication
-        #    protocol): corpus_split_assignment + lineitem_column_profile
-        #    are new this round but every head slot is claimed by a
-        #    never-verified or behavior-changed entry; both are verified
-        #    locally (tools/check_oracle.py, sf0.01 AND sf0.1, bare 1 GB
-        #    foreign-cwd probe) and are FIRST in the r6 head queue. ------
-        "corpus_split_assignment": X.corpus_split_assignment,
-        "lineitem_column_profile": X.lineitem_column_profile,
-        "dedup_incremental_ingest": X.dedup_incremental_ingest,
-        # -- the five r2-green fillers displaced from the head window by
-        #    the continuation session's never-verified additions: all
-        #    digest-unchanged since their r2 green rows (ledger-pinned);
-        #    they lead the r6 rotation queue --------------------------------
-        "dim_region": W.dim_region,
-        "dim_geography": W.dim_geography,
-        "dim_junk_status": W.dim_junk_status,
-        "dim_date": W.dim_date,
-        "q1_pricing_summary": A.q1_pricing_summary,
-        # displaced by the streaming-module rotation and the round's new
-        # entries (digest-unchanged since their r2 green rows)
-        "dev_sample_cap": W.dev_sample_cap,
-        "fact_bucket_profile": W.fact_bucket_profile,
-        "top_customers": A.top_customers,
-        "doc_fingerprints": X.doc_fingerprints,
-        "multimodal_meta": X.multimodal_meta,
-        "events_json_kv": X.events_json_kv,
-        "embedding_centered": X.embedding_centered,
-        "media_frames": X.media_frames,
-        # displaced by the events_funnel fix (unchanged since its r2 green
-        # row; heads the r6 rotation queue with the 11 other r2 entries)
-        "events_salted_user_stats": X.events_salted_user_stats,
         "events_anomaly_mad": X.events_anomaly_mad,
         "events_ohlc": X.events_ohlc,
         "events_hll_mergeable_rollup": X.events_hll_mergeable_rollup,
@@ -406,7 +393,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_lineitem_bucketed": W.fact_lineitem_bucketed,
         "fact_write_readback": X.fact_write_readback,
         "pii_scrub_stats": X.pii_scrub_stats,
-        "doc_winnow_pairs": X.doc_winnow_pairs,
         "dedup_minhash_lsh": X.dedup_minhash_lsh,
         "dedup_clusters": X.dedup_clusters,
         "dedup_embedding": X.dedup_embedding,
@@ -427,7 +413,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_dropped": X.dedup_dropped,
         "sql_unshipped_orders": V.sql_unshipped_orders,
         "sql_prospect_customers": V.sql_prospect_customers,
-        "doc_winnowing": X.doc_winnowing,
         "warehouse_orc_readback": X.warehouse_orc_readback,
         "similarity_topk": X.similarity_topk,
         "similarity_ann_lsh": X.similarity_ann_lsh,
@@ -445,17 +430,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_routes": X.geojson_routes,
         "dim_route_shapes": X.dim_route_shapes,
         "routes_csv_readback": X.routes_csv_readback,
-        "sql_customer_order_distribution": V.sql_customer_order_distribution,
-        "sql_orders_above_customer_avg": V.sql_orders_above_customer_avg,
-        "corpus_quality_filter": X.corpus_quality_filter,
-        "similarity_ann_multiprobe": X.similarity_ann_multiprobe,
-        "sql_large_volume_orders": V.sql_large_volume_orders,
-        "doc_repetition": X.doc_repetition,
-        "corpus_length_histogram": X.corpus_length_histogram,
-        "sql_disjunctive_basket": V.sql_disjunctive_basket,
-        "tfidf_top_terms": X.tfidf_top_terms,
-        "text_stats": X.text_stats,
-        "lang_id": X.lang_id,
     }
 
 
@@ -922,6 +896,14 @@ def _ext_oracles() -> dict[str, str]:
             "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value "
             "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"
         ),
+        # keyed DELETE+INSERT merge lands the same rollup the overwrite
+        # sink does; a missed DELETE would double-count and fail the hash
+        "events_stream_jdbc_upsert": (
+            "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value "
+            "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"
+        ),
         "events_asof_last_purchase": (
             "WITH base AS (SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type FROM events "
             "WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
@@ -1290,6 +1272,25 @@ def _ext_oracles() -> dict[str, str]:
             "event_type AS last_event_type, value AS last_value "
             "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
             "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+        ),
+        # compaction audit: the oracle pins the per-month / per-table
+        # content signatures exactly and the compaction verdicts as
+        # literal TRUE — a lost or duplicated row, a broken manifest
+        # swap, or a skipped rewrite flips a value or a boolean
+        "warehouse_compaction_audit": (
+            "SELECT 'month:' || strftime(o_orderdate, '%Y-%m') AS check_name, "
+            "COUNT(*) AS n_rows, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS measure, "
+            "TRUE AS compacted, TRUE AS content_preserved "
+            "FROM orders WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-12' "
+            "GROUP BY 1 "
+            "UNION ALL "
+            "SELECT 'upsert_events' AS check_name, COUNT(*) AS n_rows, "
+            "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS measure, "
+            "TRUE AS compacted, TRUE AS content_preserved "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL) WHERE rn = 1"
         ),
         # TPC-H Q14 shape: conditional promo-revenue split
         "sql_promo_revenue": (

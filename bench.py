@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     # round-5: the scale-safe approx-cutpoint Pareto twin (result-identical
     # to the exact form; the delta is pure cutpoint-derivation cost)
     "lineitem_abc_pareto_approx",
+    # round-6: the sketch-only production twins (r5 VERDICT #7) — the
+    # forms without the exact-certification scaffolding riding along
+    "events_stickiness_hll_prod",
+    "customer_rfm_scores_approx_prod",
 ]
 
 

@@ -503,6 +503,7 @@ def prefix_filter_pairs(
     k_shingle: int | None = 5,
     max_token_bucket: int | None = DEFAULT_MAX_BUCKET_SIZE,
     base: DataFrame | None = None,
+    prefer_merge: bool = True,
 ) -> DataFrame:
     """Set-similarity join by PREFIX FILTERING (the PPJoin family): two
     token sets with Jaccard >= t MUST share a token among each side's
@@ -539,11 +540,25 @@ def prefix_filter_pairs(
     callers should persist it once (``build_item_sets`` + the staging
     cache in plans.extensions) instead of re-running the CPU-heavy
     shingle build per reference.
+
+    ``prefer_merge`` is the big-big MERGE-JOIN INSURANCE (r5 VERDICT
+    #2 clean-box A/B): at corpus scale the shingle vocabulary and the
+    candidate frame both grow with the data, static size estimates for
+    aggregates are unreliable, and an auto-chosen broadcast of either
+    side OOMs (the 100x probe watched a multi-GB dfreq broadcast kill
+    the driver) — so the default forces sort-merge on all four
+    corpus-sized joins.  On a SMALL corpus those broadcasts are
+    definitionally safe and the forced merges pay ~1.7 s of needless
+    sort at sf0.1, so size-aware callers (the registered entry) pass
+    ``prefer_merge=False`` below a row-count threshold and keep the
+    insurance above it.
     """
     from pyspark.sql import Window
 
     if base is None:
         base = build_item_sets(df, id_col, text_col, k_shingle)
+
+    h = (lambda d: d.hint("merge")) if prefer_merge else (lambda d: d)
     td = base.select("doc_id", F.explode("tk").alias("token"))
     dfreq = td.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
@@ -554,7 +569,7 @@ def prefix_filter_pairs(
     # driver).  Shuffle-hash on token co-partitions the (doc, token)
     # pairs with their frequencies.
     ranked = (
-        td.join(dfreq.hint("merge"), "token")
+        td.join(h(dfreq), "token")
         .select(
             "doc_id",
             "token",
@@ -570,8 +585,7 @@ def prefix_filter_pairs(
     # never broadcast (bucket caps bound the per-key expansion, not the
     # frame size)
     cand = (
-        prefix.select("block", F.col("doc_id").alias("id_a"))
-        .hint("merge")
+        h(prefix.select("block", F.col("doc_id").alias("id_a")))
         .join(prefix.select("block", F.col("doc_id").alias("id_b")), "block")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
@@ -585,9 +599,9 @@ def prefix_filter_pairs(
     # scales with the corpus — hint the (smaller) candidate-pair side of
     # EACH join so the planner never broadcasts the arrays (the hint does
     # not survive the first join, so the intermediate is re-hinted)
-    with_a = cand.hint("merge").join(a, "id_a")
+    with_a = h(cand).join(a, "id_a")
     return (
-        with_a.hint("merge")
+        h(with_a)
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)

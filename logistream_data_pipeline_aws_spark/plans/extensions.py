@@ -1677,7 +1677,11 @@ def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     fps = _WINNOW_FPS_CACHE.get(cache_key)
     if fps is None:
-        fps = doc_winnowing(spark, sf_dir).persist()
+        # full=True: the pairs form CONSUMES the fingerprint stream in a
+        # map-side-combinable aggregation — nothing output-sized is ever
+        # materialized, so the exact form's max_docs guard does not
+        # apply (mining must see the whole corpus)
+        fps = doc_winnowing(spark, sf_dir, full=True).persist()
         _WINNOW_FPS_CACHE[cache_key] = fps
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
@@ -1925,6 +1929,168 @@ def warehouse_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         report = report.unionByName(c)
     return report
+
+
+def warehouse_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered maintenance entry for the two compaction passes
+    (VERDICT r5 next-round #6): prove, under the driver's oracle, that
+    small-file compaction is SNAPSHOT-PRESERVING on both warehouse
+    layouts — the hive-partitioned parquet fact
+    (``sources.io.compact_partitions``) and the manifest-committed
+    streaming upsert table (``streaming.pipeline.compact_upsert_table``).
+
+    Part A writes a 1995 orders slice hive-partitioned by month,
+    deliberately fragmented (``repartition(4)`` -> 4 files per month
+    dir), compacts every leaf to one file, and emits one row per month:
+    exact row count + decimal-exact revenue from the POST-compaction
+    readback, plus two folded verdicts — ``compacted`` (file count
+    strictly dropped to the single-file target; counted from the
+    directory listing, metadata not data) and ``content_preserved``
+    (post-compaction per-month aggregates equal the lazily re-derived
+    expectation from the ORIGINAL source table, which compaction never
+    touches — an engine-side equality the oracle pins as literal TRUE).
+
+    Part B lands the events feed as three sequential keyed merges
+    (``merge_upsert_batch``), fragmenting the bucket->commit manifest,
+    then compacts it through the same CAS publish the stream uses and
+    emits one row comparing the post-compaction snapshot against the
+    batch argmax over the raw feed (count + decimal value sum + id sum —
+    a full-column signature, not a sample).  NULL user_id / ts gated on
+    both sides (the time-ordered-operator NULL discipline).
+
+    The only driver-side values are directory listings and the manifest
+    dict — metadata-sized, the same class as the merge path's bucket
+    ids.  Scale shape: each month/bucket compacts as an independent
+    coalesce job; the verification aggregates are one pass over each
+    table."""
+    from logistream_data_pipeline_aws_spark.sources.io import compact_partitions
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        compact_upsert_table,
+        merge_upsert_batch,
+        read_upsert_table,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+
+    # -- part A: hive-partitioned parquet fact slice -------------------------
+    orders = load_table(spark, "orders", sf_dir)
+    staged = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    ).where(F.col("order_month").between("1995-01", "1995-12"))
+    path = _scratch(f"compaction_audit_fact_{tag}")
+    staged.repartition(4).write.mode("overwrite").partitionBy(
+        "order_month"
+    ).parquet(path)
+
+    def month_files() -> dict[str, int]:
+        out: dict[str, int] = {}
+        for d in os.listdir(path):
+            if d.startswith("order_month="):
+                out[d.split("=", 1)[1]] = sum(
+                    1
+                    for f in os.listdir(os.path.join(path, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    files_before = month_files()
+    compact_partitions(spark, path, target_file_bytes=512 * 1024 * 1024)
+    files_after = month_files()
+    file_counts = spark.createDataFrame(
+        [
+            (m, files_before[m], files_after.get(m, 0))
+            for m in sorted(files_before)
+        ],
+        "order_month string, _n_before int, _n_after int",
+    )
+    agg = lambda df: df.groupBy("order_month").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("_rev"),
+    )
+    actual = agg(spark.read.parquet(path))
+    expected = agg(staged).select(
+        F.col("order_month").alias("_m"),
+        F.col("n_rows").alias("_n_exp"),
+        F.col("_rev").alias("_rev_exp"),
+    )
+    part_a = (
+        actual.join(F.broadcast(file_counts), "order_month")
+        .join(F.broadcast(expected), F.col("order_month") == F.col("_m"))
+        .select(
+            F.concat(F.lit("month:"), F.col("order_month")).alias("check_name"),
+            "n_rows",
+            F.col("_rev").cast("double").alias("measure"),
+            ((F.col("_n_before") > 1) & (F.col("_n_after") == 1)).alias(
+                "compacted"
+            ),
+            (
+                (F.col("n_rows") == F.col("_n_exp"))
+                & (F.col("_rev") == F.col("_rev_exp"))
+            ).alias("content_preserved"),
+        )
+    )
+
+    # -- part B: streaming upsert table ---------------------------------------
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
+    upath = _scratch(f"compaction_audit_upsert_{tag}")
+    # slice the feed by the SAME bucket hash the merge derives, so each
+    # merge owns a disjoint bucket set and the manifest genuinely
+    # fragments across three commit dirs (slicing by anything else makes
+    # every merge rewrite all buckets and the last commit own the table)
+    ub = F.pmod(F.hash(F.col("user_id")), F.lit(32))
+    for lo, hi in ((0, 11), (11, 22), (22, 32)):
+        merge_upsert_batch(
+            ev.where((ub >= lo) & (ub < hi)),
+            upath,
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+        )
+    stats = compact_upsert_table(spark, upath)
+    landed = read_upsert_table(spark, upath)
+    sig = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("_val"),
+        F.sum(F.col("event_id").cast("decimal(30,0)")).alias("_ids"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    exp_rows = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    exp_sig = sig(exp_rows).select(
+        F.col("n_rows").alias("_n_exp"),
+        F.col("_val").alias("_val_exp"),
+        F.col("_ids").alias("_ids_exp"),
+    )
+    part_b = (
+        sig(landed)
+        .crossJoin(F.broadcast(exp_sig))
+        .select(
+            F.lit("upsert_events").alias("check_name"),
+            "n_rows",
+            F.col("_val").cast("double").alias("measure"),
+            F.lit(stats is not None and stats["dirs_before"] > 1).alias(
+                "compacted"
+            ),
+            (
+                (F.col("n_rows") == F.col("_n_exp"))
+                & (F.col("_val") == F.col("_val_exp"))
+                & (F.col("_ids") == F.col("_ids_exp"))
+            ).alias("content_preserved"),
+        )
+    )
+    return part_a.unionByName(part_b)
 
 
 def corpus_shard_manifest(spark: SparkSession, sf_dir: str, n_shards: int = 16) -> DataFrame:
@@ -2699,7 +2865,16 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair count at sf0.1.  The 5-shingle item-set frame is staged per
     session (the minhash-signature discipline): the operator references
     it three times — rarity explode plus both exact-verify sides — and
-    the shingle build is the CPU-heavy interpreted stage."""
+    the shingle build is the CPU-heavy interpreted stage.
+
+    The big-big merge-join insurance is SIZE-GATED (r5 VERDICT #2): the
+    forced sort-merge joins exist because corpus-sized broadcast
+    misestimates OOM at probe scale, but below ~100k documents every
+    build side is definitionally broadcast-safe and the forced sorts
+    were the entire r4->r5 bench regression (+1.7 s at sf0.1).  The
+    gate reads the parquet-metadata row count (a footer statistic, not
+    a scan) and keeps the insurance above the threshold — the 100x
+    probe path (500k docs) still runs fully merge-joined."""
     docs = load_table(spark, "documents", sf_dir)
     cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     base = _ITEMSET_CACHE.get(cache_key)
@@ -2707,7 +2882,13 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = D.build_item_sets(docs, "doc_id", "text", k_shingle=5).persist()
         _ITEMSET_CACHE[cache_key] = base
     return D.prefix_filter_pairs(
-        docs, "doc_id", "text", threshold=0.5, k_shingle=5, base=base
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        k_shingle=5,
+        base=base,
+        prefer_merge=docs.count() > 100_000,
     )
 
 
@@ -3722,6 +3903,58 @@ def events_stream_jdbc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed incremental RDBMS maintenance (VERDICT r5 next-round #8):
+    the hourly rollup streamed into embedded Derby through
+    ``foreach_batch_jdbc_upsert`` — update output mode, so each
+    micro-batch carries only the (window, event_type) aggregates that
+    changed, and the sink applies DELETE+INSERT per affected key instead
+    of rewriting the table (the complete-mode
+    ``events_stream_jdbc_hourly`` is the overwrite counterpart; this is
+    the template for unbounded key domains).  The registered result is
+    the JDBC READBACK, so the oracle covers stream -> update-mode
+    foreachBatch -> keyed MERGE -> RDBMS -> subquery read, and any
+    duplicate key the DELETE missed doubles a count and fails the hash.
+    The late-correction replay (a second drain updating already-landed
+    windows in place) is pinned in ``test_streaming.py``."""
+    from logistream_data_pipeline_aws_spark.catalog import events_stream
+    from logistream_data_pipeline_aws_spark.sources.jdbc import read_subquery
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        foreach_batch_jdbc_upsert,
+        windowed_aggregate,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    url = f"jdbc:derby:memory:lsdp_upsert_sink_{tag};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    ckpt = _scratch(f"events_stream_jdbc_upsert_ckpt_{tag}")
+    with events_stream(spark, sf_dir) as stream:
+        agg = windowed_aggregate(stream, "1 hour", "2 hours").withColumn(
+            "upsert_key",
+            F.concat_ws(
+                "|", F.col("window_start").cast("string"), F.col("event_type")
+            ),
+        )
+        foreach_batch_jdbc_upsert(
+            agg,
+            url,
+            "stream_hourly_upsert",
+            "upsert_key",
+            props,
+            checkpoint=ckpt,
+            create_table_column_types=(
+                "upsert_key VARCHAR(160), event_type VARCHAR(128)"
+            ),
+        )
+    return read_subquery(
+        spark,
+        url,
+        'SELECT "window_start", "event_type", "n_events", "total_value" '
+        "FROM stream_hourly_upsert",
+        props,
+    )
+
+
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-batched multimodal CODEC path under the driver gate:
     binary payloads (document text bytes — the container's stand-in for
@@ -3814,7 +4047,9 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def events_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stickiness_hll(
+    spark: SparkSession, sf_dir: str, _sketch_only: bool = False
+) -> DataFrame:
     """Sliding-window distinct counts — DAU/WAU/MAU stickiness — via
     MERGEABLE sketches: one HLL sketch per day, then WAU/MAU per day as
     a SKETCH UNION over a trailing RANGE frame (7/30 days).  This is
@@ -3832,7 +4067,13 @@ def events_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division (deterministic, UNROUNDED), and the HLL estimates
     exit only as 10%-tolerance booleans the oracle pins TRUE.  The
     day-grain windows order a ~days-sized frame — bounded by the
-    calendar, not the corpus."""
+    calendar, not the corpus.
+
+    The PRODUCTION projection is ``events_stickiness_hll_prod``
+    (``_sketch_only=True``): sketch estimates only, no exact twin riding
+    along — registered rows+schema-checked and benched, since computing
+    the exact trailing distinct solely to re-certify the sketch doubles
+    the cost of every run (VERDICT r5 next-round #7)."""
     from pyspark.sql import Window
 
     events = load_table(spark, "events", sf_dir).where(
@@ -3854,6 +4095,15 @@ def events_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w7)).alias("_wau_est"),
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w30)).alias("_mau_est"),
     )
+    if _sketch_only:
+        return est.select(
+            "day",
+            F.col("_wau_est").alias("wau_est"),
+            F.col("_mau_est").alias("mau_est"),
+            (F.col("_wau_est").cast("double") / F.col("_mau_est").cast("double")).alias(
+                "stickiness_est"
+            ),
+        )
     pairs = keyed.select("dayn", "user_id").distinct()
 
     def exact(window_days: int, alias: str, dcol: str) -> DataFrame:
@@ -3896,3 +4146,29 @@ def events_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mau_ok"),
         )
     )
+
+
+def events_stickiness_hll_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only DAU/WAU/MAU stickiness — the 100 TB production form of
+    ``events_stickiness_hll`` (VERDICT r5 next-round #7): daily HLL
+    sketches unioned over trailing calendar RANGE frames, estimates and
+    the WAU/MAU ratio out, NO exact trailing-distinct twin (the verdict
+    entry computes one per run solely to certify the sketch, doubling
+    its cost; certification lives there, production runs here).
+    Rows+schema-checked by the driver (estimates are engine-specific,
+    so no cross-engine value oracle by construction)."""
+    return events_stickiness_hll(spark, sf_dir, _sketch_only=True)
+
+
+def customer_rfm_scores_approx_prod(spark: SparkSession, sf_dir: str):
+    """Sketch-cutpoint RFM scoring, production projection (VERDICT r5
+    next-round #7): re-export of ``analytics.customer_rfm_scores_approx``
+    registered rows+schema-checked — its scores can sit within the
+    documented +/-2 tie-window of the exact form, so it carries no
+    value oracle; the verdict entry ``customer_rfm_scores_approx``
+    (checked form) provides the certification."""
+    from logistream_data_pipeline_aws_spark.plans.analytics import (
+        customer_rfm_scores_approx,
+    )
+
+    return customer_rfm_scores_approx(spark, sf_dir)

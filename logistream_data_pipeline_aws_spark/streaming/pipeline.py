@@ -638,6 +638,96 @@ def foreach_batch_upsert(
     )
 
 
+def foreach_batch_jdbc_upsert(
+    stream: DataFrame,
+    url: str,
+    table: str,
+    key_col: str,
+    properties: dict[str, str],
+    checkpoint: str,
+    timeout_s: int = 120,
+    create_table_column_types: str | None = None,
+):
+    """Keyed incremental MERGE into an external RDBMS (VERDICT r5
+    next-round #8): the update-mode cousin of
+    ``foreach_batch_jdbc_overwrite``.  Complete-mode overwrite is right
+    for a small calendar-bounded rollup but the wrong template for
+    unbounded keys — it rewrites the WHOLE table every batch.  Here each
+    update-mode micro-batch carries only the keys whose aggregates
+    changed, and the sink applies DELETE-then-INSERT per affected key
+    (the portable two-statement MERGE; a warehouse with native MERGE /
+    ON CONFLICT would use that instead), so cost per batch is
+    O(changed keys), matching the parquet path's bucket-pruned merges.
+
+    ``key_col`` is ONE string column that uniquely keys the aggregate
+    (callers build it with ``concat_ws`` over the grain columns) — a
+    single-column equality DELETE keeps the statement portable and
+    batchable.  Replaying a batch is idempotent by construction:
+    DELETE+INSERT of the same rows lands the same table.  The DELETE
+    targets only keys present in the batch — a metadata-sized list for
+    any calendar-bounded grain — executed as one JDBC statement batch on
+    the driver; the INSERT is Spark's partition-parallel JDBC append.
+
+    Parity note: the reference's only RDBMS maintenance is the
+    TRUNCATE+append window (GE:46-59); this gives its Redshift path the
+    same update-in-place story the engine's parquet upsert table has.
+
+    ``create_table_column_types`` passes through to Spark's JDBC writer
+    for the CREATE — pin ``key_col`` (and any string grain columns) to
+    VARCHAR there: some engines (Derby) default Spark strings to CLOB,
+    which supports neither equality predicates nor indexes."""
+
+    def ensure_table(batch_df: DataFrame) -> None:
+        w = batch_df.limit(0).write
+        if create_table_column_types:
+            w = w.option("createTableColumnTypes", create_table_column_types)
+        w.jdbc(url, table, mode="append", properties=properties)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        # ensure the table exists before DELETE (Spark's append-mode
+        # JDBC write creates it when absent; zero rows otherwise)
+        ensure_table(batch_df)
+        keys = [
+            r[0] for r in batch_df.select(key_col).distinct().collect()
+        ]
+        jvm = spark._jvm
+        if "driver" in properties:
+            jvm.java.lang.Class.forName(properties["driver"])
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            stmt = conn.prepareStatement(
+                f'DELETE FROM {table} WHERE "{key_col}" = ?'
+            )
+            try:
+                for k in keys:
+                    stmt.setString(1, k)
+                    stmt.addBatch()
+                stmt.executeBatch()
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+        batch_df.write.jdbc(url, table, mode="append", properties=properties)
+
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + timeout_s
+    while q.isActive and time.time() < deadline:
+        q.awaitTermination(1)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"jdbc upsert sink did not drain in {timeout_s}s")
+    return q
+
+
 def run_available_now(
     stream: DataFrame, table_name: str, output_mode: str = "complete", timeout_s: int = 120
 ):

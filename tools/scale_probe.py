@@ -295,6 +295,8 @@ EVENTS_QUERIES = [
     "events_transition_matrix",
     "events_heavy_hitters",
     "events_stickiness_hll",
+    "events_stickiness_hll_prod",
+    "scd2_daily_snapshot",
     "events_asof_last_purchase",
     "events_conversion_lag",
     "events_stream_sessions",
@@ -382,6 +384,11 @@ def _drop_stream_sinks(spark: SparkSession) -> None:
 
 def main() -> None:
     mults = [int(m) for m in sys.argv[1:]] or [1, 4, 10]
+    # SCALE_PROBE_ONLY=a,b,c restricts the sweep to named queries (the
+    # targeted re-probe path — e.g. the entries a verdict flags)
+    only = {
+        q for q in os.environ.get("SCALE_PROBE_ONLY", "").split(",") if q
+    }
     spark = get_spark("scale-probe")
     # the ts-unit sniffer requires a real parquet timestamp type, not INT96
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -411,6 +418,8 @@ def main() -> None:
             "overwrite"
         ).parquet(os.path.join(sf_dir, "embeddings.parquet"))
         for name in EVENTS_QUERIES + WAREHOUSE_QUERIES + CORPUS_QUERIES + SIMILARITY_QUERIES:
+            if only and name not in only:
+                continue
             walls = []
             try:
                 for _ in range(2):
@@ -428,12 +437,16 @@ def main() -> None:
             )
             _drop_stream_sinks(spark)
         # skew axis: same mult, 30% of events on one celebrity user
+        if only and not (only & set(SKEW_QUERIES)):
+            continue
         skew_dir = os.path.join(root, f"x{m}_skew")
         os.makedirs(skew_dir, exist_ok=True)
         synthetic_events(spark, EVENTS_N * m, hot_frac=0.30).coalesce(4).write.mode(
             "overwrite"
         ).parquet(os.path.join(skew_dir, "events.parquet"))
         for name in SKEW_QUERIES:
+            if only and name not in only:
+                continue
             walls = []
             try:
                 for _ in range(2):
