@@ -431,13 +431,17 @@ def _publish_upsert_manifest(
         ) from None
     current = _read_upsert_manifest(path)
     if current is not None and current["version"] != base_manifest["version"]:
-        # cannot happen while we hold the v<N> marker (publishing N+1
-        # requires planning from N, which does not exist yet) — kept as
-        # a cheap invariant check against external mutation of the dir
+        # LOAD-BEARING for zombie writers: markers older than v-1 are
+        # pruned, so a writer that stalled for >= 2 commits can re-claim
+        # an old version's marker — without this check its os.replace
+        # would ROLL the manifest BACK.  (While a CURRENT marker is
+        # held this cannot fire: publishing N+1 requires planning from
+        # N, which does not exist until N publishes.)
         raise RuntimeError(
             f"upsert table {path}: manifest moved from "
             f"v{base_manifest['version']} to v{current['version']} while "
-            f"holding the v{version} commit marker — table corrupted?"
+            f"holding the v{version} commit marker — stale writer "
+            "detected; re-plan from the current manifest"
         )
     retired = sorted(
         set(base_manifest["buckets"].values()) - set(new_buckets.values())
@@ -457,6 +461,45 @@ def _publish_upsert_manifest(
                     os.unlink(os.path.join(path, name))
             except (ValueError, OSError):
                 pass
+
+
+def vacuum_upsert_table(path: str) -> dict:
+    """Reclaim ABANDONED staging directories (the disk leak the CAS
+    protocol accepts by design): a conflicted or crashed writer leaves
+    its private ``data/c<v>-<token>`` dir behind, and the retired-list
+    GC deliberately never scans for unreferenced names (it cannot tell
+    an abandoned dir from another writer's in-flight staging).  This
+    vacuum CAN tell, by version arithmetic: a LIVE writer only ever
+    stages at ``manifest.version + 1`` (it planned from the current
+    manifest; a writer staging at <= current version planned from a
+    superseded one — its publish is guaranteed to lose the marker CAS,
+    so its staging dir is dead weight whether or not it is still
+    writing).  Deletes every data directory that is (a) unreferenced by
+    the committed manifest and (b) versioned <= the committed version;
+    anything at version+1 — a possibly-live attempt — is preserved.
+    Returns {"removed": n, "kept": n}.  Pure filesystem metadata; no
+    Spark session needed."""
+    manifest = _read_upsert_manifest(path) or {"version": 0, "buckets": {}}
+    live = {d.split("/", 1)[1] for d in manifest["buckets"].values()}
+    data_root = os.path.join(path, "data")
+    removed = kept = 0
+    if not os.path.isdir(data_root):
+        return {"removed": 0, "kept": 0}
+    for name in os.listdir(data_root):
+        if name in live or not name.startswith("c"):
+            kept += 1
+            continue
+        try:
+            v = int(name[1:].split("-", 1)[0])
+        except ValueError:
+            kept += 1
+            continue
+        if v <= manifest["version"]:
+            shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+            removed += 1
+        else:
+            kept += 1
+    return {"removed": removed, "kept": kept}
 
 
 def compact_upsert_table(spark: SparkSession, path: str) -> dict | None:

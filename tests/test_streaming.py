@@ -712,3 +712,48 @@ def test_jdbc_upsert_late_correction_updates_in_place(spark, tmp_path):
     assert second[(2, "view")] == (1, 7.0)    # new window inserted
     # no duplicate keys: DELETE covered every re-emitted aggregate
     assert len(second) == 3
+
+
+def test_vacuum_upsert_table_reclaims_abandoned_preserves_live(spark, tmp_path):
+    """vacuum_upsert_table: abandoned staging dirs (version <= committed)
+    are reclaimed; manifest-referenced dirs and a possibly-live
+    version+1 staging attempt are preserved; snapshot unchanged."""
+    import json
+    import os
+
+    from logistream_data_pipeline_aws_spark.streaming import pipeline as P
+
+    path = str(tmp_path / "landed")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        )
+
+    P.merge_upsert_batch(
+        batch([(1, _ts(0, 5), 100, "seed", 1.0, "{}")]),
+        path, key_cols=["user_id"], order_cols=["ts", "event_id"],
+    )
+    P.merge_upsert_batch(
+        batch([(2, _ts(1, 0), 200, "more", 2.0, "{}")]),
+        path, key_cols=["user_id"], order_cols=["ts", "event_id"],
+    )
+    manifest = json.load(open(os.path.join(path, "_manifest.json")))
+    v = manifest["version"]
+    before = sorted(tuple(r) for r in read_upsert_table(spark, path).collect())
+
+    # abandoned loser dirs at and below the committed version, plus a
+    # possibly-live attempt at version+1
+    for name in (f"c{v}-deadbeef", f"c{v-1}-cafe0000", f"c{v+1}-11live11"):
+        os.makedirs(os.path.join(path, "data", name, "_ub=0"), exist_ok=True)
+
+    stats = P.vacuum_upsert_table(path)
+    assert stats["removed"] == 2
+    data = set(os.listdir(os.path.join(path, "data")))
+    assert f"c{v+1}-11live11" in data          # live attempt preserved
+    assert f"c{v}-deadbeef" not in data        # abandoned reclaimed
+    assert f"c{v-1}-cafe0000" not in data
+    for d in manifest["buckets"].values():     # committed dirs intact
+        assert os.path.isdir(os.path.join(path, d))
+    after = sorted(tuple(r) for r in read_upsert_table(spark, path).collect())
+    assert after == before
