@@ -2850,7 +2850,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Staged 5-shingle item-set frame for the prefix-filter join, keyed by
 # (applicationId, sf_dir) like the minhash signatures.
-_ITEMSET_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ITEMSET_CACHE: dict[tuple[str, str], tuple[DataFrame, bool]] = {}
 
 
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2877,10 +2877,14 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe path (500k docs) still runs fully merge-joined."""
     docs = load_table(spark, "documents", sf_dir)
     cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    base = _ITEMSET_CACHE.get(cache_key)
-    if base is None:
+    staged = _ITEMSET_CACHE.get(cache_key)
+    if staged is None:
         base = D.build_item_sets(docs, "doc_id", "text", k_shingle=5).persist()
-        _ITEMSET_CACHE[cache_key] = base
+        # the gate decision is staged with the item-set frame: one
+        # metadata-count job per (session, sf_dir), not one per run
+        staged = (base, docs.count() > 100_000)
+        _ITEMSET_CACHE[cache_key] = staged
+    base, big_corpus = staged
     return D.prefix_filter_pairs(
         docs,
         "doc_id",
@@ -2888,7 +2892,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         k_shingle=5,
         base=base,
-        prefer_merge=docs.count() > 100_000,
+        prefer_merge=big_corpus,
     )
 
 
