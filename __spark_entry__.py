@@ -151,14 +151,17 @@ def _pagerank_oracle(iters: int = 2) -> str:
 
 def _pq_oracle(
     m: int = 4, k: int = 8, iters: int = 2, dim: int = 64,
-    nq: int = 3, ktop: int = 10,
+    nq: int = 3, ktop: int = 10, refine: int | None = None,
 ) -> str:
     """Unrolled replay of operators.similarity.pq_codes + pq_adc_topk:
     per-subspace Lloyd training (the `_kmeans_oracle` machinery with the
     subspace id riding as a grouping key), code assignment, and ADC
     scoring with DECIMAL(30,8) partial-subdistance sums — hash-exact
     including the top-k cut, because the ranking key is the exact
-    decimal sum on both engines."""
+    decimal sum on both engines.  ``refine=k_shortlist`` appends the
+    pq_refine_topk stage: shortlist by ADC rank, exact left-fold d2
+    against the raw vectors (the similarity_topk fold — bit-identical
+    cross-engine), re-rank, top ``ktop``."""
     sub = dim // m
 
     def d2(v: str, c: str) -> str:
@@ -210,12 +213,27 @@ def _pq_oracle(
         "FROM codes kk JOIN dtab d ON kk.sid = d.sid AND kk.cid = d.cid "
         "WHERE d.qid <> kk.vid GROUP BY d.qid, kk.vid)"
     )
+    if refine is None:
+        return (
+            sql
+            + " SELECT qid AS query_id, vid AS candidate_id, "
+            "ROUND(CAST(s AS DOUBLE), 6) AS approx_d2, rank "
+            "FROM (SELECT qid, vid, s, CAST(ROW_NUMBER() OVER "
+            "(PARTITION BY qid ORDER BY s, vid) AS INT) AS rank FROM scored) "
+            f"WHERE rank <= {ktop}"
+        )
     return (
         sql
-        + " SELECT qid AS query_id, vid AS candidate_id, "
-        "ROUND(CAST(s AS DOUBLE), 6) AS approx_d2, rank "
-        "FROM (SELECT qid, vid, s, CAST(ROW_NUMBER() OVER "
-        "(PARTITION BY qid ORDER BY s, vid) AS INT) AS rank FROM scored) "
+        + f", short AS (SELECT qid, vid FROM (SELECT qid, vid, "
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s, vid) AS arnk "
+        f"FROM scored) WHERE arnk <= {refine})"
+        f", ex AS (SELECT sh.qid, sh.vid, {d2('qv.vv', 'cv.vv')} AS ed2 "
+        "FROM short sh JOIN v qv ON qv.vid = sh.qid "
+        "JOIN v cv ON cv.vid = sh.vid)"
+        " SELECT qid AS query_id, vid AS candidate_id, "
+        "ROUND(ed2, 6) AS exact_d2, rank "
+        "FROM (SELECT qid, vid, ed2, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY ed2, vid) AS INT) AS rank FROM ex) "
         f"WHERE rank <= {ktop}"
     )
 
@@ -255,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_jdbc_upsert": X.events_stream_jdbc_upsert,
         "events_stickiness_hll_prod": X.events_stickiness_hll_prod,
         "customer_rfm_scores_approx_prod": X.customer_rfm_scores_approx_prod,
+        "similarity_pq_refine": X.similarity_pq_refine,
         # -- implementation changed this round (re-verify first): the
         #    winnowing size guard + pairs plumbing, the SCD2 NULL-user
         #    gate, the RFM +/-2 tie bound, and the CAS commit protocol
@@ -297,7 +316,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_kv": X.events_json_kv,
         "embedding_centered": X.embedding_centered,
         "media_frames": X.media_frames,
-        "fact_bucket_profile": W.fact_bucket_profile,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r5 (rows+schema+hash), digest-pinned since
         #    its green row (tests/test_rotation_ledger.py), re-verified
@@ -313,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    drifted 12 behavior-neutral tail digests — re-verified at
         #    sf0.01 AND sf0.1 before this manifest regeneration, per the
         #    r4 adjudication protocol. ==================================
+        "fact_bucket_profile": W.fact_bucket_profile,
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
         "dim_junk_status": W.dim_junk_status,
@@ -1437,6 +1456,9 @@ def _ext_oracles() -> dict[str, str]:
         # k-means IVF: unrolled Lloyd-iteration replay (see _kmeans_oracle)
         "similarity_ivf_kmeans": _kmeans_oracle(k=4, iters=2),
         "similarity_pq_adc": _pq_oracle(m=4, k=8, iters=2, dim=64, nq=3, ktop=10),
+        "similarity_pq_refine": _pq_oracle(
+            m=4, k=8, iters=2, dim=64, nq=3, ktop=10, refine=50
+        ),
         # shard manifest: md5-prefix mod 16 assignment, per-shard stats
         "corpus_shard_manifest": (
             "SELECT CAST((('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 16) AS INT) AS shard_id, "

@@ -188,3 +188,72 @@ def pq_adc_topk(
             "rank",
         )
     )
+
+
+def pq_refine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    n_queries: int = 3,
+    k_shortlist: int = 50,
+    k_top: int = 10,
+) -> DataFrame:
+    """ADC shortlist + EXACT re-rank — the standard two-stage PQ search
+    (shortlist with compressed codes, refine with raw vectors): take the
+    top ``k_shortlist`` candidates per query by asymmetric PQ distance,
+    fetch ONLY those candidates' raw vectors, re-rank by exact squared
+    distance, and return the top ``k_top``.  This is how PQ is actually
+    deployed: the approximation decides what to READ (a ``k_shortlist``
+    /corpus fraction of the embedding column), the exact math decides
+    what to RETURN, and ADC ranking error beyond the shortlist boundary
+    is the only recall loss.
+
+    Scale shape: stage 1 is ``pq_adc_topk`` (codes-only, broadcast
+    distance tables); stage 2 joins ``n_queries * k_shortlist``
+    candidate ids — a broadcast semi-join against the vector table, so
+    the raw embedding column is read for the shortlist only, never
+    scanned per query.  The exact d2 is the same left-fold double the
+    brute-force baseline uses, so the refine stage replays bit-exactly
+    in the unrolled SQL oracle (ranking on raw fold doubles, the
+    ``similarity_topk`` precedent)."""
+    shortlist = pq_adc_topk(
+        df, id_col, vec_col, dim, m=m, k=k, iters=iters,
+        n_queries=n_queries, k_top=k_shortlist,
+    ).select(
+        F.col("query_id").alias("_qid"), F.col("candidate_id").alias("_vid")
+    )
+    vecs = df.select(
+        F.col(id_col).alias("_vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
+    )
+    qvecs = df.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("_qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    # the shortlist (n_queries * k_shortlist ids) broadcasts into the
+    # vector scan — the corpus-sized side never shuffles
+    paired = (
+        F.broadcast(shortlist).join(vecs, "_vid")
+        .join(F.broadcast(qvecs), "_qid")
+    )
+    d2 = F.aggregate(
+        F.zip_with("_qv", "_cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("_qid").orderBy("_d2", "_vid")
+    return (
+        paired.withColumn("_d2", d2)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k_top)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_vid").alias("candidate_id"),
+            F.round("_d2", 6).alias("exact_d2"),
+            "rank",
+        )
+    )

@@ -3324,6 +3324,28 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ search — ADC shortlist (top-50 by compressed-code
+    distance) then EXACT re-rank of only those candidates' raw vectors
+    (top-10 out).  The deployment shape of product quantization: the
+    approximation bounds what is READ (50/corpus of the embedding
+    column per query, via a broadcast semi-join), exact math decides
+    what is RETURNED, and the only recall loss is ADC error past the
+    shortlist boundary.  Completes the ANN family's quality ladder:
+    brute (exact, reads everything) -> IVF/LSH (reads a bucket) ->
+    PQ-ADC (reads codes only) -> PQ+refine (codes for candidates, raw
+    vectors for winners).  Hash-exact vs the unrolled DuckDB replay
+    (training + encoding + ADC + the exact-fold re-rank); see
+    ``operators.pq.pq_refine_topk``."""
+    from logistream_data_pipeline_aws_spark.operators import pq as PQ
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return PQ.pq_refine_topk(
+        emb, "vec_id", "embedding", dim=64, m=4, k=8, iters=2,
+        n_queries=3, k_shortlist=50, k_top=10,
+    )
+
+
 def lineitem_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of ``lineitem_column_profile``: the exact-distinct
     shuffle (each column's full distinct value set crossing the wire) is

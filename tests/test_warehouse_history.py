@@ -396,3 +396,86 @@ def test_sales_trendline_ols_matches_numpy(spark):
         assert abs(g.slope - slope) < 1e-4 * max(1, abs(slope))
         assert abs(g.intercept - intercept) < 1e-4 * max(1, abs(intercept))
         assert abs(g.r2 - r * r) < 1e-6
+
+
+def test_pq_refine_matches_numpy_and_improves_on_adc(spark):
+    """pq_refine_topk: the exact re-rank over the ADC shortlist must
+    match a numpy replica (shortlist by the same approx ranking, exact
+    d2 re-rank), and the refined top-k must be at least as close to the
+    brute-force exact top-k as the raw ADC ranking is (the shortlist
+    boundary is the only recall loss)."""
+    import numpy as np
+
+    from logistream_data_pipeline_aws_spark.catalog import load_table
+    from logistream_data_pipeline_aws_spark.operators.pq import (
+        pq_adc_topk,
+        pq_refine_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", sf)
+    rows = sorted(
+        ((r.vec_id, np.array(r.embedding, dtype=np.float64)) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    mat = np.stack([t[1] for t in rows])
+    m, k, sub, nq, kshort, ktop = 4, 8, 16, 3, 50, 10
+
+    # replicate training + codes (same spec as the ADC test)
+    codes = np.zeros((len(ids), m), dtype=int)
+    cents_by_s = []
+    for s in range(m):
+        sv = mat[:, s * sub : (s + 1) * sub]
+        cents = sv[ids < k].copy()
+        for _ in range(2):
+            d2 = ((sv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            cents = np.stack([sv[assign == j].mean(axis=0) for j in range(k)])
+        d2 = ((sv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+        cents_by_s.append(cents)
+
+    expected, adc_recall, refine_recall = {}, [], []
+    for qi in range(nq):
+        qvec = mat[ids == qi][0]
+        approx = np.zeros(len(ids))
+        for s in range(m):
+            qv = qvec[s * sub : (s + 1) * sub]
+            lut = ((cents_by_s[s] - qv[None, :]) ** 2).sum(axis=1)
+            approx += lut[codes[:, s]]
+        shortlist = [
+            v for _, v in sorted(
+                (round(d, 9), int(v)) for d, v in zip(approx, ids) if v != qi
+            )[:kshort]
+        ]
+        exact_sh = sorted(
+            (((mat[ids == v][0] - qvec) ** 2).sum(), v) for v in shortlist
+        )
+        expected[qi] = [v for _, v in exact_sh[:ktop]]
+        # brute-force exact top-k over the whole corpus
+        exact_all = sorted(
+            (((vec - qvec) ** 2).sum(), int(v))
+            for v, vec in zip(ids, mat) if v != qi
+        )
+        truth = {v for _, v in exact_all[:ktop]}
+        adc_ids = [
+            v for _, v in sorted(
+                (round(d, 9), int(v)) for d, v in zip(approx, ids) if v != qi
+            )[:ktop]
+        ]
+        adc_recall.append(len(truth & set(adc_ids)) / ktop)
+        refine_recall.append(len(truth & set(expected[qi])) / ktop)
+
+    got = pq_refine_topk(
+        emb, "vec_id", "embedding", dim=64, m=m, k=k, iters=2,
+        n_queries=nq, k_shortlist=kshort, k_top=ktop,
+    ).collect()
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        got_by_q.setdefault(r.query_id, []).append(r.candidate_id)
+    assert got_by_q == expected
+    # refinement can only help: exact re-rank inside the shortlist
+    assert all(r >= a for r, a in zip(refine_recall, adc_recall)), (
+        refine_recall, adc_recall,
+    )

@@ -274,6 +274,7 @@ CORPUS_QUERIES = [
 SIMILARITY_QUERIES = [
     "similarity_topk",
     "similarity_pq_adc",
+    "similarity_pq_refine",
     "embedding_outliers",
     "similarity_ann_lsh",
     "similarity_ivf_kmeans",
