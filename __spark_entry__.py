@@ -1513,7 +1513,8 @@ def _ext_oracles() -> dict[str, str]:
             "WITH ordered AS (SELECT user_id, event_type, ts, event_id, "
             "CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1 "
             "WHEN event_type IS NOT DISTINCT FROM LAG(event_type) OVER w THEN 0 "
-            "ELSE 1 END AS is_change FROM events WHERE ts IS NOT NULL "
+            "ELSE 1 END AS is_change FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
             "runs AS (SELECT user_id, event_type, ts, "
             "CAST(SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id "
@@ -1533,7 +1534,8 @@ def _ext_oracles() -> dict[str, str]:
             "WITH ordered AS (SELECT user_id, event_type, ts, event_id, "
             "CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1 "
             "WHEN event_type IS NOT DISTINCT FROM LAG(event_type) OVER w THEN 0 "
-            "ELSE 1 END AS is_change FROM events WHERE ts IS NOT NULL "
+            "ELSE 1 END AS is_change FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
             "runs AS (SELECT user_id, event_type, ts, "
             "CAST(SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id "
@@ -1542,9 +1544,10 @@ def _ext_oracles() -> dict[str, str]:
             "MIN(ts) AS effective_from FROM runs GROUP BY user_id, version), "
             "hist AS (SELECT * FROM collapsed QUALIFY ROW_NUMBER() OVER "
             "(PARTITION BY user_id, effective_from ORDER BY version DESC) = 1), "
-            "bounds AS (SELECT CAST(max(ts) AS DATE) AS max_day FROM events WHERE ts IS NOT NULL), "
+            "bounds AS (SELECT CAST(max(ts) AS DATE) AS max_day FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
             "firstd AS (SELECT user_id, CAST(min(ts) AS DATE) AS first_day "
-            "FROM events WHERE ts IS NOT NULL GROUP BY user_id), "
+            "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY user_id), "
             "spine AS (SELECT user_id, CAST(unnest(generate_series(CAST(first_day AS TIMESTAMP), "
             "CAST(max_day AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS snapshot_date "
             "FROM firstd, bounds), "

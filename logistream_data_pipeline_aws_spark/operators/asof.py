@@ -83,21 +83,36 @@ def as_of_join(
         .orderBy(F.col("__ts").asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ROW-ATOMIC carry: all right values + the build ts travel in ONE
+    # struct, NULL only on probe rows.  Carrying each column with its
+    # own last(ignorenulls=True) blended values ACROSS build rows when a
+    # payload value was genuinely NULL (the newer row's non-null columns
+    # with an older row's fill-in for the null one) — found by the
+    # events NULL probe on scd2_daily_snapshot (a NULL-state version
+    # surfaced with the previous version's state).
+    payload = F.when(
+        F.col(_SIDE) == 0,
+        F.struct(
+            F.col("__ts").alias("__t"),
+            *[F.col(v).alias(v) for v in right_vals],
+        ),
+    )
     carried = unioned.select(
         *left_cols,
         "__ts",
         _SIDE,
-        *[
-            F.last(F.when(F.col(_SIDE) == 0, F.col(v)), ignorenulls=True)
-            .over(w)
-            .alias(f"asof_{v}")
-            for v in right_vals
-        ],
-        F.last(F.when(F.col(_SIDE) == 0, F.col("__ts")), ignorenulls=True)
-        .over(w)
-        .alias("asof_ts"),
+        F.last(payload, ignorenulls=True).over(w).alias("__p"),
     )
-    return carried.where(F.col(_SIDE) == 1).drop(_SIDE, "__ts")
+    return (
+        carried.where(F.col(_SIDE) == 1)
+        .select(
+            *left_cols,
+            "__ts",
+            *[F.col(f"__p.{v}").alias(f"asof_{v}") for v in right_vals],
+            F.col("__p.__t").alias("asof_ts"),
+        )
+        .drop("__ts")
+    )
 
 
 def range_join(

@@ -81,3 +81,32 @@ def test_asof_tie_keeps_one_row_not_blend(spark):
     )
     out = as_of_join(left, right, ["k"], "ts", "ts", ["v", "w"]).collect()[0]
     assert (out.asof_v, out.asof_w) == (9.0, 1.0)  # the v=9 ROW, not (9, 9)
+
+
+def test_asof_null_payload_value_not_backfilled(spark):
+    """Regression (round-6 NULL probe, via scd2_daily_snapshot): a build
+    row whose payload value is genuinely NULL must surface AS NULL —
+    the per-column last(ignorenulls=True) carry blended the newer row's
+    non-null columns with an OLDER row's value for the null one."""
+    import datetime
+
+    from logistream_data_pipeline_aws_spark.operators.asof import as_of_join
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    right = spark.createDataFrame(
+        [(1, t(0), "error", 11), (1, t(10), None, 12), (1, t(20), "view", 13)],
+        "k int, ts timestamp, state string, version int",
+    )
+    left = spark.createDataFrame(
+        [(1, t(5)), (1, t(15)), (1, t(25))], "k int, pts timestamp"
+    )
+    out = {
+        r.pts.minute: (r.asof_state, r.asof_version)
+        for r in as_of_join(
+            left, right, on=["k"], left_ts="pts", right_ts="ts",
+            right_vals=["state", "version"],
+        ).collect()
+    }
+    assert out[5] == ("error", 11)
+    assert out[15] == (None, 12)   # NOT ("error", 12): no cross-row blend
+    assert out[25] == ("view", 13)
