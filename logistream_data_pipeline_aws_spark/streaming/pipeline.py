@@ -344,6 +344,22 @@ def _upsert_manifest_path(path: str) -> str:
     return os.path.join(path, "_manifest.json")
 
 
+def _upsert_archive_path(path: str, version: int) -> str:
+    """Immutable per-version manifest archive — the time-travel index."""
+    return os.path.join(path, f"_manifest.v{version}.json")
+
+
+def _list_archive_versions(path: str) -> list[int]:
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("_manifest.v") and name.endswith(".json"):
+            try:
+                out.append(int(name[len("_manifest.v"):-len(".json")]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
 def _read_upsert_manifest(path: str) -> dict | None:
     """Current committed snapshot: ``{"version": n, "buckets": {"<k>":
     "data/c<m>", ...}}`` — or None before the first commit.  The
@@ -357,7 +373,10 @@ def _read_upsert_manifest(path: str) -> dict | None:
 
 
 def read_upsert_table(
-    spark: SparkSession, path: str, buckets: set[int] | None = None
+    spark: SparkSession,
+    path: str,
+    buckets: set[int] | None = None,
+    version: int | None = None,
 ) -> DataFrame | None:
     """Snapshot reader for a ``foreach_batch_upsert`` table: resolve the
     committed manifest, then read exactly the immutable per-commit
@@ -365,9 +384,30 @@ def read_upsert_table(
     ``buckets`` — the merge path's pruning).  Returns None before the
     first commit.  Because data directories are never rewritten and the
     manifest swap is atomic, a frame resolved here is a consistent
-    snapshot for its whole lifetime (subject to the one-commit GC
-    retention horizon, see ``foreach_batch_upsert``)."""
-    manifest = _read_upsert_manifest(path)
+    snapshot for its whole lifetime (subject to the GC retention
+    horizon, see ``foreach_batch_upsert``).
+
+    ``version=N`` TIME-TRAVELS: reads the snapshot exactly as committed
+    at version N, resolved through the immutable ``_manifest.v<N>.json``
+    archive.  Valid for the current version and the table's ``retention``
+    most recent predecessors; older versions' archives and retired data
+    are GC'd and raise ValueError (the Iceberg ``expire_snapshots``
+    horizon)."""
+    if version is not None:
+        current = _read_upsert_manifest(path)
+        try:
+            with open(_upsert_archive_path(path, version)) as fh:
+                manifest = json.load(fh)
+        except FileNotFoundError:
+            have = _list_archive_versions(path) if os.path.isdir(path) else []
+            raise ValueError(
+                f"upsert table {path}: version {version} is not readable — "
+                f"retained versions: {have} (retention="
+                f"{(current or {}).get('retention', 1)}); expired snapshots "
+                "are garbage-collected"
+            ) from None
+    else:
+        manifest = _read_upsert_manifest(path)
     if manifest is None or not manifest["buckets"]:
         return None
     frames = []
@@ -403,24 +443,37 @@ def _new_commit_dir(version: int) -> str:
 
 
 def _publish_upsert_manifest(
-    path: str, base_manifest: dict, new_buckets: dict[str, str]
+    path: str,
+    base_manifest: dict,
+    new_buckets: dict[str, str],
+    retention: int | None = None,
 ) -> None:
     """Shared atomic publish for upsert-table commits (merge AND
     compaction), serialized by a create-exclusive commit marker (a CAS,
     not best-effort detection): exactly one writer can create
     ``_commit.v<N>`` (O_CREAT|O_EXCL), so exactly one commit can ever
     publish version N — the loser gets :class:`CommitConflict` and
-    retries from the fresh manifest.  The winner writes the new manifest
-    to a temp name and ``os.replace``-s it live (atomic on POSIX), then
-    GCs the data directories RETIRED BY THE PREVIOUS commit (recorded in
-    the base manifest's ``retired`` list — the one-commit retention
-    horizon).  GC never scans ``data/`` for unreferenced names: another
-    writer's in-flight private staging directory (``_new_commit_dir``)
-    is unreferenced by design, and deleting it would corrupt that
-    writer's commit.  A crashed writer's abandoned staging directory
-    therefore leaks until compaction-level vacuuming — disk, not
-    correctness."""
+    retries from the fresh manifest.  The winner archives the new
+    manifest as immutable ``_manifest.v<N>.json`` (the time-travel
+    index), ``os.replace``-s the live pointer (atomic on POSIX), then
+    GCs data directories whose LAST READER VERSION fell off the
+    retention horizon: a dir retired at version R is referenced only by
+    snapshots <= R-1, so it is deleted once R-1 < version - K, where
+    ``K = retention`` is the number of PREVIOUS snapshots kept readable
+    (table property, recorded in the manifest; default 1 — current plus
+    one predecessor, the original behavior).  Expired archives are
+    unlinked with their data (the Iceberg ``expire_snapshots`` shape).
+    GC never scans ``data/`` for unreferenced names: another writer's
+    in-flight private staging directory (``_new_commit_dir``) is
+    unreferenced by design, and deleting it would corrupt that writer's
+    commit.  A crashed writer's abandoned staging directory therefore
+    leaks until ``vacuum_upsert_table`` — disk, not correctness."""
     version = base_manifest["version"] + 1
+    keep = (
+        retention
+        if retention is not None
+        else int(base_manifest.get("retention", 1))
+    )
     marker = os.path.join(path, f"_commit.v{version}")
     try:
         os.close(os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
@@ -446,18 +499,45 @@ def _publish_upsert_manifest(
     retired = sorted(
         set(base_manifest["buckets"].values()) - set(new_buckets.values())
     )
+    manifest = {
+        "version": version,
+        "buckets": new_buckets,
+        "retired": retired,
+        "retention": keep,
+    }
+    # archive first (immutable, never rewritten), then swap the pointer
+    with open(_upsert_archive_path(path, version), "w") as fh:
+        json.dump(manifest, fh)
     tmp = _upsert_manifest_path(path) + f".tmp.{version}"
     with open(tmp, "w") as fh:
-        json.dump(
-            {"version": version, "buckets": new_buckets, "retired": retired}, fh
-        )
+        json.dump(manifest, fh)
     os.replace(tmp, _upsert_manifest_path(path))
-    for d in base_manifest.get("retired", []):
-        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-    for name in os.listdir(path):  # prune markers older than v-1
-        if name.startswith("_commit.v"):
+    # expire snapshots: a dir retired at R serves snapshots <= R-1, so
+    # it dies when R <= version - keep; the archive of version N dies
+    # when N < version - keep (its data may already be gone)
+    for n in _list_archive_versions(path):
+        if n > version - keep:
+            continue
+        try:
+            with open(_upsert_archive_path(path, n)) as fh:
+                old = json.load(fh)
+        except (FileNotFoundError, ValueError):
+            old = {}
+        for d in old.get("retired", []):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        if n < version - keep:
             try:
-                if int(name[len("_commit.v"):]) < version - 1:
+                os.unlink(_upsert_archive_path(path, n))
+            except OSError:
+                pass
+    # legacy (pre-archive) tables recorded retired on the live manifest
+    if not os.path.exists(_upsert_archive_path(path, version - 1)):
+        for d in base_manifest.get("retired", []):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    for name in os.listdir(path):  # prune markers past the horizon
+        if name.startswith("_commit.v") and not name.endswith(".json"):
+            try:
+                if int(name[len("_commit.v"):]) < version - max(keep, 1):
                     os.unlink(os.path.join(path, name))
             except (ValueError, OSError):
                 pass
@@ -481,6 +561,17 @@ def vacuum_upsert_table(path: str) -> dict:
     Spark session needed."""
     manifest = _read_upsert_manifest(path) or {"version": 0, "buckets": {}}
     live = {d.split("/", 1)[1] for d in manifest["buckets"].values()}
+    # dirs referenced by any RETAINED archive are time-travel-live
+    if os.path.isdir(path):
+        for n in _list_archive_versions(path):
+            try:
+                with open(_upsert_archive_path(path, n)) as fh:
+                    live |= {
+                        d.split("/", 1)[1]
+                        for d in json.load(fh).get("buckets", {}).values()
+                    }
+            except (FileNotFoundError, ValueError):
+                pass
     data_root = os.path.join(path, "data")
     removed = kept = 0
     if not os.path.isdir(data_root):
@@ -559,6 +650,7 @@ def merge_upsert_batch(
     order_cols: list[str],
     n_buckets: int = 32,
     max_attempts: int = 5,
+    retention: int | None = None,
 ) -> None:
     """One MERGE-on-key commit against an upsert table (the body of
     ``foreach_batch_upsert``'s foreachBatch, callable directly for batch
@@ -604,7 +696,7 @@ def merge_upsert_batch(
         for k in sorted(affected):
             new_buckets[str(k)] = commit_dir
         try:
-            _publish_upsert_manifest(path, manifest, new_buckets)
+            _publish_upsert_manifest(path, manifest, new_buckets, retention)
             return
         except CommitConflict as exc:
             shutil.rmtree(os.path.join(path, commit_dir), ignore_errors=True)
@@ -620,6 +712,7 @@ def foreach_batch_upsert(
     key_cols: list[str],
     order_cols: list[str],
     n_buckets: int = 32,
+    retention: int | None = None,
 ):
     """Micro-batch MERGE-on-key into a parquet warehouse table: the
     update-else-insert the reference's declared dual-feed scenario
@@ -649,9 +742,13 @@ def foreach_batch_upsert(
     previous manifest.  A concurrent reader therefore sees exactly the
     old or the new snapshot, never a mix — strictly better than the
     reference's TRUNCATE+append window (GE:46-59), which dirty-reads.
-    Readers go through ``read_upsert_table``; retention is one commit
-    (a reader older than one commit can lose files — production would
-    keep a time-based horizon, the Iceberg ``expire_snapshots`` knob).
+    Readers go through ``read_upsert_table``; every publish archives its
+    manifest as immutable ``_manifest.v<N>.json``, so
+    ``read_upsert_table(version=N)`` TIME-TRAVELS to any snapshot within
+    the table's ``retention`` horizon (number of previous snapshots kept
+    readable, default 1, recorded in the manifest — the Iceberg
+    ``expire_snapshots`` knob); older archives and their retired data
+    directories are GC'd at publish.
 
     Writer concurrency: Structured Streaming's checkpoint guarantees one
     live foreachBatch writer per query; against a genuine second writer
@@ -671,7 +768,9 @@ def foreach_batch_upsert(
     data-sized collects to the driver."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        merge_upsert_batch(batch_df, path, key_cols, order_cols, n_buckets)
+        merge_upsert_batch(
+            batch_df, path, key_cols, order_cols, n_buckets, retention=retention
+        )
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

@@ -757,3 +757,56 @@ def test_vacuum_upsert_table_reclaims_abandoned_preserves_live(spark, tmp_path):
         assert os.path.isdir(os.path.join(path, d))
     after = sorted(tuple(r) for r in read_upsert_table(spark, path).collect())
     assert after == before
+
+
+def test_upsert_time_travel_and_snapshot_expiry(spark, tmp_path):
+    """Snapshot retention + time travel: version=N reads the table
+    exactly as committed at N through the immutable manifest archive;
+    versions past the retention horizon are expired (archive + retired
+    data GC'd) and raise; vacuum preserves archive-referenced dirs."""
+    import os
+
+    import pytest
+
+    from logistream_data_pipeline_aws_spark.streaming import pipeline as P
+
+    path = str(tmp_path / "landed")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        )
+
+    def snap(version=None):
+        df = P.read_upsert_table(spark, path, version=version)
+        return sorted((r.user_id, r.event_id, r.event_type) for r in df.collect())
+
+    def merge(rows, retention=2):
+        P.merge_upsert_batch(
+            batch(rows), path, key_cols=["user_id"],
+            order_cols=["ts", "event_id"], retention=retention,
+        )
+
+    merge([(1, _ts(0, 5), 100, "v1", 1.0, "{}")])          # v1
+    s1 = snap()
+    merge([(2, _ts(1, 0), 100, "v2", 2.0, "{}")])          # v2 replaces user 100
+    s2 = snap()
+    assert s1 != s2
+    # both the current and the previous snapshot are readable (K=2 keeps
+    # two predecessors; v1's archive must still resolve)
+    assert snap(version=2) == s2
+    assert snap(version=1) == s1
+
+    merge([(3, _ts(2, 0), 200, "v3", 3.0, "{}")])          # v3
+    merge([(4, _ts(3, 0), 300, "v4", 4.0, "{}")])          # v4
+    # retention=2: v4 current + v3/v2 readable, v1 expired
+    assert snap(version=3) == sorted(s2 + [(200, 3, "v3")])
+    with pytest.raises(ValueError, match="not readable"):
+        snap(version=1)
+    assert not os.path.exists(os.path.join(path, "_manifest.v1.json"))
+
+    # vacuum must not reclaim dirs that only archived snapshots reference
+    stats = P.vacuum_upsert_table(path)
+    assert snap(version=3) == sorted(s2 + [(200, 3, "v3")])
+    assert snap(version=2) == s2
+    assert stats["removed"] == 0
