@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stickiness_hll_prod": X.events_stickiness_hll_prod,
         "customer_rfm_scores_approx_prod": X.customer_rfm_scores_approx_prod,
         "similarity_pq_refine": X.similarity_pq_refine,
+        "events_upsert_changes": X.events_upsert_changes,
         # -- implementation changed this round (re-verify first): the
         #    winnowing size guard + pairs plumbing, the SCD2 NULL-user
         #    gate, the RFM +/-2 tie bound, and the CAS commit protocol
@@ -315,7 +316,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": X.multimodal_meta,
         "events_json_kv": X.events_json_kv,
         "embedding_centered": X.embedding_centered,
-        "media_frames": X.media_frames,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r5 (rows+schema+hash), digest-pinned since
         #    its green row (tests/test_rotation_ledger.py), re-verified
@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    drifted 12 behavior-neutral tail digests — re-verified at
         #    sf0.01 AND sf0.1 before this manifest regeneration, per the
         #    r4 adjudication protocol. ==================================
+        "media_frames": X.media_frames,
         "fact_bucket_profile": W.fact_bucket_profile,
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
@@ -914,6 +915,30 @@ def _ext_oracles() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value "
             "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"
+        ),
+        # CDF diff of two upsert-table snapshots (even-id merge, then the
+        # full feed): replayed as batch argmaxes over the same slices —
+        # inserts are odd-only users, postimages are moved winners
+        "events_upsert_changes": (
+            "WITH ev AS (SELECT user_id, event_id, ts, event_type, value "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "o AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM ev WHERE event_id % 2 = 0) WHERE rn = 1), "
+            "n AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM ev) WHERE rn = 1) "
+            "SELECT * FROM (SELECT COALESCE(n.user_id, o.user_id) AS user_id, "
+            "n.event_id, n.ts, n.event_type, n.value, "
+            "CASE WHEN o.user_id IS NULL THEN 'insert' "
+            "WHEN n.user_id IS NULL THEN 'delete' "
+            "WHEN (o.event_id IS DISTINCT FROM n.event_id) "
+            "OR (o.ts IS DISTINCT FROM n.ts) "
+            "OR (o.event_type IS DISTINCT FROM n.event_type) "
+            "OR (o.value IS DISTINCT FROM n.value) THEN 'update_postimage' "
+            "ELSE 'unchanged' END AS _change_type "
+            "FROM o FULL JOIN n ON o.user_id = n.user_id) "
+            "WHERE _change_type <> 'unchanged'"
         ),
         # keyed DELETE+INSERT merge lands the same rollup the overwrite
         # sink does; a missed DELETE would double-count and fail the hash

@@ -3981,6 +3981,42 @@ def events_stream_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_upsert_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two snapshots of the keyed upsert table
+    (the Delta-CDF shape, derived from time travel): land the events
+    feed as two deterministic merges — the even event_ids, then the full
+    feed — and emit ``read_upsert_changes(v1, v2)``: per-user inserts
+    (users whose only events are odd-id) and update postimages (users
+    whose argmax winner moved), diffed bucket-pruned through the
+    immutable manifest archives (identical commit directories cannot
+    contain changes and are never read).  The oracle replays both
+    snapshots as batch argmaxes over the same slices and diffs them —
+    any divergence in the commit, archive, time-travel, or diff path
+    breaks the hash."""
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        merge_upsert_batch,
+        read_upsert_changes,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = _scratch(f"events_upsert_changes_{tag}")
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
+    merge_upsert_batch(
+        ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 0),
+        path, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        retention=2,
+    )
+    merge_upsert_batch(
+        ev, path, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        retention=2,
+    )
+    return read_upsert_changes(spark, path, from_version=1, to_version=2)
+
+
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-batched multimodal CODEC path under the driver gate:
     binary payloads (document text bytes — the container's stand-in for

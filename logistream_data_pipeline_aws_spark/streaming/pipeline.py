@@ -543,6 +543,75 @@ def _publish_upsert_manifest(
                 pass
 
 
+def read_upsert_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame | None:
+    """CHANGE-DATA-FEED between two retained snapshots of an upsert
+    table (the Delta CDF / Iceberg changelog shape, derived rather than
+    logged): time-travel both versions through their immutable manifest
+    archives and full-outer-diff them on the key implied by the table's
+    one-row-per-key contract — every column participates, so an update
+    to ANY payload column is detected.  Emits the old/new rows tagged
+    ``_change_type`` in {insert, update_postimage, delete}; unchanged
+    rows are dropped.  Returns None when either snapshot is empty.
+
+    Scale shape: BUCKET-PRUNED — a bucket whose commit directory is
+    IDENTICAL in both manifests cannot contain a change (directories are
+    immutable), so only buckets whose ownership moved between the two
+    versions are read and diffed; the diff itself is one full-outer
+    equi-join on the hash-bucketed key columns (the
+    ``snapshot_cdc_diff`` discipline applied to the table's own
+    layout)."""
+    to_version = (
+        to_version
+        if to_version is not None
+        else (_read_upsert_manifest(path) or {"version": 0})["version"]
+    )
+    with open(_upsert_archive_path(path, from_version)) as fh:
+        m_from = json.load(fh)
+    with open(_upsert_archive_path(path, to_version)) as fh:
+        m_to = json.load(fh)
+    changed_buckets = {
+        int(k)
+        for k in set(m_from["buckets"]) | set(m_to["buckets"])
+        if m_from["buckets"].get(k) != m_to["buckets"].get(k)
+    }
+    if not changed_buckets:
+        return None
+    old = read_upsert_table(spark, path, buckets=changed_buckets, version=from_version)
+    new = read_upsert_table(spark, path, buckets=changed_buckets, version=to_version)
+    if old is None or new is None:
+        return None
+    cols = [c for c in new.columns if c != "_ub"]
+    o = old.select(*[F.col(c).alias(f"_o_{c}") for c in cols])
+    n = new.select(*[F.col(c).alias(f"_n_{c}") for c in cols])
+    # key = the bucket-hash key is not recorded in the manifest; diff on
+    # full-row identity is wrong for updates, so callers' key contract
+    # is positional: the FIRST column is the merge key (merge_upsert_batch
+    # writes key_cols first).  Join null-safely on it.
+    key = cols[0]
+    joined = o.join(
+        n, F.col(f"_o_{key}").eqNullSafe(F.col(f"_n_{key}")), "full"
+    )
+    changed_payload = F.lit(False)
+    for c in cols[1:]:
+        changed_payload = changed_payload | ~F.col(f"_o_{c}").eqNullSafe(
+            F.col(f"_n_{c}")
+        )
+    return joined.select(
+        F.coalesce(F.col(f"_n_{key}"), F.col(f"_o_{key}")).alias(key),
+        *[F.col(f"_n_{c}").alias(c) for c in cols[1:]],
+        F.when(F.col(f"_o_{key}").isNull(), F.lit("insert"))
+        .when(F.col(f"_n_{key}").isNull(), F.lit("delete"))
+        .when(changed_payload, F.lit("update_postimage"))
+        .otherwise(F.lit("unchanged"))
+        .alias("_change_type"),
+    ).where(F.col("_change_type") != "unchanged")
+
+
 def vacuum_upsert_table(path: str) -> dict:
     """Reclaim ABANDONED staging directories (the disk leak the CAS
     protocol accepts by design): a conflicted or crashed writer leaves
