@@ -112,6 +112,12 @@ def pq_codes(
             ).alias("_cv")
         )
 
+    # materialize the trained codebooks (m*k tiny rows) before handing
+    # them out: every consumer references them at least twice (code
+    # assignment AND the ADC distance table), and without the checkpoint
+    # each reference re-runs the whole Lloyd training — the
+    # re-derivation trap, at 2x the most expensive stage in the pipeline
+    cents = cents.localCheckpoint(eager=True)
     codes = assign(cents).select("_vid", "_sid", "_cid", "_d2")
     return codes, cents
 

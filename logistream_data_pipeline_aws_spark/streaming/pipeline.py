@@ -543,6 +543,71 @@ def _publish_upsert_manifest(
                 pass
 
 
+def delete_upsert_keys(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    n_buckets: int = 32,
+    max_attempts: int = 5,
+) -> int:
+    """Keyed DELETE from an upsert table — the third leg of the MERGE
+    story (update/insert via ``merge_upsert_batch``, delete here), with
+    the same commit discipline: only the buckets containing doomed keys
+    are rewritten (anti-join of the landed rows against the key set),
+    staged privately, published through the CAS marker, retried on
+    conflict.  A bucket left EMPTY by the delete is dropped from the
+    manifest map (readers skip it; its old directory retires on the
+    normal horizon), so deletes leave no tombstones and time travel
+    still serves the pre-delete snapshot within retention.  Returns the
+    number of rows deleted.
+
+    ``keys`` is a DataFrame of ``key_cols`` (distributed — a GDPR
+    erasure feed can be arbitrarily large); it is bucketed with the
+    SAME hash the merge uses, so pruning and the anti-join co-partition."""
+    bucket = F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+    doomed = keys.select(*key_cols).distinct().withColumn("_ub", bucket)
+    affected = {r["_ub"] for r in doomed.select("_ub").distinct().collect()}
+    if not affected:
+        return 0
+    last_conflict: CommitConflict | None = None
+    for attempt in range(max_attempts):
+        manifest = _read_upsert_manifest(path)
+        if manifest is None or not manifest["buckets"]:
+            return 0
+        hit = affected & {int(k) for k in manifest["buckets"]}
+        if not hit:
+            return 0
+        existing = read_upsert_table(spark, path, buckets=hit)
+        # no broadcast hint: a small erasure list broadcasts via AQE's
+        # runtime stats; an arbitrarily large one shuffles co-partitioned
+        remaining = existing.join(
+            doomed.select(*key_cols), key_cols, "left_anti"
+        )
+        n_deleted = existing.count() - remaining.count()
+        commit_dir = _new_commit_dir(manifest["version"] + 1)
+        remaining.write.mode("overwrite").partitionBy("_ub").parquet(
+            os.path.join(path, commit_dir)
+        )
+        kept_buckets = {
+            r["_ub"] for r in remaining.select("_ub").distinct().collect()
+        }
+        new_buckets = dict(manifest["buckets"])
+        for k in sorted(hit):
+            if k in kept_buckets:
+                new_buckets[str(k)] = commit_dir
+            else:
+                new_buckets.pop(str(k), None)  # emptied: no tombstone dir
+        try:
+            _publish_upsert_manifest(path, manifest, new_buckets)
+            return n_deleted
+        except CommitConflict as exc:
+            shutil.rmtree(os.path.join(path, commit_dir), ignore_errors=True)
+            last_conflict = exc
+            time.sleep(0.05 * (attempt + 1))
+    raise last_conflict
+
+
 def read_upsert_changes(
     spark: SparkSession,
     path: str,
@@ -583,8 +648,16 @@ def read_upsert_changes(
         return None
     old = read_upsert_table(spark, path, buckets=changed_buckets, version=from_version)
     new = read_upsert_table(spark, path, buckets=changed_buckets, version=to_version)
-    if old is None or new is None:
+    if old is None and new is None:
         return None
+    if old is None:  # every changed bucket is new: pure inserts
+        return new.drop("_ub").withColumn("_change_type", F.lit("insert"))
+    if new is None:  # every changed bucket was emptied: pure deletes
+        cols = [c for c in old.columns if c != "_ub"]
+        key = cols[0]
+        return old.select(
+            key, *[F.lit(None).cast(dict(old.dtypes)[c]).alias(c) for c in cols[1:]]
+        ).withColumn("_change_type", F.lit("delete"))
     cols = [c for c in new.columns if c != "_ub"]
     o = old.select(*[F.col(c).alias(f"_o_{c}") for c in cols])
     n = new.select(*[F.col(c).alias(f"_n_{c}") for c in cols])

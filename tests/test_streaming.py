@@ -810,3 +810,53 @@ def test_upsert_time_travel_and_snapshot_expiry(spark, tmp_path):
     assert snap(version=3) == sorted(s2 + [(200, 3, "v3")])
     assert snap(version=2) == s2
     assert stats["removed"] == 0
+
+
+def test_delete_upsert_keys_cdc_and_time_travel(spark, tmp_path):
+    """Keyed DELETE: only affected buckets rewrite, emptied buckets drop
+    from the manifest (no tombstones), read_upsert_changes surfaces the
+    deletes, and time travel still serves the pre-delete snapshot."""
+    import json
+    import os
+
+    from logistream_data_pipeline_aws_spark.streaming import pipeline as P
+
+    path = str(tmp_path / "landed")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        )
+
+    users = [(i, _ts(0, i % 60), 100 + i, "seed", float(i), "{}") for i in range(40)]
+    P.merge_upsert_batch(
+        batch(users), path, key_cols=["user_id"],
+        order_cols=["ts", "event_id"], retention=2,
+    )  # v1: users 100..139
+
+    doomed = spark.createDataFrame([(u,) for u in (100, 105, 110)], "user_id long")
+    n = P.delete_upsert_keys(spark, path, doomed, key_cols=["user_id"])
+    assert n == 3
+
+    landed = {r.user_id for r in P.read_upsert_table(spark, path).collect()}
+    assert landed == {100 + i for i in range(40)} - {100, 105, 110}
+    # pre-delete snapshot intact via time travel
+    v1 = {r.user_id for r in P.read_upsert_table(spark, path, version=1).collect()}
+    assert v1 == {100 + i for i in range(40)}
+    # CDC surfaces exactly the three deletes
+    changes = P.read_upsert_changes(spark, path, from_version=1, to_version=2)
+    rows = changes.collect()
+    assert {(r.user_id, r._change_type) for r in rows} == {
+        (100, "delete"), (105, "delete"), (110, "delete"),
+    }
+    # deleting a key that only lives in an emptied bucket leaves no
+    # tombstone: manifest maps only non-empty buckets
+    manifest = json.load(open(os.path.join(path, "_manifest.json")))
+    for k in manifest["buckets"]:
+        assert os.path.isdir(os.path.join(path, manifest["buckets"][k], f"_ub={k}"))
+    # deleting everything empties the table cleanly
+    all_keys = spark.createDataFrame([(u,) for u in landed], "user_id long")
+    n2 = P.delete_upsert_keys(spark, path, all_keys, key_cols=["user_id"])
+    assert n2 == len(landed)
+    assert json.load(open(os.path.join(path, "_manifest.json")))["buckets"] == {}
+    assert P.read_upsert_table(spark, path) is None
