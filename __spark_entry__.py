@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm_scores_approx_prod": X.customer_rfm_scores_approx_prod,
         "similarity_pq_refine": X.similarity_pq_refine,
         "events_upsert_changes": X.events_upsert_changes,
+        "sales_forecast_ses": X.sales_forecast_ses,
         # -- implementation changed this round (re-verify first): the
         #    winnowing size guard + pairs plumbing, the SCD2 NULL-user
         #    gate, the RFM +/-2 tie bound, and the CAS commit protocol
@@ -315,7 +316,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": X.doc_fingerprints,
         "multimodal_meta": X.multimodal_meta,
         "events_json_kv": X.events_json_kv,
-        "embedding_centered": X.embedding_centered,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r5 (rows+schema+hash), digest-pinned since
         #    its green row (tests/test_rotation_ledger.py), re-verified
@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    drifted 12 behavior-neutral tail digests — re-verified at
         #    sf0.01 AND sf0.1 before this manifest regeneration, per the
         #    r4 adjudication protocol. ==================================
+        "embedding_centered": X.embedding_centered,
         "media_frames": X.media_frames,
         "fact_bucket_profile": W.fact_bucket_profile,
         "dim_region": W.dim_region,
@@ -567,6 +568,22 @@ def _ext_oracles() -> dict[str, str]:
         # closed-form OLS: integer moments exact in 64-bit (< 2^53 so the
         # double casts are exact), revenue moments DECIMAL(30,6)-summed,
         # derived stats a fixed dag of double ops, 6dp display rounding
+        # SES fold: list(y ORDER BY x) folded with the identical
+        # 0.5*v + 0.5*acc multiply-add -> bit-exact cross-engine
+        "sales_forecast_ses": (
+            "WITH daily AS (SELECT c_mktsegment, "
+            "CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS x, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS y "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE o_orderdate IS NOT NULL GROUP BY 1, 2), "
+            "s AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_days, "
+            "list(y ORDER BY x) AS ys FROM daily GROUP BY 1) "
+            "SELECT c_mktsegment, n_days, "
+            "ROUND(ys[-1], 6) AS last_actual, "
+            "ROUND(list_reduce(ys, (acc, v) -> 0.5 * v + 0.5 * acc), 6) AS ses_level, "
+            "ROUND(list_reduce(ys, (acc, v) -> 0.5 * v + 0.5 * acc), 6) AS forecast_next "
+            "FROM s"
+        ),
         "sales_trendline_ols": (
             "WITH daily AS (SELECT c_mktsegment, "
             "CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS x, "

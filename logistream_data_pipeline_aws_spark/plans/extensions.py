@@ -3790,6 +3790,68 @@ def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sales_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment single-exponential-smoothing forecast over the daily
+    revenue series — the recursive cousin of ``sales_trendline_ols``
+    (level-tracking where OLS is trend-fitting; SES's one-step-ahead
+    forecast IS its final smoothed level).  The recursion
+    ``s_t = a*x_t + (1-a)*s_{t-1}`` cannot be a window (each value
+    depends on the previous RESULT, not the previous row), so it runs
+    as a LEFT FOLD over the day-ordered series: per segment, the daily
+    totals collect into one calendar-bounded array (<= ~2500 elements
+    at any fact scale — bounded by the date range, not the data) and
+    ``F.aggregate`` folds it in order.
+
+    Determinism: alpha = 0.5, so every step is one IEEE multiply-add of
+    exact binary fractions over deterministic inputs (each day's total
+    is an exact DECIMAL(30,6) sum cast once to double), and both
+    engines fold the identical list in identical order — bit-exact
+    without tolerances, rounded 6dp only at the output.  Scale shape:
+    one map-side-combinable daily aggregation, then a per-segment
+    collect of a calendar-bounded array — the same bound the gap-fill
+    and backlog walks rely on; no unpartitioned window, no driver
+    loop."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    daily = (
+        orders.where(F.col("o_orderdate").isNotNull())
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            "c_mktsegment",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    series = daily.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("x", "y"))), lambda s: s.y
+        ).alias("_ys"),
+    )
+    level = F.aggregate(
+        F.slice("_ys", 2, F.size("_ys")),
+        F.element_at("_ys", 1),
+        lambda acc, v: F.lit(0.5) * v + F.lit(0.5) * acc,
+    )
+    return series.select(
+        "c_mktsegment",
+        "n_days",
+        F.round(F.element_at("_ys", -1), 6).alias("last_actual"),
+        F.round(level, 6).alias("ses_level"),
+        # SES's h-step forecast is flat at the level
+        F.round(level, 6).alias("forecast_next"),
+    )
+
+
 def sales_trendline_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment revenue trendline by closed-form OLS over daily
     totals — the "is this segment growing and how fast" regression a

@@ -225,17 +225,33 @@ def test_runtime_bloom_filter_prunes_selective_join(spark):
             spark.conf.set(k, v)
 
 
-def test_prefix_filter_never_broadcasts_corpus_scaled_sides(spark):
+def test_prefix_filter_merge_insurance_gate(spark):
     """The 100x probe watched Catalyst statically broadcast the
     shingle-frequency aggregate / prefix self-join / item-set verify
-    sides off garbage size estimates and OOM the driver (r5).  The
-    merge hints must hold: every join in the prefix-filter plan whose
-    build side grows with the corpus is a (spillable) sort-merge join,
-    and broadcast appears nowhere in this plan."""
-    plan = _plan(spark, "dedup_prefix_filter")
+    sides off garbage size estimates and OOM the driver (r5); the
+    clean-box A/B then measured the forced sorts costing +1.7 s at
+    sf-scale where broadcast is definitionally safe (r6).  Both gate
+    arms must hold: with ``prefer_merge=True`` (the registered path
+    above 100k docs) every corpus-scaled build side is a spillable
+    sort-merge join and broadcast appears nowhere; the registered entry
+    at test scale (gate OFF) is free to broadcast."""
+    from logistream_data_pipeline_aws_spark.catalog import load_table
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        prefix_filter_pairs,
+    )
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    insured = prefix_filter_pairs(
+        docs, "doc_id", "text", threshold=0.5, k_shingle=5, prefer_merge=True
+    )
+    plan = insured._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("SortMergeJoin") >= 4  # dfreq, cap, self-join, 2x verify
+    # the registered entry's gate is corpus-size-driven: at test scale
+    # it must take the cheap broadcast arm (the A/B-measured form)
+    gated = _plan(spark, "dedup_prefix_filter")
+    assert "BroadcastHashJoin" in gated
 
 
 def test_bounded_blocks_keep_join_is_sort_merge(spark):

@@ -479,3 +479,45 @@ def test_pq_refine_matches_numpy_and_improves_on_adc(spark):
     assert all(r >= a for r, a in zip(refine_recall, adc_recall)), (
         refine_recall, adc_recall,
     )
+
+
+def test_sales_forecast_ses_matches_numpy(spark):
+    """The SES fold must equal the numpy recursion s_t = a*x_t +
+    (1-a)*s_{t-1} over the day-ordered series, per segment."""
+    import numpy as np
+
+    from logistream_data_pipeline_aws_spark.catalog import load_table
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        sales_forecast_ses,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, "orders", sf)
+    customer = load_table(spark, "customer", sf)
+    daily = (
+        orders.where(F.col("o_orderdate").isNotNull())
+        .join(customer.select("c_custkey", "c_mktsegment"),
+              orders.o_custkey == F.col("c_custkey"))
+        .groupBy("c_mktsegment", F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+             .cast("double").alias("y"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.c_mktsegment, []).append((r.d, r.y))
+    expected = {}
+    for seg, pts in series.items():
+        ys = [y for _, y in sorted(pts)]
+        s = ys[0]
+        for v in ys[1:]:
+            s = 0.5 * v + 0.5 * s
+        expected[seg] = (len(ys), round(ys[-1], 6), round(s, 6))
+    got = {
+        r.c_mktsegment: (r.n_days, r.last_actual, r.ses_level)
+        for r in sales_forecast_ses(spark, sf).collect()
+    }
+    assert got == expected
+    for r in sales_forecast_ses(spark, sf).collect():
+        assert r.forecast_next == r.ses_level
