@@ -585,6 +585,11 @@ def delete_upsert_keys(
             doomed.select(*key_cols), key_cols, "left_anti"
         )
         n_deleted = existing.count() - remaining.count()
+        if n_deleted == 0:
+            # bucket-level hash hits but no matching keys: publishing a
+            # content-identical commit would burn a version (and a CDF
+            # diff) for nothing
+            return 0
         commit_dir = _new_commit_dir(manifest["version"] + 1)
         remaining.write.mode("overwrite").partitionBy("_ub").parquet(
             os.path.join(path, commit_dir)

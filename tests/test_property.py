@@ -306,3 +306,89 @@ def test_twap_matches_brute_force(spark, ticks):
     assert r.n_intervals == len(ordered) - 1
     assert r.span_us == sd
     assert r.twap == float(ws) / sd
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.one_of(
+            # merge: list of (key, order, payload)
+            st.tuples(
+                st.just("merge"),
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=0, max_value=9),
+                        st.integers(min_value=0, max_value=50),
+                        st.integers(min_value=-99, max_value=99),
+                    ),
+                    min_size=1,
+                    max_size=6,
+                ),
+            ),
+            # delete: key set
+            st.tuples(
+                st.just("delete"),
+                st.lists(st.integers(min_value=0, max_value=9),
+                         min_size=1, max_size=4),
+            ),
+            st.tuples(st.just("compact"), st.just(None)),
+            st.tuples(st.just("vacuum"), st.just(None)),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_upsert_protocol_matches_model(spark, tmp_path_factory, ops):
+    """Model-based fuzz of the whole upsert protocol: any interleaving of
+    merge / delete / compact / vacuum must keep the committed snapshot
+    equal to a dict model (argmax per key by (order, payload)), and every
+    retained archived version must replay its historical model state."""
+    from logistream_data_pipeline_aws_spark.streaming import pipeline as P
+
+    path = str(tmp_path_factory.mktemp("upsert_model") / "t")
+    model: dict[int, tuple[int, int]] = {}
+    history: list[dict[int, tuple[int, int]]] = []  # index = version - 1
+
+    def snap(version=None):
+        df = P.read_upsert_table(spark, path, version=version)
+        if df is None:
+            return {}
+        return {r.k: (r.o, r.p) for r in df.collect()}
+
+    for op, arg in ops:
+        if op == "merge":
+            batch = spark.createDataFrame(arg, "k long, o long, p long")
+            P.merge_upsert_batch(
+                batch, path, key_cols=["k"], order_cols=["o", "p"],
+                retention=3,
+            )
+            for k, o, p in arg:
+                if k not in model or (o, p) > model[k]:
+                    model[k] = (o, p)
+            history.append(dict(model))
+        elif op == "delete":
+            if not model:
+                continue
+            keys = spark.createDataFrame([(k,) for k in arg], "k long")
+            P.delete_upsert_keys(spark, path, keys, key_cols=["k"])
+            before = dict(model)
+            for k in arg:
+                model.pop(k, None)
+            if model != before:  # a no-hit delete publishes nothing
+                history.append(dict(model))
+        elif op == "compact":
+            if P.compact_upsert_table(spark, path) is not None:
+                history.append(dict(model))
+        elif op == "vacuum":
+            P.vacuum_upsert_table(path)
+        assert snap() == model
+    # retained archived versions replay their historical states
+    if history:
+        current = len(history)
+        retention = 3
+        for v in range(max(1, current - retention), current + 1):
+            assert snap(version=v) == history[v - 1], f"version {v}"
