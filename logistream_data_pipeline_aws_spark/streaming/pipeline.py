@@ -640,10 +640,18 @@ def read_upsert_changes(
         if to_version is not None
         else (_read_upsert_manifest(path) or {"version": 0})["version"]
     )
-    with open(_upsert_archive_path(path, from_version)) as fh:
-        m_from = json.load(fh)
-    with open(_upsert_archive_path(path, to_version)) as fh:
-        m_to = json.load(fh)
+    try:
+        with open(_upsert_archive_path(path, from_version)) as fh:
+            m_from = json.load(fh)
+        with open(_upsert_archive_path(path, to_version)) as fh:
+            m_to = json.load(fh)
+    except FileNotFoundError:
+        have = _list_archive_versions(path) if os.path.isdir(path) else []
+        raise ValueError(
+            f"upsert table {path}: cannot diff v{from_version} -> "
+            f"v{to_version} — retained versions: {have}; expired snapshots "
+            "are garbage-collected"
+        ) from None
     changed_buckets = {
         int(k)
         for k in set(m_from["buckets"]) | set(m_to["buckets"])

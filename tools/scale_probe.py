@@ -298,6 +298,7 @@ EVENTS_QUERIES = [
     "events_stickiness_hll",
     "events_stickiness_hll_prod",
     "scd2_daily_snapshot",
+    "events_upsert_changes",
     "events_asof_last_purchase",
     "events_conversion_lag",
     "events_stream_sessions",
@@ -313,6 +314,7 @@ WAREHOUSE_QUERIES = [
     "lineitem_abc_pareto_approx",
     "fact_backfill_plan",
     "sales_trendline_ols",
+    "sales_forecast_ses",
     "supplier_pagerank",
     "graph_hop_distance",
 ]
