@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq_refine": X.similarity_pq_refine,
         "events_upsert_changes": X.events_upsert_changes,
         "sales_forecast_ses": X.sales_forecast_ses,
+        "bpe_encode_stats": X.bpe_encode_stats,
         # -- implementation changed this round (re-verify first): the
         #    winnowing size guard + pairs plumbing, the SCD2 NULL-user
         #    gate, the RFM +/-2 tie bound, and the CAS commit protocol
@@ -315,7 +316,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": A.top_customers,
         "doc_fingerprints": X.doc_fingerprints,
         "multimodal_meta": X.multimodal_meta,
-        "events_json_kv": X.events_json_kv,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r2-r5 (rows+schema+hash), digest-pinned since
         #    its green row (tests/test_rotation_ledger.py), re-verified
@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    drifted 12 behavior-neutral tail digests — re-verified at
         #    sf0.01 AND sf0.1 before this manifest regeneration, per the
         #    r4 adjudication protocol. ==================================
+        "events_json_kv": X.events_json_kv,
         "embedding_centered": X.embedding_centered,
         "media_frames": X.media_frames,
         "fact_bucket_profile": W.fact_bucket_profile,
@@ -1750,6 +1751,40 @@ def _ext_oracles() -> dict[str, str]:
             "FROM (SELECT pair, CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words, "
             "CAST(SUM(freq) AS BIGINT) AS pair_count FROM pairs GROUP BY pair)) "
             "WHERE rank <= 30"
+        ),
+        # BPE encode: replay the miner's top-8 cut, mark mergeable
+        # adjacent positions per word, and count greedy merges as
+        # ceil(run/2) over the '0'-split runs of the mark string —
+        # closed form, no fold, identical semantics both engines
+        "bpe_encode_stats": (
+            "WITH vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq "
+            "FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word "
+            "FROM documents WHERE text IS NOT NULL) WHERE word <> '' GROUP BY word), "
+            "vpairs AS (SELECT substring(word, CAST(i AS INT), 2) AS pair, word, freq "
+            "FROM (SELECT word, freq, unnest(range(1, length(word))) AS i "
+            "FROM vocab WHERE length(word) >= 2)), "
+            "ranked AS (SELECT pair, ROW_NUMBER() OVER ("
+            "ORDER BY pair_count DESC, pair) AS rank "
+            "FROM (SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count "
+            "FROM vpairs GROUP BY pair)), "
+            "ms AS (SELECT list(pair ORDER BY rank) AS ml FROM ranked WHERE rank <= 8), "
+            "words AS (SELECT doc_id, w FROM (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w "
+            "FROM documents WHERE text IS NOT NULL) WHERE w <> ''), "
+            "marked AS (SELECT doc_id, w, CASE WHEN length(w) < 2 THEN '' ELSE "
+            "array_to_string(list_transform(range(1, length(w)), "
+            "i -> CASE WHEN list_contains(ml, substring(w, CAST(i AS INT), 2)) "
+            "THEN '1' ELSE '0' END), '') END AS bits FROM words, ms), "
+            "counted AS (SELECT doc_id, CAST(length(w) AS BIGINT) AS n_chars, "
+            "CAST(length(w) AS BIGINT) - CAST(list_sum(list_transform("
+            "string_split(bits, '0'), f -> (length(f) + 1) // 2)) AS BIGINT) AS n_tokens "
+            "FROM marked) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+            "CAST(SUM(n_chars) AS BIGINT) AS n_alpha_chars, "
+            "CAST(SUM(n_tokens) AS BIGINT) AS n_bpe_tokens, "
+            "ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE), 6) "
+            "AS chars_per_token "
+            "FROM counted GROUP BY doc_id"
         ),
         # TPC-H Q21 shape: only-late supplier on finalized multi-supplier
         # orders (late = shipped > 60 days after order date)

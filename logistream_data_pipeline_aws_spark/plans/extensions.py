@@ -3447,6 +3447,84 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_encode_stats(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """APPLY the mined BPE merges — tokenizer train -> encode, closing
+    the loop ``bpe_merge_candidates`` opened: take the top ``n_merges``
+    character pairs (rank order: weighted count desc, pair — the
+    miner's own deterministic cut, collected to the driver as
+    vocabulary-grade metadata, the heavy-hitters-recount precedent) and
+    encode every document, reporting per-doc token accounting:
+    ``n_words``, ``n_alpha_chars``, ``n_bpe_tokens``, and the
+    compression ratio a trainer budgets context length with.
+
+    Greedy single-pass merge application is computed CLOSED-FORM, no
+    per-row loop and no sequential fold: for each word, mark which
+    adjacent positions form a mergeable pair (``m_i``), and observe
+    that greedy left-to-right merging collapses each maximal RUN of L
+    consecutive mergeable positions into ceil(L/2) merges — so
+    ``n_tokens = len(word) - sum(ceil(L/2))``.  The run lengths come
+    from splitting the 0/1 mark string on '0' — pure
+    transform/array_join/split expressions with identical semantics in
+    Spark and DuckDB, so the oracle replays the whole train+encode
+    pipeline hash-exactly.  (Single-pass char-pair application is one
+    ROUND of BPE — exactly what the single-pass miner produces; the
+    iterated mine->apply loop is tokenizer training's outer loop, out
+    of scope for corpus accounting.)
+
+    Scale shape: one corpus pass mines the vocabulary (the miner's
+    map-side-combinable word count), 8 strings come back to the driver,
+    and one more corpus pass encodes — map-only expressions plus a
+    per-doc aggregation; nothing data-sized leaves the executors."""
+    ranked = bpe_merge_candidates(spark, sf_dir)
+    merges = [
+        r.pair for r in ranked.where(F.col("rank") <= n_merges).collect()
+    ]
+    ml = F.array(*[F.lit(p) for p in merges])
+    docs = load_table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    # '1' where (c_i, c_i+1) is a mergeable pair, '' for 1-char words
+    # (sequence(1, 0) would DESCEND — the miner's own degenerate gate)
+    bits = F.when(F.length("w") < 2, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.when(
+                    F.array_contains(ml, F.substring(F.col("w"), i, F.lit(2))),
+                    F.lit("1"),
+                ).otherwise(F.lit("0")),
+            ),
+            "",
+        )
+    )
+    runs = F.split(bits, "0")
+    # ceil(L/2) per run: (L+1) div 2, exact small-int arithmetic
+    n_merged = F.aggregate(
+        F.transform(runs, lambda f: F.floor((F.length(f) + 1) / 2).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    per_word = words.select(
+        "doc_id",
+        F.length("w").cast("long").alias("n_chars"),
+        (F.length("w") - n_merged).cast("long").alias("n_tokens"),
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_chars").alias("n_alpha_chars"),
+        F.sum("n_tokens").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_tokens").cast("double"), 6
+        ).alias("chars_per_token"),
+    )
+
+
 def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str, n_shards: int = 16) -> DataFrame:
     """Deterministic global shuffle for a training epoch: every document
     gets a pseudo-random permutation position — (shard, intra-shard

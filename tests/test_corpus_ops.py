@@ -416,3 +416,60 @@ def test_doc_unigram_score_matches_python_reference(spark):
         expected = sum(vocab[w] / n_total for w in ws) / len(ws)
         assert got[d].n_tokens == len(ws)
         assert abs(got[d].mean_token_p - expected) < 1e-9
+
+
+def test_bpe_encode_stats_matches_python_greedy(spark, tmp_path):
+    """The closed-form ceil(run/2) merge count must equal a literal
+    Python greedy left-to-right single-pass encoder on a corpus with
+    overlapping-run edge cases ('aaa', back-to-back merges, 1-char
+    words)."""
+    import re
+
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        bpe_encode_stats,
+        bpe_merge_candidates,
+    )
+
+    texts = [
+        (1, "the theme thesis aaa baaab the the the"),
+        (2, "a b c ababab thethe xyz"),
+        (3, "aa aa aa the rest is unmergeable qz"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in texts],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    merges = {
+        r.pair
+        for r in bpe_merge_candidates(spark, d).where("rank <= 8").collect()
+    }
+
+    def greedy_tokens(w):
+        n, i, toks = len(w), 0, 0
+        while i < n:
+            if i + 1 < n and w[i : i + 2] in merges:
+                i += 2
+            else:
+                i += 1
+            toks += 1
+        return toks
+
+    expected = {}
+    for doc_id, t in texts:
+        ws = re.findall(r"[a-z]+", t.lower())
+        expected[doc_id] = (
+            len(ws),
+            sum(len(w) for w in ws),
+            sum(greedy_tokens(w) for w in ws),
+        )
+    got = {
+        r.doc_id: (r.n_words, r.n_alpha_chars, r.n_bpe_tokens)
+        for r in bpe_encode_stats(spark, d).collect()
+    }
+    assert got == expected
+    for r in bpe_encode_stats(spark, d).collect():
+        assert r.chars_per_token == round(
+            expected[r.doc_id][1] / expected[r.doc_id][2], 6
+        )

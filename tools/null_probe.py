@@ -181,7 +181,7 @@ DEFAULT_QUERIES = {
         "corpus_mixture_sample", "sequence_packing", "doc_winnowing",
         "corpus_stratified_sample", "corpus_shard_manifest",
         "corpus_split_assignment", "dedup_incremental_ingest",
-        "bpe_merge_candidates", "corpus_epoch_shuffle", "corpus_mixture_plan", "doc_unigram_score", "dedup_golden_record",
+        "bpe_merge_candidates", "bpe_encode_stats", "corpus_epoch_shuffle", "corpus_mixture_plan", "doc_unigram_score", "dedup_golden_record",
         "media_image_features",
     ],
 }

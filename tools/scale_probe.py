@@ -260,6 +260,7 @@ CORPUS_QUERIES = [
     "corpus_split_assignment",
     "corpus_epoch_shuffle",
     "bpe_merge_candidates",
+    "bpe_encode_stats",
     "doc_unigram_score",
     "dedup_incremental_ingest",
     "dedup_exact",
