@@ -131,7 +131,7 @@ DEFAULT_QUERIES = {
         "sql_lapsed_big_spenders", "sql_unshipped_orders",
         "sql_prospect_customers", "supplier_pagerank", "graph_hop_distance",
         "dim_junk_status", "fact_lineitem", "customer_rfm_scores_approx",
-        "fact_backfill_plan", "sales_trendline_ols",
+        "fact_backfill_plan", "sales_trendline_ols", "sales_forecast_ses",
     ],
     "lineitem": [
         "q1_pricing_summary", "a5_profit_rollup", "a5_profit_by_hierarchy",
@@ -163,6 +163,7 @@ DEFAULT_QUERIES = {
     ],
     "customer": [
         "dim_customer", "dim_geography", "fact_lineitem", "top_customers",
+        "sales_forecast_ses", "sales_trendline_ols",
         "customer_rank_in_nation", "acctbal_band_join",
         "acctbal_window_profile", "segment_region_pivot",
         "repeat_customers_yoy", "sql_shipping_priority",
