@@ -248,10 +248,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # digest to the manifest recorded at their last green round — a
     # changed tail entry fails CI until rotated back into the head.
     return {
-        # ==== ROUND-6 HEAD WINDOW (the driver records the first ~50) ====
-        # -- the 13 never-driver-verified r5-continuation entries (VERDICT
-        #    r5 next-round #1; all judge-green at sf0.01, now getting
-        #    their driver rows) ------------------------------------------
+        # ==== ROUND-7 HEAD WINDOW (the driver records the first ~50) ====
+        # Composition per VERDICT r6 next-round #1: clear the staleness
+        # queue with registry growth frozen — ONE new entry, the 5
+        # changed-this-round entries, then the ENTIRE 44-entry stale
+        # queue (9 r2-green + 35 r3-green).  After the r7 gate no
+        # entry's newest green row predates r4.
+        # -- new: time-travel snapshot reads under the oracle (VERDICT
+        #    r6 #3) --------------------------------------------------------
+        # -- changed this round: the upsert-table commit protocol grew
+        #    crash recovery (marker unlink on failed publish), a
+        #    manifest-recorded merge contract (key_cols/order_cols/
+        #    n_buckets), add-column schema evolution, and the JDBC MERGE
+        #    sink got authenticated driver connections + the staged-keys
+        #    DELETE path (ADVICE r6 + VERDICT #5/#6); the compaction
+        #    audit's fragmentation is now deterministic (ADVICE r6) ------
+        "events_upsert_timetravel": X.events_upsert_timetravel,
+        "events_upsert_changes": X.events_upsert_changes,
+        "warehouse_compaction_audit": X.warehouse_compaction_audit,
+        "events_stream_jdbc_upsert": X.events_stream_jdbc_upsert,
+        "events_stream_upsert": X.events_stream_upsert,
+        "events_stream_jdbc_hourly": X.events_stream_jdbc_hourly,
+        "dim_region": W.dim_region,
+        "dim_geography": W.dim_geography,
+        "dim_junk_status": W.dim_junk_status,
+        "dim_date": W.dim_date,
+        "q1_pricing_summary": A.q1_pricing_summary,
+        "fact_bucket_profile": W.fact_bucket_profile,
+        "events_json_kv": X.events_json_kv,
+        "embedding_centered": X.embedding_centered,
+        "media_frames": X.media_frames,
+        "a8_returns_by_nation": A.a8_returns_by_nation,
+        "contamination_check": X.contamination_check,
+        "corpus_mixture_sample": X.corpus_mixture_sample,
+        "dedup_dropped": X.dedup_dropped,
+        "dedup_embedding": X.dedup_embedding,
+        "dedup_near_survivors": X.dedup_near_survivors,
+        "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
+        "dedup_simhash": X.dedup_simhash,
+        "dedup_simhash_pairs": X.dedup_simhash_pairs,
+        "dim_route_shapes": X.dim_route_shapes,
+        "embedding_quantize": X.embedding_quantize,
+        "events_asof_last_purchase": X.events_asof_last_purchase,
+        "events_hourly": A.events_hourly,
+        "events_lookback_count": X.events_lookback_count,
+        "events_multigrain_rollup": X.events_multigrain_rollup,
+        "events_sketch_profile": X.events_sketch_profile_checked,
+        "geojson_routes": X.geojson_routes,
+        "routes_csv_readback": X.routes_csv_readback,
+        "sequence_packing": X.sequence_packing,
+        "similarity_ann_lsh": X.similarity_ann_lsh,
+        "similarity_ivf": X.similarity_ivf,
+        "similarity_topk": X.similarity_topk,
+        "sql_cheapest_supplier": V.sql_cheapest_supplier,
+        "sql_excess_suppliers": V.sql_excess_suppliers,
+        "sql_forecast_revenue": V.sql_forecast_revenue,
+        "sql_important_parts": V.sql_important_parts,
+        "sql_priority_shipping_split": V.sql_priority_shipping_split,
+        "sql_promo_revenue": V.sql_promo_revenue,
+        "sql_prospect_customers": V.sql_prospect_customers,
+        "sql_returned_item_losses": V.sql_returned_item_losses,
+        "sql_supplier_part_variety": V.sql_supplier_part_variety,
+        "sql_top_supplier": V.sql_top_supplier,
+        "sql_unshipped_orders": V.sql_unshipped_orders,
+        "user_sessions": X.user_sessions,
+        "warehouse_orc_readback": X.warehouse_orc_readback,
+        # ===== ~50-entry driver window boundary.  Everything below is
+        #    tail: green in r4-r6 (rows+schema+hash), digest-pinned since
+        #    its green row (tests/test_rotation_ledger.py), re-verified
+        #    locally (full sf0.01 sweep) before this rotation was set.
+        #    The two sketch-only prod twins (events_stickiness_hll_prod,
+        #    customer_rfm_scores_approx_prod) are DEREGISTERED from the
+        #    gate per VERDICT r6 #2 — estimates have no cross-engine
+        #    value oracle by construction; they stay benched (bench.py)
+        #    and pytest-pinned within tolerance of their checked forms
+        #    (tests/test_prod_twins.py). ==================================
         "corpus_split_assignment": X.corpus_split_assignment,
         "lineitem_column_profile": X.lineitem_column_profile,
         "dedup_incremental_ingest": X.dedup_incremental_ingest,
@@ -261,34 +332,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_golden_record": X.dedup_golden_record,
         "sales_trendline_ols": X.sales_trendline_ols,
         "events_orc_readback": X.events_orc_readback,
-        "events_stream_jdbc_hourly": X.events_stream_jdbc_hourly,
         "media_image_features": X.media_image_features,
         "events_conversion_lag": X.events_conversion_lag,
         "events_stickiness_hll": X.events_stickiness_hll,
-        # -- new this round: compaction audit (VERDICT #6), keyed JDBC
-        #    MERGE sink (VERDICT #8), and the sketch-only production
-        #    twins (VERDICT #7; no value oracle by construction — the
-        #    checked forms below certify them) ----------------------------
-        "warehouse_compaction_audit": X.warehouse_compaction_audit,
-        "events_stream_jdbc_upsert": X.events_stream_jdbc_upsert,
-        "events_stickiness_hll_prod": X.events_stickiness_hll_prod,
-        "customer_rfm_scores_approx_prod": X.customer_rfm_scores_approx_prod,
         "similarity_pq_refine": X.similarity_pq_refine,
-        "events_upsert_changes": X.events_upsert_changes,
         "sales_forecast_ses": X.sales_forecast_ses,
         "bpe_encode_stats": X.bpe_encode_stats,
-        # -- implementation changed this round (re-verify first): the
-        #    winnowing size guard + pairs plumbing, the SCD2 NULL-user
-        #    gate, the RFM +/-2 tie bound, and the CAS commit protocol
-        #    (streaming module digest moved -> per the rotation contract
-        #    ALL streaming entries re-enter the window), and the
-        #    size-gated merge-join insurance (VERDICT #2 A/B) ------------
         "doc_winnowing": X.doc_winnowing,
         "doc_winnow_pairs": X.doc_winnow_pairs,
         "dedup_prefix_filter": X.dedup_prefix_filter,
         "scd2_daily_snapshot": X.scd2_daily_snapshot,
         "customer_rfm_scores_approx": A.customer_rfm_scores_approx_checked,
-        "events_stream_upsert": X.events_stream_upsert,
         "events_stream_sessions": X.events_stream_sessions,
         "events_stream_sessions_flushed": X.events_stream_sessions_flushed,
         "events_stream_sliding": X.events_stream_sliding,
@@ -296,10 +350,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": X.events_stream_dedup,
         "events_stream_order_shipment": X.events_stream_order_shipment,
         "events_stream_hourly": X.events_stream_hourly,
-        # -- oldest-first rotation: the 19-entry r2-green queue COVERAGE.md
-        #    names (12 sql/text/corpus entries + the 7 displaced by the r5
-        #    streaming rotation), plus fact_bucket_profile and dim_region
-        #    (r2-green, digest-stable) ------------------------------------
         "events_salted_user_stats": X.events_salted_user_stats,
         "sql_customer_order_distribution": V.sql_customer_order_distribution,
         "sql_orders_above_customer_avg": V.sql_orders_above_customer_avg,
@@ -316,30 +366,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": A.top_customers,
         "doc_fingerprints": X.doc_fingerprints,
         "multimodal_meta": X.multimodal_meta,
-        # ===== ~50-entry driver window boundary.  Everything below is
-        #    tail: green in r2-r5 (rows+schema+hash), digest-pinned since
-        #    its green row (tests/test_rotation_ledger.py), re-verified
-        #    locally (full sf0.01 sweep) before this rotation was set.
-        #    Window arithmetic this round: 30 slots forced (13
-        #    never-verified + 4 new + 13 changed), 20 rotated from the
-        #    r2-green queue — the 5 remaining r2-green entries
-        #    (dim_region, dim_geography, dim_junk_status, dim_date,
-        #    q1_pricing_summary) are digest-stable, lead the r7 queue,
-        #    and sit first below the boundary; the 36 r3-green entries
-        #    hit the 3-round staleness ceiling next round and follow
-        #    them.  The dedup_family module edit (size-gated insurance)
-        #    drifted 12 behavior-neutral tail digests — re-verified at
-        #    sf0.01 AND sf0.1 before this manifest regeneration, per the
-        #    r4 adjudication protocol. ==================================
-        "events_json_kv": X.events_json_kv,
-        "embedding_centered": X.embedding_centered,
-        "media_frames": X.media_frames,
-        "fact_bucket_profile": W.fact_bucket_profile,
-        "dim_region": W.dim_region,
-        "dim_geography": W.dim_geography,
-        "dim_junk_status": W.dim_junk_status,
-        "dim_date": W.dim_date,
-        "q1_pricing_summary": A.q1_pricing_summary,
         "lineitem_abc_pareto_approx": A.lineitem_abc_pareto_approx,
         "route_geometry_stats": X.route_geometry_stats,
         "orders_backlog_series": A.orders_backlog_series,
@@ -417,41 +443,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_stats": X.pii_scrub_stats,
         "dedup_minhash_lsh": X.dedup_minhash_lsh,
         "dedup_clusters": X.dedup_clusters,
-        "dedup_embedding": X.dedup_embedding,
-        "dedup_near_survivors": X.dedup_near_survivors,
-        "contamination_check": X.contamination_check,
-        "corpus_mixture_sample": X.corpus_mixture_sample,
-        "sequence_packing": X.sequence_packing,
-        "sql_promo_revenue": V.sql_promo_revenue,
-        "sql_top_supplier": V.sql_top_supplier,
-        "sql_forecast_revenue": V.sql_forecast_revenue,
-        "sql_cheapest_supplier": V.sql_cheapest_supplier,
-        "sql_important_parts": V.sql_important_parts,
-        "sql_supplier_part_variety": V.sql_supplier_part_variety,
-        "sql_excess_suppliers": V.sql_excess_suppliers,
-        "embedding_quantize": X.embedding_quantize,
-        "sql_returned_item_losses": V.sql_returned_item_losses,
-        "sql_priority_shipping_split": V.sql_priority_shipping_split,
-        "dedup_dropped": X.dedup_dropped,
-        "sql_unshipped_orders": V.sql_unshipped_orders,
-        "sql_prospect_customers": V.sql_prospect_customers,
-        "warehouse_orc_readback": X.warehouse_orc_readback,
-        "similarity_topk": X.similarity_topk,
-        "similarity_ann_lsh": X.similarity_ann_lsh,
-        "similarity_ivf": X.similarity_ivf,
-        "events_hourly": A.events_hourly,
-        "a8_returns_by_nation": A.a8_returns_by_nation,
-        "user_sessions": X.user_sessions,
-        "events_asof_last_purchase": X.events_asof_last_purchase,
-        "events_lookback_count": X.events_lookback_count,
-        "events_multigrain_rollup": X.events_multigrain_rollup,
-        "events_sketch_profile": X.events_sketch_profile_checked,
-        "dedup_simhash": X.dedup_simhash,
-        "dedup_simhash_pairs": X.dedup_simhash_pairs,
-        "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
-        "geojson_routes": X.geojson_routes,
-        "dim_route_shapes": X.dim_route_shapes,
-        "routes_csv_readback": X.routes_csv_readback,
     }
 
 
@@ -957,6 +948,23 @@ def _ext_oracles() -> dict[str, str]:
             "ELSE 'unchanged' END AS _change_type "
             "FROM o FULL JOIN n ON o.user_id = n.user_id) "
             "WHERE _change_type <> 'unchanged'"
+        ),
+        # time-travel reads of the same two snapshots the CDF entry
+        # builds: each version replayed as the batch argmax over its
+        # slice — a leak across snapshots breaks the hash
+        "events_upsert_timetravel": (
+            "WITH ev AS (SELECT user_id, event_id, ts, event_type, value "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "s1 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM ev WHERE event_id % 2 = 0) WHERE rn = 1), "
+            "s2 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM ev) WHERE rn = 1) "
+            "SELECT user_id, event_id, ts, event_type, value, "
+            "CAST(1 AS INTEGER) AS snapshot_version FROM s1 "
+            "UNION ALL SELECT user_id, event_id, ts, event_type, value, "
+            "CAST(2 AS INTEGER) AS snapshot_version FROM s2"
         ),
         # keyed DELETE+INSERT merge lands the same rollup the overwrite
         # sink does; a missed DELETE would double-count and fail the hash

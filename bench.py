@@ -154,9 +154,34 @@ def _table_rows(sf_dir: str) -> dict[str, int]:
     return rows
 
 
+LOAD_GATE = 2.0     # 1-min loadavg above this at start = contaminated box
+LOAD_RETRY_S = 30.0  # bounded sleep-and-retry before giving up
+LOAD_RETRIES = 10    # ... up to 5 minutes of waiting for a quiet box
+
+
+def _await_quiet_box() -> tuple[int, bool]:
+    """Two consecutive official artifacts (r5 loadavg 4.9, r6 9.34) were
+    recorded on a loaded box, making their per-query deltas contention
+    noise (VERDICT r6 next-round #4).  Gate: wait (bounded) for the
+    1-min loadavg to drop under ``LOAD_GATE``; if it never does, run
+    anyway but stamp an explicit contamination flag so no one compares
+    the numbers as engine signal.  Returns (retries_used, contaminated)."""
+    retries = 0
+    while os.getloadavg()[0] > LOAD_GATE and retries < LOAD_RETRIES:
+        print(
+            f"[bench] loadavg {os.getloadavg()[0]:.2f} > {LOAD_GATE} — "
+            f"sleeping {LOAD_RETRY_S:.0f}s ({retries + 1}/{LOAD_RETRIES})",
+            file=sys.stderr,
+        )
+        time.sleep(LOAD_RETRY_S)
+        retries += 1
+    return retries, os.getloadavg()[0] > LOAD_GATE
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    load_retries, load_contaminated = _await_quiet_box()
     spark = get_spark("logistream-bench")
     qs = E.queries()
 
@@ -214,6 +239,8 @@ def main() -> None:
                 "runs": runs,
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in load_end],
+                "load_gate_retries": load_retries,
+                "load_contaminated": load_contaminated,
                 "variance_flagged": flagged,
                 "table_rows": _table_rows(sf_dir),
             }

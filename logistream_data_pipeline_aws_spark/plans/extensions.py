@@ -1980,9 +1980,30 @@ def warehouse_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
     ).where(F.col("order_month").between("1995-01", "1995-12"))
     path = _scratch(f"compaction_audit_fact_{tag}")
-    staged.repartition(4).write.mode("overwrite").partitionBy(
-        "order_month"
-    ).parquet(path)
+    # deterministic fragmentation (ADVICE r6): repartition(4) does NOT
+    # guarantee a month's rows span multiple tasks at small SF — a month
+    # landing wholly in one task writes ONE file and flips the
+    # oracle-pinned `compacted` verdict flakily.  Write two round-robin
+    # slices of each month as separate single-task appends instead, so
+    # every month with >= 2 rows holds exactly 2 files by construction.
+    from pyspark.sql import Window as _W
+
+    rr = F.pmod(
+        F.row_number().over(
+            _W.partitionBy("order_month").orderBy("o_orderkey")
+        ),
+        F.lit(2),
+    )
+    sliced = staged.withColumn("_slice", rr)
+    for slice_id, mode in ((0, "overwrite"), (1, "append")):
+        (
+            sliced.where(F.col("_slice") == slice_id)
+            .drop("_slice")
+            .coalesce(1)
+            .write.mode(mode)
+            .partitionBy("order_month")
+            .parquet(path)
+        )
 
     def month_files() -> dict[str, int]:
         out: dict[str, int] = {}
@@ -4124,28 +4145,19 @@ def events_stream_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UPSERT_CDC_BUILT: set[tuple[str, str]] = set()
 
 
-def events_upsert_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Change-data-feed between two snapshots of the keyed upsert table
-    (the Delta-CDF shape, derived from time travel): land the events
-    feed as two deterministic merges — the even event_ids, then the full
-    feed — and emit ``read_upsert_changes(v1, v2)``: per-user inserts
-    (users whose only events are odd-id) and update postimages (users
-    whose argmax winner moved), diffed bucket-pruned through the
-    immutable manifest archives (identical commit directories cannot
-    contain changes and are never read).  The oracle replays both
-    snapshots as batch argmaxes over the same slices and diffs them —
-    any divergence in the commit, archive, time-travel, or diff path
-    breaks the hash."""
+def _ensure_upsert_cdc_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-per-(session, sf_dir) scratch upsert table shared by
+    ``events_upsert_changes`` and ``events_upsert_timetravel``: v1 = the
+    even-event_id slice merged, v2 = the full feed merged (retention=2
+    keeps both snapshots readable).  Re-invoking either entry (bench
+    best-of-N, the scale probe's timed pairs) must read the SAME two
+    snapshots, not stack extra merges that age v1/v2 past retention."""
     from logistream_data_pipeline_aws_spark.streaming.pipeline import (
         merge_upsert_batch,
-        read_upsert_changes,
     )
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     path = _scratch(f"events_upsert_changes_{tag}")
-    # build-once per (session, sf_dir): re-invoking the entry (bench
-    # best-of-N, the scale probe's timed pairs) must diff the SAME two
-    # snapshots, not stack extra merges that age v1/v2 past retention
     cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if cache_key not in _UPSERT_CDC_BUILT:
         ev = (
@@ -4163,7 +4175,57 @@ def events_upsert_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             retention=2,
         )
         _UPSERT_CDC_BUILT.add(cache_key)
+    return path
+
+
+def events_upsert_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two snapshots of the keyed upsert table
+    (the Delta-CDF shape, derived from time travel): land the events
+    feed as two deterministic merges — the even event_ids, then the full
+    feed — and emit ``read_upsert_changes(v1, v2)``: per-user inserts
+    (users whose only events are odd-id) and update postimages (users
+    whose argmax winner moved), diffed bucket-pruned through the
+    immutable manifest archives (identical commit directories cannot
+    contain changes and are never read).  The oracle replays both
+    snapshots as batch argmaxes over the same slices and diffs them —
+    any divergence in the commit, archive, time-travel, or diff path
+    breaks the hash."""
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        read_upsert_changes,
+    )
+
+    path = _ensure_upsert_cdc_table(spark, sf_dir)
     return read_upsert_changes(spark, path, from_version=1, to_version=2)
+
+
+def events_upsert_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL reads of the upsert table under the driver's oracle
+    (VERDICT r6 next-round #3): the same scratch table as
+    ``events_upsert_changes`` (v1 = even-event_id merge, v2 = full
+    feed), but instead of diffing, each retained snapshot is read
+    whole through ``read_upsert_table(version=...)`` — resolving the
+    immutable ``_manifest.v<N>.json`` archive — and emitted tagged with
+    its version.  The oracle replays both snapshots as batch argmaxes
+    over the same slices, so any divergence in the archive index, the
+    per-version bucket resolution, or snapshot isolation (v1 rows
+    leaking v2 payloads or vice versa) breaks the hash.
+
+    Scale shape: two manifest-resolved bucket-pruned parquet scans and a
+    union — no shuffle at all; the only driver-side values are the two
+    manifest dicts (metadata-sized)."""
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        read_upsert_table,
+    )
+
+    path = _ensure_upsert_cdc_table(spark, sf_dir)
+    frames = []
+    for version in (1, 2):
+        frames.append(
+            read_upsert_table(spark, path, version=version)
+            .drop("_ub")
+            .withColumn("snapshot_version", F.lit(version).cast("int"))
+        )
+    return frames[0].unionByName(frames[1])
 
 
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:

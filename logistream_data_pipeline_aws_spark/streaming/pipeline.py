@@ -421,7 +421,13 @@ def read_upsert_table(
         )
     if not frames:
         return None
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    # allowMissingColumns: commit directories written before an
+    # add-column evolution lack the new column — their rows read back
+    # NULL-backfilled.  Bucket iteration is sorted, so column order is
+    # deterministic for a given manifest.
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
 
 
 class CommitConflict(RuntimeError):
@@ -447,6 +453,7 @@ def _publish_upsert_manifest(
     base_manifest: dict,
     new_buckets: dict[str, str],
     retention: int | None = None,
+    meta: dict | None = None,
 ) -> None:
     """Shared atomic publish for upsert-table commits (merge AND
     compaction), serialized by a create-exclusive commit marker (a CAS,
@@ -467,7 +474,22 @@ def _publish_upsert_manifest(
     in-flight private staging directory (``_new_commit_dir``) is
     unreferenced by design, and deleting it would corrupt that writer's
     commit.  A crashed writer's abandoned staging directory therefore
-    leaks until ``vacuum_upsert_table`` — disk, not correctness."""
+    leaks until ``vacuum_upsert_table`` — disk, not correctness.
+
+    ``meta`` carries the table's merge contract — ``key_cols`` /
+    ``order_cols`` / ``n_buckets`` — recorded on every manifest so
+    readers (``read_upsert_changes``) and other writers
+    (``delete_upsert_keys``) resolve the key from the table itself
+    instead of a positional convention.
+
+    CRASH RECOVERY: every step after the marker CAS is wrapped so a
+    writer that fails mid-publish (staging-write error, archive-write
+    error, a raised stale-writer check) UNLINKS its marker before
+    re-raising — otherwise the orphan marker blocks version N forever
+    (the manifest still points at N-1, every retry loses the CAS to a
+    dead writer, and nothing else removes a current-version marker).
+    Only a hard process kill can still orphan a marker; that residue is
+    ``vacuum_upsert_table``'s age-gated marker sweep."""
     version = base_manifest["version"] + 1
     keep = (
         retention
@@ -482,36 +504,53 @@ def _publish_upsert_manifest(
             f"upsert table {path}: version {version} already claimed by a "
             "concurrent writer — re-plan from the current manifest"
         ) from None
-    current = _read_upsert_manifest(path)
-    if current is not None and current["version"] != base_manifest["version"]:
-        # LOAD-BEARING for zombie writers: markers older than v-1 are
-        # pruned, so a writer that stalled for >= 2 commits can re-claim
-        # an old version's marker — without this check its os.replace
-        # would ROLL the manifest BACK.  (While a CURRENT marker is
-        # held this cannot fire: publishing N+1 requires planning from
-        # N, which does not exist until N publishes.)
-        raise RuntimeError(
-            f"upsert table {path}: manifest moved from "
-            f"v{base_manifest['version']} to v{current['version']} while "
-            f"holding the v{version} commit marker — stale writer "
-            "detected; re-plan from the current manifest"
+    try:
+        current = _read_upsert_manifest(path)
+        if current is not None and current["version"] != base_manifest["version"]:
+            # LOAD-BEARING for zombie writers: markers older than v-1 are
+            # pruned, so a writer that stalled for >= 2 commits can re-claim
+            # an old version's marker — without this check its os.replace
+            # would ROLL the manifest BACK.  (While a CURRENT marker is
+            # held this cannot fire: publishing N+1 requires planning from
+            # N, which does not exist until N publishes.)
+            raise RuntimeError(
+                f"upsert table {path}: manifest moved from "
+                f"v{base_manifest['version']} to v{current['version']} while "
+                f"holding the v{version} commit marker — stale writer "
+                "detected; re-plan from the current manifest"
+            )
+        retired = sorted(
+            set(base_manifest["buckets"].values()) - set(new_buckets.values())
         )
-    retired = sorted(
-        set(base_manifest["buckets"].values()) - set(new_buckets.values())
-    )
-    manifest = {
-        "version": version,
-        "buckets": new_buckets,
-        "retired": retired,
-        "retention": keep,
-    }
-    # archive first (immutable, never rewritten), then swap the pointer
-    with open(_upsert_archive_path(path, version), "w") as fh:
-        json.dump(manifest, fh)
-    tmp = _upsert_manifest_path(path) + f".tmp.{version}"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, _upsert_manifest_path(path))
+        manifest = {
+            "version": version,
+            "buckets": new_buckets,
+            "retired": retired,
+            "retention": keep,
+        }
+        # merge contract: writer-supplied, else inherited from the base
+        # manifest (compaction/delete preserve what the merge recorded)
+        for k in ("key_cols", "order_cols", "n_buckets"):
+            v = (meta or {}).get(k, base_manifest.get(k))
+            if v is not None:
+                manifest[k] = v
+        # archive first (immutable, never rewritten), then swap the pointer
+        with open(_upsert_archive_path(path, version), "w") as fh:
+            json.dump(manifest, fh)
+        tmp = _upsert_manifest_path(path) + f".tmp.{version}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, _upsert_manifest_path(path))
+    except BaseException:
+        # the publish did NOT happen (os.replace is the commit point and
+        # either never ran or — unreachable after a successful replace —
+        # nothing below raises): release the claim so the table is not
+        # wedged at version-1 forever
+        try:
+            os.unlink(marker)
+        except OSError:
+            pass
+        raise
     # expire snapshots: a dir retired at R serves snapshots <= R-1, so
     # it dies when R <= version - keep; the archive of version N dies
     # when N < version - keep (its data may already be gone)
@@ -547,8 +586,8 @@ def delete_upsert_keys(
     spark: SparkSession,
     path: str,
     keys: DataFrame,
-    key_cols: list[str],
-    n_buckets: int = 32,
+    key_cols: list[str] | None = None,
+    n_buckets: int | None = None,
     max_attempts: int = 5,
 ) -> int:
     """Keyed DELETE from an upsert table — the third leg of the MERGE
@@ -562,9 +601,40 @@ def delete_upsert_keys(
     still serves the pre-delete snapshot within retention.  Returns the
     number of rows deleted.
 
-    ``keys`` is a DataFrame of ``key_cols`` (distributed — a GDPR
-    erasure feed can be arbitrarily large); it is bucketed with the
-    SAME hash the merge uses, so pruning and the anti-join co-partition."""
+    ``keys`` is a DataFrame of the table's key columns (distributed — a
+    GDPR erasure feed can be arbitrarily large); it is bucketed with the
+    SAME hash the merge uses, so pruning and the anti-join co-partition.
+
+    ``key_cols`` / ``n_buckets`` default to the merge contract recorded
+    on the manifest (``merge_upsert_batch``); passing them explicitly
+    against a contract-bearing table validates they match (a wrong
+    bucket count would prune the wrong directories and silently miss
+    rows).  Legacy tables without a recorded contract require explicit
+    arguments (``n_buckets`` falls back to the historical default 32)."""
+    recorded = _read_upsert_manifest(path) or {}
+    if key_cols is None:
+        key_cols = recorded.get("key_cols")
+        if key_cols is None:
+            raise ValueError(
+                f"upsert table {path}: no key_cols given and the manifest "
+                "records no merge contract (legacy table) — pass key_cols"
+            )
+    elif recorded.get("key_cols") is not None and list(
+        recorded["key_cols"]
+    ) != list(key_cols):
+        raise ValueError(
+            f"upsert table {path}: key_cols {list(key_cols)} does not match "
+            f"the table's recorded key {recorded['key_cols']}"
+        )
+    if n_buckets is None:
+        n_buckets = int(recorded.get("n_buckets", 32))
+    elif recorded.get("n_buckets") is not None and int(
+        recorded["n_buckets"]
+    ) != int(n_buckets):
+        raise ValueError(
+            f"upsert table {path}: n_buckets={n_buckets} does not match "
+            f"the table's recorded bucket count {recorded['n_buckets']}"
+        )
     bucket = F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
     doomed = keys.select(*key_cols).distinct().withColumn("_ub", bucket)
     affected = {r["_ub"] for r in doomed.select("_ub").distinct().collect()}
@@ -663,42 +733,81 @@ def read_upsert_changes(
     new = read_upsert_table(spark, path, buckets=changed_buckets, version=to_version)
     if old is None and new is None:
         return None
+    # merge key: recorded on the manifest by merge_upsert_batch (composite
+    # keys supported); legacy pre-contract tables fall back to the old
+    # positional convention (first column is the key)
+    keys = m_to.get("key_cols") or m_from.get("key_cols")
+
+    def _payload_order(df: DataFrame) -> list[str]:
+        return [c for c in df.columns if c != "_ub"]
+
     if old is None:  # every changed bucket is new: pure inserts
         return new.drop("_ub").withColumn("_change_type", F.lit("insert"))
     if new is None:  # every changed bucket was emptied: pure deletes
-        cols = [c for c in old.columns if c != "_ub"]
-        key = cols[0]
+        cols = _payload_order(old)
+        keys = list(keys) if keys else cols[:1]
+        types = dict(old.dtypes)
         return old.select(
-            key, *[F.lit(None).cast(dict(old.dtypes)[c]).alias(c) for c in cols[1:]]
+            *keys,
+            *[
+                F.lit(None).cast(types[c]).alias(c)
+                for c in cols
+                if c not in keys
+            ],
         ).withColumn("_change_type", F.lit("delete"))
-    cols = [c for c in new.columns if c != "_ub"]
-    o = old.select(*[F.col(c).alias(f"_o_{c}") for c in cols])
-    n = new.select(*[F.col(c).alias(f"_n_{c}") for c in cols])
-    # key = the bucket-hash key is not recorded in the manifest; diff on
-    # full-row identity is wrong for updates, so callers' key contract
-    # is positional: the FIRST column is the merge key (merge_upsert_batch
-    # writes key_cols first).  Join null-safely on it.
-    key = cols[0]
-    joined = o.join(
-        n, F.col(f"_o_{key}").eqNullSafe(F.col(f"_n_{key}")), "full"
+    # align the two snapshots across an add-column evolution boundary:
+    # column universe = new's order plus any old-only columns, each side
+    # NULL-backfilled with the other side's type for columns it lacks
+    cols = _payload_order(new) + [
+        c for c in _payload_order(old) if c not in new.columns
+    ]
+    keys = list(keys) if keys else cols[:1]
+    types = dict(new.dtypes) | {
+        c: t for c, t in old.dtypes if c not in new.columns
+    }
+
+    def _side(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            *[
+                (
+                    F.col(c) if c in df.columns else F.lit(None).cast(types[c])
+                ).alias(f"{prefix}{c}")
+                for c in cols
+            ]
+        )
+
+    o = _side(old, "_o_")
+    n = _side(new, "_n_")
+    on = reduce(
+        lambda a, b: a & b,
+        [F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}")) for k in keys],
     )
+    joined = o.join(n, on, "full")
+    payload = [c for c in cols if c not in keys]
     changed_payload = F.lit(False)
-    for c in cols[1:]:
+    for c in payload:
         changed_payload = changed_payload | ~F.col(f"_o_{c}").eqNullSafe(
             F.col(f"_n_{c}")
         )
+    # presence test: a side's row exists iff its key tuple is non-NULL
+    # there (merge keys are hashed, hence non-NULL in landed rows)
+    o_absent = F.col(f"_o_{keys[0]}").isNull()
+    n_absent = F.col(f"_n_{keys[0]}").isNull()
     return joined.select(
-        F.coalesce(F.col(f"_n_{key}"), F.col(f"_o_{key}")).alias(key),
-        *[F.col(f"_n_{c}").alias(c) for c in cols[1:]],
-        F.when(F.col(f"_o_{key}").isNull(), F.lit("insert"))
-        .when(F.col(f"_n_{key}").isNull(), F.lit("delete"))
+        *[
+            F.coalesce(F.col(f"_n_{k}"), F.col(f"_o_{k}")).alias(k)
+            for k in keys
+        ],
+        *[F.col(f"_n_{c}").alias(c) for c in payload],
+        F.when(o_absent, F.lit("insert"))
+        .when(n_absent, F.lit("delete"))
         .when(changed_payload, F.lit("update_postimage"))
         .otherwise(F.lit("unchanged"))
         .alias("_change_type"),
     ).where(F.col("_change_type") != "unchanged")
 
 
-def vacuum_upsert_table(path: str) -> dict:
+def vacuum_upsert_table(path: str, marker_grace_s: float = 600.0) -> dict:
     """Reclaim ABANDONED staging directories (the disk leak the CAS
     protocol accepts by design): a conflicted or crashed writer leaves
     its private ``data/c<v>-<token>`` dir behind, and the retired-list
@@ -712,9 +821,40 @@ def vacuum_upsert_table(path: str) -> dict:
     writing).  Deletes every data directory that is (a) unreferenced by
     the committed manifest and (b) versioned <= the committed version;
     anything at version+1 — a possibly-live attempt — is preserved.
-    Returns {"removed": n, "kept": n}.  Pure filesystem metadata; no
-    Spark session needed."""
+    Returns {"removed": n, "kept": n, "markers_removed": n}.  Pure
+    filesystem metadata; no Spark session needed.
+
+    MARKER RECOVERY: a writer hard-killed between claiming
+    ``_commit.v<N>`` and ``os.replace`` orphans the marker (soft
+    failures unlink it themselves — see ``_publish_upsert_manifest``),
+    and an orphan at the NEXT version wedges the table: every future
+    commit loses the CAS to a dead writer.  This sweep removes markers
+    at versions <= the committed version unconditionally (that version
+    already published, so the claim is spent), and the version+1 marker
+    only when it is older than ``marker_grace_s`` — a live writer
+    publishes within seconds of claiming, so an old current-version
+    marker is a crash residue, not an in-flight commit."""
+    markers_removed = 0
     manifest = _read_upsert_manifest(path) or {"version": 0, "buckets": {}}
+    if os.path.isdir(path):
+        now = time.time()
+        for name in os.listdir(path):
+            if not name.startswith("_commit.v") or name.endswith(".json"):
+                continue
+            try:
+                v = int(name[len("_commit.v"):])
+            except ValueError:
+                continue
+            full = os.path.join(path, name)
+            try:
+                stale = v <= manifest["version"] or (
+                    now - os.path.getmtime(full) > marker_grace_s
+                )
+                if stale:
+                    os.unlink(full)
+                    markers_removed += 1
+            except OSError:
+                pass
     live = {d.split("/", 1)[1] for d in manifest["buckets"].values()}
     # dirs referenced by any RETAINED archive are time-travel-live
     if os.path.isdir(path):
@@ -730,7 +870,7 @@ def vacuum_upsert_table(path: str) -> dict:
     data_root = os.path.join(path, "data")
     removed = kept = 0
     if not os.path.isdir(data_root):
-        return {"removed": 0, "kept": 0}
+        return {"removed": 0, "kept": 0, "markers_removed": markers_removed}
     for name in os.listdir(data_root):
         if name in live or not name.startswith("c"):
             kept += 1
@@ -745,7 +885,7 @@ def vacuum_upsert_table(path: str) -> dict:
             removed += 1
         else:
             kept += 1
-    return {"removed": removed, "kept": kept}
+    return {"removed": removed, "kept": kept, "markers_removed": markers_removed}
 
 
 def compact_upsert_table(spark: SparkSession, path: str) -> dict | None:
@@ -817,15 +957,52 @@ def merge_upsert_batch(
     staged directory is dropped and the WHOLE merge re-plans from the
     fresh manifest — the retry merges against the other writer's
     now-committed rows, so both writers' data survives regardless of
-    interleaving."""
+    interleaving.
+
+    MERGE CONTRACT IN THE MANIFEST: the first commit records
+    ``key_cols`` / ``order_cols`` / ``n_buckets`` on the manifest, and
+    every later merge validates its arguments against the recorded
+    contract — a caller that re-merges with a different key or bucket
+    count would silently corrupt the hash layout, so it raises instead.
+    Readers (``read_upsert_changes``) and the DELETE leg
+    (``delete_upsert_keys``) resolve the contract from the manifest.
+
+    SCHEMA EVOLUTION (add-column only): a batch may carry columns the
+    landed table lacks — landed rows read back with NULL in the new
+    column (the parquet files are immutable; the NULL backfill happens
+    at read via ``unionByName(allowMissingColumns=True)``) — and,
+    symmetrically, a batch missing a landed column NULL-fills it for its
+    own rows (a winner row is taken wholesale, so a correction that
+    omits a column lands NULL there).  TYPE CHANGES ARE REJECTED: a
+    column present on both sides with different Spark types raises
+    ValueError, because old immutable files can never be rewritten to
+    the new type."""
     from pyspark.sql import Window
 
     spark = batch_df.sparkSession
+    pre = _read_upsert_manifest(path)
+    if pre is not None and pre.get("key_cols") is not None:
+        if list(pre["key_cols"]) != list(key_cols):
+            raise ValueError(
+                f"upsert table {path}: merge key {list(key_cols)} does not "
+                f"match the table's recorded key {pre['key_cols']}"
+            )
+        if pre.get("n_buckets") is not None and int(pre["n_buckets"]) != n_buckets:
+            raise ValueError(
+                f"upsert table {path}: n_buckets={n_buckets} does not match "
+                f"the table's recorded bucket count {pre['n_buckets']} — "
+                "the hash layout is fixed at table creation"
+            )
     bucket = F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
     incoming = batch_df.withColumn("_ub", bucket)
     affected = {r["_ub"] for r in incoming.select("_ub").distinct().collect()}
     if not affected:  # empty micro-batch: nothing to commit
         return
+    meta = {
+        "key_cols": list(key_cols),
+        "order_cols": list(order_cols),
+        "n_buckets": n_buckets,
+    }
     last_conflict: CommitConflict | None = None
     for attempt in range(max_attempts):
         manifest = _read_upsert_manifest(path) or {"version": 0, "buckets": {}}
@@ -834,7 +1011,20 @@ def merge_upsert_batch(
             if manifest["buckets"]
             else None
         )
-        merged = incoming if existing is None else existing.unionByName(incoming)
+        if existing is not None:
+            batch_types = dict(incoming.dtypes)
+            for c, t in existing.dtypes:
+                if c in batch_types and batch_types[c] != t:
+                    raise ValueError(
+                        f"upsert table {path}: column {c!r} type change "
+                        f"{t} -> {batch_types[c]} rejected — evolution is "
+                        "add-column only (landed files are immutable)"
+                    )
+        merged = (
+            incoming
+            if existing is None
+            else existing.unionByName(incoming, allowMissingColumns=True)
+        )
         w = Window.partitionBy(*key_cols).orderBy(
             *[F.col(c).desc() for c in order_cols]
         )
@@ -851,7 +1041,7 @@ def merge_upsert_batch(
         for k in sorted(affected):
             new_buckets[str(k)] = commit_dir
         try:
-            _publish_upsert_manifest(path, manifest, new_buckets, retention)
+            _publish_upsert_manifest(path, manifest, new_buckets, retention, meta=meta)
             return
         except CommitConflict as exc:
             shutil.rmtree(os.path.join(path, commit_dir), ignore_errors=True)
@@ -935,6 +1125,36 @@ def foreach_batch_upsert(
     )
 
 
+def _jdbc_connect(spark: SparkSession, url: str, properties: dict[str, str]):
+    """Driver-side JDBC connection honoring the SAME properties dict the
+    Spark JDBC writer gets — user/password/etc. must reach the
+    connection or the sink works only for embedded (auth-less) Derby and
+    fails against an authenticated RDBMS."""
+    jvm = spark._jvm
+    if "driver" in properties:
+        jvm.java.lang.Class.forName(properties["driver"])
+    props = jvm.java.util.Properties()
+    for k, v in properties.items():
+        if k != "driver":
+            props.setProperty(k, str(v))
+    return jvm.java.sql.DriverManager.getConnection(url, props)
+
+
+def _key_column_type(
+    key_col: str, create_table_column_types: str | None
+) -> str:
+    """DDL type for a driver-created staging table's key column: the
+    caller's ``createTableColumnTypes`` entry for ``key_col`` when given
+    (the same pin the main table got — e.g. VARCHAR instead of Derby's
+    un-comparable CLOB default), else a wide VARCHAR."""
+    if create_table_column_types:
+        for part in create_table_column_types.split(","):
+            toks = part.strip().split(None, 1)
+            if len(toks) == 2 and toks[0].strip('"') == key_col:
+                return toks[1].strip()
+    return "VARCHAR(512)"
+
+
 def foreach_batch_jdbc_upsert(
     stream: DataFrame,
     url: str,
@@ -944,6 +1164,7 @@ def foreach_batch_jdbc_upsert(
     checkpoint: str,
     timeout_s: int = 120,
     create_table_column_types: str | None = None,
+    max_inline_delete_keys: int = 10_000,
 ):
     """Keyed incremental MERGE into an external RDBMS (VERDICT r5
     next-round #8): the update-mode cousin of
@@ -961,9 +1182,16 @@ def foreach_batch_jdbc_upsert(
     single-column equality DELETE keeps the statement portable and
     batchable.  Replaying a batch is idempotent by construction:
     DELETE+INSERT of the same rows lands the same table.  The DELETE
-    targets only keys present in the batch — a metadata-sized list for
-    any calendar-bounded grain — executed as one JDBC statement batch on
-    the driver; the INSERT is Spark's partition-parallel JDBC append.
+    targets only keys present in the batch, TWO WAYS by batch size
+    (``max_inline_delete_keys``): a calendar-bounded grain collects its
+    metadata-sized key list to the driver and runs one JDBC statement
+    batch; an unbounded-key grain above the threshold NEVER collects —
+    the distinct keys append (Spark partition-parallel) into a private
+    ``<table>_delkeys`` staging table and one
+    ``DELETE ... WHERE key IN (SELECT key FROM staging)`` does the whole
+    purge RDBMS-side, so driver memory stays O(threshold) regardless of
+    batch width.  The INSERT is Spark's partition-parallel JDBC append
+    either way.
 
     Parity note: the reference's only RDBMS maintenance is the
     TRUNCATE+append window (GE:46-59); this gives its Redshift path the
@@ -987,24 +1215,53 @@ def foreach_batch_jdbc_upsert(
         # ensure the table exists before DELETE (Spark's append-mode
         # JDBC write creates it when absent; zero rows otherwise)
         ensure_table(batch_df)
-        keys = [
-            r[0] for r in batch_df.select(key_col).distinct().collect()
-        ]
-        jvm = spark._jvm
-        if "driver" in properties:
-            jvm.java.lang.Class.forName(properties["driver"])
-        conn = jvm.java.sql.DriverManager.getConnection(url)
+        keys_df = batch_df.select(key_col).distinct()
+        # one bounded probe decides the path: collect at most
+        # threshold+1 rows — if that exhausted the keys, the list is
+        # complete and inline statement-batching is cheapest; otherwise
+        # the key set is unbounded-grain-sized and must stay distributed
+        probe = keys_df.limit(max_inline_delete_keys + 1).collect()
+        conn = _jdbc_connect(spark, url, properties)
         try:
-            stmt = conn.prepareStatement(
-                f'DELETE FROM {table} WHERE "{key_col}" = ?'
-            )
-            try:
-                for k in keys:
-                    stmt.setString(1, k)
-                    stmt.addBatch()
-                stmt.executeBatch()
-            finally:
-                stmt.close()
+            if len(probe) <= max_inline_delete_keys:
+                stmt = conn.prepareStatement(
+                    f'DELETE FROM {table} WHERE "{key_col}" = ?'
+                )
+                try:
+                    for r in probe:
+                        stmt.setString(1, r[0])
+                        stmt.addBatch()
+                    stmt.executeBatch()
+                finally:
+                    stmt.close()
+            else:
+                staging = f"{table}_delkeys"
+                stmt = conn.createStatement()
+                try:
+                    key_type = _key_column_type(
+                        key_col, create_table_column_types
+                    )
+                    try:
+                        stmt.executeUpdate(f"DROP TABLE {staging}")
+                    except Exception:
+                        pass  # first use: staging table does not exist
+                    stmt.executeUpdate(
+                        f'CREATE TABLE {staging} ("{key_col}" {key_type})'
+                    )
+                finally:
+                    stmt.close()
+                keys_df.write.jdbc(
+                    url, staging, mode="append", properties=properties
+                )
+                stmt = conn.createStatement()
+                try:
+                    stmt.executeUpdate(
+                        f'DELETE FROM {table} WHERE "{key_col}" IN '
+                        f'(SELECT "{key_col}" FROM {staging})'
+                    )
+                    stmt.executeUpdate(f"DROP TABLE {staging}")
+                finally:
+                    stmt.close()
         finally:
             conn.close()
         batch_df.write.jdbc(url, table, mode="append", properties=properties)

@@ -300,6 +300,12 @@ EVENTS_QUERIES = [
     "events_stickiness_hll_prod",
     "scd2_daily_snapshot",
     "events_upsert_changes",
+    "events_upsert_timetravel",
+    # r7 probes (VERDICT r6 #7): compaction cost vs file count, and the
+    # JDBC MERGE sink's driver DELETE key-list growth (calendar-bounded
+    # grain: keys = hours x types, fixed by the window not the volume)
+    "warehouse_compaction_audit",
+    "events_stream_jdbc_upsert",
     "events_asof_last_purchase",
     "events_conversion_lag",
     "events_stream_sessions",
@@ -366,11 +372,22 @@ def _probe_stream_sessions(spark: SparkSession, sf_dir: str, flush_idle: bool = 
     return spark.read.parquet(os.path.join(out, "data"))
 
 
+def _probe_stickiness_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deregistered from queries() in round 7 (no cross-engine oracle for
+    # estimates) but still a probed + benched production surface
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        events_stickiness_hll_prod,
+    )
+
+    return events_stickiness_hll_prod(spark, sf_dir)
+
+
 PROBE_OVERRIDES = {
     "events_stream_sessions": _probe_stream_sessions,
     "events_stream_sessions_flushed": (
         lambda spark, sf_dir: _probe_stream_sessions(spark, sf_dir, flush_idle=True)
     ),
+    "events_stickiness_hll_prod": _probe_stickiness_prod,
 }
 
 
