@@ -1352,7 +1352,8 @@ def _ext_oracles() -> dict[str, str]:
             "COUNT(*) AS n_rows, "
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS measure, "
             "TRUE AS compacted, TRUE AS content_preserved "
-            "FROM orders WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-12' "
+            "FROM orders WHERE year(o_orderdate) = "
+            "(SELECT year(max(o_orderdate)) - 1 FROM orders) "
             "GROUP BY 1 "
             "UNION ALL "
             "SELECT 'upsert_events' AS check_name, COUNT(*) AS n_rows, "

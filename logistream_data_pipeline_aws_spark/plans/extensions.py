@@ -1939,7 +1939,8 @@ def warehouse_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``sources.io.compact_partitions``) and the manifest-committed
     streaming upsert table (``streaming.pipeline.compact_upsert_table``).
 
-    Part A writes a 1995 orders slice hive-partitioned by month,
+    Part A writes a one-year orders slice (the last FULL year in the
+    data — max order year minus one) hive-partitioned by month,
     deliberately fragmented (``repartition(4)`` -> 4 files per month
     dir), compacts every leaf to one file, and emits one row per month:
     exact row count + decimal-exact revenue from the POST-compaction
@@ -1974,11 +1975,19 @@ def warehouse_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # -- part A: hive-partitioned parquet fact slice -------------------------
     orders = load_table(spark, "orders", sf_dir)
+    # target year derived from the data (max year minus one — always a
+    # FULL year of orders) instead of a hardcoded 1995: the audit must
+    # run against any feed era (the scale probe's synthetic orders end
+    # in 2023), and the collect is one date — metadata-sized
+    max_date = orders.agg(F.max("o_orderdate").alias("_m")).collect()[0]["_m"]
+    target_year = max_date.year - 1
     staged = orders.select(
         "o_orderkey",
         "o_totalprice",
         F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
-    ).where(F.col("order_month").between("1995-01", "1995-12"))
+    ).where(
+        F.col("order_month").between(f"{target_year}-01", f"{target_year}-12")
+    )
     path = _scratch(f"compaction_audit_fact_{tag}")
     # deterministic fragmentation (ADVICE r6): repartition(4) does NOT
     # guarantee a month's rows span multiple tasks at small SF — a month

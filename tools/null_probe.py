@@ -119,7 +119,7 @@ DEFAULT_QUERIES = {
         "events_stream_jdbc_hourly", "events_conversion_lag",
         "events_stickiness_hll",
         "events_attribution_decayed", "scd2_daily_snapshot",
-        "events_upsert_changes",
+        "events_upsert_changes", "events_upsert_timetravel",
     ],
     "orders": [
         "a6_sales_trend", "a6_sales_trend_mom", "cumulative_monthly_sales",
