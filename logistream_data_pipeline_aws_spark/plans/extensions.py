@@ -1764,8 +1764,14 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL ts excluded: a change event without a time cannot anchor a
     # validity interval, and the engines order NULLs at opposite ends of
-    # the history walk (NULL-degenerate probe finding)
-    events = load_table(spark, "events", sf_dir).where(F.col("ts").isNotNull())
+    # the history walk (NULL-degenerate probe finding).  NULL user_id
+    # excluded too (r7 probe finding): Spark's window partitionBy groups
+    # NULL keys into a partition and emitted NULL-user intervals the
+    # oracle's gate drops — a history keyed on an unknown entity is
+    # meaningless either way (the scd2_daily_snapshot discipline).
+    events = load_table(spark, "events", sf_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     return scd2_history(events, "user_id", "event_type", "ts", "event_id")
 
 

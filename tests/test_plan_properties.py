@@ -260,3 +260,12 @@ def test_bounded_blocks_keep_join_is_sort_merge(spark):
     vocabulary and must never be a broadcast build side."""
     plan = _plan(spark, "dedup_ngram_jaccard")
     assert "BroadcastHashJoin" not in plan
+
+
+def test_upsert_timetravel_is_shuffle_free(spark):
+    """events_upsert_timetravel's whole plan is two manifest-resolved
+    bucket scans + a union: no Exchange, no join — the 100 TB cost is
+    exactly the parquet read of the snapshots' live buckets."""
+    plan = _plan(spark, "events_upsert_timetravel")
+    assert "Exchange" not in plan, "time travel grew a shuffle"
+    assert "Join" not in plan
