@@ -68,10 +68,29 @@ BENCH_QUERIES = [
     # to the exact form; the delta is pure cutpoint-derivation cost)
     "lineitem_abc_pareto_approx",
     # round-6: the sketch-only production twins (r5 VERDICT #7) — the
-    # forms without the exact-certification scaffolding riding along
+    # forms without the exact-certification scaffolding riding along.
+    # Deregistered from queries() in round 7 (no cross-engine value
+    # oracle by construction; pytest-pinned against their checked forms
+    # in tests/test_prod_twins.py), so they resolve via EXTRA_BENCH.
     "events_stickiness_hll_prod",
     "customer_rfm_scores_approx_prod",
 ]
+
+
+def _bench_stickiness_prod(spark, sf_dir: str):
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        events_stickiness_hll_prod,
+    )
+
+    return events_stickiness_hll_prod(spark, sf_dir)
+
+
+def _bench_rfm_prod(spark, sf_dir: str):
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        customer_rfm_scores_approx_prod,
+    )
+
+    return customer_rfm_scores_approx_prod(spark, sf_dir)
 
 
 def _reference_warehouse_fact(spark, sf_dir: str):
@@ -114,7 +133,11 @@ _RAW_CACHE = None
 _WH_CACHE = None
 
 
-EXTRA_BENCH = {"reference_warehouse_fact": _reference_warehouse_fact}
+EXTRA_BENCH = {
+    "reference_warehouse_fact": _reference_warehouse_fact,
+    "events_stickiness_hll_prod": _bench_stickiness_prod,
+    "customer_rfm_scores_approx_prod": _bench_rfm_prod,
+}
 
 
 def run_query(df) -> None:
@@ -197,7 +220,7 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     flagged: list[str] = []
     total = 0.0
-    for name in BENCH_QUERIES + list(EXTRA_BENCH):
+    for name in BENCH_QUERIES + [k for k in EXTRA_BENCH if k not in BENCH_QUERIES]:
         # best-of-N: first run can pay stage-codegen/classload for plan
         # shapes the warmup didn't cover; min is the engine's real cost
         per_run: list[float] = []

@@ -1110,3 +1110,58 @@ def test_jdbc_upsert_staged_delete_matches_inline(spark, tmp_path):
     inline, staged = readback("agg_inline"), readback("agg_staged")
     assert len(inline) == n_keys
     assert inline == staged
+
+
+def test_schema_evolving_merge_races_compaction(spark, tmp_path, monkeypatch):
+    """Evolution under concurrency: a compaction commit lands (from the
+    PRE-evolution snapshot) while a schema-evolving merge is planning —
+    the merge loses the CAS, re-plans against the compacted table, and
+    the evolved column still arrives with NULL backfill on every
+    pre-evolution row.  No committed row is lost on either side."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from logistream_data_pipeline_aws_spark.streaming import pipeline as P
+
+    path = str(tmp_path / "landed")
+    base_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    evolved = T.StructType(
+        base_schema.fields + [T.StructField("score", T.DoubleType())]
+    )
+
+    for uid, h in ((100, 0), (200, 1)):  # two commits -> fragmented manifest
+        P.merge_upsert_batch(
+            spark.createDataFrame([(uid, _ts(h, 5), "old")], base_schema),
+            path, key_cols=["user_id"], order_cols=["ts"],
+        )
+
+    real_read = P._read_upsert_manifest
+    fired = {"done": False}
+
+    def racy_read(p):
+        stale = real_read(p)
+        if not fired["done"]:
+            fired["done"] = True
+            # compaction lands while the evolving merge is planning
+            P.compact_upsert_table(spark, path)
+        return stale
+
+    monkeypatch.setattr(P, "_read_upsert_manifest", racy_read)
+    P.merge_upsert_batch(
+        spark.createDataFrame([(300, _ts(2, 0), "new", 9.5)], evolved),
+        path, key_cols=["user_id"], order_cols=["ts"],
+    )
+    monkeypatch.setattr(P, "_read_upsert_manifest", real_read)
+
+    landed = {r.user_id: (r.event_type, r.score)
+              for r in P.read_upsert_table(spark, path).collect()}
+    assert landed == {100: ("old", None), 200: ("old", None), 300: ("new", 9.5)}
+    manifest = json.load(open(os.path.join(path, "_manifest.json")))
+    # contract survived both the compaction and the evolving retry
+    assert manifest["key_cols"] == ["user_id"]
