@@ -4193,6 +4193,83 @@ def _ensure_upsert_cdc_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_UPSERT_DELETE_BUILT: set[tuple[str, str]] = set()
+
+
+def events_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed DELETE under an exact oracle — the GDPR-erasure story of
+    the upsert table, staged for ROUND-8 REGISTRATION (the r7 head
+    window is fully committed to the staleness queue; until then this
+    entry is pytest-pinned in ``tests/test_extensions.py``).
+
+    Build once per (session, sf_dir): v1 = the full gated feed merged
+    (one row per user, argmax by (ts, event_id)); v2 =
+    ``delete_upsert_keys`` erasing every user with ``user_id % 10 == 3``
+    — the key set and bucket count resolve from the MANIFEST-RECORDED
+    merge contract (no caller-supplied key columns).  Emits the
+    post-delete snapshot tagged ``row_kind='survivor'`` unioned with the
+    CDC view of the erasure (``read_upsert_changes(v1, v2)`` delete
+    rows: key + NULL payload) tagged ``row_kind='deleted'``.
+
+    Round-8 oracle (DuckDB):
+
+        WITH ev AS (SELECT user_id, event_id, ts, event_type, value
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        w AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY
+        user_id ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+        WHERE rn = 1)
+        SELECT 'survivor' AS row_kind, user_id, event_id, ts,
+        event_type, value FROM w WHERE user_id % 10 <> 3
+        UNION ALL SELECT 'deleted', user_id, CAST(NULL AS BIGINT),
+        CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR),
+        CAST(NULL AS DOUBLE) FROM w WHERE user_id % 10 = 3
+
+    Scale shape: the delete rewrites ONLY the buckets holding doomed
+    keys (anti-join per bucket), the CDC diff reads only buckets whose
+    ownership moved, and the erasure key set stays distributed end to
+    end — nothing data-sized crosses to the driver."""
+    from logistream_data_pipeline_aws_spark.streaming.pipeline import (
+        delete_upsert_keys,
+        merge_upsert_batch,
+        read_upsert_changes,
+        read_upsert_table,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = _scratch(f"events_upsert_delete_{tag}")
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if cache_key not in _UPSERT_DELETE_BUILT:
+        ev = (
+            load_table(spark, "events", sf_dir)
+            .select("user_id", "event_id", "ts", "event_type", "value")
+            .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        )
+        merge_upsert_batch(
+            ev, path, key_cols=["user_id"], order_cols=["ts", "event_id"],
+            retention=2,
+        )
+        doomed = (
+            ev.select("user_id")
+            .where(F.pmod(F.col("user_id"), F.lit(10)) == 3)
+            .distinct()
+        )
+        # key_cols / n_buckets resolve from the manifest contract
+        delete_upsert_keys(spark, path, doomed)
+        _UPSERT_DELETE_BUILT.add(cache_key)
+    survivors = (
+        read_upsert_table(spark, path)
+        .drop("_ub")
+        .withColumn("row_kind", F.lit("survivor"))
+    )
+    erased = (
+        read_upsert_changes(spark, path, from_version=1, to_version=2)
+        .where(F.col("_change_type") == "delete")
+        .drop("_change_type")
+        .withColumn("row_kind", F.lit("deleted"))
+    )
+    return survivors.unionByName(erased)
+
+
 def events_upsert_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed between two snapshots of the keyed upsert table
     (the Delta-CDF shape, derived from time travel): land the events

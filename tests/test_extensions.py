@@ -1100,3 +1100,36 @@ def test_conversion_lag_forward_asof_semantics(spark):
     assert r.n_clicks == 5 and r.n_converted == 3
     assert abs(r.conversion_rate - 0.6) < 1e-15
     assert abs(r.avg_lag_s - (10 + 3600 + 0) / 3) < 1e-9
+
+
+def test_events_upsert_delete_matches_oracle(spark):
+    """R8-queue entry pinned ahead of registration: the keyed-DELETE +
+    CDC composition must equal the DuckDB replay of its documented
+    round-8 oracle (batch argmax split on the erasure predicate)."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r.row_kind, r.user_id, r.event_id, r.ts, r.event_type, r.value)
+        for r in X.events_upsert_delete(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    exp = set(
+        con.execute(
+            "WITH ev AS (SELECT user_id, event_id, ts, event_type, value "
+            f"FROM '{SF_SMALL}/events.parquet' "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "w AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY "
+            "user_id ORDER BY ts DESC, event_id DESC) AS rn FROM ev) "
+            "WHERE rn = 1) "
+            "SELECT 'survivor' AS row_kind, user_id, event_id, ts, "
+            "event_type, value FROM w WHERE user_id % 10 <> 3 "
+            "UNION ALL SELECT 'deleted', user_id, CAST(NULL AS BIGINT), "
+            "CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR), "
+            "CAST(NULL AS DOUBLE) FROM w WHERE user_id % 10 = 3"
+        ).fetchall()
+    )
+    exp = {(k, u, e, t, ty, v) for (k, u, e, t, ty, v) in exp}
+    assert got == exp and any(k == "deleted" for k, *_ in got)
