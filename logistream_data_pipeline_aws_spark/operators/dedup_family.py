@@ -616,13 +616,24 @@ def connected_components(
     pair mining and choosing one survivor per group).
 
     ``nodes``: one column ``id``; ``edges``: columns ``id_a``/``id_b``.
-    Each round every node adopts the minimum label among itself and its
-    neighbors; converged when no label changes.  This is the standard
-    distributed formulation (label propagation a la GraphX/Pregel): per
-    round one join + one aggregation, both keyed on node id; rounds
-    needed = graph diameter (near-dup clusters are tiny, so 2-3 in
-    practice).  The driver-side loop is only the convergence check — all
-    data stays distributed.
+    Each round every node adopts the minimum label among itself, its
+    neighbors, AND its current label's label (pointer doubling — the
+    shortcutting half of classic hook/jump PRAM connectivity, same
+    trick as Kiveris et al. "Connected Components in MapReduce and
+    Beyond", SoCC'14): the hop count to the component minimum halves
+    per round, so convergence is O(log diameter) rounds instead of
+    O(diameter).  Long id-chains are exactly what cosine-threshold
+    near-dup graphs produce (nearest-neighbor chains), and diameter
+    rounds made those hang — ``dedup_semantic`` found this at bench
+    scale.  Converged when no label changes.
+
+    Each round ends in an EAGER lineage truncation (reliable
+    ``checkpoint`` when the session has a checkpoint dir, else
+    ``localCheckpoint``): without it the label frame's plan nests one
+    level per round and driver-side analysis cost doubles per round —
+    the classic iterative-algorithm failure mode on Spark.  Per round:
+    two joins + one aggregation, all keyed on node id; data stays
+    distributed, the driver sees only a change count.
     """
     # persist the symmetric edge list: ``edges`` is usually the OUTPUT of
     # candidate mining (minhash -> banded join -> exact verify), and
@@ -634,6 +645,16 @@ def connected_components(
         .distinct()
         .persist()
     )
+    spark = nodes.sparkSession
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        # eager cut of the per-round plan lineage; reliable checkpoint
+        # when configured (fault-tolerant — cluster use), local blocks
+        # otherwise (single-node / test use)
+        if spark.sparkContext.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     labels = nodes.select(F.col("id"), F.col("id").alias("label")).persist()
     converged = False
     for _ in range(max_iters):
@@ -642,15 +663,27 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
+        relaxed = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling: follow the current label one hop (labels are
+        # always ids INSIDE the component, so label-of-label is a valid,
+        # possibly much smaller, in-component bound)
+        hop = relaxed.select(
+            F.col("id").alias("_hid"), F.col("label").alias("_hlabel")
+        )
+        new_labels = _truncate(
+            relaxed.join(hop, relaxed.label == F.col("_hid"), "left").select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("_hlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
         )
         changed = (
             new_labels.alias("n")

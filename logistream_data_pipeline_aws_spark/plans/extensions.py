@@ -4537,3 +4537,216 @@ def customer_rfm_scores_approx_prod(spark: SparkSession, sf_dir: str):
     )
 
     return customer_rfm_scores_approx(spark, sf_dir)
+
+
+# -- round-8 registration queue (window-blocked this round) ------------------
+# Built + pytest-pinned in r7; the r7 head window is fully committed to the
+# staleness queue, so these register at the next rotation (COVERAGE.md
+# "Round-8 registration queue").
+
+# (vector, norm, kmeans cluster) staging frame for dedup_semantic, keyed
+# like the other per-(application, corpus) staging caches
+_SEMANTIC_TAG_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+
+
+def dedup_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Semantic dedup, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, mine
+    near-dup pairs ONLY within each cluster by exact cosine, close the
+    pairs into semantic groups (connected components), keep the minimum
+    id per group.  Staged for ROUND-8 REGISTRATION; until then pinned
+    against a literal DuckDB replay in ``tests/test_extensions.py``.
+
+    Composition of three verified stages: the Lloyd-exact
+    ``similarity.ivf_kmeans_assign`` (hash-exact unrolled oracle),
+    the ``dedup_embedding`` cosine contract (double left-fold, norms
+    staged once per corpus, ``round(cos, 6)`` before the threshold),
+    and ``dedup_family.connected_components`` min-label propagation.
+    Threshold 0.4 keeps a non-trivial result on the near-random fixture
+    vectors (real corpora dedup at >= 0.9) — same operating point as
+    ``dedup_embedding``.
+
+    Output: one row per vector — (vec_id, kmeans list_id, sem_cluster =
+    min reachable id, status keep|drop); survivors are exactly the rows
+    whose id IS the group label, so ``status='keep'`` applies the dedup
+    with a semi-join just like ``dedup_near_survivors``.
+
+    Round-8 oracle: the ``_kmeans_oracle`` assignment CTEs (k=8,
+    iters=2) joined to the corpus, within-cluster pair mining at
+    ``round(cos, 6) >= 0.4``, then the ``_CLUSTERS_CTE_PREFIX``
+    symmetric-closure / min-reach recursion over those pairs.
+
+    Scale shape: the cluster id is the blocking key — pair expansion is
+    a self-equi-join on ``list_id`` (never all-pairs; per-cluster cost
+    is (n/k)^2 and production picks k proportional to corpus size so
+    cluster cardinality stays bounded), the cosine verify runs on
+    candidates only with per-vector norms computed once, and the
+    component closure joins stay keyed on vector id.  Centroids are k
+    tiny broadcast rows; nothing data-sized crosses to the driver
+    (the CC loop collects only a per-round change count)."""
+    from logistream_data_pipeline_aws_spark.functions.vectors import (
+        cosine_with_norms,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    # stage the (vector, norm, kmeans cluster) frame once per
+    # (application, corpus, config): the Lloyd unroll would otherwise
+    # re-execute for the a-side, the b-side, and the final projection
+    cache_key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        k,
+        iters,
+    )
+    tagged = _SEMANTIC_TAG_CACHE.get(cache_key)
+    if tagged is None:
+        asg = S.ivf_kmeans_assign(emb, "vec_id", "embedding", k=k, iters=iters)
+        withn = _staged_embedding_norms(spark, sf_dir)
+        tagged = withn.join(
+            asg.select(F.col("vec_id").alias("_id"), "list_id"), "_id"
+        ).persist()
+        _SEMANTIC_TAG_CACHE[cache_key] = tagged
+    a = tagged.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("v_a"),
+        F.col("_n").alias("n_a"),
+        F.col("list_id").alias("_la"),
+    )
+    b = tagged.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("v_b"),
+        F.col("_n").alias("n_b"),
+        F.col("list_id").alias("_lb"),
+    )
+    cos = cosine_with_norms(
+        F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
+    )
+    edges = (
+        a.join(b, (F.col("_la") == F.col("_lb")) & (F.col("id_a") < F.col("id_b")))
+        .where(F.round(cos, 6) >= threshold)
+        .select("id_a", "id_b")
+    )
+    comps = D.connected_components(
+        emb.select(F.col("vec_id").alias("id")), edges
+    )
+    return (
+        tagged.select(F.col("_id").alias("vec_id"), "list_id")
+        .join(comps, F.col("vec_id") == comps.id)
+        .select(
+            "vec_id",
+            "list_id",
+            F.col("cluster_id").cast("long").alias("sem_cluster"),
+            F.when(F.col("cluster_id") == F.col("id"), F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("status"),
+        )
+    )
+
+
+def doc_substring_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    min_span: int = 40,
+    max_gram_docs: int = 50,
+    max_gram_occurrences: int = 200,
+) -> DataFrame:
+    """Exact duplicate-substring spans between document pairs — the
+    distributed reformulation of exact-substring training-data dedup
+    (Lee et al. 2021, arXiv:2107.06499, which builds a suffix array; a
+    suffix array is a single-machine structure, so the Spark-first
+    shape is k-gram anchors + diagonal run-length assembly).  Staged
+    for ROUND-8 REGISTRATION; until then pinned against a literal
+    DuckDB replay in ``tests/test_extensions.py``.
+
+    Every character position contributes one md5'd k-gram anchor
+    (k=20); anchors equi-join across documents; matched anchor pairs on
+    the same alignment diagonal (pa - pb) with consecutive positions
+    collapse into maximal shared spans via the gaps-and-islands
+    row_number trick; pairs sharing a span of >= ``min_span`` chars
+    come out with span count, longest span, and total shared chars.
+
+    Boilerplate guard: a gram present in more than ``max_gram_docs``
+    distinct documents (site chrome, license headers) or more than
+    ``max_gram_occurrences`` times overall (degenerate repetition —
+    the quadratic per-gram match risk) is dropped BEFORE the self-join,
+    exactly as Lee et al. drop high-frequency suffixes; both bounds are
+    replayed verbatim in the oracle, so the filter is part of the
+    contract, not a silent cap.
+
+    Round-8 oracle (DuckDB):
+
+        WITH grams AS (SELECT doc_id, pos, md5(substr(text, pos, 20))
+          AS g FROM documents, UNNEST(range(1, length(text) - 20 + 2))
+          AS t(pos) WHERE text IS NOT NULL AND length(text) >= 20),
+        keep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT
+          doc_id) BETWEEN 2 AND 50 AND COUNT(*) <= 200),
+        gg AS (SELECT grams.* FROM grams JOIN keep USING (g)),
+        m AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.pos pa, b.pos pb
+          FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id),
+        runs AS (SELECT doc_a, doc_b, pa - pb AS diag, pa -
+          ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+          ORDER BY pa) AS grp, pa FROM m),
+        spans AS (SELECT doc_a, doc_b, MIN(pa) s, MAX(pa) + 19 AS e
+          FROM runs GROUP BY doc_a, doc_b, diag, grp)
+        SELECT doc_a, doc_b, COUNT(*) AS n_spans,
+          CAST(MAX(e - s + 1) AS BIGINT) AS longest_span,
+          CAST(SUM(e - s + 1) AS BIGINT) AS total_span_chars
+        FROM spans GROUP BY doc_a, doc_b HAVING MAX(e - s + 1) >= 40
+
+    Scale shape: anchors shuffle once on the md5 gram key (uniform by
+    construction); the frequency gate is a map-side-combinable count
+    that kills the only quadratic blow-up BEFORE any pair exists; match
+    volume is bounded by min(occurrences, max_gram_occurrences)^2 per
+    gram; the run assembly windows partition by (pair, diagonal) —
+    small groups bounded by document length, never a global sort.
+    Spans on different diagonals may overlap in text; they count
+    separately (documented semantics, same on both engines)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("text").isNotNull() & (F.length("text") >= k)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - k + 1)
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.md5(F.expr(f"substring(text, pos, {k})")).alias("g"),
+    )
+    keep = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("_nd"), F.count(F.lit(1)).alias("_n")
+    ).where(
+        (F.col("_nd").between(2, max_gram_docs))
+        & (F.col("_n") <= max_gram_occurrences)
+    ).select("g")
+    gg = grams.join(keep, "g")
+    a = gg.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g")
+    b = gg.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g")
+    m = a.join(b, "g").where(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.min("pa").alias("s"), (F.max("pa") + (k - 1)).alias("e")
+    )
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max(F.col("e") - F.col("s") + 1).cast("long").alias("longest_span"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("total_span_chars"),
+        )
+        .where(F.col("longest_span") >= min_span)
+    )

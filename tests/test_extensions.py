@@ -1133,3 +1133,99 @@ def test_events_upsert_delete_matches_oracle(spark):
     )
     exp = {(k, u, e, t, ty, v) for (k, u, e, t, ty, v) in exp}
     assert got == exp and any(k == "deleted" for k, *_ in got)
+
+
+def test_doc_substring_spans_matches_oracle(spark):
+    """R8-queue entry pinned ahead of registration: k-gram anchors +
+    diagonal run assembly must equal the DuckDB replay of the documented
+    round-8 oracle (same md5 grams, same frequency gates, same
+    gaps-and-islands span grouping)."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r.doc_a, r.doc_b, r.n_spans, r.longest_span, r.total_span_chars)
+        for r in X.doc_substring_spans(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    exp = set(
+        map(
+            tuple,
+            con.execute(
+                "WITH grams AS (SELECT doc_id, pos, md5(substr(text, pos, 20)) AS g "
+                f"FROM '{SF_SMALL}/documents.parquet', "
+                "UNNEST(range(1, length(text) - 20 + 2)) AS t(pos) "
+                "WHERE text IS NOT NULL AND length(text) >= 20), "
+                "keep AS (SELECT g FROM grams GROUP BY g "
+                "HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50 AND COUNT(*) <= 200), "
+                "gg AS (SELECT grams.* FROM grams JOIN keep USING (g)), "
+                "m AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.pos pa, b.pos pb "
+                "FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id), "
+                "runs AS (SELECT doc_a, doc_b, pa - pb AS diag, "
+                "pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb "
+                "ORDER BY pa) AS grp, pa FROM m), "
+                "spans AS (SELECT doc_a, doc_b, MIN(pa) s, MAX(pa) + 19 AS e "
+                "FROM runs GROUP BY doc_a, doc_b, diag, grp) "
+                "SELECT doc_a, doc_b, COUNT(*) AS n_spans, "
+                "CAST(MAX(e - s + 1) AS BIGINT) AS longest_span, "
+                "CAST(SUM(e - s + 1) AS BIGINT) AS total_span_chars "
+                "FROM spans GROUP BY doc_a, doc_b HAVING MAX(e - s + 1) >= 40"
+            ).fetchall(),
+        )
+    )
+    assert got == exp and got
+
+
+def test_dedup_semantic_matches_oracle(spark):
+    """R8-queue entry pinned ahead of registration: SemDeDup-style
+    cluster-scoped near-dup groups must equal the DuckDB replay — the
+    _kmeans_oracle assignment CTEs composed with within-cluster cosine
+    pair mining and the min-reach component recursion."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r.vec_id, r.list_id, r.sem_cluster, r.status)
+        for r in X.dedup_semantic(spark, SF_SMALL).collect()
+    }
+    km = E._kmeans_oracle(8, 2)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
+    )
+    exp = set(
+        map(
+            tuple,
+            con.execute(
+                "WITH RECURSIVE pairs AS ("
+                f"WITH asg AS ({km}), "
+                "v AS (SELECT vec_id, list_transform(embedding, x->CAST(x AS DOUBLE)) AS vv FROM embeddings), "
+                "n AS (SELECT vec_id, vv, sqrt(list_reduce(list_prepend(0.0, "
+                "list_transform(vv, x->x*x)), (a,b)->a+b)) AS nrm FROM v), "
+                "t AS (SELECT n.*, asg.list_id FROM n JOIN asg USING (vec_id)) "
+                "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+                "FROM t a JOIN t b ON a.list_id = b.list_id AND a.vec_id < b.vec_id "
+                "WHERE ROUND(list_reduce(list_prepend(0.0, "
+                "list_transform(list_zip(a.vv,b.vv), t2->CAST(t2[1] AS DOUBLE)*CAST(t2[2] AS DOUBLE))), "
+                "(x,y)->x+y) / (a.nrm*b.nrm), 6) >= 0.4), "
+                "sym AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), "
+                "reach AS (SELECT src, dst FROM sym UNION "
+                "SELECT reach.src, s.dst FROM reach JOIN sym s ON reach.dst = s.src), "
+                "reach_min AS (SELECT src, MIN(dst) AS min_reach FROM reach GROUP BY src), "
+                f"asg2 AS ({km}) "
+                "SELECT e.vec_id, asg2.list_id, "
+                "CAST(LEAST(e.vec_id, COALESCE(m.min_reach, e.vec_id)) AS BIGINT) AS sem_cluster, "
+                "CASE WHEN LEAST(e.vec_id, COALESCE(m.min_reach, e.vec_id)) = e.vec_id "
+                "THEN 'keep' ELSE 'drop' END AS status "
+                "FROM embeddings e JOIN asg2 ON e.vec_id = asg2.vec_id "
+                "LEFT JOIN reach_min m ON e.vec_id = m.src"
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+    assert any(s == "drop" for *_, s in got)
