@@ -96,7 +96,8 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
 
     sql = (
         "WITH v AS (SELECT vec_id AS vid, "
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings), "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
         f"c0 AS (SELECT CAST(vid AS INT) AS cid, vv AS cv FROM v WHERE vid < {k})"
     )
     prev = "c0"
@@ -186,7 +187,8 @@ def _pq_oracle(
 
     sql = (
         "WITH v AS (SELECT vec_id AS vid, "
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings), "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
         "p AS (SELECT vid, CAST(s.sid AS INT) AS sid, "
         f"vv[(s.sid * {sub} + 1):(s.sid * {sub} + {sub})] AS sv "
         f"FROM v CROSS JOIN (SELECT unnest(range(0, {m})) AS sid) s), "
@@ -786,9 +788,13 @@ def _ext_oracles() -> dict[str, str]:
             "ORDER BY cos_sim DESC, candidate_id) AS INTEGER) AS rank FROM scored) "
             "SELECT query_id, candidate_id, cos_sim, rank FROM ranked WHERE rank <= 5"
         ),
+        # NULL-in -> NULL-out on the fold: DuckDB's list_prepend(0.0, NULL)
+        # yields [0.0] (fold = 0.0) where Spark's aggregate(NULL) is NULL —
+        # the embeddings NULL-probe axis caught the l2_norm divergence
         "embedding_stats": (
             "SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim, "
-            f"round(sqrt({_dot('embedding', 'embedding')}), 6) AS l2_norm, "
+            "CASE WHEN embedding IS NULL THEN NULL ELSE "
+            f"round(sqrt({_dot('embedding', 'embedding')}), 6) END AS l2_norm, "
             "round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val, "
             "round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val, "
             "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
@@ -1130,8 +1136,11 @@ def _ext_oracles() -> dict[str, str]:
         # grouped applyInPandas mean-centering: the mean follows the
         # decimal-sum contract (quantize 8dp -> exact sum -> double / n)
         "embedding_centered": (
+            # explicit NULL gates (vector-less rows can't center; a NULL
+            # label group would silently fall out of the means join anyway)
             "WITH ex AS (SELECT vec_id, label, "
-            "unnest(range(1, len(embedding) + 1)) AS i, embedding FROM embeddings), "
+            "unnest(range(1, len(embedding) + 1)) AS i, embedding FROM embeddings "
+            "WHERE embedding IS NOT NULL AND label IS NOT NULL), "
             "flat AS (SELECT vec_id, label, CAST(i AS INTEGER) AS dim_i, "
             "CAST(embedding[i] AS DOUBLE) AS x FROM ex), "
             "means AS (SELECT label, dim_i, "

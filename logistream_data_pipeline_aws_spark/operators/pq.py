@@ -69,7 +69,9 @@ def pq_codes(
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
-    vecs = df.select(
+    # NULL-vector rows are ungateable into subspaces (and would win every
+    # argmin under Spark's NULLS FIRST) — same gate as ivf_kmeans_assign
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
@@ -156,7 +158,12 @@ def pq_adc_topk(
     bounded because every candidate contributes exactly ``m`` rows."""
     codes, cents = pq_codes(df, id_col, vec_col, dim, m=m, k=k, iters=iters)
     sub = dim // m
-    qvecs = df.where(F.col(id_col) < n_queries).select(
+    # queries need vectors too: the encode gate must apply to the query
+    # slice or a NULL query scores every candidate NULL and wins the
+    # NULLS FIRST ranking (embeddings NULL-probe finding)
+    qvecs = df.where(
+        (F.col(id_col) < n_queries) & F.col(vec_col).isNotNull()
+    ).select(
         F.col(id_col).alias("_vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
@@ -236,7 +243,9 @@ def pq_refine_topk(
         F.col(id_col).alias("_vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
     )
-    qvecs = df.where(F.col(id_col) < n_queries).select(
+    qvecs = df.where(
+        (F.col(id_col) < n_queries) & F.col(vec_col).isNotNull()
+    ).select(
         F.col(id_col).alias("_qid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
     )

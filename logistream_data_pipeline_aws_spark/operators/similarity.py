@@ -215,7 +215,11 @@ def ivf_kmeans_assign(
     persist discipline is unnecessary here: each round's centroids are
     k rows, not an edge list)."""
     w = Window.partitionBy("_vid").orderBy("_d2", "_cid")
-    vecs = df.select(
+    # a vector-less row can neither seed, train, nor be assigned — and an
+    # ungated NULL distance would win the argmin on Spark (NULLS FIRST)
+    # while losing it on ANSI engines (NULLS LAST): the embeddings
+    # NULL-probe axis caught exactly that divergence
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )

@@ -328,8 +328,17 @@ def embedding_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-group-context Arrow shape, driver-verified: output is flattened
     to (vec_id, label, dim index, centered value) so the oracle compares
     scalars, and the group mean follows the deterministic decimal-sum
-    contract (see operators.similarity.center_embeddings_by_group)."""
-    emb = load_table(spark, "embeddings", sf_dir)
+    contract (see operators.similarity.center_embeddings_by_group).
+
+    Vector-less rows cannot be centered (np.stack would throw in the
+    Arrow batch) and a NULL label keys a group on an unknown entity the
+    oracle's equi-join drops — both gated engine-side, mirroring the
+    oracle (the embeddings NULL-probe axis caught both shapes; real
+    feeds carry neither, so the gate is bit-neutral on the driver's
+    data)."""
+    emb = load_table(spark, "embeddings", sf_dir).where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
     centered = S.center_embeddings_by_group(emb, "label", "vec_id", "embedding")
     return centered.select(
         "vec_id",

@@ -87,6 +87,14 @@ INJECTIONS = {
           CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
         FROM read_parquet('{src}')
     """,
+    # a vector-less row (ingest gap) and an unlabeled row are the
+    # plausible NULL shapes; vec_id stays NOT NULL (generator invariant)
+    "embeddings": """
+        SELECT vec_id,
+          CASE WHEN vec_id % 13 = 0 THEN NULL ELSE embedding END AS embedding,
+          CASE WHEN vec_id % 11 = 0 THEN NULL ELSE label END AS label
+        FROM read_parquet('{src}')
+    """,
     "lineitem": """
         SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
           CASE WHEN (l_orderkey + l_linenumber) % 23 = 0 THEN NULL ELSE l_quantity END AS l_quantity,
@@ -171,6 +179,13 @@ DEFAULT_QUERIES = {
         "sql_lapsed_big_spenders", "sql_prospect_customers",
         "sql_customer_order_distribution", "sql_orders_above_customer_avg",
         "sql_volume_shipping",
+    ],
+    "embeddings": [
+        "dedup_embedding", "embedding_centered", "embedding_outliers",
+        "embedding_quantize", "embedding_stats", "similarity_topk",
+        "similarity_ann_lsh", "similarity_ann_multiprobe",
+        "similarity_ivf", "similarity_ivf_kmeans", "similarity_pq_adc",
+        "similarity_pq_refine",
     ],
     "documents": [
         "dedup_exact", "dedup_survivors", "dedup_minhash_lsh",
