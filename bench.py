@@ -74,6 +74,13 @@ BENCH_QUERIES = [
     # in tests/test_prod_twins.py), so they resolve via EXTRA_BENCH.
     "events_stickiness_hll_prod",
     "customer_rfm_scores_approx_prod",
+    # round-7 continuation: the two r8-queue LLM-dedup surfaces (SemDeDup
+    # cluster-scoped near-dup and exact-substring span mining) — benched
+    # ahead of registration so their perf history starts now; they
+    # resolve via EXTRA_BENCH until they enter queries() at the r8
+    # rotation.
+    "dedup_semantic",
+    "doc_substring_spans",
 ]
 
 
@@ -133,10 +140,19 @@ _RAW_CACHE = None
 _WH_CACHE = None
 
 
+def _bench_r8(name):
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    fn = getattr(X, name)
+    return lambda spark, sf_dir: fn(spark, sf_dir)
+
+
 EXTRA_BENCH = {
     "reference_warehouse_fact": _reference_warehouse_fact,
     "events_stickiness_hll_prod": _bench_stickiness_prod,
     "customer_rfm_scores_approx_prod": _bench_rfm_prod,
+    "dedup_semantic": _bench_r8("dedup_semantic"),
+    "doc_substring_spans": _bench_r8("doc_substring_spans"),
 }
 
 

@@ -69,11 +69,19 @@ def pq_codes(
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        parallelize_cpu_stage,
+    )
+
     # NULL-vector rows are ungateable into subspaces (and would win every
-    # argmin under Spark's NULLS FIRST) — same gate as ivf_kmeans_assign
-    vecs = df.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("_vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    # argmin under Spark's NULLS FIRST) — same gate as ivf_kmeans_assign;
+    # parallelized for the same reason (the per-subspace fold scoring
+    # inherits a small scan's single partition otherwise)
+    vecs = parallelize_cpu_stage(
+        df.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("_vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
     )
     parts = _pq_subspaces(vecs, m, sub)
     cents = parts.where(F.col("_vid") < k).select(

@@ -215,13 +215,22 @@ def ivf_kmeans_assign(
     persist discipline is unnecessary here: each round's centroids are
     k rows, not an edge list)."""
     w = Window.partitionBy("_vid").orderBy("_d2", "_cid")
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        parallelize_cpu_stage,
+    )
+
     # a vector-less row can neither seed, train, nor be assigned — and an
     # ungated NULL distance would win the argmin on Spark (NULLS FIRST)
     # while losing it on ANSI engines (NULLS LAST): the embeddings
-    # NULL-probe axis caught exactly that divergence
-    vecs = df.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("_vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    # NULL-probe axis caught exactly that divergence.
+    # parallelize: the k-fold distance scoring is the CPU stage and a
+    # small embeddings parquet scans as one partition (scale-probe
+    # finding — no-op when the scan is already parallel)
+    vecs = parallelize_cpu_stage(
+        df.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("_vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
     )
     cents = vecs.where(F.col("_vid") < k).select(
         F.col("_vid").cast("int").alias("_cid"), F.col("_v").alias("_c")

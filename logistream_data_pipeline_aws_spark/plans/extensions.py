@@ -4564,6 +4564,7 @@ def dedup_semantic(
     k: int = 8,
     iters: int = 2,
     threshold: float = 0.4,
+    max_cluster_size: int = 1024,
 ) -> DataFrame:
     """Semantic dedup, SemDeDup-style (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, mine
@@ -4587,18 +4588,28 @@ def dedup_semantic(
     with a semi-join just like ``dedup_near_survivors``.
 
     Round-8 oracle: the ``_kmeans_oracle`` assignment CTEs (k=8,
-    iters=2) joined to the corpus, within-cluster pair mining at
-    ``round(cos, 6) >= 0.4``, then the ``_CLUSTERS_CTE_PREFIX``
-    symmetric-closure / min-reach recursion over those pairs.
+    iters=2) joined to the corpus, the cluster-size bound replayed as a
+    ``HAVING COUNT(*) BETWEEN 2 AND 1024`` semi-join, within-cluster
+    pair mining at ``round(cos, 6) >= 0.4``, then the
+    ``_CLUSTERS_CTE_PREFIX`` symmetric-closure / min-reach recursion
+    over those pairs.
 
     Scale shape: the cluster id is the blocking key — pair expansion is
     a self-equi-join on ``list_id`` (never all-pairs; per-cluster cost
     is (n/k)^2 and production picks k proportional to corpus size so
-    cluster cardinality stays bounded), the cosine verify runs on
-    candidates only with per-vector norms computed once, and the
-    component closure joins stay keyed on vector id.  Centroids are k
-    tiny broadcast rows; nothing data-sized crosses to the driver
-    (the CC loop collects only a per-round change count)."""
+    cluster cardinality stays bounded).  ``max_cluster_size`` is the
+    same workload-relative guard as the LSH family's bucket cap:
+    clusters larger than the cap are DROPPED from pair mining (their
+    members all come out ``keep``), logged via an observed
+    ``semantic_cluster_cap`` metric — an oversized cluster means ``k``
+    was chosen too small for the corpus, and the cap turns that
+    misconfiguration into a loud bounded result instead of an O((n/k)²)
+    blow-up.  The bound is part of the replayed contract, not a silent
+    cap.  The cosine verify runs on candidates only with per-vector
+    norms computed once, and the component closure joins stay keyed on
+    vector id.  Centroids are k tiny broadcast rows; nothing data-sized
+    crosses to the driver (the CC loop collects only a per-round change
+    count)."""
     from logistream_data_pipeline_aws_spark.functions.vectors import (
         cosine_with_norms,
     )
@@ -4621,13 +4632,31 @@ def dedup_semantic(
             asg.select(F.col("vec_id").alias("_id"), "list_id"), "_id"
         ).persist()
         _SEMANTIC_TAG_CACHE[cache_key] = tagged
-    a = tagged.select(
+    sizes = tagged.groupBy("list_id").agg(F.count(F.lit(1)).alias("_csz"))
+    sizes = sizes.observe(
+        "semantic_cluster_cap",
+        F.sum((F.col("_csz") > max_cluster_size).cast("long")).alias(
+            "dropped_clusters"
+        ),
+        F.sum(
+            F.when(F.col("_csz") > max_cluster_size, F.col("_csz"))
+            .otherwise(0)
+            .cast("long")
+        ).alias("dropped_vectors"),
+    )
+    minable = tagged.join(
+        sizes.where(
+            (F.col("_csz") >= 2) & (F.col("_csz") <= max_cluster_size)
+        ).select("list_id"),
+        "list_id",
+    )
+    a = minable.select(
         F.col("_id").alias("id_a"),
         F.col("_v").alias("v_a"),
         F.col("_n").alias("n_a"),
         F.col("list_id").alias("_la"),
     )
-    b = tagged.select(
+    b = minable.select(
         F.col("_id").alias("id_b"),
         F.col("_v").alias("v_b"),
         F.col("_n").alias("n_b"),
@@ -4709,18 +4738,30 @@ def doc_substring_spans(
           CAST(SUM(e - s + 1) AS BIGINT) AS total_span_chars
         FROM spans GROUP BY doc_a, doc_b HAVING MAX(e - s + 1) >= 40
 
-    Scale shape: anchors shuffle once on the md5 gram key (uniform by
-    construction); the frequency gate is a map-side-combinable count
-    that kills the only quadratic blow-up BEFORE any pair exists; match
-    volume is bounded by min(occurrences, max_gram_occurrences)^2 per
-    gram; the run assembly windows partition by (pair, diagonal) —
-    small groups bounded by document length, never a global sort.
-    Spans on different diagonals may overlap in text; they count
-    separately (documented semantics, same on both engines)."""
+    Scale shape (the ``capped_bucket_pairs`` two-phase discipline):
+    anchors shuffle on the md5 gram key (uniform by construction) for a
+    map-side-combinable count; the frequency gate kills the only
+    quadratic blow-up BEFORE any occurrence list or pair exists; the
+    surviving grams collect ONE bounded occurrence array each (<=
+    ``max_gram_occurrences`` entries by the gate) and expand their
+    cross-document pairs in-plan — no second equi-join, and the gram
+    table is derived twice (count pass + collect pass), never three
+    times (the no-CSE-across-DataFrame-reuse trap: the original
+    keep-join + a/b self-join formulation derived it 3x and paid an
+    extra shuffle — probe-measured ~2x slower at 10x volume).  Dropped
+    grams are counted in an observed ``substring_gram_cap`` metric.
+    The run-assembly windows partition by (pair, diagonal) — small
+    groups bounded by document length, never a global sort.  Spans on
+    different diagonals may overlap in text; they count separately
+    (documented semantics, same on both engines)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, "documents", sf_dir).where(
-        F.col("text").isNotNull() & (F.length("text") >= k)
+    # per-character substring+md5 is the CPU stage: decouple it from the
+    # input file layout (a small corpus parquet scans as one partition)
+    docs = D.parallelize_cpu_stage(
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("text").isNotNull() & (F.length("text") >= k))
+        .select("doc_id", "text")
     )
     grams = docs.select(
         "doc_id",
@@ -4733,17 +4774,50 @@ def doc_substring_spans(
         F.col("pos").cast("long").alias("pos"),
         F.md5(F.expr(f"substring(text, pos, {k})")).alias("g"),
     )
-    keep = grams.groupBy("g").agg(
+    counts = grams.groupBy("g").agg(
         F.countDistinct("doc_id").alias("_nd"), F.count(F.lit(1)).alias("_n")
-    ).where(
+    )
+    counts = counts.observe(
+        "substring_gram_cap",
+        F.sum(
+            (
+                (F.col("_nd") > max_gram_docs)
+                | (F.col("_n") > max_gram_occurrences)
+            ).cast("long")
+        ).alias("dropped_grams"),
+    )
+    keep = counts.where(
         (F.col("_nd").between(2, max_gram_docs))
         & (F.col("_n") <= max_gram_occurrences)
     ).select("g")
-    gg = grams.join(keep, "g")
-    a = gg.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g")
-    b = gg.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g")
-    m = a.join(b, "g").where(F.col("doc_a") < F.col("doc_b")).select(
-        "doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag")
+    # one bounded occurrence array per surviving gram (<= max_gram_
+    # occurrences entries), pairs expanded in-plan: sorted by (doc, pos)
+    # so array order i<j implies doc_a <= doc_b; the strict filter drops
+    # intra-document pairs — identical match set to the equi-join form
+    occs = (
+        grams.join(keep, "g")
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "pos"))).alias("_o"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_o"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_o"), i + 2, F.size(F.col("_o"))),
+                lambda y: F.struct(
+                    x.getField("doc_id").alias("doc_a"),
+                    x.getField("pos").alias("pa"),
+                    y.getField("doc_id").alias("doc_b"),
+                    y.getField("pos").alias("pb"),
+                ),
+            ),
+        )
+    )
+    m = (
+        occs.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.pa", "p.doc_b", "p.pb")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("diag", F.col("pa") - F.col("pb"))
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     runs = m.withColumn("grp", F.col("pa") - F.row_number().over(w))

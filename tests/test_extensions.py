@@ -1207,7 +1207,10 @@ def test_dedup_semantic_matches_oracle(spark):
                 "v AS (SELECT vec_id, list_transform(embedding, x->CAST(x AS DOUBLE)) AS vv FROM embeddings), "
                 "n AS (SELECT vec_id, vv, sqrt(list_reduce(list_prepend(0.0, "
                 "list_transform(vv, x->x*x)), (a,b)->a+b)) AS nrm FROM v), "
-                "t AS (SELECT n.*, asg.list_id FROM n JOIN asg USING (vec_id)) "
+                "t0 AS (SELECT n.*, asg.list_id FROM n JOIN asg USING (vec_id)), "
+                "ok AS (SELECT list_id FROM t0 GROUP BY list_id "
+                "HAVING COUNT(*) BETWEEN 2 AND 1024), "
+                "t AS (SELECT t0.* FROM t0 JOIN ok USING (list_id)) "
                 "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
                 "FROM t a JOIN t b ON a.list_id = b.list_id AND a.vec_id < b.vec_id "
                 "WHERE ROUND(list_reduce(list_prepend(0.0, "

@@ -87,6 +87,20 @@ INJECTIONS = {
           CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
         FROM read_parquet('{src}')
     """,
+    # tiny lookup dims: keys stay NOT NULL, names/comments are the
+    # nullable attribute axes (upper(trim(NULL)) flows through every
+    # dim build and geo join)
+    "nation": """
+        SELECT n_nationkey,
+          CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_name END AS n_name,
+          CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_regionkey END AS n_regionkey
+        FROM read_parquet('{src}')
+    """,
+    "region": """
+        SELECT r_regionkey,
+          CASE WHEN r_regionkey % 2 = 0 THEN NULL ELSE r_name END AS r_name
+        FROM read_parquet('{src}')
+    """,
     # a vector-less row (ingest gap) and an unlabeled row are the
     # plausible NULL shapes; vec_id stays NOT NULL (generator invariant)
     "embeddings": """
@@ -179,6 +193,19 @@ DEFAULT_QUERIES = {
         "sql_lapsed_big_spenders", "sql_prospect_customers",
         "sql_customer_order_distribution", "sql_orders_above_customer_avg",
         "sql_volume_shipping",
+    ],
+    "nation": [
+        "a8_returns_by_nation", "customer_rank_in_nation", "dim_customer",
+        "dim_geography", "segment_region_pivot", "sql_local_supplier_volume",
+        "sql_market_share", "sql_product_profit_by_nation_year",
+        "sql_returned_item_losses", "sql_volume_shipping",
+        "sql_waiting_suppliers", "warehouse_integrity_audit",
+        "warehouse_orc_readback",
+    ],
+    "region": [
+        "dim_customer", "dim_geography", "dim_region", "segment_region_pivot",
+        "sql_local_supplier_volume", "sql_market_share",
+        "warehouse_integrity_audit", "warehouse_orc_readback",
     ],
     "embeddings": [
         "dedup_embedding", "embedding_centered", "embedding_outliers",

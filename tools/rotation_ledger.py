@@ -74,12 +74,21 @@ def _local_import_modules(tree: ast.AST) -> set[str]:
     """Package modules pulled in by imports INSIDE the function body
     (``from <pkg>.functions.vectors import dot`` style) — these never
     appear in the enclosing module's namespace, so name resolution alone
-    would miss them."""
+    would miss them.
+
+    ``from <pkg>.operators import pq`` imports a MODULE as the alias:
+    recording only ``node.module`` would digest the subpackage's
+    ``__init__.py`` and silently skip ``pq.py`` — a round-7 continuation
+    finding (pq.py edits escaped the pin).  Every ``<module>.<alias>``
+    candidate is recorded too; ``entry_digest`` keeps only the ones that
+    import as real modules."""
     mods: set[str] = set()
     for node in ast.walk(tree):
         if isinstance(node, ast.ImportFrom) and node.module:
             if node.module == PACKAGE or node.module.startswith(PACKAGE + "."):
                 mods.add(node.module)
+                for alias in node.names:
+                    mods.add(node.module + "." + alias.name)
         elif isinstance(node, ast.Import):
             for alias in node.names:
                 if alias.name == PACKAGE or alias.name.startswith(PACKAGE + "."):
