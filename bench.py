@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     # rotation.
     "dedup_semantic",
     "doc_substring_spans",
+    "similarity_ivf_incremental",
 ]
 
 
@@ -153,6 +154,7 @@ EXTRA_BENCH = {
     "customer_rfm_scores_approx_prod": _bench_rfm_prod,
     "dedup_semantic": _bench_r8("dedup_semantic"),
     "doc_substring_spans": _bench_r8("doc_substring_spans"),
+    "similarity_ivf_incremental": _bench_r8("similarity_ivf_incremental"),
 }
 
 

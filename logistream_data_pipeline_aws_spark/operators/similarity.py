@@ -214,44 +214,58 @@ def ivf_kmeans_assign(
     fixed, so the plan is a static unroll (the connected-components
     persist discipline is unnecessary here: each round's centroids are
     k rows, not an edge list)."""
-    w = Window.partitionBy("_vid").orderBy("_d2", "_cid")
+    vecs = _gated_vecs(df, id_col, vec_col)
+    cents = vecs.where(F.col("_vid") < k).select(
+        F.col("_vid").cast("int").alias("_cid"), F.col("_v").alias("_c")
+    )
+    cents = _lloyd_train(vecs, cents, iters)
+    return _nearest(vecs, cents).select(
+        F.col("_vid").alias("vec_id"),
+        F.col("_cid").alias("list_id"),
+        F.round("_d2", 6).alias("dist2"),
+    )
+
+
+def _gated_vecs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(_vid, _v double[]) with the NULL-vector gate and the CPU-stage
+    repartition — the shared entry point of every k-means path (see
+    ``ivf_kmeans_assign`` for why both matter)."""
     from logistream_data_pipeline_aws_spark.operators.dedup_family import (
         parallelize_cpu_stage,
     )
 
-    # a vector-less row can neither seed, train, nor be assigned — and an
-    # ungated NULL distance would win the argmin on Spark (NULLS FIRST)
-    # while losing it on ANSI engines (NULLS LAST): the embeddings
-    # NULL-probe axis caught exactly that divergence.
-    # parallelize: the k-fold distance scoring is the CPU stage and a
-    # small embeddings parquet scans as one partition (scale-probe
-    # finding — no-op when the scan is already parallel)
-    vecs = parallelize_cpu_stage(
+    return parallelize_cpu_stage(
         df.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("_vid"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
         )
     )
-    cents = vecs.where(F.col("_vid") < k).select(
-        F.col("_vid").cast("int").alias("_cid"), F.col("_v").alias("_c")
+
+
+def _nearest(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmin centroid per vector — left-fold d2, (d2, cid) tie-break;
+    centroids broadcast (k tiny rows), so this is a map-side score."""
+    w = Window.partitionBy("_vid").orderBy("_d2", "_cid")
+    d2 = F.aggregate(
+        F.zip_with("_v", "_c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("_vid", "_v", "_cid", "_d2")
     )
 
-    def assign(cents_df: DataFrame) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with("_v", "_c", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        return (
-            vecs.crossJoin(F.broadcast(cents_df))
-            .withColumn("_d2", d2)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("_vid", "_v", "_cid", "_d2")
-        )
 
+def _lloyd_train(vecs: DataFrame, cents: DataFrame, iters: int) -> DataFrame:
+    """``iters`` Lloyd rounds over ``vecs`` from seed centroids ``cents``
+    — decimal-exact means (DECIMAL(30,8) sum, double divide), identical
+    emitted computation to the unrolled SQL oracle."""
     for _ in range(iters):
-        assigned = assign(cents)
+        assigned = _nearest(vecs, cents)
         means = (
             assigned.select("_cid", F.posexplode("_v").alias("_pos", "_x"))
             .groupBy("_cid", "_pos")
@@ -268,8 +282,41 @@ def ivf_kmeans_assign(
                 lambda s: s.getField("_m"),
             ).alias("_c")
         )
+    return cents
 
-    return assign(cents).select(
+
+def ivf_incremental_assign(
+    base: DataFrame,
+    shard: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Incremental IVF index maintenance: assign a NEW ingest shard
+    against centroids trained on the EXISTING corpus — the index does
+    not retrain per ingest (the embedding analog of
+    ``operators.incremental``'s shard-vs-corpus dedup).  Seeds are the
+    ``k`` smallest base ids BY RANK (the base may start at any id, so
+    the ``vid < k`` convention of ``ivf_kmeans_assign`` would find no
+    seeds); training follows the identical Lloyd spec, and the shard
+    assignment is shard x k broadcast scoring — cost proportional to
+    the SHARD, never the corpus.
+
+    Returns (vec_id, list_id, dist2) for the shard only."""
+    bvecs = _gated_vecs(base, id_col, vec_col)
+    wseed = Window.orderBy("_vid")
+    seeds = (
+        bvecs.withColumn("_srn", F.row_number().over(wseed))
+        .where(F.col("_srn") <= k)
+        .select(
+            (F.col("_srn") - 1).cast("int").alias("_cid"),
+            F.col("_v").alias("_c"),
+        )
+    )
+    cents = _lloyd_train(bvecs, seeds, iters)
+    svecs = _gated_vecs(shard, id_col, vec_col)
+    return _nearest(svecs, cents).select(
         F.col("_vid").alias("vec_id"),
         F.col("_cid").alias("list_id"),
         F.round("_d2", 6).alias("dist2"),

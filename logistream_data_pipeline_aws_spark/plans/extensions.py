@@ -4833,3 +4833,37 @@ def doc_substring_spans(
         )
         .where(F.col("longest_span") >= min_span)
     )
+
+
+def similarity_ivf_incremental(
+    spark: SparkSession, sf_dir: str, shard_below: int = 100
+) -> DataFrame:
+    """Incremental IVF index maintenance — assign a NEW ingest shard
+    (``vec_id < shard_below``) against centroids trained on the EXISTING
+    corpus (``vec_id >= shard_below``), without retraining: the
+    embedding-index analog of ``dedup_incremental_ingest``'s
+    shard-vs-corpus asymmetry.  Staged for ROUND-8 REGISTRATION; until
+    then pinned against a literal DuckDB replay in
+    ``tests/test_extensions.py``.
+
+    Seeds are the k smallest BASE ids by rank (the base starts at
+    ``shard_below``, so id-threshold seeding would find none); training
+    is the exact ``ivf_kmeans_assign`` Lloyd spec over the base only
+    (k=8, iters=2 via ``operators.similarity._lloyd_train``); the shard
+    assignment is shard x k broadcast scoring.
+
+    Round-8 oracle: the ``_kmeans_oracle`` CTE machinery with the v CTE
+    split into base (training, rank-seeded) and shard (final assign) —
+    documented in the pinned test.
+
+    Scale shape: per-ingest cost is proportional to the SHARD (shard x k
+    broadcast folds + one rank window over k rows' worth of seeds), the
+    corpus is touched only by the (amortizable, here inline because the
+    driver query must be self-contained) training pass, and nothing
+    data-sized crosses to the driver."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.where(F.col("vec_id") >= shard_below)
+    shard = emb.where(F.col("vec_id") < shard_below)
+    return S.ivf_incremental_assign(
+        base, shard, "vec_id", "embedding", k=8, iters=2
+    )

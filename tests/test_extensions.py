@@ -1232,3 +1232,76 @@ def test_dedup_semantic_matches_oracle(spark):
     )
     assert got == exp
     assert any(s == "drop" for *_, s in got)
+
+
+def test_similarity_ivf_incremental_matches_oracle(spark):
+    """R8-queue entry pinned ahead of registration: shard assignment
+    against base-trained centroids must equal the DuckDB replay —
+    rank-seeded Lloyd training over the base CTE, final assign over the
+    shard CTE (the _kmeans_oracle machinery with a split v)."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    k, iters, split = 8, 2, 100
+
+    def d2(v, c):
+        diffs = (
+            f"list_transform(list_zip({v}, {c}), "
+            "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+            "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))"
+        )
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {diffs}), "
+            "(u, v2) -> u + v2)"
+        )
+
+    def assign(name, src, cents):
+        return (
+            f"{name} AS (SELECT vid, vv, cid, d2 FROM ("
+            "SELECT vid, vv, cid, d2, "
+            "ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn "
+            f"FROM (SELECT s.vid, s.vv, c.cid, {d2('s.vv', 'c.cv')} AS d2 "
+            f"FROM {src} s CROSS JOIN {cents} c)) WHERE rn = 1)"
+        )
+
+    sql = (
+        "WITH v AS (SELECT vec_id AS vid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        f"b AS (SELECT vid, vv FROM v WHERE vid >= {split}), "
+        f"sh AS (SELECT vid, vv FROM v WHERE vid < {split}), "
+        "c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, vv AS cv FROM "
+        f"(SELECT vv, ROW_NUMBER() OVER (ORDER BY vid) AS rn FROM b) "
+        f"WHERE rn <= {k})"
+    )
+    prev = "c0"
+    for i in range(1, iters + 1):
+        sql += ", " + assign(f"a{i}", "b", prev)
+        sql += (
+            f", m{i} AS (SELECT cid, pos, "
+            "CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS m "
+            f"FROM (SELECT cid, unnest(vv) AS x, "
+            f"unnest(range(1, len(vv) + 1)) AS pos FROM a{i}) "
+            "GROUP BY cid, pos)"
+            f", c{i} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} "
+            "GROUP BY cid)"
+        )
+        prev = f"c{i}"
+    sql += ", " + assign("afinal", "sh", prev)
+    sql += (
+        " SELECT vid AS vec_id, CAST(cid AS INT) AS list_id, "
+        "ROUND(d2, 6) AS dist2 FROM afinal"
+    )
+
+    got = {
+        (r.vec_id, r.list_id, r.dist2)
+        for r in X.similarity_ivf_incremental(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
+    )
+    exp = set(map(tuple, con.execute(sql).fetchall()))
+    assert got == exp and len(got) == 100

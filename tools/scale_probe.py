@@ -283,6 +283,7 @@ SIMILARITY_QUERIES = [
     "dedup_embedding",
     "embedding_stats",
     "dedup_semantic",
+    "similarity_ivf_incremental",
 ]
 
 EVENTS_QUERIES = [
@@ -403,6 +404,7 @@ PROBE_OVERRIDES = {
     "dedup_semantic": _staged_r8("dedup_semantic"),
     "doc_substring_spans": _staged_r8("doc_substring_spans"),
     "events_upsert_delete": _staged_r8("events_upsert_delete"),
+    "similarity_ivf_incremental": _staged_r8("similarity_ivf_incremental"),
 }
 
 
