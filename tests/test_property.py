@@ -392,3 +392,125 @@ def test_upsert_protocol_matches_model(spark, tmp_path_factory, ops):
         retention = 3
         for v in range(max(1, current - retention), current + 1):
             assert snap(version=v) == history[v - 1], f"version {v}"
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """The pointer-doubling rework must label every random graph exactly
+    like a reference union-find: cluster_id = min node id of the
+    component, for all nodes 0..24 (guards the hook/jump shortcutting —
+    a wrong jump would surface as a cross-component label)."""
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        connected_components,
+    )
+
+    n = 25
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for v in range(n):
+        root = find(v)
+        expected[v] = min(u for u in range(n) if find(u) == root)
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], ["id_a", "id_b"]
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(nodes, e, max_iters=20).collect()
+    }
+    assert got == expected
+
+
+@_slow
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=30),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_doc_substring_spans_matches_bruteforce(spark, tmp_path_factory, texts):
+    """Diagonal-run span assembly equals a brute-force reference: for
+    every document pair, group matched k-gram positions by diagonal,
+    split runs on position gaps, keep pairs whose longest span clears
+    the threshold.  Tiny alphabet forces heavy gram collisions —
+    exactly the regime where run assembly can go wrong."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    k, min_span = 3, 5
+    d = tmp_path_factory.mktemp("spanprop")
+    docs = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        docs, ["doc_id", "text"]
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.length("text").cast("long")).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+
+    # brute-force reference (no frequency gates at this scale: set the
+    # caps high enough that nothing drops)
+    grams = collections.defaultdict(list)
+    for i, t in docs:
+        for p in range(1, len(t) - k + 2):
+            grams[t[p - 1 : p - 1 + k]].append((i, p))
+    expected = {}
+    matches = collections.defaultdict(list)
+    for occ in grams.values():
+        for ai in range(len(occ)):
+            for bi in range(len(occ)):
+                (da, pa), (db, pb) = occ[ai], occ[bi]
+                if da < db:
+                    matches[(da, db, pa - pb)].append(pa)
+    spans = collections.defaultdict(list)
+    for (da, db, _diag), pas in matches.items():
+        pas.sort()
+        start = prev = pas[0]
+        for p in pas[1:]:
+            if p != prev + 1:
+                spans[(da, db)].append(prev + k - 1 - start + 1)
+                start = p
+            prev = p
+        spans[(da, db)].append(prev + k - 1 - start + 1)
+    for pair, lens in spans.items():
+        if max(lens) >= min_span:
+            expected[pair] = (len(lens), max(lens), sum(lens))
+
+    got = {
+        (r.doc_a, r.doc_b): (r.n_spans, r.longest_span, r.total_span_chars)
+        for r in X.doc_substring_spans(
+            spark,
+            str(d),
+            k=k,
+            min_span=min_span,
+            max_gram_docs=10_000,
+            max_gram_occurrences=100_000,
+        ).collect()
+    }
+    assert got == expected
