@@ -655,7 +655,29 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    labels = nodes.select(F.col("id"), F.col("id").alias("label")).persist()
+    # iterate over EDGE-ENDPOINT nodes only: a node with no near-dup
+    # edge keeps label = id forever, so carrying the whole corpus through
+    # every round is pure waste — in the realistic regime (duplicates are
+    # a small fraction of a 100 TB corpus) this shrinks the per-round
+    # frames from corpus-sized to edge-bounded.  Untouched nodes rejoin
+    # via the final left join.
+    n_sym = sym.count()  # also materializes the (often expensive) mining
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select(F.col("id"), F.col("id").alias("label"))
+        .persist()
+    )
+    # tiny-graph fast path: below ~100k symmetric edges every per-round
+    # frame is trivially small, and AQE's per-exchange stage
+    # materialization costs more wall-clock than it saves — run the loop
+    # non-adaptive and restore the setting after.  At real scale AQE
+    # stays on (skew splits, runtime coalescing).
+    spark_conf = spark.conf
+    aqe_restore: str | None = None
+    if n_sym < 100_000:
+        aqe_restore = spark_conf.get("spark.sql.adaptive.enabled", "true")
+        spark_conf.set("spark.sql.adaptive.enabled", "false")
     converged = False
     for _ in range(max_iters):
         neighbor_min = (
@@ -663,39 +685,48 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        relaxed = labels.join(
+        # hook: adopt the neighborhood minimum; carry the pre-round label
+        # so the convergence check is a filter over the CHECKPOINTED
+        # frame, not an extra join against the previous round
+        cur = labels.join(
             neighbor_min, labels.id == neighbor_min.src, "left"
         ).select(
             "id",
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
+            F.col("label").alias("_prev"),
         )
-        # pointer doubling: follow the current label one hop (labels are
-        # always ids INSIDE the component, so label-of-label is a valid,
-        # possibly much smaller, in-component bound)
-        hop = relaxed.select(
-            F.col("id").alias("_hid"), F.col("label").alias("_hlabel")
-        )
-        new_labels = _truncate(
-            relaxed.join(hop, relaxed.label == F.col("_hid"), "left").select(
+        # pointer doubling, twice per round: follow the current label one
+        # hop (labels are always ids INSIDE the component, so
+        # label-of-label is a valid, possibly much smaller, in-component
+        # bound).  Two jumps shrink the hop distance ~4x per round — the
+        # per-round cost is one extra tiny self-join, and every round
+        # saved is a full Spark job round-trip.
+        for hop_i in range(2):
+            hop = cur.select(
+                F.col("id").alias(f"_h{hop_i}"),
+                F.col("label").alias(f"_hl{hop_i}"),
+            )
+            cur = cur.join(
+                hop, cur.label == F.col(f"_h{hop_i}"), "left"
+            ).select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("_hlabel"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col(f"_hl{hop_i}"), F.col("label")),
                 ).alias("label"),
+                "_prev",
             )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_labels = _truncate(cur)
+        changed = new_labels.where(F.col("label") != F.col("_prev")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("id", "label")
         if changed == 0:
             converged = True
             break
+    if aqe_restore is not None:
+        spark_conf.set("spark.sql.adaptive.enabled", aqe_restore)
     sym.unpersist()
     if not converged:
         labels.unpersist()
@@ -704,7 +735,13 @@ def connected_components(
             "iterations (component diameter exceeds max_iters); raise "
             "max_iters rather than returning partially-propagated labels"
         )
-    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    return (
+        nodes.join(labels, "id", "left")
+        .select(
+            F.col("id"),
+            F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
+        )
+    )
 
 
 def embedding_near_duplicates(
