@@ -631,9 +631,15 @@ def connected_components(
     ``checkpoint`` when the session has a checkpoint dir, else
     ``localCheckpoint``): without it the label frame's plan nests one
     level per round and driver-side analysis cost doubles per round —
-    the classic iterative-algorithm failure mode on Spark.  Per round:
-    two joins + one aggregation, all keyed on node id; data stays
-    distributed, the driver sees only a change count.
+    the classic iterative-algorithm failure mode on Spark.  The
+    superseded round's checkpointed frame is unpersisted directly as
+    soon as its successor materializes, so a long-lived session holds at
+    most one round's label blocks, not one per round; with a reliable
+    checkpoint dir, set ``spark.cleaner.referenceTracking
+    .cleanCheckpoints=true`` on the cluster so the released frames'
+    checkpoint FILES are reaped too.  Per round: two joins + one
+    aggregation, all keyed on node id; data stays distributed, the
+    driver sees only a change count.
     """
     # persist the symmetric edge list: ``edges`` is usually the OUTPUT of
     # candidate mining (minhash -> banded join -> exact verify), and
@@ -679,57 +685,74 @@ def connected_components(
         aqe_restore = spark_conf.get("spark.sql.adaptive.enabled", "true")
         spark_conf.set("spark.sql.adaptive.enabled", "false")
     converged = False
-    for _ in range(max_iters):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # hook: adopt the neighborhood minimum; carry the pre-round label
-        # so the convergence check is a filter over the CHECKPOINTED
-        # frame, not an extra join against the previous round
-        cur = labels.join(
-            neighbor_min, labels.id == neighbor_min.src, "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-            ).alias("label"),
-            F.col("label").alias("_prev"),
-        )
-        # pointer doubling, twice per round: follow the current label one
-        # hop (labels are always ids INSIDE the component, so
-        # label-of-label is a valid, possibly much smaller, in-component
-        # bound).  Two jumps shrink the hop distance ~4x per round — the
-        # per-round cost is one extra tiny self-join, and every round
-        # saved is a full Spark job round-trip.
-        for hop_i in range(2):
-            hop = cur.select(
-                F.col("id").alias(f"_h{hop_i}"),
-                F.col("label").alias(f"_hl{hop_i}"),
+    prev_ckpt: DataFrame | None = None  # last round's checkpointed frame
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                sym.join(labels, sym.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
             )
-            cur = cur.join(
-                hop, cur.label == F.col(f"_h{hop_i}"), "left"
+            # hook: adopt the neighborhood minimum; carry the pre-round
+            # label so the convergence check is a filter over the
+            # CHECKPOINTED frame, not an extra join against the previous
+            # round
+            cur = labels.join(
+                neighbor_min, labels.id == neighbor_min.src, "left"
             ).select(
                 "id",
                 F.least(
-                    F.col("label"),
-                    F.coalesce(F.col(f"_hl{hop_i}"), F.col("label")),
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
-                "_prev",
+                F.col("label").alias("_prev"),
             )
-        new_labels = _truncate(cur)
-        changed = new_labels.where(F.col("label") != F.col("_prev")).count()
-        labels.unpersist()
-        labels = new_labels.select("id", "label")
-        if changed == 0:
-            converged = True
-            break
-    if aqe_restore is not None:
-        spark_conf.set("spark.sql.adaptive.enabled", aqe_restore)
-    sym.unpersist()
+            # pointer doubling, twice per round: follow the current label
+            # one hop (labels are always ids INSIDE the component, so
+            # label-of-label is a valid, possibly much smaller,
+            # in-component bound).  Two jumps shrink the hop distance ~4x
+            # per round — the per-round cost is one extra tiny self-join,
+            # and every round saved is a full Spark job round-trip.
+            for hop_i in range(2):
+                hop = cur.select(
+                    F.col("id").alias(f"_h{hop_i}"),
+                    F.col("label").alias(f"_hl{hop_i}"),
+                )
+                cur = cur.join(
+                    hop, cur.label == F.col(f"_h{hop_i}"), "left"
+                ).select(
+                    "id",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col(f"_hl{hop_i}"), F.col("label")),
+                    ).alias("label"),
+                    "_prev",
+                )
+            new_labels = _truncate(cur)
+            changed = new_labels.where(
+                F.col("label") != F.col("_prev")
+            ).count()
+            # free the superseded round's blocks DIRECTLY: `labels` is a
+            # derived select from round r-1, so unpersisting it alone
+            # never released the checkpointed frame backing it, and a
+            # long CC run accumulated one round's blocks per iteration
+            labels.unpersist()
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = new_labels
+            labels = new_labels.select("id", "label")
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        # restore on EVERY exit path: a Spark failure inside the loop
+        # must not leave the session permanently non-adaptive
+        if aqe_restore is not None:
+            spark_conf.set("spark.sql.adaptive.enabled", aqe_restore)
+        sym.unpersist()
     if not converged:
         labels.unpersist()
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
         raise RuntimeError(
             f"connected_components did not converge within {max_iters} "
             "iterations (component diameter exceeds max_iters); raise "

@@ -305,10 +305,17 @@ def ivf_incremental_assign(
 
     Returns (vec_id, list_id, dist2) for the shard only."""
     bvecs = _gated_vecs(base, id_col, vec_col)
+    # seed selection stays DISTRIBUTED: orderBy().limit(k) over the id
+    # column plans as TakeOrdered (per-partition top-k, driver merge of k
+    # ids), then a broadcast join pulls just those k vectors — the rank
+    # window below runs over k rows, never the corpus.  A bare
+    # no-partition row_number window here would global-sort every base
+    # vector (embeddings included) through ONE task (ADVICE r7).
+    seed_ids = bvecs.select("_vid").orderBy("_vid").limit(k)
     wseed = Window.orderBy("_vid")
     seeds = (
-        bvecs.withColumn("_srn", F.row_number().over(wseed))
-        .where(F.col("_srn") <= k)
+        bvecs.join(F.broadcast(seed_ids), "_vid")
+        .withColumn("_srn", F.row_number().over(wseed))
         .select(
             (F.col("_srn") - 1).cast("int").alias("_cid"),
             F.col("_v").alias("_c"),

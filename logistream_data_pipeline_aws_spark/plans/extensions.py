@@ -4554,8 +4554,32 @@ def customer_rfm_scores_approx_prod(spark: SparkSession, sf_dir: str):
 # "Round-8 registration queue").
 
 # (vector, norm, kmeans cluster) staging frame for dedup_semantic, keyed
-# like the other per-(application, corpus) staging caches
+# like the other per-(application, corpus) staging caches — but BOUNDED:
+# the cached frames are persist()-ed, so an unbounded dict would pin one
+# (vector, norm, cluster) copy per (sf_dir, config) swept in a long-lived
+# session (exactly what tools/check_oracle.py does).  Keys from other
+# Spark applications are dropped eagerly (their blocks died with the
+# app), and beyond _SEMANTIC_TAG_CACHE_MAX entries the least-recently
+# -used frame is unpersisted and evicted.
 _SEMANTIC_TAG_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+_SEMANTIC_TAG_CACHE_MAX = 4
+
+
+def _semantic_tag_cache_put(
+    key: tuple[str, str, int, int], df: DataFrame
+) -> None:
+    for stale in [k2 for k2 in _SEMANTIC_TAG_CACHE if k2[0] != key[0]]:
+        old = _SEMANTIC_TAG_CACHE.pop(stale)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # the owning application is gone; the blocks are too
+    while len(_SEMANTIC_TAG_CACHE) >= _SEMANTIC_TAG_CACHE_MAX:
+        # dicts iterate in insertion order; re-inserts on cache hit keep
+        # this an LRU eviction
+        lru = next(iter(_SEMANTIC_TAG_CACHE))
+        _SEMANTIC_TAG_CACHE.pop(lru).unpersist()
+    _SEMANTIC_TAG_CACHE[key] = df
 
 
 def dedup_semantic(
@@ -4624,14 +4648,15 @@ def dedup_semantic(
         k,
         iters,
     )
-    tagged = _SEMANTIC_TAG_CACHE.get(cache_key)
+    tagged = _SEMANTIC_TAG_CACHE.pop(cache_key, None)
     if tagged is None:
         asg = S.ivf_kmeans_assign(emb, "vec_id", "embedding", k=k, iters=iters)
         withn = _staged_embedding_norms(spark, sf_dir)
         tagged = withn.join(
             asg.select(F.col("vec_id").alias("_id"), "list_id"), "_id"
         ).persist()
-        _SEMANTIC_TAG_CACHE[cache_key] = tagged
+    # (re-)insert so a cache hit refreshes LRU recency
+    _semantic_tag_cache_put(cache_key, tagged)
     sizes = tagged.groupBy("list_id").agg(F.count(F.lit(1)).alias("_csz"))
     sizes = sizes.observe(
         "semantic_cluster_cap",

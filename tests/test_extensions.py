@@ -205,6 +205,80 @@ def test_connected_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
 
 
+def test_connected_components_restores_aqe_on_failure(spark, monkeypatch):
+    """A Spark failure INSIDE the CC loop must not leave the session
+    permanently non-adaptive (ADVICE r7 / VERDICT r7 #4): the tiny-graph
+    AQE bypass restores spark.sql.adaptive.enabled in a finally, so even
+    a job error mid-round leaves the conf exactly as it found it."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the abstract
+    # facade in Spark 4 and sym.count() dispatches to the classic subclass
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], ["id"])
+    edges = spark.createDataFrame([(1, 2), (3, 4)], ["id_a", "id_b"])
+    orig = DataFrame.count
+    calls = {"n": 0}
+
+    def flaky(self):
+        # call 1 is sym.count() (before the AQE toggle); the next count
+        # is the in-loop convergence check — kill the loop there
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("simulated mid-round job failure")
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "count", flaky)
+    try:
+        with pytest.raises(RuntimeError, match="mid-round"):
+            D.connected_components(nodes, edges)
+    finally:
+        monkeypatch.undo()
+    assert calls["n"] > 1  # the failure really fired inside the loop
+    assert spark.conf.get("spark.sql.adaptive.enabled", "true") == before
+
+
+def test_semantic_tag_cache_bounded_and_unpersists(spark):
+    """_SEMANTIC_TAG_CACHE eviction (ADVICE r7 / VERDICT r7 #5): keys
+    from other Spark applications are dropped on the next insert,
+    occupancy is capped LRU-style, and every evicted frame is
+    unpersisted — a session sweeping many (sf_dir, config) pairs cannot
+    pin unbounded executor storage."""
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    saved = dict(X._SEMANTIC_TAG_CACHE)
+    X._SEMANTIC_TAG_CACHE.clear()
+    app = spark.sparkContext.applicationId
+    frames = {}
+
+    def put(key):
+        df = spark.range(3).persist()
+        df.count()
+        frames[key] = df
+        X._semantic_tag_cache_put(key, df)
+
+    try:
+        # a dead application's entry evicts on the next live-app insert
+        put(("dead-app", "/x", 8, 2))
+        put((app, "/a", 8, 2))
+        assert ("dead-app", "/x", 8, 2) not in X._SEMANTIC_TAG_CACHE
+        assert not frames[("dead-app", "/x", 8, 2)].is_cached
+        # over-cap inserts evict the least recently used, unpersisting it
+        for i in range(X._SEMANTIC_TAG_CACHE_MAX + 1):
+            put((app, f"/sf{i}", 8, 2))
+        assert len(X._SEMANTIC_TAG_CACHE) <= X._SEMANTIC_TAG_CACHE_MAX
+        assert not frames[(app, "/a", 8, 2)].is_cached
+        assert frames[(app, f"/sf{X._SEMANTIC_TAG_CACHE_MAX}", 8, 2)].is_cached
+    finally:
+        for df in X._SEMANTIC_TAG_CACHE.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        X._SEMANTIC_TAG_CACHE.clear()
+        X._SEMANTIC_TAG_CACHE.update(saved)
+
+
 def test_embedding_near_duplicates_and_topk(spark):
     vecs = [
         (1, [1.0, 0.0, 0.0]),
