@@ -74,15 +74,53 @@ BENCH_QUERIES = [
     # in tests/test_prod_twins.py), so they resolve via EXTRA_BENCH.
     "events_stickiness_hll_prod",
     "customer_rfm_scores_approx_prod",
-    # round-7 continuation: the two r8-queue LLM-dedup surfaces (SemDeDup
-    # cluster-scoped near-dup and exact-substring span mining) — benched
-    # ahead of registration so their perf history starts now; they
-    # resolve via EXTRA_BENCH until they enter queries() at the r8
-    # rotation.
+    # round-7 continuation, REGISTERED at the r8 rotation: the two
+    # r8-queue LLM-dedup surfaces (SemDeDup cluster-scoped near-dup and
+    # exact-substring span mining) plus incremental IVF — resolve from
+    # queries() now; their r7 lines came via EXTRA_BENCH shims.
     "dedup_semantic",
     "doc_substring_spans",
     "similarity_ivf_incremental",
 ]
+
+# Measured scale shape for the r8-registered lines (tools/scale_probe.py
+# with SCALE_PROBE_ONLY=<these> 1 10 100; second-run walls at 1x/10x/100x
+# of the sf0.1 volume).  Embedded in the provenance line so the
+# amortization claim for dedup_semantic is an artifact, not prose: its
+# local bench line is dominated by the CC loop's per-round job-scheduling
+# floor (~1.8 s/round), which the probe shows amortizing at volume —
+# at 100x every kmeans cluster exceeds the 1024 cap, the documented
+# loud bounded degradation for a fixed k on a grown corpus.
+SCALE_PROBES: dict[str, object] = {
+    "mults": [1, 10, 100],
+    "basis": (
+        "tools/scale_probe.py second-run walls (x of the sf0.1 volume), "
+        "recorded at the r8 rotation; the 10x/100x lines ran with a "
+        "concurrent pytest suite on the box, so treat them as ceilings"
+    ),
+    "walls_s": {
+        "events_upsert_delete": [6.23, 7.72, 8.00],
+        "dedup_semantic": [8.30, 47.30, 2.27],
+        "doc_substring_spans": [4.16, 62.70, 230.71],
+        "similarity_ivf_incremental": [1.76, 2.08, 2.44],
+    },
+    "scaling_exponent_full_range": {
+        "events_upsert_delete": 0.05,
+        "dedup_semantic": -0.28,
+        "doc_substring_spans": 0.87,
+        "similarity_ivf_incremental": 0.07,
+    },
+    "note": (
+        "dedup_semantic at 100x: every kmeans cluster exceeds the 1024 "
+        "cap -> the documented loud bounded degradation for fixed k on a "
+        "grown corpus (2.3 s); its 1->10 exponent is 0.76.  Its 1x wall "
+        "is ~dominated by the CC loop's per-round local-mode scheduling "
+        "floor, which this table shows amortizing at volume.  "
+        "doc_substring_spans growth is match-count-bound (the probe "
+        "corpus is template-dense; the 200-occurrence gram cap bounds "
+        "it), 10->100 exponent 0.57."
+    ),
+}
 
 
 def _bench_stickiness_prod(spark, sf_dir: str):
@@ -141,20 +179,10 @@ _RAW_CACHE = None
 _WH_CACHE = None
 
 
-def _bench_r8(name):
-    from logistream_data_pipeline_aws_spark.plans import extensions as X
-
-    fn = getattr(X, name)
-    return lambda spark, sf_dir: fn(spark, sf_dir)
-
-
 EXTRA_BENCH = {
     "reference_warehouse_fact": _reference_warehouse_fact,
     "events_stickiness_hll_prod": _bench_stickiness_prod,
     "customer_rfm_scores_approx_prod": _bench_rfm_prod,
-    "dedup_semantic": _bench_r8("dedup_semantic"),
-    "doc_substring_spans": _bench_r8("doc_substring_spans"),
-    "similarity_ivf_incremental": _bench_r8("similarity_ivf_incremental"),
 }
 
 
@@ -283,6 +311,7 @@ def main() -> None:
                 "load_gate_retries": load_retries,
                 "load_contaminated": load_contaminated,
                 "variance_flagged": flagged,
+                "scale_probes": SCALE_PROBES,
                 "table_rows": _table_rows(sf_dir),
             }
         )

@@ -209,3 +209,36 @@ def test_compact_partitions_preserves_readback_and_pruning(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(pm" in plan
     # second pass is a no-op: everything already at target
     assert compact_partitions(spark, d, target_file_bytes=1 << 30) == {}
+
+
+def test_metadata_dictionary_matches_oracle_and_reference_shape(spark):
+    """The crawled-dictionary analog (VERDICT r7 #6): 58 fields in
+    crawl order, name-derived profile columns, and value equality with
+    the DuckDB VALUES replay __spark_entry__ registers as its oracle."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from logistream_data_pipeline_aws_spark.sources.metadata_dictionary import (
+        METADATA_DICTIONARY_ROWS,
+        metadata_dictionary,
+    )
+
+    assert len(METADATA_DICTIONARY_ROWS) == 58  # MD:2-59, header excluded
+    got = {
+        (r.field_ord, r.field_name, r.name_tokens, r.is_id_field,
+         r.desc_words, r.desc_md5)
+        for r in metadata_dictionary(spark, "/unused").collect()
+    }
+    exp = set(
+        map(tuple, duckdb.connect().execute(
+            E.oracle_sql()["metadata_dictionary"]
+        ).fetchall())
+    )
+    assert got == exp and len(got) == 58
+    by_name = {t[1]: t for t in got}
+    # key columns carry an 'id' name token; measures do not
+    assert by_name["order_id"][3] is True
+    assert by_name["order_item_id"][3] is True
+    assert by_name["sales_per_customer"][3] is False
+    # ordinals are the crawl order: 1..58, no gaps
+    assert sorted(t[0] for t in got) == list(range(1, 59))

@@ -386,25 +386,15 @@ def _probe_stickiness_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_stickiness_hll_prod(spark, sf_dir)
 
 
-def _staged_r8(name):
-    # r8-queue operators: built + pytest-pinned but not yet registered in
-    # queries() (the r7 head window is committed to the staleness queue),
-    # so the probe resolves them from the plans module directly
-    from logistream_data_pipeline_aws_spark.plans import extensions as X
-
-    return getattr(X, name)
-
-
 PROBE_OVERRIDES = {
     "events_stream_sessions": _probe_stream_sessions,
     "events_stream_sessions_flushed": (
         lambda spark, sf_dir: _probe_stream_sessions(spark, sf_dir, flush_idle=True)
     ),
+    # deregistered from queries() but still a probed production surface
     "events_stickiness_hll_prod": _probe_stickiness_prod,
-    "dedup_semantic": _staged_r8("dedup_semantic"),
-    "doc_substring_spans": _staged_r8("doc_substring_spans"),
-    "events_upsert_delete": _staged_r8("events_upsert_delete"),
-    "similarity_ivf_incremental": _staged_r8("similarity_ivf_incremental"),
+    # the four r7-staged operators registered at the r8 rotation and now
+    # resolve straight from __spark_entry__.queries()
 }
 
 
