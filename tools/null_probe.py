@@ -142,6 +142,7 @@ DEFAULT_QUERIES = {
         "events_stickiness_hll",
         "events_attribution_decayed", "scd2_daily_snapshot",
         "events_upsert_changes", "events_upsert_timetravel",
+        "events_upsert_delete",
     ],
     "orders": [
         "a6_sales_trend", "a6_sales_trend_mom", "cumulative_monthly_sales",
@@ -212,7 +213,8 @@ DEFAULT_QUERIES = {
         "embedding_quantize", "embedding_stats", "similarity_topk",
         "similarity_ann_lsh", "similarity_ann_multiprobe",
         "similarity_ivf", "similarity_ivf_kmeans", "similarity_pq_adc",
-        "similarity_pq_refine",
+        "similarity_pq_refine", "dedup_semantic",
+        "similarity_ivf_incremental",
     ],
     "documents": [
         "dedup_exact", "dedup_survivors", "dedup_minhash_lsh",
@@ -225,7 +227,7 @@ DEFAULT_QUERIES = {
         "corpus_stratified_sample", "corpus_shard_manifest",
         "corpus_split_assignment", "dedup_incremental_ingest",
         "bpe_merge_candidates", "bpe_encode_stats", "corpus_epoch_shuffle", "corpus_mixture_plan", "doc_unigram_score", "dedup_golden_record",
-        "media_image_features",
+        "media_image_features", "doc_substring_spans",
     ],
 }
 
