@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "doc_substring_spans",
     "similarity_ivf_incremental",
+    # round-8 build, r9 registration queue: the span-mining APPLICATION
+    # (per-document coverage + keep/trim/drop) — benched ahead of
+    # registration via EXTRA_BENCH, like the r8 queue before it.
+    "doc_substring_dedup",
 ]
 
 # Measured scale shape for the r8-registered lines (tools/scale_probe.py
@@ -179,10 +183,20 @@ _RAW_CACHE = None
 _WH_CACHE = None
 
 
+def _bench_staged(name):
+    # r9-queue operators: built + pytest-pinned but not yet registered
+    # in queries() (the head window is committed for this round)
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    fn = getattr(X, name)
+    return lambda spark, sf_dir: fn(spark, sf_dir)
+
+
 EXTRA_BENCH = {
     "reference_warehouse_fact": _reference_warehouse_fact,
     "events_stickiness_hll_prod": _bench_stickiness_prod,
     "customer_rfm_scores_approx_prod": _bench_rfm_prod,
+    "doc_substring_dedup": _bench_staged("doc_substring_dedup"),
 }
 
 

@@ -4712,73 +4712,20 @@ def dedup_semantic(
     )
 
 
-def doc_substring_spans(
+def _substring_span_frame(
     spark: SparkSession,
     sf_dir: str,
-    k: int = 20,
-    min_span: int = 40,
-    max_gram_docs: int = 50,
-    max_gram_occurrences: int = 200,
+    k: int,
+    max_gram_docs: int,
+    max_gram_occurrences: int,
 ) -> DataFrame:
-    """Exact duplicate-substring spans between document pairs — the
-    distributed reformulation of exact-substring training-data dedup
-    (Lee et al. 2021, arXiv:2107.06499, which builds a suffix array; a
-    suffix array is a single-machine structure, so the Spark-first
-    shape is k-gram anchors + diagonal run-length assembly).  Staged
-    for ROUND-8 REGISTRATION; until then pinned against a literal
-    DuckDB replay in ``tests/test_extensions.py``.
-
-    Every character position contributes one md5'd k-gram anchor
-    (k=20); anchors equi-join across documents; matched anchor pairs on
-    the same alignment diagonal (pa - pb) with consecutive positions
-    collapse into maximal shared spans via the gaps-and-islands
-    row_number trick; pairs sharing a span of >= ``min_span`` chars
-    come out with span count, longest span, and total shared chars.
-
-    Boilerplate guard: a gram present in more than ``max_gram_docs``
-    distinct documents (site chrome, license headers) or more than
-    ``max_gram_occurrences`` times overall (degenerate repetition —
-    the quadratic per-gram match risk) is dropped BEFORE the self-join,
-    exactly as Lee et al. drop high-frequency suffixes; both bounds are
-    replayed verbatim in the oracle, so the filter is part of the
-    contract, not a silent cap.
-
-    Round-8 oracle (DuckDB):
-
-        WITH grams AS (SELECT doc_id, pos, md5(substr(text, pos, 20))
-          AS g FROM documents, UNNEST(range(1, length(text) - 20 + 2))
-          AS t(pos) WHERE text IS NOT NULL AND length(text) >= 20),
-        keep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT
-          doc_id) BETWEEN 2 AND 50 AND COUNT(*) <= 200),
-        gg AS (SELECT grams.* FROM grams JOIN keep USING (g)),
-        m AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.pos pa, b.pos pb
-          FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id),
-        runs AS (SELECT doc_a, doc_b, pa - pb AS diag, pa -
-          ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
-          ORDER BY pa) AS grp, pa FROM m),
-        spans AS (SELECT doc_a, doc_b, MIN(pa) s, MAX(pa) + 19 AS e
-          FROM runs GROUP BY doc_a, doc_b, diag, grp)
-        SELECT doc_a, doc_b, COUNT(*) AS n_spans,
-          CAST(MAX(e - s + 1) AS BIGINT) AS longest_span,
-          CAST(SUM(e - s + 1) AS BIGINT) AS total_span_chars
-        FROM spans GROUP BY doc_a, doc_b HAVING MAX(e - s + 1) >= 40
-
-    Scale shape (the ``capped_bucket_pairs`` two-phase discipline):
-    anchors shuffle on the md5 gram key (uniform by construction) for a
-    map-side-combinable count; the frequency gate kills the only
-    quadratic blow-up BEFORE any occurrence list or pair exists; the
-    surviving grams collect ONE bounded occurrence array each (<=
-    ``max_gram_occurrences`` entries by the gate) and expand their
-    cross-document pairs in-plan — no second equi-join, and the gram
-    table is derived twice (count pass + collect pass), never three
-    times (the no-CSE-across-DataFrame-reuse trap: the original
-    keep-join + a/b self-join formulation derived it 3x and paid an
-    extra shuffle — probe-measured ~2x slower at 10x volume).  Dropped
-    grams are counted in an observed ``substring_gram_cap`` metric.
-    The run-assembly windows partition by (pair, diagonal) — small
-    groups bounded by document length, never a global sort.  Spans on
-    different diagonals may overlap in text; they count separately
-    (documented semantics, same on both engines)."""
+    """Shared anchor -> maximal-run machinery behind
+    ``doc_substring_spans`` (pair report) and ``doc_substring_dedup``
+    (per-document coverage): md5 k-gram anchors, the two frequency
+    gates, bounded occurrence arrays with in-plan pair expansion, and
+    gaps-and-islands diagonal run assembly.  Returns one row per
+    maximal shared run: (doc_a, doc_b, diag, s, e) with s..e the
+    a-side character interval (b-side = s-diag .. e-diag)."""
     from pyspark.sql import Window
 
     # per-character substring+md5 is the CPU stage: decouple it from the
@@ -4846,8 +4793,80 @@ def doc_substring_spans(
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     runs = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
-    spans = runs.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+    return runs.groupBy("doc_a", "doc_b", "diag", "grp").agg(
         F.min("pa").alias("s"), (F.max("pa") + (k - 1)).alias("e")
+    )
+
+
+def doc_substring_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    min_span: int = 40,
+    max_gram_docs: int = 50,
+    max_gram_occurrences: int = 200,
+) -> DataFrame:
+    """Exact duplicate-substring spans between document pairs — the
+    distributed reformulation of exact-substring training-data dedup
+    (Lee et al. 2021, arXiv:2107.06499, which builds a suffix array; a
+    suffix array is a single-machine structure, so the Spark-first
+    shape is k-gram anchors + diagonal run-length assembly).  Staged
+    for ROUND-8 REGISTRATION; until then pinned against a literal
+    DuckDB replay in ``tests/test_extensions.py``.
+
+    Every character position contributes one md5'd k-gram anchor
+    (k=20); anchors equi-join across documents; matched anchor pairs on
+    the same alignment diagonal (pa - pb) with consecutive positions
+    collapse into maximal shared spans via the gaps-and-islands
+    row_number trick; pairs sharing a span of >= ``min_span`` chars
+    come out with span count, longest span, and total shared chars.
+
+    Boilerplate guard: a gram present in more than ``max_gram_docs``
+    distinct documents (site chrome, license headers) or more than
+    ``max_gram_occurrences`` times overall (degenerate repetition —
+    the quadratic per-gram match risk) is dropped BEFORE the self-join,
+    exactly as Lee et al. drop high-frequency suffixes; both bounds are
+    replayed verbatim in the oracle, so the filter is part of the
+    contract, not a silent cap.
+
+    Round-8 oracle (DuckDB):
+
+        WITH grams AS (SELECT doc_id, pos, md5(substr(text, pos, 20))
+          AS g FROM documents, UNNEST(range(1, length(text) - 20 + 2))
+          AS t(pos) WHERE text IS NOT NULL AND length(text) >= 20),
+        keep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT
+          doc_id) BETWEEN 2 AND 50 AND COUNT(*) <= 200),
+        gg AS (SELECT grams.* FROM grams JOIN keep USING (g)),
+        m AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.pos pa, b.pos pb
+          FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id),
+        runs AS (SELECT doc_a, doc_b, pa - pb AS diag, pa -
+          ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+          ORDER BY pa) AS grp, pa FROM m),
+        spans AS (SELECT doc_a, doc_b, MIN(pa) s, MAX(pa) + 19 AS e
+          FROM runs GROUP BY doc_a, doc_b, diag, grp)
+        SELECT doc_a, doc_b, COUNT(*) AS n_spans,
+          CAST(MAX(e - s + 1) AS BIGINT) AS longest_span,
+          CAST(SUM(e - s + 1) AS BIGINT) AS total_span_chars
+        FROM spans GROUP BY doc_a, doc_b HAVING MAX(e - s + 1) >= 40
+
+    Scale shape (the ``capped_bucket_pairs`` two-phase discipline):
+    anchors shuffle on the md5 gram key (uniform by construction) for a
+    map-side-combinable count; the frequency gate kills the only
+    quadratic blow-up BEFORE any occurrence list or pair exists; the
+    surviving grams collect ONE bounded occurrence array each (<=
+    ``max_gram_occurrences`` entries by the gate) and expand their
+    cross-document pairs in-plan — no second equi-join, and the gram
+    table is derived twice (count pass + collect pass), never three
+    times (the no-CSE-across-DataFrame-reuse trap: the original
+    keep-join + a/b self-join formulation derived it 3x and paid an
+    extra shuffle — probe-measured ~2x slower at 10x volume).  Dropped
+    grams are counted in an observed ``substring_gram_cap`` metric.
+    The run-assembly windows partition by (pair, diagonal) — small
+    groups bounded by document length, never a global sort.  Spans on
+    different diagonals may overlap in text; they count separately
+    (documented semantics, same on both engines)."""
+    spans = _substring_span_frame(
+        spark, sf_dir, k, max_gram_docs, max_gram_occurrences
     )
     return (
         spans.groupBy("doc_a", "doc_b")
@@ -4857,6 +4876,140 @@ def doc_substring_spans(
             F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("total_span_chars"),
         )
         .where(F.col("longest_span") >= min_span)
+    )
+
+
+def doc_substring_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    min_span: int = 40,
+    max_gram_docs: int = 50,
+    max_gram_occurrences: int = 200,
+) -> DataFrame:
+    """The APPLICATION of exact-substring span mining — per-document
+    duplicated-character coverage and a keep/trim/drop disposition (the
+    step Lee et al. 2021 actually ship: cut the later copy of every
+    long shared substring).  Staged for ROUND-9 REGISTRATION (the r8
+    head window is full); until then pinned against a literal DuckDB
+    replay in ``tests/test_extensions.py``.
+
+    Convention: for each mined span between ``doc_a < doc_b`` the
+    LATER document (``doc_b``) owns the duplicated characters — the
+    earlier occurrence is the canonical copy, exactly the
+    min-id-survivor rule the dedup family uses.  Spans shorter than
+    ``min_span`` are ignored (same floor as the pair report); a
+    document's b-side intervals are deduplicated, merged where they
+    overlap (strictly — touching intervals stay separate, identically
+    on both engines), and summed.  Output: one row per corpus document
+    with text — (doc_id, n_chars, n_dup_regions, dup_chars, dup_ratio,
+    status) where status is ``drop`` at >= 50% coverage, ``trim`` at
+    >= 5%, else ``keep``; the thresholds compare in exact integer
+    arithmetic (``2*dup_chars >= n_chars``) so the cut is
+    rounding-free, and ``dup_ratio`` is a single int/int division —
+    bit-identical cross-engine without display rounding.
+
+    Round-9 oracle (DuckDB) — the ``doc_substring_spans`` CTEs without
+    the pair-level HAVING, then interval union per doc_b:
+
+        WITH grams AS (...same as doc_substring_spans...),
+        keep AS (...), gg AS (...), m AS (...), runs AS (...),
+        spans AS (SELECT doc_a, doc_b, diag, MIN(pa) s, MAX(pa) + 19 e
+          FROM runs GROUP BY doc_a, doc_b, diag, grp),
+        ivals AS (SELECT DISTINCT doc_b AS doc_id, s - diag AS ps,
+          e - diag AS pe FROM spans WHERE e - s + 1 >= 40),
+        marked AS (SELECT doc_id, ps, pe, CASE WHEN MAX(pe) OVER w IS
+          NULL OR ps > MAX(pe) OVER w THEN 1 ELSE 0 END AS new_region
+          FROM ivals WINDOW w AS (PARTITION BY doc_id ORDER BY ps, pe
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        regions AS (SELECT doc_id, MIN(ps) rs, MAX(pe) re FROM (SELECT
+          *, SUM(new_region) OVER (PARTITION BY doc_id ORDER BY ps, pe
+          ROWS UNBOUNDED PRECEDING) AS region FROM marked)
+          GROUP BY doc_id, region),
+        cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_dup_regions,
+          CAST(SUM(re - rs + 1) AS BIGINT) dup_chars FROM regions
+          GROUP BY doc_id)
+        SELECT d.doc_id, d.n_chars, COALESCE(c.n_dup_regions, 0) ...,
+          plus the integer-threshold status CASE
+
+    Scale shape: everything up to the span frame is the audited
+    ``doc_substring_spans`` plan (frequency-gated anchors, bounded
+    occurrence arrays, per-(pair, diagonal) windows); the new work is
+    one distinct + one per-document window over interval rows (bounded
+    by spans per document, never corpus-global) + a broadcast-sized
+    left join back to the corpus spine.  Nothing crosses to the
+    driver."""
+    from pyspark.sql import Window
+
+    spans = _substring_span_frame(
+        spark, sf_dir, k, max_gram_docs, max_gram_occurrences
+    )
+    ivals = (
+        spans.where(F.col("e") - F.col("s") + 1 >= min_span)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            (F.col("s") - F.col("diag")).alias("ps"),
+            (F.col("e") - F.col("diag")).alias("pe"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("ps", "pe")
+    prev_max = F.max("pe").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ivals.withColumn(
+        "new_region",
+        F.when(prev_max.isNull() | (F.col("ps") > prev_max), 1).otherwise(0),
+    )
+    regions = (
+        marked.withColumn(
+            "region",
+            F.sum("new_region").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "region")
+        .agg(F.min("ps").alias("rs"), F.max("pe").alias("re"))
+    )
+    cov = regions.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_regions"),
+        F.sum(F.col("re") - F.col("rs") + 1).cast("long").alias("dup_chars"),
+    )
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "n_chars")
+    )
+    out = docs.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("n_dup_regions"), F.lit(0)).cast("long").alias(
+            "n_dup_regions"
+        ),
+        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias(
+            "dup_chars"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_dup_regions",
+        "dup_chars",
+        F.when(
+            F.col("n_chars") > 0, F.col("dup_chars") / F.col("n_chars")
+        ).alias("dup_ratio"),
+        F.when(
+            (F.col("n_chars") > 0)
+            & (F.col("dup_chars") * 2 >= F.col("n_chars")),
+            F.lit("drop"),
+        )
+        .when(
+            (F.col("n_chars") > 0)
+            & (F.col("dup_chars") * 20 >= F.col("n_chars")),
+            F.lit("trim"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("status"),
     )
 
 

@@ -1379,3 +1379,70 @@ def test_similarity_ivf_incremental_matches_oracle(spark):
     )
     exp = set(map(tuple, con.execute(sql).fetchall()))
     assert got == exp and len(got) == 100
+
+
+def test_doc_substring_dedup_matches_oracle(spark):
+    """R9-queue entry pinned ahead of registration: per-document
+    duplicated-character coverage (b-side interval union of the mined
+    spans, min-id copy canonical) must equal the DuckDB replay of its
+    documented round-9 oracle, including the integer-exact keep/trim/
+    drop thresholds."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r.doc_id, r.n_chars, r.n_dup_regions, r.dup_chars, r.dup_ratio,
+         r.status)
+        for r in X.doc_substring_dedup(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    exp = set(
+        map(
+            tuple,
+            con.execute(
+                "WITH grams AS (SELECT doc_id, pos, md5(substr(text, pos, 20)) AS g "
+                f"FROM '{SF_SMALL}/documents.parquet', "
+                "UNNEST(range(1, length(text) - 20 + 2)) AS t(pos) "
+                "WHERE text IS NOT NULL AND length(text) >= 20), "
+                "keep AS (SELECT g FROM grams GROUP BY g "
+                "HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50 AND COUNT(*) <= 200), "
+                "gg AS (SELECT grams.* FROM grams JOIN keep USING (g)), "
+                "m AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.pos pa, b.pos pb "
+                "FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id), "
+                "runs AS (SELECT doc_a, doc_b, pa - pb AS diag, "
+                "pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb "
+                "ORDER BY pa) AS grp, pa FROM m), "
+                "spans AS (SELECT doc_a, doc_b, diag, MIN(pa) s, MAX(pa) + 19 AS e "
+                "FROM runs GROUP BY doc_a, doc_b, diag, grp), "
+                "ivals AS (SELECT DISTINCT doc_b AS doc_id, s - diag AS ps, "
+                "e - diag AS pe FROM spans WHERE e - s + 1 >= 40), "
+                "marked AS (SELECT doc_id, ps, pe, "
+                "CASE WHEN MAX(pe) OVER w IS NULL OR ps > MAX(pe) OVER w "
+                "THEN 1 ELSE 0 END AS new_region FROM ivals "
+                "WINDOW w AS (PARTITION BY doc_id ORDER BY ps, pe "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+                "regions AS (SELECT doc_id, MIN(ps) rs, MAX(pe) re FROM "
+                "(SELECT *, SUM(new_region) OVER (PARTITION BY doc_id "
+                "ORDER BY ps, pe ROWS UNBOUNDED PRECEDING) AS region FROM marked) "
+                "GROUP BY doc_id, region), "
+                "cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_regions, "
+                "CAST(SUM(re - rs + 1) AS BIGINT) AS dup_chars FROM regions "
+                "GROUP BY doc_id) "
+                "SELECT d.doc_id, d.n_chars, "
+                "COALESCE(c.n_dup_regions, 0) AS n_dup_regions, "
+                "COALESCE(c.dup_chars, 0) AS dup_chars, "
+                "CASE WHEN d.n_chars > 0 THEN COALESCE(c.dup_chars, 0) / d.n_chars END AS dup_ratio, "
+                "CASE WHEN d.n_chars > 0 AND COALESCE(c.dup_chars, 0) * 2 >= d.n_chars THEN 'drop' "
+                "WHEN d.n_chars > 0 AND COALESCE(c.dup_chars, 0) * 20 >= d.n_chars THEN 'trim' "
+                "ELSE 'keep' END AS status "
+                f"FROM '{SF_SMALL}/documents.parquet' d "
+                "LEFT JOIN cov c ON d.doc_id = c.doc_id "
+                "WHERE d.text IS NOT NULL"
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+    # the fixture's cloned documents must actually trip the trim/drop arms
+    assert any(s != "keep" for *_, s in got)

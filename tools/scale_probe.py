@@ -272,6 +272,7 @@ CORPUS_QUERIES = [
     "lang_id",
     "sequence_packing",
     "doc_substring_spans",
+    "doc_substring_dedup",
 ]
 SIMILARITY_QUERIES = [
     "similarity_topk",
@@ -386,6 +387,14 @@ def _probe_stickiness_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_stickiness_hll_prod(spark, sf_dir)
 
 
+def _staged(name):
+    # operators built + pytest-pinned but not yet registered in
+    # queries(): resolve from the plans module directly
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    return getattr(X, name)
+
+
 PROBE_OVERRIDES = {
     "events_stream_sessions": _probe_stream_sessions,
     "events_stream_sessions_flushed": (
@@ -395,6 +404,8 @@ PROBE_OVERRIDES = {
     "events_stickiness_hll_prod": _probe_stickiness_prod,
     # the four r7-staged operators registered at the r8 rotation and now
     # resolve straight from __spark_entry__.queries()
+    # r9 queue: built + pinned in r8, registers at the next rotation
+    "doc_substring_dedup": _staged("doc_substring_dedup"),
 }
 
 
