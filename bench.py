@@ -82,9 +82,11 @@ BENCH_QUERIES = [
     "doc_substring_spans",
     "similarity_ivf_incremental",
     # round-8 build, r9 registration queue: the span-mining APPLICATION
-    # (per-document coverage + keep/trim/drop) — benched ahead of
-    # registration via EXTRA_BENCH, like the r8 queue before it.
+    # (per-document coverage + keep/trim/drop) and the IVF+PQ composite
+    # ANN search — benched ahead of registration via EXTRA_BENCH, like
+    # the r8 queue before them.
     "doc_substring_dedup",
+    "similarity_ivf_pq",
 ]
 
 # Measured scale shape for the r8-registered lines (tools/scale_probe.py
@@ -197,6 +199,7 @@ EXTRA_BENCH = {
     "events_stickiness_hll_prod": _bench_stickiness_prod,
     "customer_rfm_scores_approx_prod": _bench_rfm_prod,
     "doc_substring_dedup": _bench_staged("doc_substring_dedup"),
+    "similarity_ivf_pq": _bench_staged("similarity_ivf_pq"),
 }
 
 

@@ -280,3 +280,113 @@ def pq_refine_topk(
             "rank",
         )
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    n_queries: int = 3,
+    k_top: int = 10,
+) -> DataFrame:
+    """IVF + PQ composite search — the production ANN deployment shape
+    (FAISS ``IVFPQ``): a coarse k-means quantizer partitions the corpus
+    into ``n_lists`` inverted lists, each query probes only its
+    ``nprobe`` nearest lists, and the candidates inside those lists are
+    scored by asymmetric PQ distance (codes only).  The two independent
+    cost reducers compose: IVF bounds WHICH vectors are scored
+    (``nprobe / n_lists`` of the corpus), PQ bounds WHAT is read per
+    scored vector (``m`` small integer codes, never the raw embedding).
+
+    Both trainings follow the repo's engine-exact Lloyd spec (first-k
+    -by-id seeding, left-fold d2, DECIMAL(30,8) means, (d2, id) argmin
+    tie-breaks), the probe ranks by the same exact fold, and ADC
+    partials sum as DECIMAL(30,8) — so the whole composite replays
+    hash-exactly in an unrolled SQL oracle, top-k cut included.
+
+    Scale shape: coarse centroids and PQ codebooks are tiny broadcast
+    frames (``n_lists`` and ``m*k`` rows; each is localCheckpoint-ed
+    once so its double reference costs one training, the pq_codes
+    discipline); the corpus-sized frames (assignment, codes) meet the
+    broadcast probe/distance tables in map-side joins; the only
+    corpus-sized shuffle is the (query, candidate) partial-sum
+    aggregation, map-side combinable, and IVF has already cut its input
+    by ``nprobe / n_lists``.  Nothing data-sized crosses to the
+    driver."""
+    from logistream_data_pipeline_aws_spark.operators.similarity import (
+        _gated_vecs,
+        _lloyd_train,
+        _nearest,
+    )
+
+    vecs = _gated_vecs(df, id_col, vec_col)
+    seeds = vecs.where(F.col("_vid") < n_lists).select(
+        F.col("_vid").cast("int").alias("_cid"), F.col("_v").alias("_c")
+    )
+    # n_lists tiny rows referenced twice (corpus assignment + query
+    # probe): checkpoint so the coarse training runs once
+    coarse = _lloyd_train(vecs, seeds, iters).localCheckpoint(eager=True)
+    asg = _nearest(vecs, coarse).select(
+        "_vid", F.col("_cid").alias("_list")
+    )
+    d2 = F.aggregate(
+        F.zip_with("_v", "_c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    wq = Window.partitionBy("_qid").orderBy("_d2", "_cid")
+    probe = (
+        vecs.where(F.col("_vid") < n_queries)
+        .select(F.col("_vid").alias("_qid"), "_v")
+        .crossJoin(F.broadcast(coarse))
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select("_qid", F.col("_cid").alias("_list"))
+    )
+    codes, cents = pq_codes(df, id_col, vec_col, dim, m=m, k=k, iters=iters)
+    sub = dim // m
+    qraw = df.where(
+        (F.col(id_col) < n_queries) & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    qparts = _pq_subspaces(qraw, m, sub).select(
+        F.col("_vid").alias("_qid"), "_sid", F.col("_sv").alias("_qv")
+    )
+    qd2 = F.aggregate(
+        F.zip_with("_qv", "_cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    dtab = qparts.join(F.broadcast(cents), "_sid").select(
+        "_qid", "_sid", "_cid", qd2.cast("decimal(30,8)").alias("_pd2")
+    )
+    # IVF restriction: (query, candidate) pairs limited to probed lists
+    # — n_queries * nprobe probe rows broadcast into the assignment
+    cand = asg.join(F.broadcast(probe), "_list").select("_qid", "_vid")
+    scored = (
+        codes.join(cand, "_vid")
+        .join(F.broadcast(dtab), ["_qid", "_sid", "_cid"])
+        .where(F.col("_qid") != F.col("_vid"))
+        .groupBy("_qid", "_vid")
+        .agg(F.sum("_pd2").alias("_sum"))
+    )
+    w = Window.partitionBy("_qid").orderBy("_sum", "_vid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k_top)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_vid").alias("candidate_id"),
+            F.round(F.col("_sum").cast("double"), 6).alias("approx_d2"),
+            "rank",
+        )
+    )

@@ -5045,3 +5045,35 @@ def similarity_ivf_incremental(
     return S.ivf_incremental_assign(
         base, shard, "vec_id", "embedding", k=8, iters=2
     )
+
+
+def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composite ANN search (the FAISS ``IVFPQ`` deployment
+    shape): a coarse 8-list k-means quantizer restricts each of 3
+    queries to its 2 nearest inverted lists, and the candidates inside
+    those lists are scored by asymmetric PQ distance over m=4 codebooks
+    (k=8, 2 Lloyd rounds each) — top-10 per query.  Completes the ANN
+    quality/cost ladder: IVF cut WHICH vectors score (nprobe/n_lists of
+    the corpus), PQ cuts WHAT each scoring reads (4 integer codes, not
+    the raw vector).  Staged for ROUND-9 REGISTRATION; until then
+    pinned against a literal DuckDB replay in
+    ``tests/test_extensions.py``.
+
+    Round-9 oracle: the ``_kmeans_oracle`` coarse machinery (k=8) for
+    the assignment CTE plus a rank<=2 probe CTE over the final
+    centroids, composed with the ``_pq_oracle`` training/encode/dtab
+    CTEs and the probed-list candidate restriction — documented in the
+    pinned test; every stage follows the engine-exact Lloyd/fold/
+    decimal contract, so the composite is hash-exact including the
+    top-k cut.
+
+    Scale shape: see ``operators.pq.ivf_pq_topk`` — broadcast
+    centroids/codebooks/probe tables, one map-side-combinable (query,
+    candidate) aggregation over the IVF-restricted candidate set."""
+    from logistream_data_pipeline_aws_spark.operators import pq as PQ
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return PQ.ivf_pq_topk(
+        emb, "vec_id", "embedding", dim=64, n_lists=8, nprobe=2,
+        m=4, k=8, iters=2, n_queries=3, k_top=10,
+    )

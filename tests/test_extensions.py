@@ -1446,3 +1446,124 @@ def test_doc_substring_dedup_matches_oracle(spark):
     assert got == exp
     # the fixture's cloned documents must actually trip the trim/drop arms
     assert any(s != "keep" for *_, s in got)
+
+
+def test_similarity_ivf_pq_matches_oracle(spark):
+    """R9-queue entry pinned ahead of registration: the IVF+PQ composite
+    (coarse probe restricting the ADC-scored candidate set) must equal
+    the DuckDB replay — the coarse _kmeans_oracle machinery + a
+    rank<=nprobe probe CTE composed with the _pq_oracle train/encode/
+    dtab CTEs."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    n_lists, nprobe, m, k, iters, dim, nq, ktop = 8, 2, 4, 8, 2, 64, 3, 10
+    sub = dim // m
+
+    def d2(v, c):
+        diffs = (
+            f"list_transform(list_zip({v}, {c}), "
+            "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+            "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))"
+        )
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {diffs}), "
+            "(u, v2) -> u + v2)"
+        )
+
+    # coarse k-means over the full corpus (k = n_lists)
+    sql = (
+        "WITH v AS (SELECT vec_id AS vid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        f"cc0 AS (SELECT CAST(vid AS INT) AS cid, vv AS cv FROM v WHERE vid < {n_lists})"
+    )
+    prev = "cc0"
+    for i in range(1, iters + 1):
+        sql += (
+            f", ca{i} AS (SELECT vid, vv, cid, d2 FROM ("
+            "SELECT vid, vv, cid, d2, ROW_NUMBER() OVER "
+            "(PARTITION BY vid ORDER BY d2, cid) AS rn "
+            f"FROM (SELECT s.vid, s.vv, c.cid, {d2('s.vv', 'c.cv')} AS d2 "
+            f"FROM v s CROSS JOIN {prev} c)) WHERE rn = 1)"
+            f", cm{i} AS (SELECT cid, pos, "
+            "CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS mu "
+            f"FROM (SELECT cid, unnest(vv) AS x, "
+            f"unnest(range(1, len(vv) + 1)) AS pos FROM ca{i}) GROUP BY cid, pos)"
+            f", cc{i} AS (SELECT cid, list(mu ORDER BY pos) AS cv FROM cm{i} GROUP BY cid)"
+        )
+        prev = f"cc{i}"
+    sql += (
+        ", asg AS (SELECT vid, cid AS list FROM ("
+        "SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn "
+        f"FROM (SELECT s.vid, c.cid, {d2('s.vv', 'c.cv')} AS d2 "
+        f"FROM v s CROSS JOIN {prev} c)) WHERE rn = 1)"
+        ", probe AS (SELECT qid, cid AS list FROM ("
+        "SELECT q.vid AS qid, c.cid, ROW_NUMBER() OVER "
+        f"(PARTITION BY q.vid ORDER BY {d2('q.vv', 'c.cv')}, c.cid) AS rn "
+        f"FROM v q CROSS JOIN {prev} c WHERE q.vid < {nq}) WHERE rn <= {nprobe})"
+    )
+    # PQ training/encode/dtab (the _pq_oracle machinery, pc-prefixed)
+    sql += (
+        ", p AS (SELECT vid, CAST(s.sid AS INT) AS sid, "
+        f"vv[(s.sid * {sub} + 1):(s.sid * {sub} + {sub})] AS sv "
+        f"FROM v CROSS JOIN (SELECT unnest(range(0, {m})) AS sid) s)"
+        f", pc0 AS (SELECT sid, CAST(vid AS INT) AS cid, sv AS cv FROM p WHERE vid < {k})"
+    )
+    prev = "pc0"
+    for i in range(1, iters + 1):
+        sql += (
+            f", pa{i} AS (SELECT vid, sid, sv, cid, d2 FROM ("
+            "SELECT vid, sid, sv, cid, d2, ROW_NUMBER() OVER "
+            "(PARTITION BY vid, sid ORDER BY d2, cid) AS rn "
+            f"FROM (SELECT pp.vid, pp.sid, pp.sv, c.cid, {d2('pp.sv', 'c.cv')} AS d2 "
+            f"FROM p pp JOIN {prev} c ON pp.sid = c.sid)) WHERE rn = 1)"
+            f", pm{i} AS (SELECT sid, cid, pos, "
+            "CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS mu "
+            f"FROM (SELECT sid, cid, unnest(sv) AS x, "
+            f"unnest(range(1, len(sv) + 1)) AS pos FROM pa{i}) GROUP BY sid, cid, pos)"
+            f", pc{i} AS (SELECT sid, cid, list(mu ORDER BY pos) AS cv FROM pm{i} GROUP BY sid, cid)"
+        )
+        prev = f"pc{i}"
+    sql += (
+        ", codes AS (SELECT vid, sid, cid FROM ("
+        "SELECT vid, sid, cid, ROW_NUMBER() OVER "
+        "(PARTITION BY vid, sid ORDER BY d2, cid) AS rn "
+        f"FROM (SELECT pp.vid, pp.sid, c.cid, {d2('pp.sv', 'c.cv')} AS d2 "
+        f"FROM p pp JOIN {prev} c ON pp.sid = c.sid)) WHERE rn = 1)"
+        f", q AS (SELECT vid AS qid, sid, sv AS qv FROM p WHERE vid < {nq})"
+        f", dtab AS (SELECT q.qid, c.sid, c.cid, "
+        f"CAST({d2('q.qv', 'c.cv')} AS DECIMAL(30,8)) AS pd2 "
+        f"FROM q JOIN {prev} c ON q.sid = c.sid)"
+        ", cand AS (SELECT pr.qid, a.vid FROM asg a JOIN probe pr ON a.list = pr.list)"
+        ", scored AS (SELECT d.qid, kk.vid, SUM(d.pd2) AS s "
+        "FROM codes kk JOIN cand ON kk.vid = cand.vid "
+        "JOIN dtab d ON kk.sid = d.sid AND kk.cid = d.cid AND d.qid = cand.qid "
+        "WHERE d.qid <> kk.vid GROUP BY d.qid, kk.vid) "
+        "SELECT qid AS query_id, vid AS candidate_id, "
+        "ROUND(CAST(s AS DOUBLE), 6) AS approx_d2, rank "
+        "FROM (SELECT qid, vid, s, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY s, vid) AS INT) AS rank FROM scored) "
+        f"WHERE rank <= {ktop}"
+    )
+
+    got = {
+        (r.query_id, r.candidate_id, r.approx_d2, r.rank)
+        for r in X.similarity_ivf_pq(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
+    )
+    exp = set(map(tuple, con.execute(sql).fetchall()))
+    assert got == exp and len(got) == 3 * 10
+    # the IVF restriction must actually bite: the probed candidate set
+    # is a strict subset of the corpus, so at least one unrestricted
+    # ADC winner is absent here
+    full = {
+        (r.query_id, r.candidate_id)
+        for r in X.similarity_pq_adc(spark, SF_SMALL).collect()
+    }
+    assert {(q, c) for (q, c, *_r) in got} != full

@@ -275,6 +275,7 @@ CORPUS_QUERIES = [
     "doc_substring_dedup",
 ]
 SIMILARITY_QUERIES = [
+    "similarity_ivf_pq",
     "similarity_topk",
     "similarity_pq_adc",
     "similarity_pq_refine",
@@ -406,6 +407,7 @@ PROBE_OVERRIDES = {
     # resolve straight from __spark_entry__.queries()
     # r9 queue: built + pinned in r8, registers at the next rotation
     "doc_substring_dedup": _staged("doc_substring_dedup"),
+    "similarity_ivf_pq": _staged("similarity_ivf_pq"),
 }
 
 
