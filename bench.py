@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     # the r8 queue before them.
     "doc_substring_dedup",
     "similarity_ivf_pq",
+    "media_audio_windows",
 ]
 
 # Measured scale shape for the r8-registered lines (tools/scale_probe.py
@@ -200,6 +201,7 @@ EXTRA_BENCH = {
     "customer_rfm_scores_approx_prod": _bench_rfm_prod,
     "doc_substring_dedup": _bench_staged("doc_substring_dedup"),
     "similarity_ivf_pq": _bench_staged("similarity_ivf_pq"),
+    "media_audio_windows": _bench_staged("media_audio_windows"),
 }
 
 

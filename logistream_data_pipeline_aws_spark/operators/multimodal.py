@@ -149,3 +149,67 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         "media_id",
         F.posexplode(offsets).alias("frame_idx", "byte_offset"),
     )
+
+
+AUDIO_WINDOWS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("peak_amp", T.IntegerType()),
+    ]
+)
+
+
+def extract_audio_windows(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    window_bytes: int = 64,
+) -> DataFrame:
+    """Windowed 'audio' features over binary payloads — the audio leg of
+    the multimodal plumbing (image: ``extract_image_features``; video:
+    ``sample_frames``).  The codec is stubbed exactly like the image
+    fake: payload bytes ARE the samples (u8 PCM stand-in; a real
+    deployment swaps in soundfile/ffmpeg inside the same closure), so
+    the per-window aggregates derive purely from the bytes and replay in
+    a SQL oracle.  Emits one row per ``window_bytes`` window:
+    (media_id, window_idx, n_samples, mean_amp, peak_amp); the mean is
+    an exact-int sum divided once in double, bit-identical cross-engine.
+
+    Scale shape: Arrow record batches stream through ``mapInPandas``
+    (payloads never materialize row-by-row as Python objects); output
+    cardinality is bytes/window — linear in payload volume; the closure
+    pickles BY VALUE, so the worker needs no package import (the
+    foreign-cwd driver-harness constraint)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids: list[int] = []
+            widx: list[int] = []
+            ns: list[int] = []
+            mean: list[float] = []
+            peak: list[int] = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                for w in range(0, int(b.size), window_bytes):
+                    seg = b[w : w + window_bytes]
+                    ids.append(int(mid))
+                    widx.append(w // window_bytes)
+                    ns.append(int(seg.size))
+                    mean.append(float(int(seg.sum(dtype=np.int64))) / seg.size)
+                    peak.append(int(seg.max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(widx, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "mean_amp": pd.Series(mean, dtype="float64"),
+                    "peak_amp": pd.Series(peak, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_WINDOWS_SCHEMA)

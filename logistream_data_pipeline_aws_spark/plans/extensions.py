@@ -4353,6 +4353,49 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(media, use_fake_codec=True)
 
 
+def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO leg of the multimodal plumbing under an exact oracle —
+    windowed amplitude features over binary payloads via Arrow-batched
+    ``mapInPandas`` (``operators.multimodal.extract_audio_windows``).
+    The codec is the documented stub (payload bytes are the u8 samples;
+    a real deployment swaps soundfile/ffmpeg into the same closure), so
+    every feature derives from the bytes and a DuckDB oracle replays it
+    with hex-pair extraction — the ``media_image_features`` discipline.
+    Completes the modality set: image (``media_image_features``), video
+    frame sampling (``media_frames``), audio windows (here).  Staged
+    for ROUND-9 REGISTRATION; until then pinned against a literal
+    DuckDB replay in ``tests/test_extensions.py``.
+
+    Round-9 oracle (DuckDB):
+
+        WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload
+          FROM documents WHERE text IS NOT NULL),
+        b AS (SELECT media_id,
+          ('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2))::BIGINT AS amp,
+          CAST(i // 64 AS INT) AS window_idx FROM (SELECT media_id,
+          hex(payload) AS h, unnest(range(0, octet_length(payload)))
+          AS i FROM m))
+        SELECT media_id, window_idx, CAST(COUNT(*) AS BIGINT) AS
+          n_samples, CAST(SUM(amp) AS DOUBLE) / CAST(COUNT(*) AS
+          BIGINT) AS mean_amp, CAST(MAX(amp) AS INT) AS peak_amp
+        FROM b GROUP BY media_id, window_idx
+
+    Scale shape: Arrow record batches in, one output row per 64-byte
+    window (linear in payload volume), no shuffle at all on the Spark
+    side — the window aggregation happens inside the batch closure
+    because windows never cross payload boundaries."""
+    from logistream_data_pipeline_aws_spark.operators.multimodal import (
+        extract_audio_windows,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.where(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return extract_audio_windows(media, window_bytes=64)
+
+
 def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP pattern matching as a window plan — "A followed by B within
     T": for every click, the user's NEXT purchase (a FORWARD as-of,

@@ -1567,3 +1567,40 @@ def test_similarity_ivf_pq_matches_oracle(spark):
         for r in X.similarity_pq_adc(spark, SF_SMALL).collect()
     }
     assert {(q, c) for (q, c, *_r) in got} != full
+
+
+def test_media_audio_windows_matches_oracle(spark):
+    """R9-queue entry pinned ahead of registration: the Arrow-batched
+    audio-window features (stub codec: bytes are the u8 samples) must
+    equal the DuckDB hex-pair replay, mean included bit-exactly."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r.media_id, r.window_idx, r.n_samples, r.mean_amp, r.peak_amp)
+        for r in X.media_audio_windows(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    exp = set(
+        map(
+            tuple,
+            con.execute(
+                "WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload "
+                f"FROM '{SF_SMALL}/documents.parquet' WHERE text IS NOT NULL), "
+                "b AS (SELECT media_id, "
+                "('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2))::BIGINT AS amp, "
+                "CAST(i // 64 AS INT) AS window_idx FROM (SELECT media_id, "
+                "hex(payload) AS h, unnest(range(0, octet_length(payload))) "
+                "AS i FROM m)) "
+                "SELECT media_id, window_idx, CAST(COUNT(*) AS BIGINT) AS n_samples, "
+                "CAST(SUM(amp) AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS mean_amp, "
+                "CAST(MAX(amp) AS INT) AS peak_amp "
+                "FROM b GROUP BY media_id, window_idx"
+            ).fetchall(),
+        )
+    )
+    assert got == exp and got
+    # multi-window payloads exist (the fixture texts exceed 64 bytes)
+    assert any(w > 0 for _, w, *_r in got)
