@@ -110,12 +110,21 @@ SCALE_PROBES: dict[str, object] = {
         "dedup_semantic": [8.30, 47.30, 2.27],
         "doc_substring_spans": [4.16, 62.70, 230.71],
         "similarity_ivf_incremental": [1.76, 2.08, 2.44],
+        # r9 queue (quiet box): ivf_pq ~flat (training-dominated);
+        # substring dedup tracks the shared span miner (10->100
+        # exponent 0.48) — measured with the aggregating consumer, a
+        # bare count() lets Catalyst eliminate its unique-key left join
+        # and skip the whole span subtree (see tools/scale_probe.py)
+        "similarity_ivf_pq": [5.39, 6.82, 8.61],
+        "doc_substring_dedup": [4.96, 65.18, 195.71],
     },
     "scaling_exponent_full_range": {
         "events_upsert_delete": 0.05,
         "dedup_semantic": -0.28,
         "doc_substring_spans": 0.87,
         "similarity_ivf_incremental": 0.07,
+        "similarity_ivf_pq": 0.10,
+        "doc_substring_dedup": 0.80,
     },
     "note": (
         "dedup_semantic at 100x: every kmeans cluster exceeds the 1024 "

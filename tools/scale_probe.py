@@ -405,8 +405,19 @@ PROBE_OVERRIDES = {
     "events_stickiness_hll_prod": _probe_stickiness_prod,
     # the four r7-staged operators registered at the r8 rotation and now
     # resolve straight from __spark_entry__.queries()
-    # r9 queue: built + pinned in r8, registers at the next rotation
-    "doc_substring_dedup": _staged("doc_substring_dedup"),
+    # r9 queue: built + pinned in r8, registers at the next rotation.
+    # doc_substring_dedup needs an aggregating consumer: the probe's
+    # .count() lets Catalyst ELIMINATE its docs-LEFT-JOIN-cov (cov keys
+    # are unique by groupBy construction and count prunes cov's columns)
+    # — a correct optimization that silently skips the entire span
+    # subtree, so a bare count measured 0.6 s where the real pipeline
+    # costs ~60 s.  Aggregating over the computed columns keeps the
+    # right side alive and measures the pipeline.
+    "doc_substring_dedup": (
+        lambda spark, sf_dir: _staged("doc_substring_dedup")(spark, sf_dir)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dup_chars").alias("chars"))
+    ),
     "similarity_ivf_pq": _staged("similarity_ivf_pq"),
 }
 
