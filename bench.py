@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "doc_substring_dedup",
     "similarity_ivf_pq",
     "media_audio_windows",
+    "corpus_dedup_pipeline",
 ]
 
 # Measured scale shape for the r8-registered lines (tools/scale_probe.py
@@ -211,6 +212,7 @@ EXTRA_BENCH = {
     "doc_substring_dedup": _bench_staged("doc_substring_dedup"),
     "similarity_ivf_pq": _bench_staged("similarity_ivf_pq"),
     "media_audio_windows": _bench_staged("media_audio_windows"),
+    "corpus_dedup_pipeline": _bench_staged("corpus_dedup_pipeline"),
 }
 
 

@@ -4396,6 +4396,78 @@ def media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_windows(media, window_bytes=64)
 
 
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus dedup pass a training-data pipeline
+    actually runs — exact dedup, then minhash-LSH near-dup clustering,
+    then exact-substring coverage — composed from this engine's three
+    verified stages with per-stage DROP ATTRIBUTION, so the output is
+    both the survivor set and the audit of why every document left.
+    Staged for ROUND-9 REGISTRATION; until then pinned against a
+    literal DuckDB replay in ``tests/test_extensions.py``.
+
+    Stage semantics (precedence order, one disposition per document):
+
+    1. ``drop_exact`` — not the min-id of its normalized-content md5
+       group (the ``dedup_exact`` contract; NULL-text documents form
+       one group with one survivor, same as the registered operator).
+    2. ``drop_near`` — survived exact but is not the minimum
+       EXACT-SURVIVING member of its minhash-LSH connected component
+       (the ``dedup_clusters`` labels; taking the min over survivors —
+       not over all members — means an exact-dropped cluster minimum
+       never kills its whole cluster).
+    3. ``drop_substring`` / ``trim`` — survived both, and the
+       ``doc_substring_dedup`` coverage verdict (mined over the FULL
+       corpus, as Lee et al. run the pass) says >= 50% / >= 5% of its
+       characters duplicate an earlier document.
+    4. ``keep`` otherwise.
+
+    Output: (doc_id, cluster_id, dup_chars, disposition).
+
+    Round-9 oracle: the ``dedup_survivors`` keeps CTE + the
+    ``_CLUSTERS_CTE_PREFIX`` min-reach recursion + the
+    ``doc_substring_dedup`` coverage CTEs, stitched by the same
+    precedence CASE — documented in the pinned test.
+
+    Scale shape: pure composition of three audited plans (each
+    individually blocked/bounded: hash-groupBy, capped LSH buckets +
+    O(log d) CC, frequency-gated grams); the stitch itself is three
+    left joins on doc_id plus one per-cluster min — broadcast/shuffle
+    joins on the corpus key, nothing new crosses to the driver."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    exact_keeps = dedup_survivors(spark, sf_dir).select("doc_id").withColumn(
+        "_ek", F.lit(1)
+    )
+    clusters = dedup_clusters(spark, sf_dir)  # (doc_id, cluster_id)
+    # min EXACT-SURVIVING member per cluster
+    surv_min = (
+        clusters.join(exact_keeps.select("doc_id"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("_surv_min"))
+    )
+    coverage = doc_substring_dedup(spark, sf_dir).select(
+        "doc_id", "dup_chars", F.col("status").alias("_sub")
+    )
+    out = (
+        docs.join(exact_keeps, "doc_id", "left")
+        .join(clusters, "doc_id", "left")
+        .join(surv_min, "cluster_id", "left")
+        .join(coverage, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias(
+            "dup_chars"
+        ),
+        F.when(F.col("_ek").isNull(), F.lit("drop_exact"))
+        .when(F.col("doc_id") != F.col("_surv_min"), F.lit("drop_near"))
+        .when(F.col("_sub") == "drop", F.lit("drop_substring"))
+        .when(F.col("_sub") == "trim", F.lit("trim"))
+        .otherwise(F.lit("keep"))
+        .alias("disposition"),
+    )
+
+
 def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP pattern matching as a window plan — "A followed by B within
     T": for every click, the user's NEXT purchase (a FORWARD as-of,

@@ -273,6 +273,7 @@ CORPUS_QUERIES = [
     "sequence_packing",
     "doc_substring_spans",
     "doc_substring_dedup",
+    "corpus_dedup_pipeline",
 ]
 SIMILARITY_QUERIES = [
     "similarity_ivf_pq",
@@ -419,6 +420,13 @@ PROBE_OVERRIDES = {
         .agg(F.count(F.lit(1)).alias("n"), F.sum("dup_chars").alias("chars"))
     ),
     "similarity_ivf_pq": _staged("similarity_ivf_pq"),
+    # same unique-key-left-join count hazard as doc_substring_dedup:
+    # aggregate over the computed columns to keep the stages alive
+    "corpus_dedup_pipeline": (
+        lambda spark, sf_dir: _staged("corpus_dedup_pipeline")(spark, sf_dir)
+        .groupBy("disposition")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dup_chars").alias("chars"))
+    ),
 }
 
 
