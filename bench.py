@@ -117,7 +117,13 @@ SCALE_PROBES: dict[str, object] = {
         # bare count() lets Catalyst eliminate its unique-key left join
         # and skip the whole span subtree (see tools/scale_probe.py)
         "similarity_ivf_pq": [5.39, 6.82, 8.61],
-        "doc_substring_dedup": [4.96, 65.18, 195.71],
+        # post shuffle_hash hint on the gram-keep join (the 3.8 GiB
+        # broadcast fix): 10x fell 65.2 -> 14.3 s
+        "doc_substring_dedup": [4.38, 14.30, 235.84],
+        # completes at 100x only after BOTH broadcast fixes (gram-keep
+        # shuffle_hash + minhash verify-join merge insurance + merge
+        # hints on its own corpus-sized stitch joins)
+        "corpus_dedup_pipeline": [19.43, 27.19, 201.93],
     },
     "scaling_exponent_full_range": {
         "events_upsert_delete": 0.05,
@@ -125,7 +131,8 @@ SCALE_PROBES: dict[str, object] = {
         "doc_substring_spans": 0.87,
         "similarity_ivf_incremental": 0.07,
         "similarity_ivf_pq": 0.10,
-        "doc_substring_dedup": 0.80,
+        "doc_substring_dedup": 0.86,
+        "corpus_dedup_pipeline": 0.51,
     },
     "note": (
         "dedup_semantic at 100x: every kmeans cluster exceeds the 1024 "

@@ -262,6 +262,7 @@ def minhash_near_duplicates(
     bands: int = 4,
     threshold: float = 0.5,
     sigs: DataFrame | None = None,
+    prefer_merge: bool = True,
 ) -> DataFrame:
     """Full minhash-LSH dedup: candidates via banding, then *exact*
     shingle-Jaccard verification (no false positives).  Output:
@@ -270,7 +271,17 @@ def minhash_near_duplicates(
     ``sigs``: a caller-owned (ideally persisted) ``minhash_signatures``
     frame; the caller then controls the cache lifecycle entirely.  When
     omitted, the frame is persisted into a lock-guarded single-slot module
-    cache (the next call evicts it — fine for sequential query runners)."""
+    cache (the next call evicts it — fine for sequential query runners).
+
+    ``prefer_merge`` is the same big-big merge-join insurance as
+    ``prefix_filter_pairs``: the verify joins carry the corpus's full
+    SHINGLE ARRAYS, and at the 100x probe AQE's size estimates let one
+    of them ride a ~1 GiB broadcast that OOMed the JVM inside the
+    composed dedup pipeline.  The default forces sort-merge on both
+    verify joins (hinting the candidate-pair side, the ``h(cand)``
+    pattern of the ngram verify); size-aware callers pass ``False``
+    below a corpus-size threshold and keep the broadcast on small
+    data."""
     if sigs is None:
         # The signature frame feeds BOTH candidate generation and the verify
         # join — persist it so tokenize/shingle/hash runs once.  At warehouse
@@ -293,7 +304,9 @@ def minhash_near_duplicates(
     sh = sigs.select("doc_id", "shingles")
     a = sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a")
     b = sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b")
-    joined = cands.join(a, "id_a").join(b, "id_b")
+    # re-hint the intermediate: the hint does not survive the first join
+    h = (lambda d: d.hint("merge")) if prefer_merge else (lambda d: d)
+    joined = h(h(cands).join(a, "id_a")).join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = inter / union

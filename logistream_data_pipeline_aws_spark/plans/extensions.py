@@ -40,26 +40,35 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # minhash consumer — pair mining, clustering, survivor application —
 # reads the persisted frame.  The operator-level single-slot cache
 # would instead evict and rebuild it on every call.
-_MINHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+# value: (persisted signature frame, big_corpus flag) — the flag gates
+# minhash_near_duplicates' merge-join insurance exactly like the
+# prefix-filter item-set cache gates prefer_merge
+_MINHASH_SIG_CACHE: dict[tuple[str, str], tuple[DataFrame, bool]] = {}
 
 
-def _staged_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _staged_minhash_sigs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, bool]:
     cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    sigs = _MINHASH_SIG_CACHE.get(cache_key)
-    if sigs is None:
+    staged = _MINHASH_SIG_CACHE.get(cache_key)
+    if staged is None:
         docs = load_table(spark, "documents", sf_dir)
         sigs = D.minhash_signatures(
             docs, "doc_id", "text", k_shingle=3, n_hashes=12
         ).persist()
-        _MINHASH_SIG_CACHE[cache_key] = sigs
-    return sigs
+        # one metadata-count job per (session, sf_dir): above the
+        # threshold the verify joins keep the sort-merge insurance
+        staged = (sigs, docs.count() > 100_000)
+        _MINHASH_SIG_CACHE[cache_key] = staged
+    return staged
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    sigs, big = _staged_minhash_sigs(spark, sf_dir)
     return D.minhash_near_duplicates(
         docs, "doc_id", "text", k_shingle=3, n_hashes=12, bands=4, threshold=0.2,
-        sigs=_staged_minhash_sigs(spark, sf_dir),
+        sigs=sigs, prefer_merge=big,
     )
 
 
@@ -94,9 +103,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachable through near-dup edges; singletons keep their own id).
     The oracle computes the same closure with a recursive CTE."""
     docs = load_table(spark, "documents", sf_dir)
+    sigs, big = _staged_minhash_sigs(spark, sf_dir)
     pairs = D.minhash_near_duplicates(
         docs, "doc_id", "text", k_shingle=3, n_hashes=12, bands=4, threshold=0.2,
-        sigs=_staged_minhash_sigs(spark, sf_dir),
+        sigs=sigs, prefer_merge=big,
     )
     comps = D.connected_components(
         docs.select(F.col("doc_id").alias("id")),
@@ -115,9 +125,10 @@ def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline actually runs; `dedup_minhash_lsh`/`dedup_clusters` verify
     its stages, this verifies the composition."""
     docs = load_table(spark, "documents", sf_dir)
+    sigs, big = _staged_minhash_sigs(spark, sf_dir)
     pairs = D.minhash_near_duplicates(
         docs, "doc_id", "text", k_shingle=3, n_hashes=12, bands=4, threshold=0.2,
-        sigs=_staged_minhash_sigs(spark, sf_dir),
+        sigs=sigs, prefer_merge=big,
     )
     comps = D.connected_components(
         docs.select(F.col("doc_id").alias("id")), pairs.select("id_a", "id_b")
@@ -3321,7 +3332,7 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_near_duplicates,
     )
 
-    sigs = _staged_minhash_sigs(spark, sf_dir)
+    sigs, _big = _staged_minhash_sigs(spark, sf_dir)
     incoming = sigs.where(F.col("doc_id") % 10 == 0)
     corpus = sigs.where(F.col("doc_id") % 10 != 0)
     pairs = incremental_near_duplicates(
@@ -4438,9 +4449,17 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_ek", F.lit(1)
     )
     clusters = dedup_clusters(spark, sf_dir)  # (doc_id, cluster_id)
+    # EVERY stitch side is corpus-sized (survivor set, cluster labels,
+    # per-cluster mins, coverage verdicts), so none may ride a broadcast:
+    # at the 100x probe AQE's runtime estimates put them under the 64 MB
+    # threshold and the inflated hash relations OOMed the JVM — the same
+    # failure dedup_family's verify joins hint against.  merge = sorted
+    # shuffle on the corpus key, the only join shape that survives any
+    # scale here.
+    mg = lambda d: d.hint("merge")  # noqa: E731
     # min EXACT-SURVIVING member per cluster
     surv_min = (
-        clusters.join(exact_keeps.select("doc_id"), "doc_id")
+        clusters.join(mg(exact_keeps.select("doc_id")), "doc_id")
         .groupBy("cluster_id")
         .agg(F.min("doc_id").alias("_surv_min"))
     )
@@ -4448,10 +4467,10 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "dup_chars", F.col("status").alias("_sub")
     )
     out = (
-        docs.join(exact_keeps, "doc_id", "left")
-        .join(clusters, "doc_id", "left")
-        .join(surv_min, "cluster_id", "left")
-        .join(coverage, "doc_id", "left")
+        docs.join(mg(exact_keeps), "doc_id", "left")
+        .join(mg(clusters), "doc_id", "left")
+        .join(mg(surv_min), "cluster_id", "left")
+        .join(mg(coverage), "doc_id", "left")
     )
     return out.select(
         "doc_id",
@@ -4880,9 +4899,14 @@ def _substring_span_frame(
     # one bounded occurrence array per surviving gram (<= max_gram_
     # occurrences entries), pairs expanded in-plan: sorted by (doc, pos)
     # so array order i<j implies doc_a <= doc_b; the strict filter drops
-    # intra-document pairs — identical match set to the equi-join form
+    # intra-document pairs — identical match set to the equi-join form.
+    # shuffle_hash hint: `keep` is CORPUS-DERIVED (kept gram keys), and
+    # post-filter size estimates understate it badly — AQE broadcast a
+    # 3.8 GiB hash relation of it at the 10x probe (OOM at 10x inside
+    # the composed pipeline).  A corpus-scaling side must never ride a
+    # broadcast; both sides hash-shuffle on the uniform md5 key instead.
     occs = (
-        grams.join(keep, "g")
+        grams.join(keep.hint("shuffle_hash"), "g")
         .groupBy("g")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "pos"))).alias("_o"))
     )
