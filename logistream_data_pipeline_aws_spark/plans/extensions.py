@@ -4846,12 +4846,30 @@ def dedup_semantic(
     )
 
 
+# corpus-size flag per (application, sf_dir): gates the span miner's
+# gram-join shuffle insurance exactly like the minhash/prefix-filter
+# prefer_merge gates (one metadata-count job per session/corpus)
+_DOCS_BIG_CACHE: dict[tuple[str, str], bool] = {}
+
+
+def _docs_is_big(
+    spark: SparkSession, sf_dir: str, threshold: int = 100_000
+) -> bool:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _DOCS_BIG_CACHE:
+        _DOCS_BIG_CACHE[key] = (
+            load_table(spark, "documents", sf_dir).count() > threshold
+        )
+    return _DOCS_BIG_CACHE[key]
+
+
 def _substring_span_frame(
     spark: SparkSession,
     sf_dir: str,
     k: int,
     max_gram_docs: int,
     max_gram_occurrences: int,
+    prefer_shuffle: bool = True,
 ) -> DataFrame:
     """Shared anchor -> maximal-run machinery behind
     ``doc_substring_spans`` (pair report) and ``doc_substring_dedup``
@@ -4900,13 +4918,17 @@ def _substring_span_frame(
     # occurrences entries), pairs expanded in-plan: sorted by (doc, pos)
     # so array order i<j implies doc_a <= doc_b; the strict filter drops
     # intra-document pairs — identical match set to the equi-join form.
-    # shuffle_hash hint: `keep` is CORPUS-DERIVED (kept gram keys), and
+    # shuffle insurance: `keep` is CORPUS-DERIVED (kept gram keys), and
     # post-filter size estimates understate it badly — AQE broadcast a
     # 3.8 GiB hash relation of it at the 10x probe (OOM at 10x inside
-    # the composed pipeline).  A corpus-scaling side must never ride a
-    # broadcast; both sides hash-shuffle on the uniform md5 key instead.
+    # the composed pipeline; the forced hash-shuffle also ran that probe
+    # 65 -> 14 s).  A corpus-scaling side must never ride a broadcast;
+    # size-aware callers gate via ``_docs_is_big`` so a SMALL corpus
+    # keeps the definitionally-safe broadcast (the prefer_merge
+    # discipline).
+    kj = keep.hint("shuffle_hash") if prefer_shuffle else keep
     occs = (
-        grams.join(keep.hint("shuffle_hash"), "g")
+        grams.join(kj, "g")
         .groupBy("g")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "pos"))).alias("_o"))
     )
@@ -5005,7 +5027,8 @@ def doc_substring_spans(
     different diagonals may overlap in text; they count separately
     (documented semantics, same on both engines)."""
     spans = _substring_span_frame(
-        spark, sf_dir, k, max_gram_docs, max_gram_occurrences
+        spark, sf_dir, k, max_gram_docs, max_gram_occurrences,
+        prefer_shuffle=_docs_is_big(spark, sf_dir),
     )
     return (
         spans.groupBy("doc_a", "doc_b")
@@ -5081,7 +5104,8 @@ def doc_substring_dedup(
     from pyspark.sql import Window
 
     spans = _substring_span_frame(
-        spark, sf_dir, k, max_gram_docs, max_gram_occurrences
+        spark, sf_dir, k, max_gram_docs, max_gram_occurrences,
+        prefer_shuffle=_docs_is_big(spark, sf_dir),
     )
     ivals = (
         spans.where(F.col("e") - F.col("s") + 1 >= min_span)
