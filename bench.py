@@ -125,6 +125,19 @@ SCALE_PROBES: dict[str, object] = {
         # hints on its own corpus-sized stitch joins)
         "corpus_dedup_pipeline": [19.43, 27.19, 201.93],
     },
+    # direct 100x-only second-run walls for the registered dedup family
+    # (post minhash merge insurance; 500k docs, ~464k verified pairs;
+    # zero GC-pressure warnings): the CC loop over a 500k-node near-dup
+    # graph runs 20.3 s warm — the pointer-doubled, edge-endpoint
+    # -restricted design holding at two orders past bench scale.
+    "walls_100x_only_s": {
+        "dedup_exact": 2.36,
+        "dedup_golden_record": 4.64,
+        "dedup_minhash_lsh": 7.40,
+        "dedup_clusters": 20.30,
+        "dedup_near_survivors": 25.01,
+        "corpus_quality_filter": 19.02,
+    },
     "scaling_exponent_full_range": {
         "events_upsert_delete": 0.05,
         "dedup_semantic": -0.28,

@@ -266,6 +266,8 @@ CORPUS_QUERIES = [
     "dedup_exact",
     "dedup_golden_record",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_near_survivors",
     "dedup_prefix_filter",
     "corpus_quality_filter",
     "doc_winnowing",
