@@ -137,6 +137,20 @@ SCALE_PROBES: dict[str, object] = {
         "dedup_clusters": 20.30,
         "dedup_near_survivors": 25.01,
         "corpus_quality_filter": 19.02,
+        # similarity family, 200k vectors (dedup_embedding emits 13.0M
+        # capped pairs — output-bound, not plan-bound)
+        "similarity_topk": 2.03,
+        "similarity_ann_lsh": 1.68,
+        "similarity_ivf_kmeans": 3.53,
+        "similarity_pq_adc": 9.03,
+        "dedup_embedding": 27.89,
+        # events family, 10M rows (sessions also ran the 30%-hot-key
+        # skew variant: 3.84 s — the salting path holds)
+        "scd2_user_state": 3.08,
+        "user_sessions": 4.01,
+        "events_twap": 1.62,
+        "events_transition_matrix": 2.71,
+        "events_heavy_hitters": 1.81,
     },
     "scaling_exponent_full_range": {
         "events_upsert_delete": 0.05,
