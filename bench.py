@@ -151,6 +151,12 @@ SCALE_PROBES: dict[str, object] = {
         "events_twap": 1.62,
         "events_transition_matrix": 2.71,
         "events_heavy_hitters": 1.81,
+        # warehouse family, 15M orders / ~37M lineitems (second runs
+        # amortize the session's staged key maps, the production shape)
+        "lineitem_column_profile_approx": 8.24,
+        "orders_backlog_series": 6.14,
+        "lineitem_abc_pareto_approx": 1.77,
+        "supplier_pagerank": 5.89,
     },
     "scaling_exponent_full_range": {
         "events_upsert_delete": 0.05,
