@@ -338,6 +338,111 @@ def _semantic_oracle(k: int = 8, iters: int = 2) -> str:
     )
 
 
+def _ivf_pq_oracle(
+    n_lists: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    nq: int = 3,
+    ktop: int = 10,
+) -> str:
+    """Replay of plans.extensions.similarity_ivf_pq (operator
+    operators/pq.py::ivf_pq_topk): coarse `_kmeans_oracle`-style Lloyd
+    over the full corpus (k = n_lists, first-n seeding), a rank<=nprobe
+    probe CTE for the query vectors, the `_pq_oracle` train/encode/dtab
+    machinery (pc-prefixed), candidates = vectors assigned to probed
+    lists, ADC sums as DECIMAL(30,8), top-ktop by (distance, vid).
+    Identical to the literal replay pinned in
+    tests/test_extensions.py::test_similarity_ivf_pq_matches_oracle."""
+    sub = dim // m
+
+    def d2(v: str, c: str) -> str:
+        diffs = (
+            f"list_transform(list_zip({v}, {c}), "
+            "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+            "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))"
+        )
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {diffs}), "
+            "(u, v2) -> u + v2)"
+        )
+
+    sql = (
+        "WITH v AS (SELECT vec_id AS vid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        f"cc0 AS (SELECT CAST(vid AS INT) AS cid, vv AS cv FROM v WHERE vid < {n_lists})"
+    )
+    prev = "cc0"
+    for i in range(1, iters + 1):
+        sql += (
+            f", ca{i} AS (SELECT vid, vv, cid, d2 FROM ("
+            "SELECT vid, vv, cid, d2, ROW_NUMBER() OVER "
+            "(PARTITION BY vid ORDER BY d2, cid) AS rn "
+            f"FROM (SELECT s.vid, s.vv, c.cid, {d2('s.vv', 'c.cv')} AS d2 "
+            f"FROM v s CROSS JOIN {prev} c)) WHERE rn = 1)"
+            f", cm{i} AS (SELECT cid, pos, "
+            "CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS mu "
+            f"FROM (SELECT cid, unnest(vv) AS x, "
+            f"unnest(range(1, len(vv) + 1)) AS pos FROM ca{i}) GROUP BY cid, pos)"
+            f", cc{i} AS (SELECT cid, list(mu ORDER BY pos) AS cv FROM cm{i} GROUP BY cid)"
+        )
+        prev = f"cc{i}"
+    sql += (
+        ", asg AS (SELECT vid, cid AS list FROM ("
+        "SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn "
+        f"FROM (SELECT s.vid, c.cid, {d2('s.vv', 'c.cv')} AS d2 "
+        f"FROM v s CROSS JOIN {prev} c)) WHERE rn = 1)"
+        ", probe AS (SELECT qid, cid AS list FROM ("
+        "SELECT q.vid AS qid, c.cid, ROW_NUMBER() OVER "
+        f"(PARTITION BY q.vid ORDER BY {d2('q.vv', 'c.cv')}, c.cid) AS rn "
+        f"FROM v q CROSS JOIN {prev} c WHERE q.vid < {nq}) WHERE rn <= {nprobe})"
+        ", p AS (SELECT vid, CAST(s.sid AS INT) AS sid, "
+        f"vv[(s.sid * {sub} + 1):(s.sid * {sub} + {sub})] AS sv "
+        f"FROM v CROSS JOIN (SELECT unnest(range(0, {m})) AS sid) s)"
+        f", pc0 AS (SELECT sid, CAST(vid AS INT) AS cid, sv AS cv FROM p WHERE vid < {k})"
+    )
+    prev = "pc0"
+    for i in range(1, iters + 1):
+        sql += (
+            f", pa{i} AS (SELECT vid, sid, sv, cid, d2 FROM ("
+            "SELECT vid, sid, sv, cid, d2, ROW_NUMBER() OVER "
+            "(PARTITION BY vid, sid ORDER BY d2, cid) AS rn "
+            f"FROM (SELECT pp.vid, pp.sid, pp.sv, c.cid, {d2('pp.sv', 'c.cv')} AS d2 "
+            f"FROM p pp JOIN {prev} c ON pp.sid = c.sid)) WHERE rn = 1)"
+            f", pm{i} AS (SELECT sid, cid, pos, "
+            "CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS mu "
+            f"FROM (SELECT sid, cid, unnest(sv) AS x, "
+            f"unnest(range(1, len(sv) + 1)) AS pos FROM pa{i}) GROUP BY sid, cid, pos)"
+            f", pc{i} AS (SELECT sid, cid, list(mu ORDER BY pos) AS cv FROM pm{i} GROUP BY sid, cid)"
+        )
+        prev = f"pc{i}"
+    sql += (
+        ", codes AS (SELECT vid, sid, cid FROM ("
+        "SELECT vid, sid, cid, ROW_NUMBER() OVER "
+        "(PARTITION BY vid, sid ORDER BY d2, cid) AS rn "
+        f"FROM (SELECT pp.vid, pp.sid, c.cid, {d2('pp.sv', 'c.cv')} AS d2 "
+        f"FROM p pp JOIN {prev} c ON pp.sid = c.sid)) WHERE rn = 1)"
+        f", q AS (SELECT vid AS qid, sid, sv AS qv FROM p WHERE vid < {nq})"
+        f", dtab AS (SELECT q.qid, c.sid, c.cid, "
+        f"CAST({d2('q.qv', 'c.cv')} AS DECIMAL(30,8)) AS pd2 "
+        f"FROM q JOIN {prev} c ON q.sid = c.sid)"
+        ", cand AS (SELECT pr.qid, a.vid FROM asg a JOIN probe pr ON a.list = pr.list)"
+        ", scored AS (SELECT d.qid, kk.vid, SUM(d.pd2) AS s "
+        "FROM codes kk JOIN cand ON kk.vid = cand.vid "
+        "JOIN dtab d ON kk.sid = d.sid AND kk.cid = d.cid AND d.qid = cand.qid "
+        "WHERE d.qid <> kk.vid GROUP BY d.qid, kk.vid) "
+        "SELECT qid AS query_id, vid AS candidate_id, "
+        "ROUND(CAST(s AS DOUBLE), 6) AS approx_d2, rank "
+        "FROM (SELECT qid, vid, s, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY s, vid) AS INT) AS rank FROM scored) "
+        f"WHERE rank <= {ktop}"
+    )
+    return sql
+
+
 def _metadata_dictionary_oracle() -> str:
     """The dictionary literal (sources/metadata_dictionary.py, derived
     from the reference's crawled 58-field data dictionary, MD:2-59) as a
@@ -366,26 +471,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # digest to the manifest recorded at their last green round — a
     # changed tail entry fails CI until rotated back into the head.
     return {
-        # ==== ROUND-8 HEAD WINDOW (the driver records the first ~50) ====
-        # Composition per VERDICT r7 next-round #1-#3 and COVERAGE.md
-        # "Round-8 head-window composition":
-        #   1. the 4 r8-queue registrations (built + pytest-pinned in r7)
-        #      plus metadata_dictionary (VERDICT r7 #6 — the last
-        #      reference artifact with no engine surface);
-        #   2. the 14 entries whose implementation drifted in the r7
-        #      continuation (CC family, embeddings NULL-gate family,
-        #      similarity refactor family) — locally re-verified then,
-        #      but the rotation contract wants driver rows after drift;
-        #   3. 31 of the 36 remaining stalest entries (newest green row
-        #      r4).  The 5 deferred r4 entries lead the tail and the r9
-        #      window.
+        # ==== ROUND-9 HEAD WINDOW (the driver records the first ~50) ====
+        # Composition per VERDICT r8 next-round #1-#2 and ADVICE r8 #2,
+        # COVERAGE.md "Round-9 head-window composition":
+        #   1. the 4 r9-queue registrations (built + pytest-pinned in r8);
+        #   2. dedup_semantic (adaptive-k change this round, VERDICT #3)
+        #      and the 14 upsert/stream entries whose implementation
+        #      drifted in r8 (read_upsert_table multi-path rewrite) and
+        #      again this round (_ub anchor + mergeSchema gating) — the
+        #      ADVICE r8 #2 remedy;
+        #   3. the 5 deferred r4-green entries;
+        #   4. the dedup/winnowing family (drifted via dedup_family in r8,
+        #      and again this round: RDD-level checkpoint release) and the
+        #      2 media entries (drifted via multimodal.py in r8);
+        #   5. 12 of the 34 remaining r5-green entries.  The other 22 (all
+        #      low-drift-risk pure analytics/SQL plans) LEAD the tail and
+        #      the round-10 window.
         # -- group 1: new registrations ----------------------------------
+        "corpus_dedup_pipeline": X.corpus_dedup_pipeline,
+        "doc_substring_dedup": X.doc_substring_dedup,
+        "similarity_ivf_pq": X.similarity_ivf_pq,
+        "media_audio_windows": X.media_audio_windows,
+        # -- group 2: drifted this round + ADVICE upsert/stream family ----
+        "dedup_semantic": X.dedup_semantic_k8,
         "events_upsert_delete": X.events_upsert_delete,
-        "dedup_semantic": X.dedup_semantic,
+        "events_stream_upsert": X.events_stream_upsert,
+        "events_upsert_changes": X.events_upsert_changes,
+        "events_upsert_timetravel": X.events_upsert_timetravel,
+        "events_stream_jdbc_upsert": X.events_stream_jdbc_upsert,
+        "events_stream_jdbc_hourly": X.events_stream_jdbc_hourly,
+        "events_stream_hourly": X.events_stream_hourly,
+        "events_stream_dedup": X.events_stream_dedup,
+        "events_stream_enriched": X.events_stream_enriched,
+        "events_stream_order_shipment": X.events_stream_order_shipment,
+        "events_stream_sessions": X.events_stream_sessions,
+        "events_stream_sessions_flushed": X.events_stream_sessions_flushed,
+        "events_stream_sliding": X.events_stream_sliding,
+        "warehouse_compaction_audit": X.warehouse_compaction_audit,
+        # -- group 3: stalest (r4-green) -----------------------------------
+        "sql_waiting_suppliers": V.sql_waiting_suppliers,
+        "acctbal_window_profile": A.acctbal_window_profile,
+        "lineitem_measures_unpivot": A.lineitem_measures_unpivot,
+        "daily_sales_moving_avg": A.daily_sales_moving_avg,
+        "events_cohort_retention": A.events_cohort_retention,
+        # -- group 4: dedup/winnowing family (dedup_family.py drift) -------
+        "dedup_exact": X.dedup_exact,
+        "dedup_survivors": X.dedup_survivors,
+        "dedup_dropped": X.dedup_dropped,
+        "dedup_fuzzy_levenshtein": X.dedup_fuzzy_levenshtein,
+        "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
+        "dedup_prefix_filter": X.dedup_prefix_filter,
+        "dedup_simhash": X.dedup_simhash,
+        "dedup_simhash_pairs": X.dedup_simhash_pairs,
+        "doc_repetition": X.doc_repetition,
+        "doc_winnowing": X.doc_winnowing,
+        "doc_winnow_pairs": X.doc_winnow_pairs,
+        "contamination_check": X.contamination_check,
+        # -- group 5: media family (multimodal.py drift) -------------------
+        "multimodal_meta": X.multimodal_meta,
+        "media_frames": X.media_frames,
+        # -- group 6: stalest r5-green (12 of 34) --------------------------
+        "lineitem_abc_pareto_approx": A.lineitem_abc_pareto_approx,
+        "route_geometry_stats": X.route_geometry_stats,
+        "orders_backlog_series": A.orders_backlog_series,
+        "events_attribution_decayed": X.events_attribution_decayed,
+        "graph_hop_distance": X.graph_hop_distance,
+        "events_funnel": A.events_funnel,
+        "customer_rfm_scores": A.customer_rfm_scores,
+        "events_value_quantiles": X.events_value_quantiles,
+        "lineitem_column_profile_approx": X.lineitem_column_profile_approx,
+        "bpe_merge_candidates": X.bpe_merge_candidates,
+        "corpus_epoch_shuffle": X.corpus_epoch_shuffle,
+        "corpus_mixture_plan": X.corpus_mixture_plan,
+        # ===== ~50-entry driver window boundary.  Everything below is
+        #    tail: green in r4-r8 (rows+schema+hash), digest-pinned since
+        #    its green row (tests/test_rotation_ledger.py), stalest first.
+        #    The first 22 are the r5-green entries the 50-slot window could
+        #    not carry this round — they LEAD the round-10 window.  The two
+        #    sketch-only prod twins (events_stickiness_hll_prod,
+        #    customer_rfm_scores_approx_prod) stay deregistered per VERDICT
+        #    r6 #2 (benched in bench.py, pinned in tests/test_prod_twins.py).
+        # ==================================================================
+        "repeat_customers_yoy": A.repeat_customers_yoy,
+        "brand_share_within_type": A.brand_share_within_type,
+        "daily_sales_range_frame": A.daily_sales_range_frame,
+        "sql_small_quantity_revenue": V.sql_small_quantity_revenue,
+        "lineitem_abc_pareto": A.lineitem_abc_pareto,
+        "a6_sales_trend_mom": A.a6_sales_trend_mom,
+        "a5_profit_rollup": A.a5_profit_rollup,
+        "a6_sales_trend": A.a6_sales_trend,
+        "a7_schedule_adherence": A.a7_schedule_adherence,
+        "cumulative_monthly_sales": A.cumulative_monthly_sales,
+        "acctbal_band_join": A.acctbal_band_join,
+        "customer_rank_in_nation": A.customer_rank_in_nation,
+        "a5_profit_by_hierarchy": A.a5_profit_by_hierarchy,
+        "a5_profit_cube": A.a5_profit_cube,
+        "segment_region_pivot": A.segment_region_pivot,
+        "sql_profit_by_hierarchy": V.sql_profit_by_hierarchy,
+        "sql_shipping_priority": V.sql_shipping_priority,
+        "sql_local_supplier_volume": V.sql_local_supplier_volume,
+        "sql_product_profit_by_nation_year": V.sql_product_profit_by_nation_year,
+        "sql_volume_shipping": V.sql_volume_shipping,
+        "sql_market_share": V.sql_market_share,
+        "sql_lapsed_big_spenders": V.sql_lapsed_big_spenders,
         "doc_substring_spans": X.doc_substring_spans,
         "similarity_ivf_incremental": X.similarity_ivf_incremental,
         "metadata_dictionary": MDI.metadata_dictionary,
-        # -- group 2: r7-continuation drift ------------------------------
         "dedup_clusters": X.dedup_clusters,
         "dedup_near_survivors": X.dedup_near_survivors,
         "dedup_golden_record": X.dedup_golden_record,
@@ -400,7 +591,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_multiprobe": X.similarity_ann_multiprobe,
         "similarity_ivf": X.similarity_ivf,
         "dedup_embedding": X.dedup_embedding,
-        # -- group 3: stalest (r4-green) ---------------------------------
         "events_anomaly_mad": X.events_anomaly_mad,
         "events_ohlc": X.events_ohlc,
         "events_hll_mergeable_rollup": X.events_hll_mergeable_rollup,
@@ -432,57 +622,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_write_readback": X.fact_write_readback,
         "pii_scrub_stats": X.pii_scrub_stats,
         "dedup_minhash_lsh": X.dedup_minhash_lsh,
-        # ===== ~50-entry driver window boundary.  Everything below is
-        #    tail: green in r4-r7 (rows+schema+hash), digest-pinned since
-        #    its green row (tests/test_rotation_ledger.py), stalest first.
-        #    The first five are the r4-green entries the 50-slot window
-        #    could not carry this round — they LEAD the round-9 window.
-        #    The two sketch-only prod twins (events_stickiness_hll_prod,
-        #    customer_rfm_scores_approx_prod) stay deregistered per
-        #    VERDICT r6 #2 (benched in bench.py, pinned in
-        #    tests/test_prod_twins.py). ==================================
-        "sql_waiting_suppliers": V.sql_waiting_suppliers,
-        "acctbal_window_profile": A.acctbal_window_profile,
-        "lineitem_measures_unpivot": A.lineitem_measures_unpivot,
-        "daily_sales_moving_avg": A.daily_sales_moving_avg,
-        "events_cohort_retention": A.events_cohort_retention,
-        "lineitem_abc_pareto_approx": A.lineitem_abc_pareto_approx,
-        "route_geometry_stats": X.route_geometry_stats,
-        "orders_backlog_series": A.orders_backlog_series,
-        "events_attribution_decayed": X.events_attribution_decayed,
-        "brand_share_within_type": A.brand_share_within_type,
-        "daily_sales_range_frame": A.daily_sales_range_frame,
-        "sql_small_quantity_revenue": V.sql_small_quantity_revenue,
-        "lineitem_abc_pareto": A.lineitem_abc_pareto,
-        "customer_rfm_scores": A.customer_rfm_scores,
-        "graph_hop_distance": X.graph_hop_distance,
-        "events_funnel": A.events_funnel,
-        "repeat_customers_yoy": A.repeat_customers_yoy,
-        "dedup_exact": X.dedup_exact,
-        "dedup_survivors": X.dedup_survivors,
-        "dedup_fuzzy_levenshtein": X.dedup_fuzzy_levenshtein,
-        "a6_sales_trend_mom": A.a6_sales_trend_mom,
-        "a5_profit_rollup": A.a5_profit_rollup,
-        "a6_sales_trend": A.a6_sales_trend,
-        "a7_schedule_adherence": A.a7_schedule_adherence,
-        "events_value_quantiles": X.events_value_quantiles,
-        "cumulative_monthly_sales": A.cumulative_monthly_sales,
-        "acctbal_band_join": A.acctbal_band_join,
-        "customer_rank_in_nation": A.customer_rank_in_nation,
-        "a5_profit_by_hierarchy": A.a5_profit_by_hierarchy,
-        "a5_profit_cube": A.a5_profit_cube,
-        "segment_region_pivot": A.segment_region_pivot,
-        "sql_profit_by_hierarchy": V.sql_profit_by_hierarchy,
-        "sql_shipping_priority": V.sql_shipping_priority,
-        "sql_local_supplier_volume": V.sql_local_supplier_volume,
-        "sql_product_profit_by_nation_year": V.sql_product_profit_by_nation_year,
-        "sql_volume_shipping": V.sql_volume_shipping,
-        "sql_market_share": V.sql_market_share,
-        "sql_lapsed_big_spenders": V.sql_lapsed_big_spenders,
-        "lineitem_column_profile_approx": X.lineitem_column_profile_approx,
-        "bpe_merge_candidates": X.bpe_merge_candidates,
-        "corpus_epoch_shuffle": X.corpus_epoch_shuffle,
-        "corpus_mixture_plan": X.corpus_mixture_plan,
         "corpus_split_assignment": X.corpus_split_assignment,
         "lineitem_column_profile": X.lineitem_column_profile,
         "embedding_outliers": X.embedding_outliers,
@@ -495,24 +634,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stickiness_hll": X.events_stickiness_hll,
         "sales_forecast_ses": X.sales_forecast_ses,
         "bpe_encode_stats": X.bpe_encode_stats,
-        "doc_winnowing": X.doc_winnowing,
-        "doc_winnow_pairs": X.doc_winnow_pairs,
-        "dedup_prefix_filter": X.dedup_prefix_filter,
         "scd2_daily_snapshot": X.scd2_daily_snapshot,
         "customer_rfm_scores_approx": A.customer_rfm_scores_approx_checked,
-        "events_stream_sessions": X.events_stream_sessions,
-        "events_stream_sessions_flushed": X.events_stream_sessions_flushed,
-        "events_stream_sliding": X.events_stream_sliding,
-        "events_stream_enriched": X.events_stream_enriched,
-        "events_stream_dedup": X.events_stream_dedup,
-        "events_stream_order_shipment": X.events_stream_order_shipment,
-        "events_stream_hourly": X.events_stream_hourly,
         "events_salted_user_stats": X.events_salted_user_stats,
         "sql_customer_order_distribution": V.sql_customer_order_distribution,
         "sql_orders_above_customer_avg": V.sql_orders_above_customer_avg,
         "corpus_quality_filter": X.corpus_quality_filter,
         "sql_large_volume_orders": V.sql_large_volume_orders,
-        "doc_repetition": X.doc_repetition,
         "corpus_length_histogram": X.corpus_length_histogram,
         "sql_disjunctive_basket": V.sql_disjunctive_basket,
         "tfidf_top_terms": X.tfidf_top_terms,
@@ -521,13 +649,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dev_sample_cap": W.dev_sample_cap,
         "top_customers": A.top_customers,
         "doc_fingerprints": X.doc_fingerprints,
-        "multimodal_meta": X.multimodal_meta,
-        "events_upsert_timetravel": X.events_upsert_timetravel,
-        "events_upsert_changes": X.events_upsert_changes,
-        "warehouse_compaction_audit": X.warehouse_compaction_audit,
-        "events_stream_jdbc_upsert": X.events_stream_jdbc_upsert,
-        "events_stream_upsert": X.events_stream_upsert,
-        "events_stream_jdbc_hourly": X.events_stream_jdbc_hourly,
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
         "dim_junk_status": W.dim_junk_status,
@@ -535,14 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": A.q1_pricing_summary,
         "fact_bucket_profile": W.fact_bucket_profile,
         "events_json_kv": X.events_json_kv,
-        "media_frames": X.media_frames,
         "a8_returns_by_nation": A.a8_returns_by_nation,
-        "contamination_check": X.contamination_check,
         "corpus_mixture_sample": X.corpus_mixture_sample,
-        "dedup_dropped": X.dedup_dropped,
-        "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
-        "dedup_simhash": X.dedup_simhash,
-        "dedup_simhash_pairs": X.dedup_simhash_pairs,
         "dim_route_shapes": X.dim_route_shapes,
         "embedding_quantize": X.embedding_quantize,
         "events_asof_last_purchase": X.events_asof_last_purchase,
@@ -2766,4 +2881,107 @@ def oracle_sql() -> dict[str, str]:
         "FROM spans GROUP BY doc_a, doc_b HAVING MAX(e - s + 1) >= 40"
     )
     out["metadata_dictionary"] = _metadata_dictionary_oracle()
+    # -- round-9 registrations (oracles documented in the operator
+    #    docstrings and pinned by literal replays in
+    #    tests/test_extensions.py since r8) ------------------------------
+    _SUBSTRING_COV_CTES = (
+        # shared by doc_substring_dedup and corpus_dedup_pipeline: the
+        # span miner's CTEs (doc_substring_spans oracle) narrowed to the
+        # b-side per-document interval union — strictly-overlap-merged
+        # via gaps-and-islands, >= 40-char intervals only
+        "{p}grams AS (SELECT doc_id, pos, md5(substr(text, pos, 20)) AS g "
+        "FROM documents, UNNEST(range(1, length(text) - 20 + 2)) AS t(pos) "
+        "WHERE text IS NOT NULL AND length(text) >= 20), "
+        "{p}keep AS (SELECT g FROM {p}grams GROUP BY g "
+        "HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50 AND COUNT(*) <= 200), "
+        "{p}gg AS (SELECT {p}grams.* FROM {p}grams JOIN {p}keep USING (g)), "
+        "{p}m AS (SELECT a.doc_id doc_a, b.doc_id doc_b, a.pos pa, b.pos pb "
+        "FROM {p}gg a JOIN {p}gg b ON a.g = b.g AND a.doc_id < b.doc_id), "
+        "{p}runs AS (SELECT doc_a, doc_b, pa - pb AS diag, "
+        "pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb "
+        "ORDER BY pa) AS grp, pa FROM {p}m), "
+        "{p}spans AS (SELECT doc_a, doc_b, diag, MIN(pa) s, MAX(pa) + 19 AS e "
+        "FROM {p}runs GROUP BY doc_a, doc_b, diag, grp), "
+        "{p}ivals AS (SELECT DISTINCT doc_b AS doc_id, s - diag AS ps, "
+        "e - diag AS pe FROM {p}spans WHERE e - s + 1 >= 40), "
+        "{p}marked AS (SELECT doc_id, ps, pe, "
+        "CASE WHEN MAX(pe) OVER w IS NULL OR ps > MAX(pe) OVER w "
+        "THEN 1 ELSE 0 END AS new_region FROM {p}ivals "
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY ps, pe "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+        "{p}regions AS (SELECT doc_id, MIN(ps) rs, MAX(pe) re FROM "
+        "(SELECT *, SUM(new_region) OVER (PARTITION BY doc_id "
+        "ORDER BY ps, pe ROWS UNBOUNDED PRECEDING) AS region FROM {p}marked) "
+        "GROUP BY doc_id, region)"
+    )
+    out["doc_substring_dedup"] = (
+        # per-document duplicated-character coverage with integer-exact
+        # keep/trim/drop thresholds (2*dup >= n -> drop, 20*dup >= n ->
+        # trim); dup_ratio is one int/int division, no rounding
+        "WITH " + _SUBSTRING_COV_CTES.format(p="") + ", "
+        "cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_regions, "
+        "CAST(SUM(re - rs + 1) AS BIGINT) AS dup_chars FROM regions "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, d.n_chars, "
+        "COALESCE(c.n_dup_regions, 0) AS n_dup_regions, "
+        "COALESCE(c.dup_chars, 0) AS dup_chars, "
+        "CASE WHEN d.n_chars > 0 THEN COALESCE(c.dup_chars, 0) / d.n_chars END AS dup_ratio, "
+        "CASE WHEN d.n_chars > 0 AND COALESCE(c.dup_chars, 0) * 2 >= d.n_chars THEN 'drop' "
+        "WHEN d.n_chars > 0 AND COALESCE(c.dup_chars, 0) * 20 >= d.n_chars THEN 'trim' "
+        "ELSE 'keep' END AS status "
+        "FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id "
+        "WHERE d.text IS NOT NULL"
+    )
+    out["corpus_dedup_pipeline"] = (
+        # exact -> near -> substring with per-stage drop attribution:
+        # keeps = min doc per normalized-text md5; near survivor = min
+        # EXACT-SURVIVING member of the minhash cluster; substring
+        # status from the coverage CTEs; stitched by the precedence CASE
+        _CLUSTERS_CTE_PREFIX.rstrip()
+        + ", keeps AS (SELECT MIN(doc_id) AS doc_id FROM documents "
+        "GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))), "
+        "cl AS (SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(m.min_reach, d.doc_id)) AS BIGINT) AS cluster_id "
+        "FROM documents d LEFT JOIN reach_min m ON d.doc_id = m.src), "
+        "sm AS (SELECT c.cluster_id, MIN(c.doc_id) AS surv_min FROM cl c "
+        "JOIN keeps k ON c.doc_id = k.doc_id GROUP BY c.cluster_id), "
+        + _SUBSTRING_COV_CTES.format(p="s_") + ", "
+        "s_cov AS (SELECT doc_id, CAST(SUM(re - rs + 1) AS BIGINT) AS dup_chars "
+        "FROM s_regions GROUP BY doc_id), "
+        "sub AS (SELECT d.doc_id, COALESCE(c.dup_chars, 0) AS dup_chars, "
+        "CASE WHEN d.n_chars > 0 AND COALESCE(c.dup_chars, 0) * 2 >= d.n_chars THEN 'drop' "
+        "WHEN d.n_chars > 0 AND COALESCE(c.dup_chars, 0) * 20 >= d.n_chars THEN 'trim' "
+        "ELSE 'keep' END AS status FROM documents d "
+        "LEFT JOIN s_cov c ON d.doc_id = c.doc_id WHERE d.text IS NOT NULL) "
+        "SELECT d.doc_id, cl.cluster_id, "
+        "COALESCE(sub.dup_chars, 0) AS dup_chars, "
+        "CASE WHEN k.doc_id IS NULL THEN 'drop_exact' "
+        "WHEN d.doc_id <> sm.surv_min THEN 'drop_near' "
+        "WHEN sub.status = 'drop' THEN 'drop_substring' "
+        "WHEN sub.status = 'trim' THEN 'trim' "
+        "ELSE 'keep' END AS disposition "
+        "FROM documents d "
+        "LEFT JOIN keeps k ON d.doc_id = k.doc_id "
+        "LEFT JOIN cl ON d.doc_id = cl.doc_id "
+        "LEFT JOIN sm ON cl.cluster_id = sm.cluster_id "
+        "LEFT JOIN sub ON d.doc_id = sub.doc_id"
+    )
+    out["similarity_ivf_pq"] = _ivf_pq_oracle(
+        n_lists=8, nprobe=2, m=4, k=8, iters=2, dim=64, nq=3, ktop=10
+    )
+    out["media_audio_windows"] = (
+        # stub codec: payload bytes ARE the u8 samples; 64-byte windows,
+        # exact mean via hex-pair extraction (the media_image_features
+        # byte-extraction discipline)
+        "WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload "
+        "FROM documents WHERE text IS NOT NULL), "
+        "b AS (SELECT media_id, "
+        "('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2))::BIGINT AS amp, "
+        "CAST(i // 64 AS INT) AS window_idx FROM (SELECT media_id, "
+        "hex(payload) AS h, unnest(range(0, octet_length(payload))) "
+        "AS i FROM m)) "
+        "SELECT media_id, window_idx, CAST(COUNT(*) AS BIGINT) AS n_samples, "
+        "CAST(SUM(amp) AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS mean_amp, "
+        "CAST(MAX(amp) AS INT) AS peak_amp "
+        "FROM b GROUP BY media_id, window_idx"
+    )
     return out

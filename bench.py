@@ -81,10 +81,11 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "doc_substring_spans",
     "similarity_ivf_incremental",
-    # round-8 build, r9 registration queue: the span-mining APPLICATION
-    # (per-document coverage + keep/trim/drop) and the IVF+PQ composite
-    # ANN search — benched ahead of registration via EXTRA_BENCH, like
-    # the r8 queue before them.
+    # round-8 build, REGISTERED at the r9 rotation: the span-mining
+    # APPLICATION (per-document coverage + keep/trim/drop), the IVF+PQ
+    # composite ANN search, the audio modality leg, and the composed
+    # exact->near->substring corpus pass — resolve from queries() now;
+    # their r8 lines came via EXTRA_BENCH shims.
     "doc_substring_dedup",
     "similarity_ivf_pq",
     "media_audio_windows",
@@ -236,23 +237,10 @@ _RAW_CACHE = None
 _WH_CACHE = None
 
 
-def _bench_staged(name):
-    # r9-queue operators: built + pytest-pinned but not yet registered
-    # in queries() (the head window is committed for this round)
-    from logistream_data_pipeline_aws_spark.plans import extensions as X
-
-    fn = getattr(X, name)
-    return lambda spark, sf_dir: fn(spark, sf_dir)
-
-
 EXTRA_BENCH = {
     "reference_warehouse_fact": _reference_warehouse_fact,
     "events_stickiness_hll_prod": _bench_stickiness_prod,
     "customer_rfm_scores_approx_prod": _bench_rfm_prod,
-    "doc_substring_dedup": _bench_staged("doc_substring_dedup"),
-    "similarity_ivf_pq": _bench_staged("similarity_ivf_pq"),
-    "media_audio_windows": _bench_staged("media_audio_windows"),
-    "corpus_dedup_pipeline": _bench_staged("corpus_dedup_pipeline"),
 }
 
 
@@ -386,6 +374,11 @@ def main() -> None:
             }
         )
     )
+    # the three integrity flags ride the COMPACT gate line too (names /
+    # scalars only): BENCH_r08's tail capture clipped the provenance
+    # line mid-stream exactly when its load flags were needed to
+    # adjudicate a regression (VERDICT r8 #5) — the gate line is small
+    # enough that these always survive the 2000-byte capture.
     print(
         json.dumps(
             {
@@ -394,6 +387,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load_contaminated": load_contaminated,
+                "load_gate_retries": load_retries,
+                "variance_flagged": flagged,
             }
         )
     )

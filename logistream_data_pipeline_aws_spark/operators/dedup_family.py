@@ -645,10 +645,12 @@ def connected_components(
     ``localCheckpoint``): without it the label frame's plan nests one
     level per round and driver-side analysis cost doubles per round —
     the classic iterative-algorithm failure mode on Spark.  The
-    superseded round's checkpointed frame is unpersisted directly as
-    soon as its successor materializes, so a long-lived session holds at
-    most one round's label blocks, not one per round; with a reliable
-    checkpoint dir, set ``spark.cleaner.referenceTracking
+    superseded round's storage blocks are released at the RDD level
+    (``getPersistentRDDs`` delta tracked per checkpoint, then JVM-side
+    ``unpersist`` on exactly those ids — frame-level ``unpersist`` never
+    touches a localCheckpoint's blocks), so a long-lived session holds
+    at most one round's label blocks, not one per round; with a
+    reliable checkpoint dir, set ``spark.cleaner.referenceTracking
     .cleanCheckpoints=true`` on the cluster so the released frames'
     checkpoint FILES are reaped too.  Per round: two joins + one
     aggregation, all keyed on node id; data stays distributed, the
@@ -666,13 +668,47 @@ def connected_components(
     )
     spark = nodes.sparkSession
 
-    def _truncate(df: DataFrame) -> DataFrame:
+    def _persistent_rdd_ids() -> set[int]:
+        # ids of every RDD currently holding storage blocks (JVM-side
+        # truth — the Python CacheManager view does NOT include the
+        # internal RDD a localCheckpoint materializes)
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            return {int(k) for k in jmap.keySet().toArray()}
+        except Exception:  # connect mode / no JVM gateway: degrade to
+            return set()   # reference-drop + ContextCleaner release
+
+    def _release_rdds(ids: set[int]) -> None:
+        # free storage blocks DIRECTLY at the RDD level.
+        # DataFrame.unpersist on a localCheckpoint-ed frame only clears
+        # CacheManager entries and never touches the checkpointed RDD's
+        # blocks (verified empirically: getRDDStorageInfo still lists
+        # the RDD after unpersist(blocking=True)), so the old
+        # frame-level call left release to JVM GC + ContextCleaner.
+        if not ids:
+            return
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for e in jmap.entrySet().toArray():
+                if int(e.getKey()) in ids:
+                    e.getValue().unpersist(False)
+        except Exception:
+            pass  # best-effort: blocks then die with GC as before
+
+    def _truncate(df: DataFrame) -> tuple[DataFrame, set[int]]:
         # eager cut of the per-round plan lineage; reliable checkpoint
         # when configured (fault-tolerant — cluster use), local blocks
-        # otherwise (single-node / test use)
+        # otherwise (single-node / test use).  Returns the frame plus
+        # the ids of the persistent RDDs the cut created, so the caller
+        # can release the superseded round's blocks deterministically
+        # (a reliable checkpoint stores to the checkpoint dir, creates
+        # no persistent RDD, and returns an empty id set).
+        before = _persistent_rdd_ids()
         if spark.sparkContext.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+            out = df.checkpoint(eager=True)
+        else:
+            out = df.localCheckpoint(eager=True)
+        return out, _persistent_rdd_ids() - before
 
     # iterate over EDGE-ENDPOINT nodes only: a node with no near-dup
     # edge keeps label = id forever, so carrying the whole corpus through
@@ -699,6 +735,7 @@ def connected_components(
         spark_conf.set("spark.sql.adaptive.enabled", "false")
     converged = False
     prev_ckpt: DataFrame | None = None  # last round's checkpointed frame
+    prev_ids: set[int] = set()  # its persistent RDD ids (JVM-side)
     try:
         for _ in range(max_iters):
             neighbor_min = (
@@ -740,18 +777,22 @@ def connected_components(
                     ).alias("label"),
                     "_prev",
                 )
-            new_labels = _truncate(cur)
+            new_labels, new_ids = _truncate(cur)
             changed = new_labels.where(
                 F.col("label") != F.col("_prev")
             ).count()
-            # free the superseded round's blocks DIRECTLY: `labels` is a
-            # derived select from round r-1, so unpersisting it alone
-            # never released the checkpointed frame backing it, and a
-            # long CC run accumulated one round's blocks per iteration
+            # free the superseded round's blocks DIRECTLY at the RDD
+            # level: the round-(r-1) checkpoint's blocks are dead the
+            # moment round r materializes, and neither unpersisting the
+            # derived `labels` select nor frame-level
+            # prev_ckpt.unpersist() releases a localCheckpoint's RDD —
+            # without the id-level release a long CC run accumulates
+            # one round's blocks per iteration until GC notices
             labels.unpersist()
             if prev_ckpt is not None:
                 prev_ckpt.unpersist()
-            prev_ckpt = new_labels
+            _release_rdds(prev_ids)
+            prev_ckpt, prev_ids = new_labels, new_ids
             labels = new_labels.select("id", "label")
             if changed == 0:
                 converged = True
@@ -766,6 +807,7 @@ def connected_components(
         labels.unpersist()
         if prev_ckpt is not None:
             prev_ckpt.unpersist()
+        _release_rdds(prev_ids)
         raise RuntimeError(
             f"connected_components did not converge within {max_iters} "
             "iterations (component diameter exceeds max_iters); raise "

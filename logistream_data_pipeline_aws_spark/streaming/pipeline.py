@@ -20,6 +20,7 @@ driver.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -372,6 +373,47 @@ def _read_upsert_manifest(path: str) -> dict | None:
         return None
 
 
+def _schema_hash(df: DataFrame) -> str:
+    """Order-insensitive digest of the frame's (column, type) pairs,
+    excluding the layout column ``_ub`` (a partition directory at rest,
+    reconstructed at read).  Recorded per commit directory in the
+    manifest so the reader can prove "no schema evolution happened"
+    WITHOUT merging parquet footers — footer-merge cost grows with file
+    count even when every file agrees, which at production commit
+    counts is pure waste (VERDICT r8 #8)."""
+    cols = sorted(
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if f.name != "_ub"
+    )
+    return hashlib.sha256(json.dumps(cols).encode()).hexdigest()[:16]
+
+
+def _manifest_schema_mixed(manifest: dict) -> bool:
+    """True when the live bucket directories are NOT provably
+    single-schema: distinct recorded hashes (add-column evolution
+    actually happened), or any live dir lacks a recorded hash (a table
+    written before the marker existed) — the unknown case keeps the
+    legacy always-merge behavior, so old tables stay readable."""
+    schemas = manifest.get("dir_schemas")
+    if schemas is None:
+        return True
+    seen = {schemas.get(d) for d in set(manifest["buckets"].values())}
+    return None in seen or len(seen) > 1
+
+
+def _reader_merge_option(manifest: dict, picked: list[tuple[str, str]]) -> str:
+    """The reader's ``mergeSchema`` option for one read: merge only when
+    the SELECTED directories are not provably single-schema, so a
+    bucket-pruned read of unevolved buckets skips footer merging even on
+    a table whose evolution happened elsewhere."""
+    pruned = {
+        "buckets": dict(picked),
+        "dir_schemas": manifest.get("dir_schemas"),
+    }
+    return "true" if _manifest_schema_mixed(pruned) else "false"
+
+
 def read_upsert_table(
     spark: SparkSession,
     path: str,
@@ -410,32 +452,46 @@ def read_upsert_table(
         manifest = _read_upsert_manifest(path)
     if manifest is None or not manifest["buckets"]:
         return None
-    dirs = [
-        os.path.join(path, d, f"_ub={k}")
+    picked = [
+        (k, d)
         for k, d in sorted(
             manifest["buckets"].items(), key=lambda kv: int(kv[0])
         )
         if buckets is None or int(k) in buckets
     ]
-    if not dirs:
+    if not picked:
         return None
+    dirs = [os.path.join(path, d, f"_ub={k}") for k, d in picked]
     # ONE multi-path scan, not one scan + union per bucket: the previous
     # left-deep unionByName chain put O(n_buckets) FileScan nodes in
     # every reader plan (96 scans in the r8 plan audit at 32 buckets),
     # which at production bucket counts is a driver-side analysis cost
     # that grows with the table's layout instead of its data.  The
     # bucket id is reconstructed from the directory name via the file
-    # metadata column — same values the per-bucket lit() carried.
-    # mergeSchema handles add-column evolution: commit directories
-    # written before the evolution lack the new column and read back
-    # NULL-backfilled (footer merge is distributed, not driver work).
+    # metadata column — same values the per-bucket lit() carried.  The
+    # pattern is anchored to the file's PARENT directory ("/_ub=<k>/"
+    # immediately before the basename): an unanchored first-match would
+    # pick up an outer "_ub=<n>" path segment if a table were ever
+    # rooted inside another upsert table's data directory, and a wrong
+    # _ub here would make merge/delete rewrite rows into the wrong
+    # bucket directories.
+    # mergeSchema handles add-column evolution, but footer merging
+    # costs grow with file count, so it is only requested when the
+    # manifest says commits with DIFFERENT schemas are actually visible
+    # among the directories THIS read selects (a bucket-pruned merge
+    # read of unevolved buckets skips the merge even on a mixed table);
+    # single-schema tables — the steady state — read with plain
+    # parquet planning.  See _manifest_schema_mixed.
+    merge = _reader_merge_option(manifest, picked)
     return (
-        spark.read.option("mergeSchema", "true")
+        spark.read.option("mergeSchema", merge)
         .parquet(*dirs)
         .withColumn(
             "_ub",
             F.regexp_extract(
-                F.col("_metadata").getField("file_path"), "/_ub=(\\d+)/", 1
+                F.col("_metadata").getField("file_path"),
+                "/_ub=(\\d+)/[^/]*$",
+                1,
             ).cast("int"),
         )
     )
@@ -545,6 +601,17 @@ def _publish_upsert_manifest(
             v = (meta or {}).get(k, base_manifest.get(k))
             if v is not None:
                 manifest[k] = v
+        # per-directory schema markers: retained dirs inherit their
+        # recorded hash (None for pre-marker legacy dirs — the reader
+        # then falls back to mergeSchema), new dirs take the writer's
+        # ``schema_hash``.  Retired dirs drop out with their data.
+        base_schemas = dict(base_manifest.get("dir_schemas") or {})
+        base_dirs = set(base_manifest.get("buckets", {}).values())
+        writer_hash = (meta or {}).get("schema_hash")
+        manifest["dir_schemas"] = {
+            d: (writer_hash if d not in base_dirs else base_schemas.get(d))
+            for d in set(new_buckets.values())
+        }
         # archive first (immutable, never rewritten), then swap the pointer
         with open(_upsert_archive_path(path, version), "w") as fh:
             json.dump(manifest, fh)
@@ -685,7 +752,12 @@ def delete_upsert_keys(
             else:
                 new_buckets.pop(str(k), None)  # emptied: no tombstone dir
         try:
-            _publish_upsert_manifest(path, manifest, new_buckets)
+            _publish_upsert_manifest(
+                path,
+                manifest,
+                new_buckets,
+                meta={"schema_hash": _schema_hash(remaining)},
+            )
             return n_deleted
         except CommitConflict as exc:
             shutil.rmtree(os.path.join(path, commit_dir), ignore_errors=True)
@@ -933,7 +1005,16 @@ def compact_upsert_table(spark: SparkSession, path: str) -> dict | None:
         )
         new_buckets = {k: commit_dir for k in manifest["buckets"]}
         try:
-            _publish_upsert_manifest(path, manifest, new_buckets)
+            # compaction rewrites EVERY bucket through one read (which
+            # NULL-backfills any evolved column), so the table is
+            # single-schema again afterwards — the recorded hash proves
+            # it and turns footer merging back off for readers
+            _publish_upsert_manifest(
+                path,
+                manifest,
+                new_buckets,
+                meta={"schema_hash": _schema_hash(snapshot)},
+            )
         except CommitConflict as exc:
             # a live merge claimed this version first: drop our private
             # staging dir and re-compact the (newer) snapshot
@@ -1052,7 +1133,13 @@ def merge_upsert_batch(
         for k in sorted(affected):
             new_buckets[str(k)] = commit_dir
         try:
-            _publish_upsert_manifest(path, manifest, new_buckets, retention, meta=meta)
+            _publish_upsert_manifest(
+                path,
+                manifest,
+                new_buckets,
+                retention,
+                meta={**meta, "schema_hash": _schema_hash(winners)},
+            )
             return
         except CommitConflict as exc:
             shutil.rmtree(os.path.join(path, commit_dir), ignore_errors=True)

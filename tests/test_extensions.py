@@ -1687,3 +1687,87 @@ def test_corpus_dedup_pipeline_matches_oracle(spark):
     # arm; dedup_dropped is likewise empty below sf0.1)
     kinds = {d for *_x, d in got}
     assert {"drop_near", "keep"} <= kinds
+
+
+def test_connected_components_releases_checkpoint_blocks(spark):
+    """ADVICE r8 (medium): frame-level unpersist never frees a
+    localCheckpoint's storage blocks, so the CC loop now releases the
+    superseded round's RDD ids JVM-side.  Storage-level assertion: a
+    multi-round run (40-node path graph, ~3-4 doubling rounds) may leave
+    at most ONE round's checkpoint persisted after it returns — without
+    the id-level release every round's blocks linger until GC."""
+    jsc = spark.sparkContext._jsc
+
+    def persistent_ids():
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    nodes = spark.createDataFrame([(i,) for i in range(40)], ["id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], ["id_a", "id_b"]
+    )
+    before = persistent_ids()
+    out = D.connected_components(nodes, edges)
+    # consume the result (it reads the final round's retained blocks)
+    assert out.where(F.col("cluster_id") != 0).count() == 0
+    leaked = persistent_ids() - before
+    assert len(leaked) <= 1, (
+        f"CC left {len(leaked)} persistent RDDs behind (expected <=1: "
+        "only the final round's checkpoint may remain)"
+    )
+
+
+def test_scale_probe_forcing_function_defeats_join_elimination(spark):
+    """VERDICT r8 #6: the scale probe's default consumer must reference
+    every output column.  A bare ``.count()`` over a LEFT JOIN whose
+    right side has unique keys lets Catalyst ELIMINATE the join (column
+    pruning drops the right side entirely) — a correct optimization that
+    silently skips the operator's expensive subtree, which mis-timed
+    doc_substring_dedup 100x in r8.  Pin both halves: count's plan drops
+    the join, the forcing function's plan keeps it."""
+    from tools.scale_probe import _force_all_columns
+
+    spine = spark.range(100).select(F.col("id").alias("k"))
+    agg = (
+        spark.range(1000)
+        .groupBy(F.pmod(F.col("id"), F.lit(100)).alias("k"))
+        .agg(F.avg("id").alias("v"))
+    )
+    joined = spine.join(agg, "k", "left")
+
+    def optimized(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # the hazard: counting eliminates the aggregate side wholesale
+    assert "Join" not in optimized(joined.groupBy().count())
+    # the forcing function keeps every join input alive...
+    forced = joined.select(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(F.col(c)).alias(f"_c{i}") for i, c in enumerate(joined.columns)],
+    )
+    assert "Join" in optimized(forced)
+    # ... and reports the spine's row count like the old consumer did
+    assert _force_all_columns(joined) == 100
+
+
+def test_dedup_semantic_adaptive_k(spark):
+    """VERDICT r8 #3: the operator's default k is corpus-adaptive
+    (SemDeDup's regime — expected cluster size ~target, so pair mining
+    survives corpus growth instead of tripping the cluster cap), while
+    the REGISTERED face pins k=8 for the static unrolled oracle.  At
+    sf0.001 the adaptive default resolves to 8, so both faces must
+    return identical rows."""
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    k = X._adaptive_semantic_k
+    assert k(50) == 8 and k(500) == 8 and k(5000) == 20
+    assert k(500_000) == 1954  # the r8 100x probe volume: clusters ~256
+    assert k(0) == 8  # floor
+
+    got_adaptive = {
+        tuple(r) for r in X.dedup_semantic(spark, SF_SMALL).collect()
+    }
+    got_pinned = {
+        tuple(r) for r in X.dedup_semantic_k8(spark, SF_SMALL).collect()
+    }
+    assert got_adaptive == got_pinned and got_pinned

@@ -1165,3 +1165,72 @@ def test_schema_evolving_merge_races_compaction(spark, tmp_path, monkeypatch):
     manifest = json.load(open(os.path.join(path, "_manifest.json")))
     # contract survived both the compaction and the evolving retry
     assert manifest["key_cols"] == ["user_id"]
+
+
+def test_upsert_single_schema_reads_skip_footer_merge(spark, tmp_path):
+    """VERDICT r8 #8: the multi-path reader only requests parquet
+    ``mergeSchema`` when the manifest proves mixed schemas are visible
+    among the directories the read actually selects.  Steady-state
+    (single-schema) tables and bucket-pruned reads of unevolved buckets
+    plan without footer merging; legacy manifests written before the
+    marker keep the conservative always-merge behavior."""
+    from pyspark.sql import types as T
+
+    from logistream_data_pipeline_aws_spark.streaming import pipeline as P
+
+    path = str(tmp_path / "landed")
+    base_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    for uid, h in ((100, 0), (200, 1)):  # two same-schema commits
+        P.merge_upsert_batch(
+            spark.createDataFrame([(uid, _ts(h, 5), "old")], base_schema),
+            path, key_cols=["user_id"], order_cols=["ts"], retention=2,
+        )
+    m = P._read_upsert_manifest(path)
+    picked = sorted(m["buckets"].items(), key=lambda kv: int(kv[0]))
+    # every live dir carries a schema hash, all hashes agree -> no merge
+    assert set(m["dir_schemas"]) == set(m["buckets"].values())
+    assert len(set(m["dir_schemas"].values())) == 1
+    assert not P._manifest_schema_mixed(m)
+    assert P._reader_merge_option(m, picked) == "false"
+    base_hash = next(iter(m["dir_schemas"].values()))
+    # a pre-marker manifest (no dir_schemas) keeps the legacy behavior
+    legacy = {k: v for k, v in m.items() if k != "dir_schemas"}
+    assert P._reader_merge_option(legacy, picked) == "true"
+
+    # add-column evolution on ONE key: table flips to mixed ...
+    evolved = T.StructType(
+        base_schema.fields + [T.StructField("score", T.DoubleType())]
+    )
+    P.merge_upsert_batch(
+        spark.createDataFrame([(200, _ts(2, 0), "new", 9.5)], evolved),
+        path, key_cols=["user_id"], order_cols=["ts"], retention=2,
+    )
+    m3 = P._read_upsert_manifest(path)
+    assert P._manifest_schema_mixed(m3)
+    # ... but a read pruned to only-unevolved buckets still skips merging
+    unevolved = [
+        (k, d)
+        for k, d in m3["buckets"].items()
+        if m3["dir_schemas"][d] == base_hash
+    ]
+    assert unevolved  # keys 100/200 land in different hash buckets
+    assert P._reader_merge_option(m3, unevolved) == "false"
+    mixed_all = sorted(m3["buckets"].items(), key=lambda kv: int(kv[0]))
+    assert P._reader_merge_option(m3, mixed_all) == "true"
+    # functional: the mixed read NULL-backfills across the boundary
+    landed = {r.user_id: (r.event_type, r.score)
+              for r in P.read_upsert_table(spark, path).collect()}
+    assert landed == {100: ("old", None), 200: ("new", 9.5)}
+
+    # compaction rewrites every bucket through one NULL-backfilled read:
+    # provably single-schema again, footer merging turns back off
+    P.compact_upsert_table(spark, path)
+    m4 = P._read_upsert_manifest(path)
+    assert not P._manifest_schema_mixed(m4)
+    landed = {r.user_id: (r.event_type, r.score)
+              for r in P.read_upsert_table(spark, path).collect()}
+    assert landed == {100: ("old", None), 200: ("new", 9.5)}

@@ -214,7 +214,7 @@ DEFAULT_QUERIES = {
         "similarity_ann_lsh", "similarity_ann_multiprobe",
         "similarity_ivf", "similarity_ivf_kmeans", "similarity_pq_adc",
         "similarity_pq_refine", "dedup_semantic",
-        "similarity_ivf_incremental",
+        "similarity_ivf_incremental", "similarity_ivf_pq",
     ],
     "documents": [
         "dedup_exact", "dedup_survivors", "dedup_minhash_lsh",
@@ -228,6 +228,8 @@ DEFAULT_QUERIES = {
         "corpus_split_assignment", "dedup_incremental_ingest",
         "bpe_merge_candidates", "bpe_encode_stats", "corpus_epoch_shuffle", "corpus_mixture_plan", "doc_unigram_score", "dedup_golden_record",
         "media_image_features", "doc_substring_spans",
+        "doc_substring_dedup", "corpus_dedup_pipeline",
+        "media_audio_windows",
     ],
 }
 

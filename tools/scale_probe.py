@@ -406,30 +406,39 @@ PROBE_OVERRIDES = {
     ),
     # deregistered from queries() but still a probed production surface
     "events_stickiness_hll_prod": _probe_stickiness_prod,
-    # the four r7-staged operators registered at the r8 rotation and now
-    # resolve straight from __spark_entry__.queries()
-    # r9 queue: built + pinned in r8, registers at the next rotation.
-    # doc_substring_dedup needs an aggregating consumer: the probe's
-    # .count() lets Catalyst ELIMINATE its docs-LEFT-JOIN-cov (cov keys
-    # are unique by groupBy construction and count prunes cov's columns)
-    # — a correct optimization that silently skips the entire span
-    # subtree, so a bare count measured 0.6 s where the real pipeline
-    # costs ~60 s.  Aggregating over the computed columns keeps the
-    # right side alive and measures the pipeline.
-    "doc_substring_dedup": (
-        lambda spark, sf_dir: _staged("doc_substring_dedup")(spark, sf_dir)
-        .groupBy("status")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("dup_chars").alias("chars"))
-    ),
-    "similarity_ivf_pq": _staged("similarity_ivf_pq"),
-    # same unique-key-left-join count hazard as doc_substring_dedup:
-    # aggregate over the computed columns to keep the stages alive
-    "corpus_dedup_pipeline": (
-        lambda spark, sf_dir: _staged("corpus_dedup_pipeline")(spark, sf_dir)
-        .groupBy("disposition")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("dup_chars").alias("chars"))
+    # the r8-staged operators (doc_substring_dedup, similarity_ivf_pq,
+    # corpus_dedup_pipeline, media_audio_windows) registered at the r9
+    # rotation and now resolve straight from __spark_entry__.queries();
+    # their per-op aggregating shims are gone because the probe's
+    # DEFAULT consumer (_force_all_columns) defeats the count-time
+    # join-elimination hazard for every line.
+    # dedup_semantic: the REGISTERED entry pins k=8 so its DuckDB
+    # oracle (an unrolled k=8 Lloyd replay) verifies at any SF; the
+    # probe measures the scale-honest configuration instead — the
+    # corpus-adaptive k the operator defaults to, under which pair
+    # mining actually executes at 100x rather than every cluster
+    # tripping the size cap (VERDICT r8 what's-wrong #1).
+    "dedup_semantic": lambda spark, sf_dir: _staged("dedup_semantic")(
+        spark, sf_dir
     ),
 }
+
+
+def _force_all_columns(df: DataFrame) -> int:
+    """The probe's DEFAULT forcing function: aggregate over EVERY output
+    column, not ``.count()``.  A bare count lets Catalyst eliminate a
+    LEFT JOIN whose right side has unique keys once column pruning drops
+    the right side's columns — a correct optimization that silently
+    skips the operator's expensive subtree (``doc_substring_dedup``
+    timed 0.6 s under count where the real pipeline costs ~60 s,
+    BUILDLOG r8 "Probe hazard").  Referencing every column keeps every
+    join input alive; per-column ``count`` adds only a null-check per
+    row on top of the scan."""
+    row = df.select(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(F.col(c)).alias(f"_c{i}") for i, c in enumerate(df.columns)],
+    ).collect()[0]
+    return row["_n"]
 
 
 def _drop_stream_sinks(spark: SparkSession) -> None:
@@ -451,6 +460,22 @@ def main() -> None:
     only = {
         q for q in os.environ.get("SCALE_PROBE_ONLY", "").split(",") if q
     }
+    # a name in no probe list would otherwise exit silently AFTER the
+    # expensive corpus write — the builder lost two probe sessions to
+    # that in r8 (VERDICT r8 What's-wrong #2): fail before any work
+    known = set(
+        EVENTS_QUERIES
+        + WAREHOUSE_QUERIES
+        + CORPUS_QUERIES
+        + SIMILARITY_QUERIES
+        + SKEW_QUERIES
+    )
+    unmatched = only - known
+    if unmatched:
+        raise SystemExit(
+            f"SCALE_PROBE_ONLY names matched by no probe list: "
+            f"{sorted(unmatched)} — known probe names: {sorted(known)}"
+        )
     spark = get_spark("scale-probe")
     # the ts-unit sniffer requires a real parquet timestamp type, not INT96
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -486,7 +511,7 @@ def main() -> None:
             try:
                 for _ in range(2):
                     t0 = time.time()
-                    n = queries[name](spark, sf_dir).count()
+                    n = _force_all_columns(queries[name](spark, sf_dir))
                     walls.append(round(time.time() - t0, 3))
             except Exception as exc:  # a failing line is data, not a crash
                 print(json.dumps({"query": name, "mult": m, "error": repr(exc)[:200]}))
@@ -513,7 +538,7 @@ def main() -> None:
             try:
                 for _ in range(2):
                     t0 = time.time()
-                    n = queries[name](spark, skew_dir).count()
+                    n = _force_all_columns(queries[name](spark, skew_dir))
                     walls.append(round(time.time() - t0, 3))
             except Exception as exc:
                 print(
