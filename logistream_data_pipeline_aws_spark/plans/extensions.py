@@ -5291,3 +5291,423 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", dim=64, n_lists=8, nprobe=2,
         m=4, k=8, iters=2, n_queries=3, k_top=10,
     )
+
+
+# -- round-10 registration queue (window-blocked this round) ------------------
+# Four operators built at round 9, each with a documented DuckDB oracle
+# and a literal replay pin in tests/test_extensions.py; they register at
+# the next rotation (COVERAGE.md "Round-10 registration queue").
+
+
+def corpus_domain_cap(
+    spark: SparkSession, sf_dir: str, cap: int = 12
+) -> DataFrame:
+    """Per-source frequency capping — the RefinedWeb/C4 discipline of
+    bounding any single domain's share of the training corpus (Penedo
+    et al. 2023 §3.3 cap the URL-dedup'd crawl per registered domain):
+    rank each document WITHIN its ``source`` by a deterministic
+    priority (ascending ``doc_id`` — stable across runs and engines),
+    keep the first ``cap``, mark the rest ``drop_capped``.  Emits the
+    audit columns (``src_rank``, ``src_total``) so the drop set is
+    reviewable, the same drop-attribution contract as
+    ``corpus_dedup_pipeline``.
+
+    Round-10 oracle (DuckDB):
+
+        SELECT d.doc_id, d.source,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+                    ORDER BY d.doc_id) AS BIGINT) AS src_rank,
+               CAST(COUNT(*) OVER (PARTITION BY d.source) AS BIGINT)
+                    AS src_total,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY d.source
+                    ORDER BY d.doc_id) <= 12 THEN 'keep'
+                    ELSE 'drop_capped' END AS status
+        FROM documents d WHERE d.source IS NOT NULL
+
+    Scale shape: ONE shuffle keyed on ``source``; rank and total ride
+    the same window partition.  Domain keys are Zipfian at crawl scale,
+    so the hot-domain partition is the bound — but the cap itself
+    limits useful work per key to O(cap) winners, and the window walk
+    is a single streaming pass per key (no buffering beyond the frame),
+    so a hot domain costs one task scanning its rows, not a blow-up.
+    NULL sources are excluded on both sides (the NULL-join-key gate
+    class)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("source").isNotNull()
+    )
+    w = Window.partitionBy("source")
+    rank = F.row_number().over(w.orderBy("doc_id"))
+    return docs.select(
+        "doc_id",
+        "source",
+        rank.cast("long").alias("src_rank"),
+        F.count(F.lit(1)).over(w).cast("long").alias("src_total"),
+        F.when(rank <= cap, F.lit("keep"))
+        .otherwise(F.lit("drop_capped"))
+        .alias("status"),
+    )
+
+
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText quality-rule battery (Rae et al. 2021,
+    arXiv:2112.11446 §A.1.1) as one audited boolean matrix — the
+    multi-gate filter a pretraining pipeline runs AFTER dedup and
+    BEFORE mixing.  Every gate compares in EXACT integer arithmetic
+    (cross-multiplied rationals, no float thresholds), so the matrix is
+    hash-exact cross-engine by construction:
+
+    - ``g_word_count``:    40 <= n_words <= 100000
+    - ``g_mean_word_len``: 3 <= total_word_chars / n_words <= 10
+                           (as 3*n_words <= chars AND chars <= 10*n_words)
+    - ``g_stopwords``:     >= 2 DISTINCT stopwords of the document's
+                           ``lang`` present (unknown lang passes — no
+                           list to test against)
+    - ``g_dup_2gram``:     top 2-gram's share of all 2-grams <= 20%
+                           (5 * top <= n_grams)
+    - ``g_dup_3gram``:     top 3-gram share <= 18%  (100*top <= 18*n)
+    - ``g_dup_4gram``:     top 4-gram share <= 16%  (100*top <= 16*n)
+    - ``passes``:          AND of all six
+
+    Documents with fewer than n tokens have no n-grams: those gates
+    pass vacuously (0 grams -> nothing repeated), mirrored as
+    ``COALESCE`` in the oracle.  NULL text is excluded on both sides.
+
+    Round-10 oracle: documented in the pinned test
+    (tests/test_extensions.py::test_corpus_gopher_rules_matches_oracle)
+    — tok/counts CTEs plus one UNION-ALL gram relation re-aggregated
+    per (doc, n), stitched by the same cross-multiplied comparisons.
+
+    Scale shape: one token explode (two aggregates: counts + distinct
+    stopword hits) and one tagged gram explode covering n=2,3,4 in a
+    SINGLE shuffle (gram size rides the key), both map-side
+    combinable; the final assembly is three broadcast-sized joins back
+    to the per-doc spine.  No window over the corpus, no float in the
+    verdicts."""
+    from logistream_data_pipeline_aws_spark.functions.arrays import explode_once
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        parallelize_cpu_stage,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("text").isNotNull()
+    )
+    tok = tokens(F.col("text"))
+
+    # per-doc token facts: word count, summed word chars, distinct
+    # stopword hits for the doc's lang (token explode, one shuffle)
+    toks = explode_once(
+        parallelize_cpu_stage(docs.select("doc_id", "lang", "text")),
+        tokens(F.col("text")),
+        "w",
+        "doc_id",
+        "lang",
+    )
+    lang_sw = F.create_map(
+        *[
+            x
+            for lang, words in sorted(STOPWORDS.items())
+            for x in (F.lit(lang), F.array(*[F.lit(w) for w in words]))
+        ]
+    )
+    facts = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).alias("word_chars"),
+        F.count_distinct(
+            F.when(
+                F.array_contains(
+                    F.coalesce(lang_sw[F.col("lang")], F.array()),
+                    F.lower(F.col("w")),
+                ),
+                F.lower(F.col("w")),
+            )
+        ).alias("sw_hits"),
+    )
+
+    # tagged n-gram relation: n=2,3,4 in ONE explode/shuffle.
+    # Closure factory, NOT `lambda i, n=n:` — a two-parameter lambda
+    # makes F.transform bind the second parameter to the ELEMENT INDEX,
+    # silently shadowing the seed (the documented higher-order-function
+    # pitfall; it turned the gram-size tag into the position here).
+    def grams(n: int):
+        def _tag(i):
+            return F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(tok, i + 1, n), " ").alias("g"),
+            )
+
+        return F.when(
+            F.size(tok) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(tok) - n), _tag),
+        ).otherwise(F.array())
+
+    tagged = explode_once(
+        parallelize_cpu_stage(
+            docs.where(F.size(tok) >= 2).select("doc_id", "text")
+        ),
+        F.concat(grams(2), grams(3), grams(4)),
+        "gram",
+        "doc_id",
+    )
+    per_gram = tagged.groupBy(
+        "doc_id", F.col("gram.n").alias("n"), F.col("gram.g").alias("g")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    gram_stats = (
+        per_gram.groupBy("doc_id", "n")
+        .agg(F.max("c").alias("top"), F.sum("c").alias("total"))
+        .groupBy("doc_id")
+        .pivot("n", [2, 3, 4])
+        .agg(F.first("top").alias("top"), F.first("total").alias("total"))
+    )
+
+    spine = docs.select("doc_id", "lang")
+    out = (
+        spine.join(facts, "doc_id", "left")
+        .join(gram_stats, "doc_id", "left")
+    )
+    n_words = F.coalesce(F.col("n_words"), F.lit(0))
+    chars = F.coalesce(F.col("word_chars"), F.lit(0))
+
+    def dup_gate(n: int, mul_top: int, mul_total: int):
+        top = F.coalesce(F.col(f"{n}_top"), F.lit(0))
+        total = F.coalesce(F.col(f"{n}_total"), F.lit(0))
+        return (top * mul_top) <= (total * mul_total)
+
+    g_wc = (n_words >= 40) & (n_words <= 100_000)
+    g_mwl = ((F.lit(3) * n_words) <= chars) & (chars <= (F.lit(10) * n_words))
+    # a lang with no stopword list (e.g. zh in the fixture) passes: the
+    # gate cannot be evaluated, and failing untestable docs would bias
+    # the corpus toward listed languages
+    g_sw = F.when(
+        lang_sw[F.col("lang")].isNotNull(),
+        F.coalesce(F.col("sw_hits"), F.lit(0)) >= 2,
+    ).otherwise(F.lit(True))
+    g2 = dup_gate(2, 5, 1)
+    g3 = dup_gate(3, 100, 18)
+    g4 = dup_gate(4, 100, 16)
+    return out.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        g_wc.alias("g_word_count"),
+        g_mwl.alias("g_mean_word_len"),
+        g_sw.alias("g_stopwords"),
+        g2.alias("g_dup_2gram"),
+        g3.alias("g_dup_3gram"),
+        g4.alias("g_dup_4gram"),
+        (g_wc & g_mwl & g_sw & g2 & g3 & g4).alias("passes"),
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    n_terms: int = 4,
+    k_top: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval (Robertson & Zaragoza 2009) over the
+    documents table — the lexical leg of a retrieval stack next to the
+    embedding ANN family (``similarity_*``), and the standard candidate
+    generator for RAG / hard-negative mining over a training corpus.
+
+    Deterministic self-contained query set: the first ``n_queries``
+    documents (doc_id < n_queries) each contribute the ``n_terms``
+    lexicographically-smallest distinct tokens of length >= 3 — stable
+    across engines (no reliance on list_distinct ordering).  Scoring is
+    the textbook formula, engineered for cross-engine hash-exactness:
+
+    - ``idf = round(ln((N - df + 0.5)/(df + 0.5) + 1), 6)`` — the +1
+      keeps idf positive; rounding to 6dp anchors the one libm call
+      (the ``tfidf_top_terms`` discipline, hash-exact since r4);
+    - per-term contribution ``idf * (tf*(k1+1)) / (tf + k1*(1 - b +
+      b*dl/avgdl))`` evaluated with an IDENTICAL expression tree on
+      both engines, then CAST to DECIMAL(25,10) so the per-(query,doc)
+      SUM is order-free (double += is not associative; Spark partial
+      aggregation order is nondeterministic);
+    - ``score = round(CAST(sum AS DOUBLE), 6)``; rank by (score DESC,
+      doc_id) with the query's own document excluded.
+
+    Round-10 oracle: documented in the pinned test
+    (tests/test_extensions.py::test_bm25_topk_matches_oracle) — tf/df/
+    dl/avgdl CTEs + the same contribution expression with
+    double-cast literals (DuckDB parses bare 2.2 as DECIMAL).
+
+    Scale shape: tf and df are the two map-side-combinable shuffles a
+    relational BM25 costs (same frame as ``tfidf_top_terms``); the
+    query-term table is tiny and broadcasts; per-query top-k is a
+    window over ≤ the candidate postings, keyed by query.  Zipfian
+    term skew lands on the compound (doc, term) key, not a single
+    reducer."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
+    )
+    dl = toks.select("doc_id", F.size("tk").cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = toks.select(
+        "doc_id", F.explode("tk").alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = terms.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    qterms = (
+        toks.where(F.col("doc_id") < n_queries)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.filter("tk", lambda t: F.length(t) >= 3)
+                        )
+                    ),
+                    1,
+                    n_terms,
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    idf = df_.crossJoin(F.broadcast(corpus.select("n_docs"))).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+                + 1.0
+            ),
+            6,
+        ).alias("idf"),
+    )
+    postings = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus.select("avgdl")))
+        .where(F.col("query_id") != F.col("doc_id"))
+    )
+    contrib = (
+        F.col("idf")
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        postings.select(
+            "query_id",
+            "doc_id",
+            contrib.cast("decimal(25,10)").alias("c"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k_top)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def events_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-feature assembly — the feature-
+    store discipline (one row per LABEL event carrying aggregates over
+    trailing horizons that end STRICTLY BEFORE the label's timestamp,
+    so no feature leaks its own label).  Labels are the ``purchase``
+    events; features per (user, label):
+
+    - ``f_ev_7d``:   events in [t-7d, t) — RANGE frame on epoch micros,
+      bounds (-7d·1e6, -1], so a same-microsecond event is excluded;
+    - ``f_val_7d``:  SUM(value) over the same frame, summed as
+      DECIMAL(30,6) inside the window (cross-engine segment-tree
+      accumulation differs on raw doubles), NULL -> 0.0;
+    - ``f_clicks_1d``: click count in [t-1d, t);
+    - ``micros_since_click``: gap to the user's most recent STRICT
+      predecessor click (ROWS frame ordered by (epoch, event_id) —
+      deterministic under timestamp ties), NULL when no prior click.
+
+    Everything computes in ONE shuffle keyed on ``user_id``: two RANGE
+    windows sharing the epoch ordering plus one ROWS window on the
+    (epoch, event_id) extension of the same sort — no self-joins, no
+    per-horizon rescans.  ``ts IS NOT NULL AND user_id IS NOT NULL`` is
+    gated on BOTH sides (the ordered-window NULL divergence class).
+    A hot user serializes within its partition — the same bound as the
+    sessionizer, measured on the probe's 30%-hot-key skew axis.
+
+    Round-10 oracle: documented in the pinned test
+    (tests/test_extensions.py::test_events_feature_matrix_matches_
+    oracle) — identical WINDOW clauses over epoch_us(ts)."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("em"),
+        )
+    )
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("em")
+        .rangeBetween(-604_800_000_000, -1)
+    )
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("em")
+        .rangeBetween(-86_400_000_000, -1)
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("em", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feat = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("label_ts"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("f_ev_7d"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(30,6)")).over(w7).cast("double"),
+            F.lit(0.0),
+        ).alias("f_val_7d"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).over(w1),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("f_clicks_1d"),
+        (
+            F.col("em")
+            - F.max(
+                F.when(F.col("event_type") == "click", F.col("em"))
+            ).over(wr)
+        ).alias("micros_since_click"),
+    )
+    return feat.where(F.col("event_type") == "purchase").drop("event_type")

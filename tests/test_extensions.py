@@ -1771,3 +1771,225 @@ def test_dedup_semantic_adaptive_k(spark):
         tuple(r) for r in X.dedup_semantic_k8(spark, SF_SMALL).collect()
     }
     assert got_adaptive == got_pinned and got_pinned
+
+
+def test_corpus_domain_cap_matches_oracle(spark):
+    """R10-queue entry pinned ahead of registration: per-source
+    frequency capping (RefinedWeb-style) must equal the DuckDB window
+    replay — deterministic doc_id priority, cap 12, audit columns."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r.doc_id, r.source, r.src_rank, r.src_total, r.status)
+        for r in X.corpus_domain_cap(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    exp = set(
+        map(
+            tuple,
+            con.execute(
+                "SELECT d.doc_id, d.source, "
+                "CAST(ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS BIGINT) AS src_rank, "
+                "CAST(COUNT(*) OVER (PARTITION BY d.source) AS BIGINT) AS src_total, "
+                "CASE WHEN ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id) <= 12 "
+                "THEN 'keep' ELSE 'drop_capped' END AS status "
+                f"FROM '{SF_SMALL}/documents.parquet' d WHERE d.source IS NOT NULL"
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+    # both arms fire: the fixture's 20 sources each exceed the cap
+    kinds = {s for *_x, s in got}
+    assert kinds == {"keep", "drop_capped"}
+
+
+def _gopher_oracle_sql(docs_rel: str) -> str:
+    """The corpus_gopher_rules DuckDB replay (round-10 oracle): token
+    facts + a UNION-ALL tagged gram relation, stitched by the same
+    cross-multiplied integer comparisons."""
+    sw_case = (
+        "CASE lang "
+        "WHEN 'de' THEN list_contains(['der','die','das','und','ist','ich','nicht','ein','mit','zu'], t) "
+        "WHEN 'en' THEN list_contains(['the','a','of','and','to','in','is','it','you','that'], t) "
+        "WHEN 'es' THEN list_contains(['el','la','de','que','y','en','un','por','con','una'], t) "
+        "WHEN 'fr' THEN list_contains(['le','la','de','et','un','une','est','pour','que','dans'], t) "
+        "ELSE FALSE END"
+    )
+
+    def gram_leg(n: int) -> str:
+        return (
+            f"SELECT doc_id, {n} AS n, "
+            f"unnest(list_transform(range(0, len(tk) - {n - 1}), "
+            f"i -> array_to_string(tk[(i+1):(i+{n})], ' '))) AS g "
+            f"FROM tok WHERE len(tk) >= {n}"
+        )
+
+    return (
+        f"WITH d AS (SELECT doc_id, lang, text FROM {docs_rel} WHERE text IS NOT NULL), "
+        "tok AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS tk FROM d), "
+        "facts AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words, "
+        "CAST(list_reduce(list_prepend(0, list_transform(tk, t -> length(t))), (a, b) -> a + b) AS BIGINT) AS word_chars, "
+        f"CAST(len(list_distinct(list_filter(list_transform(tk, t -> lower(t)), t -> {sw_case}))) AS BIGINT) AS sw_hits "
+        "FROM tok), "
+        "g AS (" + gram_leg(2) + " UNION ALL " + gram_leg(3) + " UNION ALL " + gram_leg(4) + "), "
+        "pg AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3), "
+        "gs AS (SELECT doc_id, n, MAX(c) AS top, SUM(c) AS total FROM pg GROUP BY 1, 2), "
+        "pv AS (SELECT doc_id, "
+        "COALESCE(MAX(CASE WHEN n = 2 THEN top END), 0) AS t2, COALESCE(MAX(CASE WHEN n = 2 THEN total END), 0) AS s2, "
+        "COALESCE(MAX(CASE WHEN n = 3 THEN top END), 0) AS t3, COALESCE(MAX(CASE WHEN n = 3 THEN total END), 0) AS s3, "
+        "COALESCE(MAX(CASE WHEN n = 4 THEN top END), 0) AS t4, COALESCE(MAX(CASE WHEN n = 4 THEN total END), 0) AS s4 "
+        "FROM gs GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(f.n_words, 0) AS n_words, "
+        "(COALESCE(f.n_words, 0) >= 40 AND COALESCE(f.n_words, 0) <= 100000) AS g_word_count, "
+        "(3 * COALESCE(f.n_words, 0) <= COALESCE(f.word_chars, 0) AND COALESCE(f.word_chars, 0) <= 10 * COALESCE(f.n_words, 0)) AS g_mean_word_len, "
+        "(CASE WHEN d.lang IN ('de','en','es','fr') THEN COALESCE(f.sw_hits, 0) >= 2 ELSE TRUE END) AS g_stopwords, "
+        "(COALESCE(p.t2, 0) * 5 <= COALESCE(p.s2, 0) * 1) AS g_dup_2gram, "
+        "(COALESCE(p.t3, 0) * 100 <= COALESCE(p.s3, 0) * 18) AS g_dup_3gram, "
+        "(COALESCE(p.t4, 0) * 100 <= COALESCE(p.s4, 0) * 16) AS g_dup_4gram, "
+        "((COALESCE(f.n_words, 0) >= 40 AND COALESCE(f.n_words, 0) <= 100000) "
+        "AND (3 * COALESCE(f.n_words, 0) <= COALESCE(f.word_chars, 0) AND COALESCE(f.word_chars, 0) <= 10 * COALESCE(f.n_words, 0)) "
+        "AND (CASE WHEN d.lang IN ('de','en','es','fr') THEN COALESCE(f.sw_hits, 0) >= 2 ELSE TRUE END) "
+        "AND (COALESCE(p.t2, 0) * 5 <= COALESCE(p.s2, 0) * 1) "
+        "AND (COALESCE(p.t3, 0) * 100 <= COALESCE(p.s3, 0) * 18) "
+        "AND (COALESCE(p.t4, 0) * 100 <= COALESCE(p.s4, 0) * 16)) AS passes "
+        "FROM d LEFT JOIN facts f ON d.doc_id = f.doc_id "
+        "LEFT JOIN pv p ON d.doc_id = p.doc_id"
+    )
+
+
+def test_corpus_gopher_rules_matches_oracle(spark):
+    """R10-queue entry pinned ahead of registration: the Gopher-rule
+    boolean matrix (integer-exact cross-multiplied gates) must equal
+    the DuckDB replay, and the fixture must split at least three gates
+    both ways (a matrix that is constant per column proves nothing)."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    got = {
+        tuple(r)
+        for r in X.corpus_gopher_rules(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    exp = set(
+        map(
+            tuple,
+            con.execute(
+                _gopher_oracle_sql(f"'{SF_SMALL}/documents.parquet'")
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+    cols = list(zip(*sorted(got)))
+    split = sum(
+        1 for i in (2, 3, 4, 5, 6, 7) if len(set(cols[i])) == 2
+    )
+    # at sf0.001 the word-count and stopword gates split; the dup gates
+    # only fire on the sf0.1 clone-heavy docs (hand-verified there)
+    assert split >= 2, "fewer than 2 gates split the fixture both ways"
+    assert len(set(cols[8])) == 2, "the overall verdict never splits"
+
+
+def test_bm25_topk_matches_oracle(spark):
+    """R10-queue entry pinned ahead of registration: Okapi BM25 top-k
+    must equal the DuckDB replay bit-exactly — idf anchored by
+    round(ln, 6), per-term contributions decimal-summed, identical
+    expression trees (double-cast literals on the DuckDB side)."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in X.bm25_topk(spark, SF_SMALL).collect()
+    }
+    contrib = (
+        "idf * (tf * CAST(2.2 AS DOUBLE)) / "
+        "(tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + "
+        "CAST(0.75 AS DOUBLE) * dl / avgdl))"
+    )
+    sql = (
+        "WITH d AS (SELECT doc_id, lower(text) AS text FROM documents WHERE text IS NOT NULL), "
+        "tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM d), "
+        "dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok), "
+        "corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM dl), "
+        "terms AS (SELECT doc_id, unnest(tk) AS term FROM tok), "
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2), "
+        "dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM terms GROUP BY 1), "
+        "q AS (SELECT DISTINCT doc_id AS query_id, unnest(list_sort(list_distinct("
+        "list_filter(tk, t -> length(t) >= 3)))[1:4]) AS term FROM tok WHERE doc_id < 5), "
+        "idf AS (SELECT term, ROUND(ln((n_docs - df + CAST(0.5 AS DOUBLE)) / "
+        "(df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 6) AS idf "
+        "FROM dfr CROSS JOIN corpus), "
+        "post AS (SELECT q.query_id, tf.doc_id, "
+        f"CAST({contrib} AS DECIMAL(25,10)) AS c "
+        "FROM q JOIN tf USING (term) JOIN idf USING (term) "
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus "
+        "WHERE q.query_id <> tf.doc_id), "
+        "scored AS (SELECT query_id, doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score "
+        "FROM post GROUP BY 1, 2) "
+        "SELECT query_id, doc_id, score, rank FROM ("
+        "SELECT query_id, doc_id, score, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank "
+        "FROM scored) WHERE rank <= 10"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    exp = set(map(tuple, con.execute(sql).fetchall()))
+    assert got == exp and len(got) == 5 * 10
+
+
+def test_events_feature_matrix_matches_oracle(spark):
+    """R10-queue entry pinned ahead of registration: point-in-time
+    features (strict-predecessor RANGE/ROWS frames) must equal the
+    DuckDB WINDOW replay; the strictly-before contract means no label
+    row ever counts itself."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    got = {
+        tuple(r)
+        for r in X.events_feature_matrix(spark, SF_SMALL).collect()
+    }
+    sql = (
+        "WITH e AS (SELECT event_id, user_id, ts, event_type, value, "
+        "epoch_us(ts) AS em FROM events "
+        "WHERE ts IS NOT NULL AND user_id IS NOT NULL) "
+        "SELECT user_id, event_id, label_ts, f_ev_7d, f_val_7d, "
+        "f_clicks_1d, micros_since_click FROM ("
+        "SELECT event_type, user_id, event_id, ts AS label_ts, "
+        "CAST(COUNT(*) OVER w7 AS BIGINT) AS f_ev_7d, "
+        "COALESCE(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w7 AS DOUBLE), "
+        "CAST(0 AS DOUBLE)) AS f_val_7d, "
+        "CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+        "OVER w1, 0) AS BIGINT) AS f_clicks_1d, "
+        "em - MAX(CASE WHEN event_type = 'click' THEN em END) OVER wr "
+        "AS micros_since_click "
+        "FROM e WINDOW "
+        "w7 AS (PARTITION BY user_id ORDER BY em "
+        "RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING), "
+        "w1 AS (PARTITION BY user_id ORDER BY em "
+        "RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING), "
+        "wr AS (PARTITION BY user_id ORDER BY em, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        ") WHERE event_type = 'purchase'"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'"
+    )
+    exp = set(map(tuple, con.execute(sql).fetchall()))
+    assert got == exp and got
+    # the strict bound bites: some label has a prior click (non-NULL
+    # gap) and some has none (NULL)
+    gaps = [t[-1] for t in got]
+    assert any(g is None for g in gaps) and any(g is not None for g in gaps)

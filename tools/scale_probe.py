@@ -276,6 +276,9 @@ CORPUS_QUERIES = [
     "doc_substring_spans",
     "doc_substring_dedup",
     "corpus_dedup_pipeline",
+    "corpus_domain_cap",
+    "corpus_gopher_rules",
+    "bm25_topk",
 ]
 SIMILARITY_QUERIES = [
     "similarity_ivf_pq",
@@ -319,6 +322,7 @@ EVENTS_QUERIES = [
     "events_stream_sessions",
     "events_stream_sessions_flushed",
     "events_upsert_delete",
+    "events_feature_matrix",
 ]
 WAREHOUSE_QUERIES = [
     "lineitem_column_profile",
@@ -421,6 +425,11 @@ PROBE_OVERRIDES = {
     "dedup_semantic": lambda spark, sf_dir: _staged("dedup_semantic")(
         spark, sf_dir
     ),
+    # r10 queue: built + pinned in r9, registers at the next rotation
+    "corpus_domain_cap": _staged("corpus_domain_cap"),
+    "corpus_gopher_rules": _staged("corpus_gopher_rules"),
+    "bm25_topk": _staged("bm25_topk"),
+    "events_feature_matrix": _staged("events_feature_matrix"),
 }
 
 
