@@ -100,24 +100,28 @@ BENCH_QUERIES = [
     "events_feature_matrix",
 ]
 
-# Measured scale shape for the r8-registered lines (tools/scale_probe.py
-# with SCALE_PROBE_ONLY=<these> 1 10 100; second-run walls at 1x/10x/100x
-# of the sf0.1 volume).  Embedded in the provenance line so the
-# amortization claim for dedup_semantic is an artifact, not prose: its
-# local bench line is dominated by the CC loop's per-round job-scheduling
-# floor (~1.8 s/round), which the probe shows amortizing at volume —
-# at 100x every kmeans cluster exceeds the 1024 cap, the documented
-# loud bounded degradation for a fixed k on a grown corpus.
+# Measured scale shape for the registered + queued lines
+# (tools/scale_probe.py with SCALE_PROBE_ONLY=<these> 1 10 100;
+# second-run walls at 1x/10x/100x of the sf0.1 volume).
 SCALE_PROBES: dict[str, object] = {
     "mults": [1, 10, 100],
     "basis": (
-        "tools/scale_probe.py second-run walls (x of the sf0.1 volume), "
-        "recorded at the r8 rotation; the 10x/100x lines ran with a "
-        "concurrent pytest suite on the box, so treat them as ceilings"
+        "tools/scale_probe.py second-run walls (x of the sf0.1 volume); "
+        "r8-era rows ran with a concurrent pytest suite (ceilings); "
+        "rows marked r9 ran on a quiet box with the value-dependent "
+        "consumer (bit_xor(xxhash64) — per-column count was defeated "
+        "by provably-non-null outputs, see BUILDLOG r9)"
     ),
     "walls_s": {
         "events_upsert_delete": [6.23, 7.72, 8.00],
-        "dedup_semantic": [8.30, 47.30, 2.27],
+        # r9, adaptive k (the registered line pins k=8 for the oracle;
+        # the probe runs the operator default k=ceil(n/256)): at 100x
+        # k=196, ZERO of 196 clusters trip the 1024 cap (max 425,
+        # median 250) and pair mining executes corpus-wide — the r8
+        # fixed-k row measured the cap firing (2.27 s of drops), this
+        # measures the algorithm.  First runs (kmeans training
+        # included): 12.4 / 33.3 / 143.1 s.
+        "dedup_semantic": [8.44, 25.09, 38.85],
         "doc_substring_spans": [4.16, 62.70, 230.71],
         "similarity_ivf_incremental": [1.76, 2.08, 2.44],
         # r9 queue (quiet box): ivf_pq ~flat (training-dominated);
@@ -133,6 +137,16 @@ SCALE_PROBES: dict[str, object] = {
         # shuffle_hash + minhash verify-join merge insurance + merge
         # hints on its own corpus-sized stitch joins)
         "corpus_dedup_pipeline": [19.43, 27.19, 201.93],
+        # r10 queue (r9, quiet box, value-dependent consumer):
+        # domain cap is one window shuffle (exp 0.06); gopher rules are
+        # the tagged-gram aggregation (exp 0.79, ~linear); bm25 warm
+        # runs amortize the persisted posting list (first runs 3.9 /
+        # 6.7 / 18.5 s include the index build); the feature matrix is
+        # one user-keyed shuffle + three windows over 10M events.
+        "corpus_domain_cap": [0.38, 0.33, 0.49],
+        "corpus_gopher_rules": [2.26, 8.51, 84.61],
+        "bm25_topk": [2.23, 3.01, 7.61],
+        "events_feature_matrix": [1.09, 1.32, 12.07],
     },
     # direct 100x-only second-run walls for the registered dedup family
     # (post minhash merge insurance; 500k docs, ~464k verified pairs;
@@ -164,27 +178,37 @@ SCALE_PROBES: dict[str, object] = {
         # amortize the session's staged key maps, the production shape)
         "lineitem_column_profile_approx": 8.24,
         "orders_backlog_series": 6.14,
-        "lineitem_abc_pareto_approx": 1.77,
+        # r9 re-check with the value-dependent consumer: the r8 row
+        # (1.77 s) undercounted — count-time pruning dropped the final
+        # grading window; the honest wall is 3.54 s.  scd2_user_state
+        # (3.04) and orders_backlog_series (3.24) re-checked within /
+        # below their recorded rows, so the r8 numbers stand.
+        "lineitem_abc_pareto_approx": 3.54,
         "supplier_pagerank": 5.89,
     },
     "scaling_exponent_full_range": {
         "events_upsert_delete": 0.05,
-        "dedup_semantic": -0.28,
+        "dedup_semantic": 0.33,
         "doc_substring_spans": 0.87,
         "similarity_ivf_incremental": 0.07,
         "similarity_ivf_pq": 0.10,
         "doc_substring_dedup": 0.86,
         "corpus_dedup_pipeline": 0.51,
+        "corpus_domain_cap": 0.06,
+        "corpus_gopher_rules": 0.79,
+        "bm25_topk": 0.27,
+        "events_feature_matrix": 0.52,
     },
     "note": (
         "dedup_semantic probes run the operator's corpus-adaptive k "
-        "(r9, VERDICT r8 #3) while the registered line pins k=8 for the "
-        "static oracle; see walls_adaptive_k_s.  Its in-suite bench "
-        "line carries end-of-suite session pressure — see "
-        "isolated_reruns for the same line re-run alone on a quiet "
-        "box.  doc_substring_spans growth is match-count-bound (the "
-        "probe corpus is template-dense; the 200-occurrence gram cap "
-        "bounds it), 10->100 exponent 0.57."
+        "(r9, VERDICT r8 #3) while the registered line pins k=8 for "
+        "the static oracle; its walls_s row now measures pair mining "
+        "executing at every mult (0/196 clusters tripped the cap at "
+        "100x).  Its in-suite bench line carries end-of-suite session "
+        "pressure — see isolated_reruns for the quiet-box single-line "
+        "re-run.  doc_substring_spans growth is match-count-bound "
+        "(the probe corpus is template-dense; the 200-occurrence gram "
+        "cap bounds it), 10->100 exponent 0.57."
     ),
     # single-line quiet-box re-runs recorded when a suite line and its
     # isolated cost disagree (the VERDICT r8 #4 adjudication, now an

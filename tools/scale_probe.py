@@ -434,19 +434,35 @@ PROBE_OVERRIDES = {
 
 
 def _force_all_columns(df: DataFrame) -> int:
-    """The probe's DEFAULT forcing function: aggregate over EVERY output
-    column, not ``.count()``.  A bare count lets Catalyst eliminate a
-    LEFT JOIN whose right side has unique keys once column pruning drops
-    the right side's columns — a correct optimization that silently
-    skips the operator's expensive subtree (``doc_substring_dedup``
-    timed 0.6 s under count where the real pipeline costs ~60 s,
-    BUILDLOG r8 "Probe hazard").  Referencing every column keeps every
-    join input alive; per-column ``count`` adds only a null-check per
-    row on top of the scan."""
-    row = df.select(
+    """The probe's DEFAULT forcing function: a VALUE-DEPENDENT aggregate
+    over every output column, not ``.count()``.  A bare count lets
+    Catalyst eliminate a LEFT JOIN whose right side has unique keys once
+    column pruning drops the right side's columns — a correct
+    optimization that silently skips the operator's expensive subtree
+    (``doc_substring_dedup`` timed 0.6 s under count where the real
+    pipeline costs ~60 s, BUILDLOG r8 "Probe hazard").
+
+    Per-column ``count`` is NOT enough: when an output column is
+    provably non-null (a COALESCE'd boolean, a window rank), Catalyst
+    rewrites ``count(col)`` to ``count(1)``, prunes the column, and the
+    elimination fires anyway — corpus_gopher_rules "ran" its 100x line
+    in 0.55 s that way while the real pipeline costs ~78 s (caught by
+    an independent re-run, r9).  ``xxhash64`` over every column cannot
+    be constant-folded or pruned (the result depends on every value),
+    so every join input and window stays alive; the fallback routes
+    hash-unsupported types (maps) through ``to_json``."""
+    cols = [F.col(c) for c in df.columns]
+    probe_cols = [
         F.count(F.lit(1)).alias("_n"),
-        *[F.count(F.col(c)).alias(f"_c{i}") for i, c in enumerate(df.columns)],
-    ).collect()[0]
+        F.bit_xor(F.xxhash64(*cols)).alias("_h"),
+    ]
+    try:
+        row = df.select(*probe_cols).collect()[0]
+    except Exception:  # hash-unsupported type (e.g. map): serialize first
+        row = df.select(
+            F.count(F.lit(1)).alias("_n"),
+            F.bit_xor(F.xxhash64(F.to_json(F.struct(*cols)))).alias("_h"),
+        ).collect()[0]
     return row["_n"]
 
 
