@@ -348,6 +348,9 @@ SKEW_QUERIES = [
     "user_sessions",
     "events_stream_sessions",
     "events_stream_sessions_flushed",
+    # r10 queue: the feature windows group by user too — the celebrity
+    # user serializes its 30% of all rows through one window task
+    "events_feature_matrix",
 ]
 
 
