@@ -141,12 +141,18 @@ SCALE_PROBES: dict[str, object] = {
         # domain cap is one window shuffle (exp 0.06); gopher rules are
         # the tagged-gram aggregation (exp 0.79, ~linear); bm25 warm
         # runs amortize the persisted posting list (first runs 3.9 /
-        # 6.7 / 18.5 s include the index build); the feature matrix is
-        # one user-keyed shuffle + three windows over 10M events.
+        # 6.7 / 18.5 s include the index build).
         "corpus_domain_cap": [0.38, 0.33, 0.49],
         "corpus_gopher_rules": [2.26, 8.51, 84.61],
         "bm25_topk": [2.23, 3.01, 7.61],
-        "events_feature_matrix": [1.09, 1.32, 12.07],
+        # running-prefix + boundary-probe rewrite (r9): the sliding
+        # RANGE formulation was QUADRATIC under a hot key (Spark has no
+        # retractable aggregates — a sliding frame re-scans itself per
+        # row; the 30%-hot-user probe never finished at 100x where the
+        # unskewed line took 12 s).  Rewritten, 100x runs 4.9-7.4 s and
+        # the SKEW variant completes in 9.4-14.0 s — linear per key.
+        "events_feature_matrix": [1.45, 1.57, 5.58],
+        "events_feature_matrix@skew": [1.07, 1.53, 9.39],
     },
     # direct 100x-only second-run walls for the registered dedup family
     # (post minhash merge insurance; 500k docs, ~464k verified pairs;
@@ -197,7 +203,8 @@ SCALE_PROBES: dict[str, object] = {
         "corpus_domain_cap": 0.06,
         "corpus_gopher_rules": 0.79,
         "bm25_topk": 0.27,
-        "events_feature_matrix": 0.52,
+        "events_feature_matrix": 0.35,
+        "events_feature_matrix@skew": 0.56,
     },
     "note": (
         "dedup_semantic probes run the operator's corpus-adaptive k "

@@ -5665,27 +5665,50 @@ def events_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no feature leaks its own label).  Labels are the ``purchase``
     events; features per (user, label):
 
-    - ``f_ev_7d``:   events in [t-7d, t) — RANGE frame on epoch micros,
-      bounds (-7d·1e6, -1], so a same-microsecond event is excluded;
-    - ``f_val_7d``:  SUM(value) over the same frame, summed as
-      DECIMAL(30,6) inside the window (cross-engine segment-tree
-      accumulation differs on raw doubles), NULL -> 0.0;
+    - ``f_ev_7d``:   events in [t-7d, t) — same-microsecond events are
+      excluded (the RANGE (-7d·1e6, -1] contract);
+    - ``f_val_7d``:  SUM(value) over the same horizon, accumulated as
+      DECIMAL(30,6) (cross-engine double accumulation differs), empty
+      horizon -> 0.0;
     - ``f_clicks_1d``: click count in [t-1d, t);
     - ``micros_since_click``: gap to the user's most recent STRICT
-      predecessor click (ROWS frame ordered by (epoch, event_id) —
-      deterministic under timestamp ties), NULL when no prior click.
+      predecessor click (ordered by (epoch, event_id) — deterministic
+      under timestamp ties), NULL when no prior click.
 
-    Everything computes in ONE shuffle keyed on ``user_id``: two RANGE
-    windows sharing the epoch ordering plus one ROWS window on the
-    (epoch, event_id) extension of the same sort — no self-joins, no
-    per-horizon rescans.  ``ts IS NOT NULL AND user_id IS NOT NULL`` is
-    gated on BOTH sides (the ordered-window NULL divergence class).
-    A hot user serializes within its partition — the same bound as the
-    sessionizer, measured on the probe's 30%-hot-key skew axis.
+    SCALE SHAPE — running prefixes + boundary probes, NOT sliding
+    frames.  The obvious plan (RANGE BETWEEN 7d PRECEDING AND 1
+    PRECEDING windows) is quadratic on Spark under a hot key: Spark
+    has no retractable aggregate buffers, so a SLIDING frame re-scans
+    its whole frame whenever the bounds move — the 30%-hot-user skew
+    probe ran a ~680k-row frame per label and did not finish (the
+    unskewed 100x line takes ~12 s).  Instead every horizon aggregate
+    becomes a DIFFERENCE OF RUNNING PREFIXES, which Spark evaluates
+    incrementally in O(rows):
+
+    - each event carries deltas (1, value, is_click);
+    - each label emits three zero-delta BOUNDARY PROBES keyed at t,
+      t-7d and t-1d, sorted BEFORE events at equal epoch (ties
+      excluded, matching the strict bound);
+    - ONE running-sum window over the (events ∪ probes) union per
+      user yields prefix(<t), prefix(<t-7d), prefix(<t-1d);
+    - per label: count = prefix(<t) − prefix(<t-7d), etc.; decimal
+      differences are exact, so values match the window formulation
+      bit-for-bit.
+
+    ``micros_since_click`` stays a running MAX (add-only frame —
+    already incremental).  Cost: one user-keyed shuffle over ~1.6n
+    rows + one probe-id shuffle of 3 rows per label + one broadcastable
+    join back to the labels.  A hot user is now a linear single-pass
+    scan, not a quadratic one.  ``ts IS NOT NULL AND user_id IS NOT
+    NULL`` is gated on BOTH sides (the ordered-window NULL divergence
+    class).
 
     Round-10 oracle: documented in the pinned test
     (tests/test_extensions.py::test_events_feature_matrix_matches_
-    oracle) — identical WINDOW clauses over epoch_us(ts)."""
+    oracle) — the straightforward WINDOW formulation over
+    epoch_us(ts); DuckDB's window engine handles sliding frames in
+    O(n log n), so the oracle states the SEMANTICS while this plan
+    carries the scale."""
     from pyspark.sql import Window
 
     ev = (
@@ -5700,44 +5723,103 @@ def events_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts").alias("em"),
         )
     )
-    w7 = (
-        Window.partitionBy("user_id")
-        .orderBy("em")
-        .rangeBetween(-604_800_000_000, -1)
-    )
-    w1 = (
-        Window.partitionBy("user_id")
-        .orderBy("em")
-        .rangeBetween(-86_400_000_000, -1)
-    )
+    # labels with the one already-incremental feature (running MAX of
+    # the last click epoch over a strict-predecessor add-only frame)
     wr = (
         Window.partitionBy("user_id")
         .orderBy("em", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    feat = ev.select(
+    labels = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "em",
+            F.col("ts").alias("label_ts"),
+            (
+                F.col("em")
+                - F.max(
+                    F.when(F.col("event_type") == "click", F.col("em"))
+                ).over(wr)
+            ).alias("micros_since_click"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+    # events as delta rows; probes as zero-delta boundary markers.
+    # tie=0 sorts a probe BEFORE events at the same epoch, so a probe
+    # at key k reads the prefix of events STRICTLY below k.
+    deltas = ev.select(
         "user_id",
-        "event_id",
-        "event_type",
-        F.col("ts").alias("label_ts"),
-        F.count(F.lit(1)).over(w7).cast("long").alias("f_ev_7d"),
-        F.coalesce(
-            F.sum(F.col("value").cast("decimal(30,6)")).over(w7).cast("double"),
-            F.lit(0.0),
-        ).alias("f_val_7d"),
-        F.coalesce(
-            F.sum(
-                F.when(F.col("event_type") == "click", 1).otherwise(0)
-            ).over(w1),
-            F.lit(0),
+        F.col("em").alias("key"),
+        F.lit(1).alias("tie"),
+        F.lit(1).cast("long").alias("d_n"),
+        F.coalesce(F.col("value").cast("decimal(30,6)"), F.lit(0).cast("decimal(30,6)")).alias("d_val"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).cast("long").alias("d_click"),
+        F.lit(None).cast("long").alias("probe_id"),
+        F.lit(None).cast("string").alias("probe_kind"),
+    )
+    probe_rows = []
+    for kind, off in (("hi", 0), ("lo7", 604_800_000_000), ("lo1", 86_400_000_000)):
+        probe_rows.append(
+            labels.select(
+                "user_id",
+                (F.col("em") - F.lit(off)).alias("key"),
+                F.lit(0).alias("tie"),
+                F.lit(0).cast("long").alias("d_n"),
+                F.lit(0).cast("decimal(30,6)").alias("d_val"),
+                F.lit(0).cast("long").alias("d_click"),
+                F.col("event_id").alias("probe_id"),
+                F.lit(kind).alias("probe_kind"),
+            )
+        )
+    unioned = deltas
+    for p in probe_rows:
+        unioned = unioned.unionByName(p)
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("key", "tie", "probe_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefixes = (
+        unioned.select(
+            "probe_id",
+            "probe_kind",
+            F.sum("d_n").over(wcum).alias("p_n"),
+            F.sum("d_val").over(wcum).alias("p_val"),
+            F.sum("d_click").over(wcum).alias("p_click"),
+        )
+        .where(F.col("probe_id").isNotNull())
+    )
+    feats = prefixes.groupBy("probe_id").agg(
+        (
+            F.max(F.when(F.col("probe_kind") == "hi", F.col("p_n")))
+            - F.max(F.when(F.col("probe_kind") == "lo7", F.col("p_n")))
+        )
+        .cast("long")
+        .alias("f_ev_7d"),
+        (
+            F.max(F.when(F.col("probe_kind") == "hi", F.col("p_val")))
+            - F.max(F.when(F.col("probe_kind") == "lo7", F.col("p_val")))
+        )
+        .cast("double")
+        .alias("f_val_7d"),
+        (
+            F.max(F.when(F.col("probe_kind") == "hi", F.col("p_click")))
+            - F.max(F.when(F.col("probe_kind") == "lo1", F.col("p_click")))
         )
         .cast("long")
         .alias("f_clicks_1d"),
-        (
-            F.col("em")
-            - F.max(
-                F.when(F.col("event_type") == "click", F.col("em"))
-            ).over(wr)
-        ).alias("micros_since_click"),
     )
-    return feat.where(F.col("event_type") == "purchase").drop("event_type")
+    return labels.join(
+        feats, labels.event_id == feats.probe_id
+    ).select(
+        "user_id",
+        "event_id",
+        "label_ts",
+        "f_ev_7d",
+        "f_val_7d",
+        "f_clicks_1d",
+        "micros_since_click",
+    )

@@ -2011,3 +2011,120 @@ def test_events_feature_matrix_matches_oracle(spark):
     # gap) and some has none (NULL)
     gaps = [t[-1] for t in got]
     assert any(g is None for g in gaps) and any(g is not None for g in gaps)
+
+
+def test_r10_queue_null_degeneracy(spark, tmp_path):
+    """Pre-registration NULL probe for the r10 queue (the null_probe
+    tool only resolves REGISTERED names): apply the standard injection
+    classes (NULL text/lang/source on documents; NULL ts/user_id/
+    event_type/value on events) and require each queue operator to
+    stay hash-equal to its DuckDB oracle on the SAME degraded fixture
+    — the three known divergence classes (sizeOfNull, NULLS FIRST
+    window walks, NULL join keys) all surface under exactly this."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+    from tests.test_extensions import _gopher_oracle_sql
+
+    con = duckdb.connect()
+    docs = str(tmp_path / "documents.parquet")
+    evs = str(tmp_path / "events.parquet")
+    con.execute(
+        "COPY (SELECT doc_id, "
+        "CASE WHEN doc_id % 17 = 0 THEN NULL ELSE text END AS text, "
+        "CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang, "
+        "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE source END AS source, "
+        "CASE WHEN doc_id % 17 = 0 THEN NULL ELSE n_chars END AS n_chars "
+        f"FROM read_parquet('{SF_SMALL}/documents.parquet')) "
+        f"TO '{docs}' (FORMAT PARQUET)"
+    )
+    con.execute(
+        "COPY (SELECT event_id, "
+        "CASE WHEN event_id % 53 = 0 THEN NULL ELSE ts END AS ts, "
+        "CASE WHEN event_id % 19 = 0 THEN NULL ELSE user_id END AS user_id, "
+        "CASE WHEN event_id % 31 = 0 THEN NULL ELSE event_type END AS event_type, "
+        "CASE WHEN event_id % 23 = 0 THEN NULL ELSE value END AS value, "
+        "CASE WHEN event_id % 29 = 0 THEN NULL ELSE props END AS props "
+        f"FROM read_parquet('{SF_SMALL}/events.parquet')) "
+        f"TO '{evs}' (FORMAT PARQUET)"
+    )
+    sf = str(tmp_path)
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{docs}'")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{evs}'")
+
+    # corpus_domain_cap: NULL source rows are excluded on both sides
+    got = {tuple(r) for r in X.corpus_domain_cap(spark, sf).collect()}
+    exp = set(map(tuple, con.execute(
+        "SELECT d.doc_id, d.source, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS BIGINT), "
+        "CAST(COUNT(*) OVER (PARTITION BY d.source) AS BIGINT), "
+        "CASE WHEN ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id) <= 12 "
+        "THEN 'keep' ELSE 'drop_capped' END "
+        "FROM documents d WHERE d.source IS NOT NULL").fetchall()))
+    assert got == exp and got
+
+    # corpus_gopher_rules: NULL text excluded; NULL lang hits the
+    # unknown-lang pass arm on both sides
+    got = {tuple(r) for r in X.corpus_gopher_rules(spark, sf).collect()}
+    exp = set(map(tuple, con.execute(_gopher_oracle_sql("documents")).fetchall()))
+    assert got == exp and got
+
+    # events_feature_matrix: NULL ts / NULL user_id gated both sides;
+    # NULL value skips the decimal window sum identically
+    got = {tuple(r) for r in X.events_feature_matrix(spark, sf).collect()}
+    exp = set(map(tuple, con.execute(
+        "WITH e AS (SELECT event_id, user_id, ts, event_type, value, "
+        "epoch_us(ts) AS em FROM events "
+        "WHERE ts IS NOT NULL AND user_id IS NOT NULL) "
+        "SELECT user_id, event_id, label_ts, f_ev_7d, f_val_7d, "
+        "f_clicks_1d, micros_since_click FROM ("
+        "SELECT event_type, user_id, event_id, ts AS label_ts, "
+        "CAST(COUNT(*) OVER w7 AS BIGINT) AS f_ev_7d, "
+        "COALESCE(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w7 AS DOUBLE), "
+        "CAST(0 AS DOUBLE)) AS f_val_7d, "
+        "CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+        "OVER w1, 0) AS BIGINT) AS f_clicks_1d, "
+        "em - MAX(CASE WHEN event_type = 'click' THEN em END) OVER wr "
+        "AS micros_since_click "
+        "FROM e WINDOW "
+        "w7 AS (PARTITION BY user_id ORDER BY em "
+        "RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING), "
+        "w1 AS (PARTITION BY user_id ORDER BY em "
+        "RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING), "
+        "wr AS (PARTITION BY user_id ORDER BY em, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        ") WHERE event_type = 'purchase'").fetchall()))
+    assert got == exp and got
+
+    # bm25_topk: NULL text excluded from corpus AND query-doc set
+    contrib = (
+        "idf * (tf * CAST(2.2 AS DOUBLE)) / "
+        "(tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + "
+        "CAST(0.75 AS DOUBLE) * dl / avgdl))"
+    )
+    got = {tuple(r) for r in X.bm25_topk(spark, sf).collect()}
+    exp = set(map(tuple, con.execute(
+        "WITH d AS (SELECT doc_id, lower(text) AS text FROM documents WHERE text IS NOT NULL), "
+        "tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM d), "
+        "dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok), "
+        "corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM dl), "
+        "terms AS (SELECT doc_id, unnest(tk) AS term FROM tok), "
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2), "
+        "dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM terms GROUP BY 1), "
+        "q AS (SELECT DISTINCT doc_id AS query_id, unnest(list_sort(list_distinct("
+        "list_filter(tk, t -> length(t) >= 3)))[1:4]) AS term FROM tok WHERE doc_id < 5), "
+        "idf AS (SELECT term, ROUND(ln((n_docs - df + CAST(0.5 AS DOUBLE)) / "
+        "(df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 6) AS idf FROM dfr CROSS JOIN corpus), "
+        "post AS (SELECT q.query_id, tf.doc_id, "
+        f"CAST({contrib} AS DECIMAL(25,10)) AS c "
+        "FROM q JOIN tf USING (term) JOIN idf USING (term) "
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus "
+        "WHERE q.query_id <> tf.doc_id), "
+        "scored AS (SELECT query_id, doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score "
+        "FROM post GROUP BY 1, 2) "
+        "SELECT query_id, doc_id, score, rank FROM ("
+        "SELECT query_id, doc_id, score, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank "
+        "FROM scored) WHERE rank <= 10").fetchall()))
+    assert got == exp and got
