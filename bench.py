@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "corpus_gopher_rules",
     "bm25_topk",
     "events_feature_matrix",
+    "similarity_recall_audit",
 ]
 
 # Measured scale shape for the registered + queued lines
@@ -153,6 +154,10 @@ SCALE_PROBES: dict[str, object] = {
         # the SKEW variant completes in 9.4-14.0 s — linear per key.
         "events_feature_matrix": [1.45, 1.57, 5.58],
         "events_feature_matrix@skew": [1.07, 1.53, 9.39],
+        # recall audit: nq=10 sampled queries, so cost is ~flat — the
+        # brute-force ground-truth side is nq·n by definition and the
+        # comparison joins are nq·k-row tiny
+        "similarity_recall_audit": [1.70, 1.26, 2.05],
     },
     # direct 100x-only second-run walls for the registered dedup family
     # (post minhash merge insurance; 500k docs, ~464k verified pairs;
@@ -205,6 +210,7 @@ SCALE_PROBES: dict[str, object] = {
         "bm25_topk": 0.27,
         "events_feature_matrix": 0.35,
         "events_feature_matrix@skew": 0.56,
+        "similarity_recall_audit": 0.04,
     },
     "note": (
         "dedup_semantic probes run the operator's corpus-adaptive k "
@@ -301,6 +307,7 @@ EXTRA_BENCH = {
     "corpus_gopher_rules": _bench_staged("corpus_gopher_rules"),
     "bm25_topk": _bench_staged("bm25_topk"),
     "events_feature_matrix": _bench_staged("events_feature_matrix"),
+    "similarity_recall_audit": _bench_staged("similarity_recall_audit"),
 }
 
 

@@ -5823,3 +5823,47 @@ def events_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_clicks_1d",
         "micros_since_click",
     )
+
+
+def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the ANN index against brute-force ground truth
+    — the evaluation harness every approximate-similarity deployment
+    runs before trusting its index (and re-runs after re-training): per
+    query, how many of the EXACT top-k neighbors the sign-LSH
+    candidate path actually returned.
+
+    Composes two independently verified operators on the SAME
+    parameters (k=5, n_bits=4, queries = vec_id < 10):
+    ``similarity_topk`` (exact) and ``similarity_ann_lsh`` (approx);
+    ``recall_at_k`` is ONE int/int division — bit-identical
+    cross-engine without rounding (the cume_dist discipline: never
+    round a raw single division).
+
+    Round-10 oracle: the two registered oracles nested as CTEs joined
+    on (query_id, candidate_id) — documented in the pinned test
+    (tests/test_extensions.py::test_similarity_recall_audit_matches_
+    oracle).
+
+    Scale shape: ground truth is the expensive side (brute force is
+    O(nq·n) by definition — the audit runs on a SAMPLED query set,
+    here the nq=10 fixture queries; production samples a few thousand)
+    and the comparison is two semi/left joins on (query, candidate),
+    both tiny (nq·k rows).  The audit never touches the corpus beyond
+    what its two component operators already do."""
+    exact = similarity_topk(spark, sf_dir).select("query_id", "candidate_id")
+    ann = similarity_ann_lsh(spark, sf_dir).select("query_id", "candidate_id")
+    hits = exact.join(ann, ["query_id", "candidate_id"], "left_semi")
+    base = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    nh = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return base.join(nh, "query_id", "left").select(
+        "query_id",
+        "k",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("k")
+        ).alias("recall_at_k"),
+    )

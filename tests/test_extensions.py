@@ -2128,3 +2128,44 @@ def test_r10_queue_null_degeneracy(spark, tmp_path):
         "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank "
         "FROM scored) WHERE rank <= 10").fetchall()))
     assert got == exp and got
+
+
+def test_similarity_recall_audit_matches_oracle(spark):
+    """R10-queue entry pinned ahead of registration: recall@k of the
+    sign-LSH ANN vs brute-force ground truth must equal the DuckDB
+    replay built by nesting the two REGISTERED oracles as CTEs — and
+    the audit must be non-trivial (some query below 100% recall, none
+    above it)."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r.query_id, r.k, r.n_hits, r.recall_at_k)
+        for r in X.similarity_recall_audit(spark, SF_SMALL).collect()
+    }
+    o = E.oracle_sql()
+    sql = (
+        f"WITH exact_q AS ({o['similarity_topk']}), "
+        f"ann_q AS ({o['similarity_ann_lsh']}), "
+        "e AS (SELECT query_id, candidate_id FROM exact_q), "
+        "a AS (SELECT query_id, candidate_id FROM ann_q), "
+        "hits AS (SELECT e.query_id, COUNT(*) AS n FROM e "
+        "JOIN a USING (query_id, candidate_id) GROUP BY 1), "
+        "base AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM e GROUP BY 1) "
+        "SELECT base.query_id, base.k, "
+        "CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_hits, "
+        "CAST(COALESCE(hits.n, 0) AS DOUBLE) / base.k AS recall_at_k "
+        "FROM base LEFT JOIN hits USING (query_id)"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_SMALL}/embeddings.parquet'"
+    )
+    exp = set(map(tuple, con.execute(sql).fetchall()))
+    assert got == exp and len(got) == 10
+    recalls = [r for *_x, r in got]
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    assert any(r < 1.0 for r in recalls), "audit is trivial: ANN never misses"

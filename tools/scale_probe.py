@@ -292,6 +292,7 @@ SIMILARITY_QUERIES = [
     "embedding_stats",
     "dedup_semantic",
     "similarity_ivf_incremental",
+    "similarity_recall_audit",
 ]
 
 EVENTS_QUERIES = [
@@ -433,6 +434,7 @@ PROBE_OVERRIDES = {
     "corpus_gopher_rules": _staged("corpus_gopher_rules"),
     "bm25_topk": _staged("bm25_topk"),
     "events_feature_matrix": _staged("events_feature_matrix"),
+    "similarity_recall_audit": _staged("similarity_recall_audit"),
 }
 
 
