@@ -197,6 +197,24 @@ SCALE_PROBES: dict[str, object] = {
         "lineitem_abc_pareto_approx": 3.54,
         "supplier_pagerank": 5.89,
     },
+    # beyond-100x: second-run walls at 1000x of the sf0.1 volume (100M
+    # events / 5M docs / 500k vectors — r9, quiet box, value-dependent
+    # consumer).  The probe JVM needs its heap sized for the volume:
+    # events_feature_matrix's 100M-row window sort OOMed the default-8g
+    # single JVM under 32-way task concurrency (GCLocker alloc failure)
+    # and completes on the same box with a 48g driver (first run 176 s)
+    # — on a real cluster this pressure is spread across per-executor
+    # heaps.  bm25's first run (posting-list build over 300M terms) is
+    # 356 s, amortized thereafter.
+    "walls_1000x_s": {
+        "scd2_user_state": 16.06,
+        "events_twap": 14.45,
+        "events_feature_matrix": 63.0,
+        "dedup_exact": 16.46,
+        "corpus_domain_cap": 1.41,
+        "bm25_topk": 48.30,
+        "similarity_topk": 15.93,
+    },
     "scaling_exponent_full_range": {
         "events_upsert_delete": 0.05,
         "dedup_semantic": 0.33,

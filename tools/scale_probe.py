@@ -512,28 +512,43 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="lsdp_scale_probe_")
     queries = {**E.queries(), **PROBE_OVERRIDES}
     results: dict[str, dict[int, float]] = {}
+    # SCALE_PROBE_TABLES=events,documents restricts corpus writes to the
+    # tables the selected queries actually read — at 1000x the unused
+    # orders/lineitem write alone costs minutes (375M generated rows)
+    wanted = {
+        t for t in os.environ.get("SCALE_PROBE_TABLES", "").split(",") if t
+    } or None
+
+    def want(t: str) -> bool:
+        return wanted is None or t in wanted
+
     for m in mults:
         sf_dir = os.path.join(root, f"x{m}")
         os.makedirs(sf_dir, exist_ok=True)
-        synthetic_events(spark, EVENTS_N * m).coalesce(4).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(sf_dir, "events.parquet"))
-        orders, lineitem = synthetic_orders_lineitem(spark, ORDERS_N * m)
-        orders.coalesce(4).write.mode("overwrite").parquet(
-            os.path.join(sf_dir, "orders.parquet")
-        )
-        synthetic_customer(spark, ORDERS_N * m).coalesce(2).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(sf_dir, "customer.parquet"))
-        lineitem.coalesce(8).write.mode("overwrite").parquet(
-            os.path.join(sf_dir, "lineitem.parquet")
-        )
-        synthetic_documents(spark, DOCS_N * m).coalesce(4).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(sf_dir, "documents.parquet"))
-        synthetic_embeddings(spark, EMB_N * m).coalesce(4).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        if want("events"):
+            synthetic_events(spark, EVENTS_N * m).coalesce(4).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(sf_dir, "events.parquet"))
+        if want("orders") or want("lineitem"):
+            orders, lineitem = synthetic_orders_lineitem(spark, ORDERS_N * m)
+            orders.coalesce(4).write.mode("overwrite").parquet(
+                os.path.join(sf_dir, "orders.parquet")
+            )
+            lineitem.coalesce(8).write.mode("overwrite").parquet(
+                os.path.join(sf_dir, "lineitem.parquet")
+            )
+        if want("customer"):
+            synthetic_customer(spark, ORDERS_N * m).coalesce(2).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(sf_dir, "customer.parquet"))
+        if want("documents"):
+            synthetic_documents(spark, DOCS_N * m).coalesce(4).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(sf_dir, "documents.parquet"))
+        if want("embeddings"):
+            synthetic_embeddings(spark, EMB_N * m).coalesce(4).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(sf_dir, "embeddings.parquet"))
         for name in EVENTS_QUERIES + WAREHOUSE_QUERIES + CORPUS_QUERIES + SIMILARITY_QUERIES:
             if only and name not in only:
                 continue
