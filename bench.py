@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "events_feature_matrix",
     "similarity_recall_audit",
+    "graph_triangle_count",
 ]
 
 # Measured scale shape for the registered + queued lines
@@ -158,6 +159,11 @@ SCALE_PROBES: dict[str, object] = {
         # brute-force ground-truth side is nq·n by definition and the
         # comparison joins are nq·k-row tiny
         "similarity_recall_audit": [1.70, 1.26, 2.05],
+        # degree-oriented triangle census (15M orders / ~37M lineitems
+        # at 100x): the orientation bounds wedge fan-out by out-degree
+        # <= O(sqrt(m)) regardless of raw degree skew, so the census
+        # stays sub-linear in wall clock across two decades
+        "graph_triangle_count": [3.63, 5.86, 18.64],
     },
     # direct 100x-only second-run walls for the registered dedup family
     # (post minhash merge insurance; 500k docs, ~464k verified pairs;
@@ -229,6 +235,7 @@ SCALE_PROBES: dict[str, object] = {
         "events_feature_matrix": 0.35,
         "events_feature_matrix@skew": 0.56,
         "similarity_recall_audit": 0.04,
+        "graph_triangle_count": 0.36,
     },
     "note": (
         "dedup_semantic probes run the operator's corpus-adaptive k "
@@ -326,6 +333,7 @@ EXTRA_BENCH = {
     "bm25_topk": _bench_staged("bm25_topk"),
     "events_feature_matrix": _bench_staged("events_feature_matrix"),
     "similarity_recall_audit": _bench_staged("similarity_recall_audit"),
+    "graph_triangle_count": _bench_staged("graph_triangle_count"),
 }
 
 

@@ -5867,3 +5867,106 @@ def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("k")
         ).alias("recall_at_k"),
     )
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle census + local clustering coefficient over the
+    part co-purchase graph — the graph-analytics primitive behind
+    community detection, spam/bot detection and recommendation
+    diversity scoring, and the third leg of this engine's graph family
+    next to ``supplier_pagerank`` (centrality) and
+    ``connected_components`` (reachability).
+
+    THE SCALE TRICK IS THE ORIENTATION (Cohen 2009 / Suri-Vassilvitskii
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer"):
+    orient every undirected edge from its lower-(degree, id) endpoint
+    to the higher one.  The oriented graph is a DAG in which every
+    node's OUT-degree is O(sqrt(m)) regardless of how skewed the raw
+    degree distribution is — the celebrity hub keeps its millions of
+    IN-edges but fans out almost nothing, so the wedge self-join
+    (out-neighbors choose 2) is bounded per node and each triangle is
+    generated EXACTLY ONCE at its minimum-rank vertex.  Plan: one
+    (order-key) self-join for edges, one node-count aggregate for
+    degrees, the wedge self-join keyed on the oriented source, and one
+    closure equi-join of wedges against oriented edges — every join an
+    equi-join on hashable keys, no all-pairs anywhere.
+
+    Output: one row per node of the co-purchase graph —
+    ``(part, degree, n_triangles, clustering_coeff)`` where the
+    coefficient is ``2*T / (d*(d-1))`` (ONE int/int double division —
+    bit-identical cross-engine unrounded) and NULL when degree < 2.
+
+    Round-10 oracle: documented in the pinned test
+    (tests/test_extensions.py::test_graph_triangle_count_matches_
+    oracle) — the same edge/degree/orientation/wedge/closure CTEs."""
+    li = load_table(spark, "lineitem", sf_dir)
+    bp = li.select("l_orderkey", "l_partkey").distinct()
+    a = bp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = bp.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, (a.o == b.o2) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("_va"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("_vb"), F.col("d").alias("db"))
+    with_deg = edges.join(da, F.col("pa") == F.col("_va")).join(
+        db, F.col("pb") == F.col("_vb")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
+    )
+    w1 = oriented.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("dst_d").alias("vd"),
+    )
+    w2 = oriented.select(
+        F.col("src").alias("u2"),
+        F.col("dst").alias("w"),
+        F.col("dst_d").alias("wd"),
+    )
+    wedges = w1.join(
+        w2,
+        (F.col("u") == F.col("u2"))
+        & (
+            (F.col("vd") < F.col("wd"))
+            | ((F.col("vd") == F.col("wd")) & (F.col("v") < F.col("w")))
+        ),
+    ).select("u", "v", "w")
+    closure = oriented.select(
+        F.col("src").alias("_cs"), F.col("dst").alias("_cd")
+    )
+    tri = wedges.join(
+        closure,
+        (F.col("v") == F.col("_cs")) & (F.col("w") == F.col("_cd")),
+        "left_semi",
+    )
+    per_node = (
+        tri.select(F.col("u").alias("v"))
+        .unionAll(tri.select(F.col("v").alias("v")))
+        .unionAll(tri.select(F.col("w").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return deg.join(per_node, "v", "left").select(
+        F.col("v").alias("part"),
+        F.col("d").alias("degree"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("d") >= 2,
+            (F.coalesce(F.col("n_tri"), F.lit(0)) * 2).cast("double")
+            / (F.col("d") * (F.col("d") - 1)),
+        ).alias("clustering_coeff"),
+    )

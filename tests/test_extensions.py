@@ -2169,3 +2169,60 @@ def test_similarity_recall_audit_matches_oracle(spark):
     recalls = [r for *_x, r in got]
     assert all(0.0 <= r <= 1.0 for r in recalls)
     assert any(r < 1.0 for r in recalls), "audit is trivial: ANN never misses"
+
+
+_TRIANGLE_ORACLE = (
+    "WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+    "e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM bp a "
+    "JOIN bp b ON a.o = b.o AND a.p < b.p), "
+    "deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM "
+    "(SELECT pa AS v FROM e UNION ALL SELECT pb FROM e) GROUP BY 1), "
+    "ore AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.pa < e.pb) "
+    "THEN e.pa ELSE e.pb END AS src, "
+    "CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.pa < e.pb) "
+    "THEN e.pb ELSE e.pa END AS dst, "
+    "CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.pa < e.pb) "
+    "THEN db.d ELSE da.d END AS dst_d "
+    "FROM e JOIN deg da ON e.pa = da.v JOIN deg db ON e.pb = db.v), "
+    "wed AS (SELECT a.src AS u, a.dst AS v, b.dst AS w FROM ore a "
+    "JOIN ore b ON a.src = b.src AND ((a.dst_d < b.dst_d) OR "
+    "(a.dst_d = b.dst_d AND a.dst < b.dst))), "
+    "tri AS (SELECT u, v, w FROM wed WHERE EXISTS "
+    "(SELECT 1 FROM ore c WHERE wed.v = c.src AND wed.w = c.dst)), "
+    "pn AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri FROM "
+    "(SELECT u AS v FROM tri UNION ALL SELECT v FROM tri "
+    "UNION ALL SELECT w FROM tri) GROUP BY 1) "
+    "SELECT deg.v AS part, deg.d AS degree, "
+    "CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_triangles, "
+    "CASE WHEN deg.d >= 2 THEN CAST(COALESCE(pn.n_tri, 0) * 2 AS DOUBLE) "
+    "/ (deg.d * (deg.d - 1)) END AS clustering_coeff "
+    "FROM deg LEFT JOIN pn ON deg.v = pn.v"
+)
+
+
+def test_graph_triangle_count_matches_oracle(spark):
+    """R10-queue entry pinned ahead of registration: the
+    degree-oriented triangle census must equal the DuckDB replay —
+    same orientation tie-break, each triangle counted once at its
+    minimum-rank vertex, coefficient an unrounded int/int division."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    got = {
+        tuple(r)
+        for r in X.graph_triangle_count(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_SMALL}/lineitem.parquet'"
+    )
+    exp = set(map(tuple, con.execute(_TRIANGLE_ORACLE).fetchall()))
+    assert got == exp and got
+    # the census is non-trivial: triangles exist and the coefficient
+    # actually discriminates (not every neighborhood is a clique)
+    ns = [r[2] for r in got]
+    coeffs = [r[3] for r in got if r[3] is not None]
+    assert any(n > 0 for n in ns)
+    assert coeffs and min(coeffs) < max(coeffs)

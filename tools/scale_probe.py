@@ -338,6 +338,7 @@ WAREHOUSE_QUERIES = [
     "sales_forecast_ses",
     "supplier_pagerank",
     "graph_hop_distance",
+    "graph_triangle_count",
 ]
 # Celebrity-key axis: the same per-user-ordered operators re-run on an
 # events table where one user owns 30% of all rows.  The merge as-of
@@ -435,6 +436,7 @@ PROBE_OVERRIDES = {
     "bm25_topk": _staged("bm25_topk"),
     "events_feature_matrix": _staged("events_feature_matrix"),
     "similarity_recall_audit": _staged("similarity_recall_audit"),
+    "graph_triangle_count": _staged("graph_triangle_count"),
 }
 
 
