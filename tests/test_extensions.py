@@ -2226,3 +2226,46 @@ def test_graph_triangle_count_matches_oracle(spark):
     coeffs = [r[3] for r in got if r[3] is not None]
     assert any(n > 0 for n in ns)
     assert coeffs and min(coeffs) < max(coeffs)
+
+
+def test_recall_audit_null_degeneracy(spark, tmp_path):
+    """Pre-registration NULL probe for the recall audit: NULL embedding
+    vectors (the embeddings-axis injection) must leave the audit
+    hash-equal to its nested-oracle replay — both component operators
+    gate NULL vectors, so the audit inherits the gate."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    con = duckdb.connect()
+    emb = str(tmp_path / "embeddings.parquet")
+    con.execute(
+        "COPY (SELECT vec_id, "
+        "CASE WHEN vec_id % 13 = 0 THEN NULL ELSE embedding END AS embedding, "
+        "CASE WHEN vec_id % 11 = 0 THEN NULL ELSE label END AS label "
+        f"FROM read_parquet('{SF_SMALL}/embeddings.parquet')) "
+        f"TO '{emb}' (FORMAT PARQUET)"
+    )
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{emb}'")
+    o = E.oracle_sql()
+    sql = (
+        f"WITH exact_q AS ({o['similarity_topk']}), "
+        f"ann_q AS ({o['similarity_ann_lsh']}), "
+        "e AS (SELECT query_id, candidate_id FROM exact_q), "
+        "a AS (SELECT query_id, candidate_id FROM ann_q), "
+        "hits AS (SELECT e.query_id, COUNT(*) AS n FROM e "
+        "JOIN a USING (query_id, candidate_id) GROUP BY 1), "
+        "base AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM e GROUP BY 1) "
+        "SELECT base.query_id, base.k, "
+        "CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_hits, "
+        "CAST(COALESCE(hits.n, 0) AS DOUBLE) / base.k AS recall_at_k "
+        "FROM base LEFT JOIN hits USING (query_id)"
+    )
+    got = {
+        tuple(r)
+        for r in X.similarity_recall_audit(spark, str(tmp_path)).collect()
+    }
+    exp = set(map(tuple, con.execute(sql).fetchall()))
+    assert got == exp and got
