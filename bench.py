@@ -220,6 +220,18 @@ SCALE_PROBES: dict[str, object] = {
         "corpus_domain_cap": 1.41,
         "bm25_topk": 48.30,
         "similarity_topk": 15.93,
+        # batch two: heavy_hitters returns 0 rows at this scale (no
+        # user crosses the support threshold among 500k users — the
+        # two-phase pass still runs end to end); minhash's first run
+        # (948 s) stages signatures over 5M docs, then the banded join
+        # + verify runs warm in 83 s emitting 4.67M verified pairs;
+        # quality_filter and lang_id are scan-bound linear.
+        "events_heavy_hitters": 5.15,
+        "events_transition_matrix": 21.17,
+        "lang_id": 97.04,
+        "embedding_stats": 1.76,
+        "corpus_quality_filter": 245.82,
+        "dedup_minhash_lsh": 82.95,
     },
     "scaling_exponent_full_range": {
         "events_upsert_delete": 0.05,
