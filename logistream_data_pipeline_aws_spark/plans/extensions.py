@@ -53,12 +53,17 @@ def _staged_minhash_sigs(
     staged = _MINHASH_SIG_CACHE.get(cache_key)
     if staged is None:
         docs = load_table(spark, "documents", sf_dir)
-        sigs = D.minhash_signatures(
-            docs, "doc_id", "text", k_shingle=3, n_hashes=12
-        ).persist()
         # one metadata-count job per (session, sf_dir): above the
-        # threshold the verify joins keep the sort-merge insurance
-        staged = (sigs, docs.count() > 100_000)
+        # threshold the verify joins keep the sort-merge insurance, and
+        # the signature stage switches to the Arrow-batched vectorized
+        # twin (bit-identical values; the inline HOF path runs md5 + the
+        # 12 permutations interpreted — 948 s of the 1000x probe's first
+        # run was this stage).  Below it the JVM-only path avoids the
+        # Python-worker round trip on small corpora.
+        big = docs.count() > 100_000
+        build = D.minhash_signatures_vectorized if big else D.minhash_signatures
+        sigs = build(docs, "doc_id", "text", k_shingle=3, n_hashes=12).persist()
+        staged = (sigs, big)
         _MINHASH_SIG_CACHE[cache_key] = staged
     return staged
 
@@ -4880,8 +4885,9 @@ def _adaptive_semantic_k(n_vectors: int, target_cluster_size: int = 256) -> int:
     EXPECTED cluster cardinality stays ~target and per-cluster pair
     mining stays O(target²) regardless of corpus size.  At the bench
     SFs (50 / 500 / 5000 vectors) this resolves to 8, 8, 20; at the
-    100x probe (500k vectors) to ~1954 — clusters sized ~256, safely
-    under the 1024 cap, so pair mining actually executes."""
+    100x probe (50k vectors) to 196 and at 1000x (500k vectors) to 1954
+    — clusters sized ~256, safely under the 1024 cap, so pair mining
+    actually executes."""
     return max(8, -(-n_vectors // target_cluster_size))
 
 
@@ -5499,8 +5505,13 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# BM25 posting lists per (application, sf_dir): the materialized index
-_BM25_POSTINGS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# BM25 posting lists per (application, sf_dir): the materialized index.
+# BOUNDED at one entry per application (the r8 cache-bounding pattern,
+# ADVICE r9 #3): a multi-mult probe session would otherwise accumulate the
+# 1x/10x/100x/1000x indexes (~300M term rows at 1000x) MEMORY_AND_DISK in
+# one JVM for its whole lifetime, pressuring every later-measured line.
+# Superseding a corpus unpersists the displaced index.
+_BM25_POSTINGS_CACHE: dict[str, tuple[str, DataFrame]] = {}
 
 
 def _bm25_postings(
@@ -5508,16 +5519,24 @@ def _bm25_postings(
 ) -> DataFrame:
     from pyspark import StorageLevel
 
-    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    tf = _BM25_POSTINGS_CACHE.get(cache_key)
-    if tf is None:
-        terms = toks.select("doc_id", F.explode("tk").alias("term"))
-        tf = (
-            terms.groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        _BM25_POSTINGS_CACHE[cache_key] = tf
+    app = spark.sparkContext.applicationId
+    corpus = os.path.abspath(sf_dir)
+    cached = _BM25_POSTINGS_CACHE.get(app)
+    if cached is not None and cached[0] == corpus:
+        return cached[1]
+    if cached is not None:
+        try:
+            cached[1].unpersist()
+        except Exception:  # session may be gone
+            pass
+        del _BM25_POSTINGS_CACHE[app]
+    terms = toks.select("doc_id", F.explode("tk").alias("term"))
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _BM25_POSTINGS_CACHE[app] = (corpus, tf)
     return tf
 
 
@@ -5869,7 +5888,12 @@ def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_triangle_count(
+    spark: SparkSession,
+    sf_dir: str,
+    max_order_items: int | None = 256,
+    cap_observation=None,
+) -> DataFrame:
     """Per-node triangle census + local clustering coefficient over the
     part co-purchase graph — the graph-analytics primitive behind
     community detection, spam/bot detection and recommendation
@@ -5896,11 +5920,48 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient is ``2*T / (d*(d-1))`` (ONE int/int double division —
     bit-identical cross-engine unrounded) and NULL when degree < 2.
 
+    ``max_order_items`` caps EDGE GENERATION, the one pre-orientation
+    stage that is quadratic per order (L² co-purchase pairs from an
+    L-item order): TPC-H bounds L at 7, but a real basket stream does
+    not, and a single 10k-item order would emit ~50M edge candidates
+    from one group.  Orders above the cap are deterministically
+    truncated to their ``max_order_items`` lowest part keys
+    (oracle-expressible: ``ROW_NUMBER() OVER (PARTITION BY order ORDER
+    BY part) <= cap``), and the truncation is metered via an observed
+    ``triangle_order_cap`` aggregate (capped_orders / dropped_items —
+    visible to QueryExecutionListeners and the Spark UI), the same
+    never-silent discipline as the LSH bucket cap and the semantic
+    cluster cap.  ``None`` disables the cap (and its window shuffle).
+
     Round-10 oracle: documented in the pinned test
     (tests/test_extensions.py::test_graph_triangle_count_matches_
-    oracle) — the same edge/degree/orientation/wedge/closure CTEs."""
+    oracle) — the same cap/edge/degree/orientation/wedge/closure CTEs."""
+    from pyspark.sql.window import Window
+
     li = load_table(spark, "lineitem", sf_dir)
     bp = li.select("l_orderkey", "l_partkey").distinct()
+    if max_order_items is not None:
+        ranked = bp.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("l_orderkey").orderBy("l_partkey")
+            ),
+        )
+        # _rk == cap+1 fires exactly once per over-cap order, so both
+        # meters are plain sums — CollectMetrics-safe (no distinct).
+        # ``cap_observation``: pass a pyspark.sql.Observation to read the
+        # meters driver-side (tests / batch jobs); the default
+        # string-named observe serves listeners and the Spark UI.
+        ranked = ranked.observe(
+            cap_observation if cap_observation is not None else "triangle_order_cap",
+            F.sum((F.col("_rk") == max_order_items + 1).cast("long")).alias(
+                "capped_orders"
+            ),
+            F.sum((F.col("_rk") > max_order_items).cast("long")).alias(
+                "dropped_items"
+            ),
+        )
+        bp = ranked.where(F.col("_rk") <= max_order_items).drop("_rk")
     a = bp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
     b = bp.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
     edges = (

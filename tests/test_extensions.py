@@ -1779,7 +1779,8 @@ def test_dedup_semantic_adaptive_k(spark):
 
     k = X._adaptive_semantic_k
     assert k(50) == 8 and k(500) == 8 and k(5000) == 20
-    assert k(500_000) == 1954  # the r8 100x probe volume: clusters ~256
+    assert k(50_000) == 196  # the 100x probe volume: clusters ~256
+    assert k(500_000) == 1954  # the 1000x probe volume: clusters ~256
     assert k(0) == 8  # floor
 
     got_adaptive = {
@@ -2172,7 +2173,11 @@ def test_similarity_recall_audit_matches_oracle(spark):
 
 
 _TRIANGLE_ORACLE = (
-    "WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+    "WITH bp0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+    # per-order item cap (default 256): deterministic truncation to the
+    # lowest part keys, mirroring the engine's row_number window
+    "bp AS (SELECT o, p FROM (SELECT o, p, ROW_NUMBER() OVER "
+    "(PARTITION BY o ORDER BY p) AS rn FROM bp0) WHERE rn <= 256), "
     "e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM bp a "
     "JOIN bp b ON a.o = b.o AND a.p < b.p), "
     "deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM "
@@ -2269,3 +2274,133 @@ def test_recall_audit_null_degeneracy(spark, tmp_path):
     }
     exp = set(map(tuple, con.execute(sql).fetchall()))
     assert got == exp and got
+
+
+def test_minhash_vectorized_signatures_match_inline(spark):
+    """VERDICT r9 #4 / the r9 opportunity note: the Arrow-batched
+    vectorized signature stage must be BIT-IDENTICAL to the inline HOF
+    path — every minhash-family oracle pins the algorithm precisely, so
+    a single differing hash would surface as a wrong candidate set.
+    Compared on the real sf0.001 corpus (identical shingle sets AND
+    identical 12-permutation signatures, per doc)."""
+    from logistream_data_pipeline_aws_spark.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    j = lambda df: {  # noqa: E731
+        r["doc_id"]: r["j"]
+        for r in df.select(
+            "doc_id", F.to_json(F.struct("shingles", "sig")).alias("j")
+        ).collect()
+    }
+    inline = j(D.minhash_signatures(docs, "doc_id", "text"))
+    vec = j(D.minhash_signatures_vectorized(docs, "doc_id", "text"))
+    assert inline and vec == inline
+
+
+def test_minhash_staged_signature_table_roundtrip(spark, tmp_path):
+    """VERDICT r9 #4: staged-vs-inline signature equality.  Staging half
+    the corpus, APPENDING the other half (the incremental-maintenance
+    path), and reading the table back must reproduce the inline
+    signatures exactly — and feeding the staged frame into
+    ``minhash_near_duplicates`` must emit the exact same verified pairs
+    as the inline run.  A manifest/params mismatch must raise, never
+    silently mix permutation families."""
+    from logistream_data_pipeline_aws_spark.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    path = str(tmp_path / "sig_table")
+    D.stage_minhash_signatures(
+        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", path
+    )
+    D.append_minhash_signatures(docs.where(F.col("doc_id") % 2 == 1), path)
+    staged = D.read_staged_signatures(spark, path, "doc_id", "text")
+    j = lambda df: {  # noqa: E731
+        r["doc_id"]: r["j"]
+        for r in df.select(
+            "doc_id", F.to_json(F.struct("shingles", "sig")).alias("j")
+        ).collect()
+    }
+    assert j(staged) == j(D.minhash_signatures(docs, "doc_id", "text"))
+    pairs_staged = sorted(
+        map(
+            tuple,
+            D.minhash_near_duplicates(
+                docs, "doc_id", "text", threshold=0.2, sigs=staged
+            ).collect(),
+        )
+    )
+    pairs_inline = sorted(
+        map(
+            tuple,
+            D.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.2).collect(),
+        )
+    )
+    assert pairs_staged == pairs_inline
+    with pytest.raises(ValueError, match="restage before use"):
+        D.read_staged_signatures(spark, path, "doc_id", "text", k_shingle=4)
+
+
+def test_checkpoint_release_scoped_to_own_rdds(spark):
+    """ADVICE r9 #1: the CC loop's block release must be scoped to the
+    checkpoint's OWN RDD ids — a global getPersistentRDDs diff would
+    sweep up (and later force-unpersist) an RDD a CONCURRENT job
+    persisted during the eager checkpoint, which is unrecoverable for a
+    lineage-truncated localCheckpoint.  Pin: a bystander frame persisted
+    while a checkpoint materializes is NOT in the checkpoint's own id
+    set, and releasing that set leaves the bystander's storage intact."""
+    bystander = spark.range(500).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    bystander.persist()
+    bystander.count()  # materialize the bystander's blocks
+    by_ids = D._persistent_rdd_ids(spark)
+    ckpt = (
+        spark.range(1000)
+        .select(F.col("id"), (F.col("id") % 3).alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    own = D._own_checkpoint_rdd_ids(ckpt)
+    assert own, "accessor found no ids for a fresh localCheckpoint"
+    assert not (own & by_ids), "bystander RDD leaked into the checkpoint's own ids"
+    D._release_rdds(spark, own)
+    # the bystander's storage must survive the release
+    assert by_ids <= D._persistent_rdd_ids(spark)
+    assert bystander.count() == 500
+    bystander.unpersist()
+
+
+def test_graph_triangle_order_cap_meters_and_completes(spark, tmp_path):
+    """VERDICT r9 #5: co-purchase edge generation is L² per order —
+    bounded at 7 items in TPC-H, unbounded for real basket data.  Pin:
+    a synthetic 10,000-item order (a) completes under the default cap
+    instead of expanding ~50M edge candidates from one group, (b) is
+    deterministically truncated to its 256 lowest part keys, and (c)
+    the truncation is METERED via the observed ``triangle_order_cap``
+    aggregate (capped_orders=1, dropped_items=9744), never silent."""
+    from pyspark.sql import Observation
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    big = spark.range(10_000).select(
+        F.lit(1).alias("l_orderkey"), (F.col("id") + 1).alias("l_partkey")
+    )
+    small = spark.createDataFrame(
+        [(2, 1), (2, 2), (2, 3), (3, 2), (3, 3)], ["l_orderkey", "l_partkey"]
+    )
+    big.unionAll(small).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    obs = Observation("triangle_order_cap")
+    out = {
+        r["part"]: (r["degree"], r["n_triangles"])
+        for r in X.graph_triangle_count(
+            spark, str(tmp_path), cap_observation=obs
+        ).collect()
+    }
+    # order 1 truncated to parts 1..256: each surviving part keeps degree
+    # >= 255 within the big order; parts beyond the cap are gone entirely
+    assert len(out) == 256
+    assert out[256][0] >= 255  # cap kept the LOWEST part keys
+    assert 257 not in out and 9999 not in out
+    # triangle (1,2,3) from orders 1(truncated)+2+3 still present
+    assert out[1][1] > 0
+    got = obs.get
+    assert got["capped_orders"] == 1 and got["dropped_items"] == 9744
