@@ -471,87 +471,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # digest to the manifest recorded at their last green round — a
     # changed tail entry fails CI until rotated back into the head.
     return {
-        # ==== ROUND-9 HEAD WINDOW (the driver records the first ~50) ====
-        # Composition per VERDICT r8 next-round #1-#2 and ADVICE r8 #2,
-        # COVERAGE.md "Round-9 head-window composition":
-        #   1. the 4 r9-queue registrations (built + pytest-pinned in r8);
-        #   2. dedup_semantic (adaptive-k change this round, VERDICT #3)
-        #      and the 14 upsert/stream entries whose implementation
-        #      drifted in r8 (read_upsert_table multi-path rewrite) and
-        #      again this round (_ub anchor + mergeSchema gating) — the
-        #      ADVICE r8 #2 remedy;
-        #   3. the 5 deferred r4-green entries;
-        #   4. the dedup/winnowing family (drifted via dedup_family in r8,
-        #      and again this round: RDD-level checkpoint release) and the
-        #      2 media entries (drifted via multimodal.py in r8);
-        #   5. 12 of the 34 remaining r5-green entries.  The other 22 (all
-        #      low-drift-risk pure analytics/SQL plans) LEAD the tail and
-        #      the round-10 window.
-        # -- group 1: new registrations ----------------------------------
-        "corpus_dedup_pipeline": X.corpus_dedup_pipeline,
-        "doc_substring_dedup": X.doc_substring_dedup,
-        "similarity_ivf_pq": X.similarity_ivf_pq,
-        "media_audio_windows": X.media_audio_windows,
-        # -- group 2: drifted this round + ADVICE upsert/stream family ----
-        "dedup_semantic": X.dedup_semantic_k8,
-        "events_upsert_delete": X.events_upsert_delete,
-        "events_stream_upsert": X.events_stream_upsert,
-        "events_upsert_changes": X.events_upsert_changes,
-        "events_upsert_timetravel": X.events_upsert_timetravel,
-        "events_stream_jdbc_upsert": X.events_stream_jdbc_upsert,
-        "events_stream_jdbc_hourly": X.events_stream_jdbc_hourly,
-        "events_stream_hourly": X.events_stream_hourly,
-        "events_stream_dedup": X.events_stream_dedup,
-        "events_stream_enriched": X.events_stream_enriched,
-        "events_stream_order_shipment": X.events_stream_order_shipment,
-        "events_stream_sessions": X.events_stream_sessions,
-        "events_stream_sessions_flushed": X.events_stream_sessions_flushed,
-        "events_stream_sliding": X.events_stream_sliding,
-        "warehouse_compaction_audit": X.warehouse_compaction_audit,
-        # -- group 3: stalest (r4-green) -----------------------------------
-        "sql_waiting_suppliers": V.sql_waiting_suppliers,
-        "acctbal_window_profile": A.acctbal_window_profile,
-        "lineitem_measures_unpivot": A.lineitem_measures_unpivot,
-        "daily_sales_moving_avg": A.daily_sales_moving_avg,
-        "events_cohort_retention": A.events_cohort_retention,
-        # -- group 4: dedup/winnowing family (dedup_family.py drift) -------
-        "dedup_exact": X.dedup_exact,
-        "dedup_survivors": X.dedup_survivors,
-        "dedup_dropped": X.dedup_dropped,
-        "dedup_fuzzy_levenshtein": X.dedup_fuzzy_levenshtein,
-        "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
-        "dedup_prefix_filter": X.dedup_prefix_filter,
-        "dedup_simhash": X.dedup_simhash,
-        "dedup_simhash_pairs": X.dedup_simhash_pairs,
-        "doc_repetition": X.doc_repetition,
-        "doc_winnowing": X.doc_winnowing,
-        "doc_winnow_pairs": X.doc_winnow_pairs,
-        "contamination_check": X.contamination_check,
-        # -- group 5: media family (multimodal.py drift) -------------------
-        "multimodal_meta": X.multimodal_meta,
-        "media_frames": X.media_frames,
-        # -- group 6: stalest r5-green (12 of 34) --------------------------
-        "lineitem_abc_pareto_approx": A.lineitem_abc_pareto_approx,
-        "route_geometry_stats": X.route_geometry_stats,
-        "orders_backlog_series": A.orders_backlog_series,
-        "events_attribution_decayed": X.events_attribution_decayed,
-        "graph_hop_distance": X.graph_hop_distance,
-        "events_funnel": A.events_funnel,
-        "customer_rfm_scores": A.customer_rfm_scores,
-        "events_value_quantiles": X.events_value_quantiles,
-        "lineitem_column_profile_approx": X.lineitem_column_profile_approx,
-        "bpe_merge_candidates": X.bpe_merge_candidates,
-        "corpus_epoch_shuffle": X.corpus_epoch_shuffle,
-        "corpus_mixture_plan": X.corpus_mixture_plan,
-        # ===== ~50-entry driver window boundary.  Everything below is
-        #    tail: green in r4-r8 (rows+schema+hash), digest-pinned since
-        #    its green row (tests/test_rotation_ledger.py), stalest first.
-        #    The first 22 are the r5-green entries the 50-slot window could
-        #    not carry this round — they LEAD the round-10 window.  The two
-        #    sketch-only prod twins (events_stickiness_hll_prod,
-        #    customer_rfm_scores_approx_prod) stay deregistered per VERDICT
-        #    r6 #2 (benched in bench.py, pinned in tests/test_prod_twins.py).
-        # ==================================================================
+        # ==== ROUND-10 HEAD WINDOW (the driver records the first ~50) ====
+        # Composition per VERDICT r9 next-round #1 and COVERAGE.md
+        # "Round-10 head-window composition":
+        #   1. the 6 r10-queue registrations (built + pytest-pinned in r9);
+        #   2. the 22 r5-green entries AT the 4-round staleness cap
+        #      (non-negotiable per COVERAGE);
+        #   3. the 21 entries drifted by this round's dedup_family.py /
+        #      plans/extensions.py edits (vectorized signature staging,
+        #      checkpoint-scope release, BM25 cache bound, triangle cap) —
+        #      each re-verified hash-exact at sf0.01+sf0.1 before this
+        #      rotation (adjudication protocol);
+        #   4. similarity_ivf_incremental (the 7th r9 drift-regen entry,
+        #      r8-green, queued for a driver row since the r9 rotation).
+        # The 27 r6-green entries hit the cap at r10 close and LEAD the
+        # r11 window (COVERAGE group-5 deferral — window had no room).
+        # -- group 1: new registrations (r10 queue) -----------------------
+        "corpus_domain_cap": X.corpus_domain_cap,
+        "corpus_gopher_rules": X.corpus_gopher_rules,
+        "bm25_topk": X.bm25_topk,
+        "events_feature_matrix": X.events_feature_matrix,
+        "similarity_recall_audit": X.similarity_recall_audit,
+        "graph_triangle_count": X.graph_triangle_count,
+        # -- group 2: r5-green at the staleness cap ------------------------
         "repeat_customers_yoy": A.repeat_customers_yoy,
         "brand_share_within_type": A.brand_share_within_type,
         "daily_sales_range_frame": A.daily_sales_range_frame,
@@ -574,13 +516,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_volume_shipping": V.sql_volume_shipping,
         "sql_market_share": V.sql_market_share,
         "sql_lapsed_big_spenders": V.sql_lapsed_big_spenders,
+        # -- group 3: drifted this round (dedup_family.py + extensions.py) -
+        "corpus_dedup_pipeline": X.corpus_dedup_pipeline,
+        "doc_substring_dedup": X.doc_substring_dedup,
+        "dedup_semantic": X.dedup_semantic_k8,
+        "dedup_exact": X.dedup_exact,
+        "dedup_survivors": X.dedup_survivors,
+        "dedup_dropped": X.dedup_dropped,
+        "dedup_fuzzy_levenshtein": X.dedup_fuzzy_levenshtein,
+        "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
+        "dedup_prefix_filter": X.dedup_prefix_filter,
+        "dedup_simhash": X.dedup_simhash,
+        "dedup_simhash_pairs": X.dedup_simhash_pairs,
+        "doc_repetition": X.doc_repetition,
+        "doc_winnowing": X.doc_winnowing,
+        "doc_winnow_pairs": X.doc_winnow_pairs,
+        "contamination_check": X.contamination_check,
         "doc_substring_spans": X.doc_substring_spans,
-        "similarity_ivf_incremental": X.similarity_ivf_incremental,
-        "metadata_dictionary": MDI.metadata_dictionary,
         "dedup_clusters": X.dedup_clusters,
         "dedup_near_survivors": X.dedup_near_survivors,
-        "dedup_golden_record": X.dedup_golden_record,
         "dedup_incremental_ingest": X.dedup_incremental_ingest,
+        "dedup_embedding": X.dedup_embedding,
+        "dedup_minhash_lsh": X.dedup_minhash_lsh,
+        # -- group 4: r9 drift-regen entry owed a driver row ---------------
+        "similarity_ivf_incremental": X.similarity_ivf_incremental,
+        # ===== ~50-entry driver window boundary.  Everything below is
+        #    tail: green in r6-r9 (rows+schema+hash), digest-pinned since
+        #    its green row (tests/test_rotation_ledger.py), stalest first.
+        #    The r6-green custom-plan block LEADS the round-11 window (they
+        #    reach the 4-round staleness cap at r10 close).  The two
+        #    sketch-only prod twins (events_stickiness_hll_prod,
+        #    customer_rfm_scores_approx_prod) stay deregistered per VERDICT
+        #    r6 #2 (benched in bench.py, pinned in tests/test_prod_twins.py).
+        # ==================================================================
+        "metadata_dictionary": MDI.metadata_dictionary,
+        "dedup_golden_record": X.dedup_golden_record,
         "embedding_centered": X.embedding_centered,
         "embedding_stats": X.embedding_stats,
         "similarity_ivf_kmeans": X.similarity_ivf_kmeans,
@@ -590,7 +560,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": X.similarity_ann_lsh,
         "similarity_ann_multiprobe": X.similarity_ann_multiprobe,
         "similarity_ivf": X.similarity_ivf,
-        "dedup_embedding": X.dedup_embedding,
         "events_anomaly_mad": X.events_anomaly_mad,
         "events_ohlc": X.events_ohlc,
         "events_hll_mergeable_rollup": X.events_hll_mergeable_rollup,
@@ -621,7 +590,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_lineitem_bucketed": W.fact_lineitem_bucketed,
         "fact_write_readback": X.fact_write_readback,
         "pii_scrub_stats": X.pii_scrub_stats,
-        "dedup_minhash_lsh": X.dedup_minhash_lsh,
         "corpus_split_assignment": X.corpus_split_assignment,
         "lineitem_column_profile": X.lineitem_column_profile,
         "embedding_outliers": X.embedding_outliers,
@@ -681,6 +649,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_unshipped_orders": V.sql_unshipped_orders,
         "user_sessions": X.user_sessions,
         "warehouse_orc_readback": X.warehouse_orc_readback,
+        # -- r9-green (freshest tail: verified by the round-9 driver gate) --
+        "similarity_ivf_pq": X.similarity_ivf_pq,
+        "media_audio_windows": X.media_audio_windows,
+        "events_upsert_delete": X.events_upsert_delete,
+        "events_stream_upsert": X.events_stream_upsert,
+        "events_upsert_changes": X.events_upsert_changes,
+        "events_upsert_timetravel": X.events_upsert_timetravel,
+        "events_stream_jdbc_upsert": X.events_stream_jdbc_upsert,
+        "events_stream_jdbc_hourly": X.events_stream_jdbc_hourly,
+        "events_stream_hourly": X.events_stream_hourly,
+        "events_stream_dedup": X.events_stream_dedup,
+        "events_stream_enriched": X.events_stream_enriched,
+        "events_stream_order_shipment": X.events_stream_order_shipment,
+        "events_stream_sessions": X.events_stream_sessions,
+        "events_stream_sessions_flushed": X.events_stream_sessions_flushed,
+        "events_stream_sliding": X.events_stream_sliding,
+        "warehouse_compaction_audit": X.warehouse_compaction_audit,
+        "sql_waiting_suppliers": V.sql_waiting_suppliers,
+        "acctbal_window_profile": A.acctbal_window_profile,
+        "lineitem_measures_unpivot": A.lineitem_measures_unpivot,
+        "daily_sales_moving_avg": A.daily_sales_moving_avg,
+        "events_cohort_retention": A.events_cohort_retention,
+        "multimodal_meta": X.multimodal_meta,
+        "media_frames": X.media_frames,
+        "lineitem_abc_pareto_approx": A.lineitem_abc_pareto_approx,
+        "route_geometry_stats": X.route_geometry_stats,
+        "orders_backlog_series": A.orders_backlog_series,
+        "events_attribution_decayed": X.events_attribution_decayed,
+        "graph_hop_distance": X.graph_hop_distance,
+        "events_funnel": A.events_funnel,
+        "customer_rfm_scores": A.customer_rfm_scores,
+        "events_value_quantiles": X.events_value_quantiles,
+        "lineitem_column_profile_approx": X.lineitem_column_profile_approx,
+        "bpe_merge_candidates": X.bpe_merge_candidates,
+        "corpus_epoch_shuffle": X.corpus_epoch_shuffle,
+        "corpus_mixture_plan": X.corpus_mixture_plan,
     }
 
 
@@ -2983,5 +2987,170 @@ def oracle_sql() -> dict[str, str]:
         "CAST(SUM(amp) AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS mean_amp, "
         "CAST(MAX(amp) AS INT) AS peak_amp "
         "FROM b GROUP BY media_id, window_idx"
+    )
+    # ---- round-10 registrations ------------------------------------------
+    out["corpus_domain_cap"] = (
+        # RefinedWeb-style per-source frequency cap: deterministic doc_id
+        # priority, cap 12, audit columns (plans/extensions.py docstring)
+        "SELECT d.doc_id, d.source, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS BIGINT) AS src_rank, "
+        "CAST(COUNT(*) OVER (PARTITION BY d.source) AS BIGINT) AS src_total, "
+        "CASE WHEN ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id) <= 12 "
+        "THEN 'keep' ELSE 'drop_capped' END AS status "
+        "FROM documents d WHERE d.source IS NOT NULL"
+    )
+    _gopher_sw = (
+        "CASE lang "
+        "WHEN 'de' THEN list_contains(['der','die','das','und','ist','ich','nicht','ein','mit','zu'], t) "
+        "WHEN 'en' THEN list_contains(['the','a','of','and','to','in','is','it','you','that'], t) "
+        "WHEN 'es' THEN list_contains(['el','la','de','que','y','en','un','por','con','una'], t) "
+        "WHEN 'fr' THEN list_contains(['le','la','de','et','un','une','est','pour','que','dans'], t) "
+        "ELSE FALSE END"
+    )
+
+    def _gopher_gram_leg(n: int) -> str:
+        return (
+            f"SELECT doc_id, {n} AS n, "
+            f"unnest(list_transform(range(0, len(tk) - {n - 1}), "
+            f"i -> array_to_string(tk[(i+1):(i+{n})], ' '))) AS g "
+            f"FROM tok WHERE len(tk) >= {n}"
+        )
+
+    out["corpus_gopher_rules"] = (
+        # Gopher quality-rule boolean matrix: every gate in EXACT integer
+        # arithmetic (cross-multiplied rationals); one tagged gram relation
+        "WITH d AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL), "
+        "tok AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS tk FROM d), "
+        "facts AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words, "
+        "CAST(list_reduce(list_prepend(0, list_transform(tk, t -> length(t))), (a, b) -> a + b) AS BIGINT) AS word_chars, "
+        f"CAST(len(list_distinct(list_filter(list_transform(tk, t -> lower(t)), t -> {_gopher_sw}))) AS BIGINT) AS sw_hits "
+        "FROM tok), "
+        "g AS (" + _gopher_gram_leg(2) + " UNION ALL " + _gopher_gram_leg(3)
+        + " UNION ALL " + _gopher_gram_leg(4) + "), "
+        "pg AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3), "
+        "gs AS (SELECT doc_id, n, MAX(c) AS top, SUM(c) AS total FROM pg GROUP BY 1, 2), "
+        "pv AS (SELECT doc_id, "
+        "COALESCE(MAX(CASE WHEN n = 2 THEN top END), 0) AS t2, COALESCE(MAX(CASE WHEN n = 2 THEN total END), 0) AS s2, "
+        "COALESCE(MAX(CASE WHEN n = 3 THEN top END), 0) AS t3, COALESCE(MAX(CASE WHEN n = 3 THEN total END), 0) AS s3, "
+        "COALESCE(MAX(CASE WHEN n = 4 THEN top END), 0) AS t4, COALESCE(MAX(CASE WHEN n = 4 THEN total END), 0) AS s4 "
+        "FROM gs GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(f.n_words, 0) AS n_words, "
+        "(COALESCE(f.n_words, 0) >= 40 AND COALESCE(f.n_words, 0) <= 100000) AS g_word_count, "
+        "(3 * COALESCE(f.n_words, 0) <= COALESCE(f.word_chars, 0) AND COALESCE(f.word_chars, 0) <= 10 * COALESCE(f.n_words, 0)) AS g_mean_word_len, "
+        "(CASE WHEN d.lang IN ('de','en','es','fr') THEN COALESCE(f.sw_hits, 0) >= 2 ELSE TRUE END) AS g_stopwords, "
+        "(COALESCE(p.t2, 0) * 5 <= COALESCE(p.s2, 0) * 1) AS g_dup_2gram, "
+        "(COALESCE(p.t3, 0) * 100 <= COALESCE(p.s3, 0) * 18) AS g_dup_3gram, "
+        "(COALESCE(p.t4, 0) * 100 <= COALESCE(p.s4, 0) * 16) AS g_dup_4gram, "
+        "((COALESCE(f.n_words, 0) >= 40 AND COALESCE(f.n_words, 0) <= 100000) "
+        "AND (3 * COALESCE(f.n_words, 0) <= COALESCE(f.word_chars, 0) AND COALESCE(f.word_chars, 0) <= 10 * COALESCE(f.n_words, 0)) "
+        "AND (CASE WHEN d.lang IN ('de','en','es','fr') THEN COALESCE(f.sw_hits, 0) >= 2 ELSE TRUE END) "
+        "AND (COALESCE(p.t2, 0) * 5 <= COALESCE(p.s2, 0) * 1) "
+        "AND (COALESCE(p.t3, 0) * 100 <= COALESCE(p.s3, 0) * 18) "
+        "AND (COALESCE(p.t4, 0) * 100 <= COALESCE(p.s4, 0) * 16)) AS passes "
+        "FROM d LEFT JOIN facts f ON d.doc_id = f.doc_id "
+        "LEFT JOIN pv p ON d.doc_id = p.doc_id"
+    )
+    _bm25_contrib = (
+        "idf * (tf * CAST(2.2 AS DOUBLE)) / "
+        "(tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + "
+        "CAST(0.75 AS DOUBLE) * dl / avgdl))"
+    )
+    out["bm25_topk"] = (
+        # Okapi BM25 (k1=1.2, b=0.75): idf anchored by round(ln, 6),
+        # per-term contributions DECIMAL(25,10)-summed (order-free)
+        "WITH d AS (SELECT doc_id, lower(text) AS text FROM documents WHERE text IS NOT NULL), "
+        "tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM d), "
+        "dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tok), "
+        "corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM dl), "
+        "terms AS (SELECT doc_id, unnest(tk) AS term FROM tok), "
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2), "
+        "dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM terms GROUP BY 1), "
+        "q AS (SELECT DISTINCT doc_id AS query_id, unnest(list_sort(list_distinct("
+        "list_filter(tk, t -> length(t) >= 3)))[1:4]) AS term FROM tok WHERE doc_id < 5), "
+        "idf AS (SELECT term, ROUND(ln((n_docs - df + CAST(0.5 AS DOUBLE)) / "
+        "(df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 6) AS idf "
+        "FROM dfr CROSS JOIN corpus), "
+        "post AS (SELECT q.query_id, tf.doc_id, "
+        f"CAST({_bm25_contrib} AS DECIMAL(25,10)) AS c "
+        "FROM q JOIN tf USING (term) JOIN idf USING (term) "
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus "
+        "WHERE q.query_id <> tf.doc_id), "
+        "scored AS (SELECT query_id, doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score "
+        "FROM post GROUP BY 1, 2) "
+        "SELECT query_id, doc_id, score, rank FROM ("
+        "SELECT query_id, doc_id, score, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank "
+        "FROM scored) WHERE rank <= 10"
+    )
+    out["events_feature_matrix"] = (
+        # point-in-time features: strict-predecessor RANGE frames on epoch
+        # micros (no same-microsecond leakage), decimal-summed values
+        "WITH e AS (SELECT event_id, user_id, ts, event_type, value, "
+        "epoch_us(ts) AS em FROM events "
+        "WHERE ts IS NOT NULL AND user_id IS NOT NULL) "
+        "SELECT user_id, event_id, label_ts, f_ev_7d, f_val_7d, "
+        "f_clicks_1d, micros_since_click FROM ("
+        "SELECT event_type, user_id, event_id, ts AS label_ts, "
+        "CAST(COUNT(*) OVER w7 AS BIGINT) AS f_ev_7d, "
+        "COALESCE(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w7 AS DOUBLE), "
+        "CAST(0 AS DOUBLE)) AS f_val_7d, "
+        "CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+        "OVER w1, 0) AS BIGINT) AS f_clicks_1d, "
+        "em - MAX(CASE WHEN event_type = 'click' THEN em END) OVER wr "
+        "AS micros_since_click "
+        "FROM e WINDOW "
+        "w7 AS (PARTITION BY user_id ORDER BY em "
+        "RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING), "
+        "w1 AS (PARTITION BY user_id ORDER BY em "
+        "RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING), "
+        "wr AS (PARTITION BY user_id ORDER BY em, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        ") WHERE event_type = 'purchase'"
+    )
+    out["similarity_recall_audit"] = (
+        # recall@k of the sign-LSH ANN vs brute-force ground truth: the two
+        # REGISTERED oracles nested as CTEs (component drift shows up here)
+        f"WITH exact_q AS ({out['similarity_topk']}), "
+        f"ann_q AS ({out['similarity_ann_lsh']}), "
+        "e AS (SELECT query_id, candidate_id FROM exact_q), "
+        "a AS (SELECT query_id, candidate_id FROM ann_q), "
+        "hits AS (SELECT e.query_id, COUNT(*) AS n FROM e "
+        "JOIN a USING (query_id, candidate_id) GROUP BY 1), "
+        "base AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM e GROUP BY 1) "
+        "SELECT base.query_id, base.k, "
+        "CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_hits, "
+        "CAST(COALESCE(hits.n, 0) AS DOUBLE) / base.k AS recall_at_k "
+        "FROM base LEFT JOIN hits USING (query_id)"
+    )
+    out["graph_triangle_count"] = (
+        # Suri-Vassilvitskii degree orientation over the part co-purchase
+        # graph; per-order item cap 256 mirrored from the engine
+        "WITH bp0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+        "bp AS (SELECT o, p FROM (SELECT o, p, ROW_NUMBER() OVER "
+        "(PARTITION BY o ORDER BY p) AS rn FROM bp0) WHERE rn <= 256), "
+        "e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM bp a "
+        "JOIN bp b ON a.o = b.o AND a.p < b.p), "
+        "deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM "
+        "(SELECT pa AS v FROM e UNION ALL SELECT pb FROM e) GROUP BY 1), "
+        "ore AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.pa < e.pb) "
+        "THEN e.pa ELSE e.pb END AS src, "
+        "CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.pa < e.pb) "
+        "THEN e.pb ELSE e.pa END AS dst, "
+        "CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.pa < e.pb) "
+        "THEN db.d ELSE da.d END AS dst_d "
+        "FROM e JOIN deg da ON e.pa = da.v JOIN deg db ON e.pb = db.v), "
+        "wed AS (SELECT a.src AS u, a.dst AS v, b.dst AS w FROM ore a "
+        "JOIN ore b ON a.src = b.src AND ((a.dst_d < b.dst_d) OR "
+        "(a.dst_d = b.dst_d AND a.dst < b.dst))), "
+        "tri AS (SELECT u, v, w FROM wed WHERE EXISTS "
+        "(SELECT 1 FROM ore c WHERE wed.v = c.src AND wed.w = c.dst)), "
+        "pn AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri FROM "
+        "(SELECT u AS v FROM tri UNION ALL SELECT v FROM tri "
+        "UNION ALL SELECT w FROM tri) GROUP BY 1) "
+        "SELECT deg.v AS part, deg.d AS degree, "
+        "CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_triangles, "
+        "CASE WHEN deg.d >= 2 THEN CAST(COALESCE(pn.n_tri, 0) * 2 AS DOUBLE) "
+        "/ (deg.d * (deg.d - 1)) END AS clustering_coeff "
+        "FROM deg LEFT JOIN pn ON deg.v = pn.v"
     )
     return out

@@ -90,10 +90,11 @@ BENCH_QUERIES = [
     "similarity_ivf_pq",
     "media_audio_windows",
     "corpus_dedup_pipeline",
-    # round-9 build, r10 registration queue: per-source frequency
+    # round-9 build, REGISTERED at the r10 rotation: per-source frequency
     # capping, the Gopher quality-rule matrix, Okapi BM25 retrieval,
-    # and point-in-time feature assembly — benched ahead of
-    # registration via EXTRA_BENCH, like the r8/r9 queues before them.
+    # point-in-time feature assembly, the ANN recall audit, and the
+    # degree-oriented triangle census — resolve from queries() now;
+    # their r9 lines came via EXTRA_BENCH shims.
     "corpus_domain_cap",
     "corpus_gopher_rules",
     "bm25_topk",
@@ -211,7 +212,11 @@ SCALE_PROBES: dict[str, object] = {
     # and completes on the same box with a 48g driver (first run 176 s)
     # — on a real cluster this pressure is spread across per-executor
     # heaps.  bm25's first run (posting-list build over 300M terms) is
-    # 356 s, amortized thereafter.
+    # 356 s, amortized thereafter.  Heap floors are now a TABLE the
+    # probe enforces up front (tools/scale_probe.py HEAP_FLOORS_GIB,
+    # VERDICT r9 #6): a too-small JVM fails fast with the required
+    # SPARK_GRAFT_DRIVER_MEM before any corpus write.
+    "heap_floors_gib": {"events_feature_matrix@1000x": 48},
     "walls_1000x_s": {
         "scd2_user_state": 16.06,
         "events_twap": 14.45,
@@ -254,20 +259,13 @@ SCALE_PROBES: dict[str, object] = {
         "(r9, VERDICT r8 #3) while the registered line pins k=8 for "
         "the static oracle; its walls_s row now measures pair mining "
         "executing at every mult (0/196 clusters tripped the cap at "
-        "100x).  Its in-suite bench line carries end-of-suite session "
-        "pressure — see isolated_reruns for the quiet-box single-line "
-        "re-run.  doc_substring_spans growth is match-count-bound "
+        "100x).  doc_substring_spans growth is match-count-bound "
         "(the probe corpus is template-dense; the 200-occurrence gram "
-        "cap bounds it), 10->100 exponent 0.57."
+        "cap bounds it), 10->100 exponent 0.57.  Isolated re-runs are "
+        "now MEASURED by this harness at end of suite (VERDICT r9 #2), "
+        "not recorded testimony — see isolated_reruns in the "
+        "provenance output."
     ),
-    # single-line quiet-box re-runs recorded when a suite line and its
-    # isolated cost disagree (the VERDICT r8 #4 adjudication, now an
-    # artifact field instead of prose): dedup_semantic's r9 suite line
-    # ran 13.0 s; alone on the same box (loadavg < 2) it runs 11.6 s —
-    # within 4% of the r7 clean 11.15 s, so the engine did not regress.
-    "isolated_reruns": {
-        "dedup_semantic": [26.75, 12.62, 11.58],
-    },
 }
 
 
@@ -327,25 +325,10 @@ _RAW_CACHE = None
 _WH_CACHE = None
 
 
-def _bench_staged(name):
-    # r10-queue operators: built + pytest-pinned but not yet registered
-    # in queries() (the head window is committed for this round)
-    from logistream_data_pipeline_aws_spark.plans import extensions as X
-
-    fn = getattr(X, name)
-    return lambda spark, sf_dir: fn(spark, sf_dir)
-
-
 EXTRA_BENCH = {
     "reference_warehouse_fact": _reference_warehouse_fact,
     "events_stickiness_hll_prod": _bench_stickiness_prod,
     "customer_rfm_scores_approx_prod": _bench_rfm_prod,
-    "corpus_domain_cap": _bench_staged("corpus_domain_cap"),
-    "corpus_gopher_rules": _bench_staged("corpus_gopher_rules"),
-    "bm25_topk": _bench_staged("bm25_topk"),
-    "events_feature_matrix": _bench_staged("events_feature_matrix"),
-    "similarity_recall_audit": _bench_staged("similarity_recall_audit"),
-    "graph_triangle_count": _bench_staged("graph_triangle_count"),
 }
 
 
@@ -391,7 +374,9 @@ LOAD_RETRY_S = 30.0  # bounded sleep-and-retry before giving up
 LOAD_RETRIES = 10    # ... up to 5 minutes of waiting for a quiet box
 
 
-def _await_quiet_box() -> tuple[int, bool]:
+def _await_quiet_box(
+    retry_s: float = LOAD_RETRY_S, retries_max: int = LOAD_RETRIES
+) -> tuple[int, bool]:
     """Two consecutive official artifacts (r5 loadavg 4.9, r6 9.34) were
     recorded on a loaded box, making their per-query deltas contention
     noise (VERDICT r6 next-round #4).  Gate: wait (bounded) for the
@@ -399,15 +384,46 @@ def _await_quiet_box() -> tuple[int, bool]:
     anyway but stamp an explicit contamination flag so no one compares
     the numbers as engine signal.  Returns (retries_used, contaminated)."""
     retries = 0
-    while os.getloadavg()[0] > LOAD_GATE and retries < LOAD_RETRIES:
+    while os.getloadavg()[0] > LOAD_GATE and retries < retries_max:
         print(
             f"[bench] loadavg {os.getloadavg()[0]:.2f} > {LOAD_GATE} — "
-            f"sleeping {LOAD_RETRY_S:.0f}s ({retries + 1}/{LOAD_RETRIES})",
+            f"sleeping {retry_s:.0f}s ({retries + 1}/{retries_max})",
             file=sys.stderr,
         )
-        time.sleep(LOAD_RETRY_S)
+        time.sleep(retry_s)
         retries += 1
     return retries, os.getloadavg()[0] > LOAD_GATE
+
+
+# Lines the previous round's verdict called evidence-weak: re-run these
+# in isolation at end of suite EVEN IF their in-suite runs agree, so the
+# official artifact always carries a quiet-box number for them
+# (VERDICT r9 #3: dedup_semantic — two rounds of dirty lines;
+# doc_substring_spans — x3.75 at constant input, unexplained).
+ALWAYS_ISOLATE = ["dedup_semantic", "doc_substring_spans"]
+ISOLATE_RUNS = 3  # best-of-3, same discipline as the suite lines
+
+
+def _provenance_path() -> str:
+    """BENCH_provenance_r<N>.json next to this file: the driver's
+    2000-byte tail capture clips the printed provenance line (VERDICT
+    r9 #7), so the full record is committed as a file.  N = the round
+    the artifact will be recorded under (max existing BENCH_r*.json
+    + 1; SPARK_GRAFT_ROUND overrides)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        n = int(env)
+    else:
+        import re
+
+        ns = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        n = (max(ns) + 1) if ns else 1
+    return os.path.join(here, f"BENCH_provenance_r{n:02d}.json")
 
 
 def main() -> None:
@@ -425,6 +441,8 @@ def main() -> None:
 
     qs = {**qs, **EXTRA_BENCH}
     load_start = os.getloadavg()
+    load_max_during = load_start[0]
+    load_samples: list[float] = []
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     flagged: list[str] = []
@@ -437,6 +455,14 @@ def main() -> None:
             t0 = time.time()
             run_query(qs[name](spark, sf_dir))
             per_run.append(round(time.time() - t0, 3))
+        # mid-run load sentinel (VERDICT r9 #2): r9's artifact passed the
+        # start-only gate yet was uniformly ~1.36x inflated — external
+        # load arriving AFTER t=0 was invisible.  Sampling between lines
+        # records the worst 1-min loadavg the suite actually ran under
+        # (self-load from local[32] is part of the reading; the signal
+        # is the round-over-round delta at identical suite composition).
+        load_samples.append(round(os.getloadavg()[0], 2))
+        load_max_during = max(load_max_during, load_samples[-1])
         runs[name] = per_run
         timings[name] = min(per_run)
         total += timings[name]
@@ -460,30 +486,64 @@ def main() -> None:
                 file=sys.stderr,
             )
     load_end = os.getloadavg()
-    # Provenance detail (raw runs, load sentinels, table rows) goes on its
-    # OWN earlier line: round 4's enriched single line overflowed the
-    # driver's 2000-byte tail capture and the official artifact recorded
-    # "parsed": null.  The compact gate line must print LAST and stay small.
-    print(
-        json.dumps(
-            {
-                "detail": "bench_provenance",
-                "runs": runs,
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in load_end],
-                "load_gate_retries": load_retries,
-                "load_contaminated": load_contaminated,
-                "variance_flagged": flagged,
-                "scale_probes": SCALE_PROBES,
-                "table_rows": _table_rows(sf_dir),
-            }
+
+    # End-of-suite isolated re-runs (VERDICT r9 #2): every line whose
+    # in-suite runs disagreed (variance_flagged) plus the standing
+    # evidence-weak list is re-measured ALONE — nothing else executing,
+    # bounded wait for the 1-min loadavg to decay under the gate before
+    # each — and the MEASURED walls land in the artifact.  This replaces
+    # the r9 hard-coded isolated_reruns dict (builder testimony compiled
+    # into source), which the verdict correctly rejected as evidence.
+    isolated: dict[str, dict[str, object]] = {}
+    for name in list(dict.fromkeys(flagged + ALWAYS_ISOLATE)):
+        if name not in qs:
+            continue
+        gate_retries, still_loaded = _await_quiet_box(
+            retry_s=20.0, retries_max=9
         )
-    )
-    # the three integrity flags ride the COMPACT gate line too (names /
-    # scalars only): BENCH_r08's tail capture clipped the provenance
-    # line mid-stream exactly when its load flags were needed to
-    # adjudicate a regression (VERDICT r8 #5) — the gate line is small
-    # enough that these always survive the 2000-byte capture.
+        gate_loadavg = round(os.getloadavg()[0], 2)  # BEFORE the runs
+        iso_runs: list[float] = []
+        for _ in range(ISOLATE_RUNS):
+            t0 = time.time()
+            run_query(qs[name](spark, sf_dir))
+            iso_runs.append(round(time.time() - t0, 3))
+        isolated[name] = {
+            "runs": iso_runs,
+            "best": min(iso_runs),
+            "loadavg_at_start": gate_loadavg,
+            "gate_retries": gate_retries,
+            "gate_timed_out": still_loaded,
+        }
+
+    provenance = {
+        "detail": "bench_provenance",
+        "runs": runs,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "loadavg_max_during": round(load_max_during, 2),
+        "loadavg_samples": load_samples,
+        "load_gate_retries": load_retries,
+        "load_contaminated": load_contaminated,
+        "variance_flagged": flagged,
+        "isolated_reruns": isolated,
+        "scale_probes": SCALE_PROBES,
+        "table_rows": _table_rows(sf_dir),
+    }
+    # The full provenance is COMMITTED as a file (VERDICT r9 #7): the
+    # driver's 2000-byte tail capture clipped the printed line two
+    # rounds running, losing the load sentinels exactly when they were
+    # needed.  The print below stays for interactive runs; the file is
+    # the durable record.
+    try:
+        with open(_provenance_path(), "w") as fh:
+            json.dump(provenance, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout: keep the gate line alive
+        print(f"[bench] provenance file not written: {exc}", file=sys.stderr)
+    print(json.dumps(provenance))
+    # integrity flags + measured isolated bests ride the COMPACT gate
+    # line too (names/scalars only — small enough to survive the
+    # driver's 2000-byte tail capture).
     print(
         json.dumps(
             {
@@ -494,7 +554,11 @@ def main() -> None:
                 "sf": sf,
                 "load_contaminated": load_contaminated,
                 "load_gate_retries": load_retries,
+                "loadavg_max_during": round(load_max_during, 2),
                 "variance_flagged": flagged,
+                "isolated_best": {
+                    k: v["best"] for k, v in isolated.items()
+                },
             }
         )
     )

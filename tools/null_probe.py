@@ -143,6 +143,8 @@ DEFAULT_QUERIES = {
         "events_attribution_decayed", "scd2_daily_snapshot",
         "events_upsert_changes", "events_upsert_timetravel",
         "events_upsert_delete",
+        # r10 registration (ts/user_id gated both sides)
+        "events_feature_matrix",
     ],
     "orders": [
         "a6_sales_trend", "a6_sales_trend_mom", "cumulative_monthly_sales",
@@ -215,6 +217,8 @@ DEFAULT_QUERIES = {
         "similarity_ivf", "similarity_ivf_kmeans", "similarity_pq_adc",
         "similarity_pq_refine", "dedup_semantic",
         "similarity_ivf_incremental", "similarity_ivf_pq",
+        # r10 registration (both component operators gate NULL vectors)
+        "similarity_recall_audit",
     ],
     "documents": [
         "dedup_exact", "dedup_survivors", "dedup_minhash_lsh",
@@ -230,6 +234,8 @@ DEFAULT_QUERIES = {
         "media_image_features", "doc_substring_spans",
         "doc_substring_dedup", "corpus_dedup_pipeline",
         "media_audio_windows",
+        # r10 registrations (source / text / lang NULLs gated both sides)
+        "corpus_domain_cap", "corpus_gopher_rules", "bm25_topk",
     ],
 }
 

@@ -430,14 +430,50 @@ PROBE_OVERRIDES = {
     "dedup_semantic": lambda spark, sf_dir: _staged("dedup_semantic")(
         spark, sf_dir
     ),
-    # r10 queue: built + pinned in r9, registers at the next rotation
-    "corpus_domain_cap": _staged("corpus_domain_cap"),
-    "corpus_gopher_rules": _staged("corpus_gopher_rules"),
-    "bm25_topk": _staged("bm25_topk"),
-    "events_feature_matrix": _staged("events_feature_matrix"),
-    "similarity_recall_audit": _staged("similarity_recall_audit"),
-    "graph_triangle_count": _staged("graph_triangle_count"),
+    # the r9-staged r10-queue operators (corpus_domain_cap,
+    # corpus_gopher_rules, bm25_topk, events_feature_matrix,
+    # similarity_recall_audit, graph_triangle_count) registered at the
+    # r10 rotation and now resolve straight from queries().
 }
+
+
+# Measured single-JVM heap floors in GiB per (query, minimum mult that
+# needs it) — VERDICT r9 #6: the r9 1000x batch REDISCOVERED the feature
+# matrix's memory cliff mid-probe (100M-row user-keyed window sort under
+# 32-way task concurrency dies with GCLocker allocation failures at the
+# 8g default; completes at 48g).  A single-JVM artifact — a cluster
+# spreads the sort across per-executor heaps — but the probe harness
+# must know it UP FRONT: the check below fails fast with the required
+# `SPARK_GRAFT_DRIVER_MEM` before any corpus write, instead of OOMing
+# after the (minutes-long at 1000x) staging pass.  Extend this table
+# whenever a probe run hits a heap cliff (record it in BUILDLOG too).
+HEAP_FLOORS_GIB: dict[tuple[str, int], int] = {
+    ("events_feature_matrix", 1000): 48,
+}
+
+
+def _jvm_heap_gib() -> float:
+    """The heap get_spark will request (env override or its 8g default).
+    Parsed here BEFORE the JVM exists so the floor check can fail fast."""
+    raw = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g").strip().lower()
+    mult = {"g": 1.0, "m": 1.0 / 1024.0, "k": 1.0 / (1024.0 * 1024.0)}
+    return float(raw[:-1]) * mult.get(raw[-1], 1.0 / (1024.0**3))
+
+
+def _check_heap_floor(selected: set[str], mults: list[int]) -> None:
+    need = [
+        (q, m, gib)
+        for (q, m), gib in HEAP_FLOORS_GIB.items()
+        if q in selected and any(mm >= m for mm in mults)
+    ]
+    floor = max((gib for *_qm, gib in need), default=0)
+    if floor and _jvm_heap_gib() < floor:
+        detail = ", ".join(f"{q}@{m}x needs {gib}g" for q, m, gib in need)
+        raise SystemExit(
+            f"probe heap too small: SPARK_GRAFT_DRIVER_MEM="
+            f"{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')} but {detail} "
+            f"(HEAP_FLOORS_GIB) — re-run with SPARK_GRAFT_DRIVER_MEM={floor}g"
+        )
 
 
 def _force_all_columns(df: DataFrame) -> int:
@@ -456,20 +492,21 @@ def _force_all_columns(df: DataFrame) -> int:
     in 0.55 s that way while the real pipeline costs ~78 s (caught by
     an independent re-run, r9).  ``xxhash64`` over every column cannot
     be constant-folded or pruned (the result depends on every value),
-    so every join input and window stays alive; the fallback routes
-    hash-unsupported types (maps) through ``to_json``."""
+    so every join input and window stays alive; hash-unsupported types
+    (maps, incl. nested in structs/arrays) are detected UP FRONT from
+    the schema and routed through ``to_json`` — the old catch-any
+    fallback silently re-ran the whole pipeline inside the timed window
+    on ANY transient failure, inflating that line and switching it to a
+    different consumer than its peers (ADVICE r9 #2)."""
     cols = [F.col(c) for c in df.columns]
-    probe_cols = [
+    if any("map<" in dt for _, dt in df.dtypes):
+        hash_col = F.xxhash64(F.to_json(F.struct(*cols)))
+    else:
+        hash_col = F.xxhash64(*cols)
+    row = df.select(
         F.count(F.lit(1)).alias("_n"),
-        F.bit_xor(F.xxhash64(*cols)).alias("_h"),
-    ]
-    try:
-        row = df.select(*probe_cols).collect()[0]
-    except Exception:  # hash-unsupported type (e.g. map): serialize first
-        row = df.select(
-            F.count(F.lit(1)).alias("_n"),
-            F.bit_xor(F.xxhash64(F.to_json(F.struct(*cols)))).alias("_h"),
-        ).collect()[0]
+        F.bit_xor(hash_col).alias("_h"),
+    ).collect()[0]
     return row["_n"]
 
 
@@ -508,6 +545,7 @@ def main() -> None:
             f"SCALE_PROBE_ONLY names matched by no probe list: "
             f"{sorted(unmatched)} — known probe names: {sorted(known)}"
         )
+    _check_heap_floor(only or known, mults)
     spark = get_spark("scale-probe")
     # the ts-unit sniffer requires a real parquet timestamp type, not INT96
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
