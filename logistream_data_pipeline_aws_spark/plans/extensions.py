@@ -6031,3 +6031,424 @@ def graph_triangle_count(
             / (F.col("d") * (F.col("d") - 1)),
         ).alias("clustering_coeff"),
     )
+
+
+# -- round-11 registration queue ---------------------------------------------
+# Built + oracle-documented + pytest-pinned this round; they register at
+# the r11 rotation (the r10 head window was fully committed to the 6 r10
+# registrations + the 22 at-cap entries + this round's drift).  Kept to
+# 4 operators per VERDICT r9 #8 so the r11 window stays dominated by
+# staleness rotation (27 r6-green entries reach the cap at r10 close).
+
+
+def dedup_minhash_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash-LSH dedup reading a PERSISTED signature table — the
+    cross-session completion of VERDICT r9 #4.  ``dedup_minhash_lsh``
+    already amortizes signatures within a session (``_staged_minhash_
+    sigs``'s persist cache), but the 1000x probe showed the expensive
+    part is the FIRST derivation: 948 s staging signatures over 5M docs
+    vs 83 s for the banded join they feed.  At 100 TB that staging pass
+    must be paid once per CORPUS, not once per session: this operator
+    stages the signature table to parquet on first touch (vectorized
+    Arrow stage, bit-identical to the inline HOF path — pinned by
+    ``test_minhash_vectorized_signatures_match_inline``), then every
+    call — including from a fresh session — reads signatures back at
+    scan cost and runs the identical banded join + exact-Jaccard
+    verify.  The params manifest written next to the data makes a
+    parameter-drifted reader raise instead of silently mining wrong
+    candidates (``read_staged_signatures``).
+
+    Output and oracle are IDENTICAL to ``dedup_minhash_lsh`` — that is
+    the point: the staged path must be indistinguishable from the
+    inline path under the value hash.
+
+    Scale shape: stage once = one scan-bound CPU pass (Arrow-batched
+    numpy, ~5-10x the interpreted HOF stage); steady state = one
+    parquet scan of (doc_id, shingles, sig) + the banded groupBy +
+    two verify joins.  The staging write is per (application, sf_dir)
+    here (tests see a cold stage per session); production points
+    ``path`` at durable storage and pays it once ever."""
+    docs = load_table(spark, "documents", sf_dir)
+    path = _scratch(
+        "minhash_stage_" + os.path.abspath(sf_dir).replace(os.sep, "_")
+    )
+    if not os.path.exists(os.path.join(path, "signatures")):
+        D.stage_minhash_signatures(
+            docs, "doc_id", "text", path, k_shingle=3, n_hashes=12
+        )
+    sigs = D.read_staged_signatures(
+        spark, path, "doc_id", "text", k_shingle=3, n_hashes=12
+    )
+    big = docs.count() > 100_000
+    return D.minhash_near_duplicates(
+        docs, "doc_id", "text", k_shingle=3, n_hashes=12, bands=4,
+        threshold=0.2, sigs=sigs, prefer_merge=big,
+    )
+
+
+def doc_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring at BIGRAM grain — the CCNet discipline
+    (Wenzek et al. 2020 score documents with a reference LM and keep
+    the head of the perplexity distribution) with the corpus itself as
+    the reference model, one order up from ``doc_unigram_score``:
+    unigram scoring cannot see scrambled or template-stitched text
+    whose word inventory is normal but whose TRANSITIONS are not.
+
+    Two exact, log-free signals per document (same ulp reasoning as
+    ``doc_unigram_score``: every per-term contribution is one double
+    division / multiply quantized to DECIMAL(30,12), so sums are
+    order-free and cross-engine bit-identical):
+
+    - ``mean_bigram_p``: mean corpus probability of the document's
+      bigram occurrences, p(w1 w2) = n_{w1w2} / N_bigrams.
+    - ``mean_cond_p``: mean CONDITIONAL probability
+      p(w2 | w1) = n_{w1w2} / n_{w1 *} — the bigram-LM transition
+      score a perplexity filter thresholds on (monotone in the
+      geometric per-token perplexity over the doc).
+
+    Documents with fewer than two words have no bigrams and are
+    excluded (inner semantics, mirrored by the oracle).
+
+    Scale shape: one corpus scan; (doc, bigram) pre-aggregation BEFORE
+    any join (join inputs are distinct-pair-sized, not
+    occurrence-sized); the bigram vocabulary and the first-word
+    marginals meet the doc grain through hash equi-joins on uniform
+    string keys (broadcastable for small vocabularies, partitioned
+    joins at any size); one doc-grain combine.  No window, no
+    all-pairs, no Python."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.filter(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0)),
+        lambda w: w != "",
+    )
+    n = F.size("w")
+    bigrams = F.zip_with(
+        F.slice("w", 1, n - 1),
+        F.slice("w", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", words.alias("w"))
+        .where(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+    )
+    doc_bg = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = doc_bg.groupBy("bg").agg(F.sum("cnt").alias("n_bg"))
+    first = vocab.groupBy(
+        F.split(F.col("bg"), " ").getItem(0).alias("w1")
+    ).agg(F.sum("n_bg").alias("n_first"))
+    totals = vocab.agg(F.sum("n_bg").alias("_n_total"))
+    p_bg = F.col("n_bg").cast("double") / F.col("_n_total").cast("double")
+    p_cond = F.col("n_bg").cast("double") / F.col("n_first").cast("double")
+    return (
+        doc_bg.join(vocab, "bg")
+        .join(first, F.split(F.col("bg"), " ").getItem(0) == F.col("w1"))
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            (
+                F.sum((F.col("cnt") * p_bg).cast("decimal(30,12)")).cast("double")
+                / F.sum("cnt").cast("double")
+            ).alias("mean_bigram_p"),
+            (
+                F.sum((F.col("cnt") * p_cond).cast("decimal(30,12)")).cast("double")
+                / F.sum("cnt").cast("double")
+            ).alias("mean_cond_p"),
+        )
+    )
+
+
+def corpus_dsir_weights(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 1024
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed n-gram features are under a
+    TARGET distribution than under the raw-corpus distribution —
+    ``log w(x) = Σ_f c_x(f) · ln(p_target(f) / p_source(f))`` — then a
+    trainer resamples the corpus proportional to exp(log w).  Here the
+    target is the English slice (``lang = 'en'``, deterministic and
+    present at every SF) and the source is the full corpus.
+
+    Features are DSIR's: unigrams AND bigrams of the word tokens,
+    hashed into ``n_buckets`` buckets via the engine's md5-prefix
+    discipline (cross-engine exact, no murmur divergence).  Both
+    distributions are add-one smoothed over the bucket space.  The
+    per-bucket log-ratio is anchored by round(ln, 6) — the bm25 idf
+    discipline: double products/divisions of exact integers are
+    IEEE-deterministic, ln's last-ulp wobble dies at 6dp — and
+    per-document contributions (int count × 6dp ratio) are
+    DECIMAL(25,10)-summed so the final sum is order-free.
+
+    Scale shape: one corpus scan to features; (doc, bucket)
+    pre-aggregation; the two bucket-distribution aggregates are
+    ``n_buckets``-sized — broadcast to the doc grain (the side the
+    plan broadcasts is a few KiB at ANY corpus size, the
+    contamination_check shape); one doc-grain combine.  The
+    target/source split rides the same scan (conditional aggregate),
+    so the corpus is read once."""
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("text").isNotNull()
+    )
+    words = F.filter(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0)),
+        lambda w: w != "",
+    )
+    n = F.size("w")
+    bigrams = F.zip_with(
+        F.slice("w", 1, n - 1),
+        F.slice("w", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # guard the slice: a doc with <2 words has no bigrams (slice with a
+    # negative length raises), its unigrams still count as features
+    safe_bigrams = F.when(n >= 2, bigrams).otherwise(
+        F.array().cast("array<string>")
+    )
+    feats = (
+        docs.select("doc_id", "lang", words.alias("w"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.concat(F.col("w"), safe_bigrams)).alias("feat"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("feat")), 1, 7), 16, 10).cast(
+                    "long"
+                ),
+                F.lit(n_buckets),
+            ).alias("bucket"),
+        )
+    )
+    doc_b = feats.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dist = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_s"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("c_t"),
+    )
+    tot = dist.agg(
+        F.sum("c_s").alias("n_s"), F.sum("c_t").alias("n_t")
+    )
+    ratio = (
+        (F.col("c_t") + 1).cast("double")
+        * (F.col("n_s") + n_buckets).cast("double")
+    ) / (
+        (F.col("c_s") + 1).cast("double")
+        * (F.col("n_t") + n_buckets).cast("double")
+    )
+    lr = F.round(F.log(ratio), 6)
+    scored = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket", lr.alias("lr")
+    )
+    return (
+        doc_b.join(F.broadcast(scored), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.round(
+                F.sum((F.col("cnt") * F.col("lr")).cast("decimal(25,10)"))
+                .cast("double"),
+                6,
+            ).alias("dsir_logweight"),
+        )
+    )
+
+
+def _copurchase_undirected(
+    spark: SparkSession, sf_dir: str, max_order_items: int | None = 256
+) -> tuple[DataFrame, DataFrame]:
+    """The part co-purchase graph shared by the graph family: distinct
+    (order, part) pairs, the documented per-order item cap (quadratic
+    edge-gen guard, see ``graph_triangle_count``), edges a<b, and the
+    both-directions view.  Returns (edges a<b, undirected (v, u))."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    bp = li.select("l_orderkey", "l_partkey").distinct()
+    if max_order_items is not None:
+        bp = (
+            bp.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("l_orderkey").orderBy("l_partkey")
+                ),
+            )
+            .where(F.col("_rk") <= max_order_items)
+            .drop("_rk")
+        )
+    a = bp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = bp.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+    )
+    und = edges.select(
+        F.col("pa").alias("v"), F.col("pb").alias("u")
+    ).unionAll(edges.select(F.col("pb").alias("v"), F.col("pa").alias("u")))
+    return edges, und
+
+
+def graph_kcore(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = 20,
+    max_order_items: int | None = 256,
+) -> DataFrame:
+    """K-core decomposition (coreness per node) over the part
+    co-purchase graph — the graph family's fourth leg next to
+    ``supplier_pagerank`` (centrality), ``connected_components``
+    (reachability) and ``graph_triangle_count`` (local density).  The
+    coreness of a node is the largest k such that it survives k-core
+    peeling; it is the standard dense-community / influential-spreader
+    signal and the degeneracy ordering behind many graph algorithms.
+
+    THE SCALE TRICK IS THE H-INDEX FIXPOINT (Lu et al. 2016, "The
+    H-index of a network node and its relation to degree and
+    coreness"): initialize c0(v) = degree(v) and iterate
+    c_{t+1}(v) = H({c_t(u) : u in N(v)}) — the h-index of the
+    neighbors' current values.  The sequence is monotone
+    non-increasing and converges EXACTLY to the coreness, replacing
+    the sequential peel-one-vertex-at-a-time algorithm with a
+    per-round bulk update every node computes independently — the
+    message-passing shape Spark executes well.  H over a neighbor
+    group is relational: rank neighbor values descending within the
+    node's partition and take MAX(LEAST(rank, value)) — tie order
+    among equal values cannot change an h-index, so the window is
+    cross-engine deterministic without a composite tie-break.
+
+    Like ``supplier_pagerank`` (iters=2), the REGISTERED form runs a
+    FIXED number of rounds so the DuckDB oracle replays it as an
+    unrolled CTE chain; ``graph_kcore_converged`` iterates to the true
+    fixpoint (the monotone total Σc is unchanged iff no node moved —
+    one scalar per round on the driver), and the pinned test asserts
+    the fixed-round form equals it on the oracle-gate corpora
+    (sf0.001 and sf0.01 converge within 20 rounds — measured 10 and
+    ~17-20 respectively), so registered rows are exact corenesses
+    there, not approximations.  Denser corpora need more rounds
+    (sf0.1 is not yet converged at 20); production uses the
+    converged twin, whose per-round cost is identical.
+
+    Scale shape: per round, one equi-join (neighbor values onto the
+    edge view), one NODE-PARTITIONED window (never global), one
+    aggregate, one vertex-sized min-combine — all keyed on node id;
+    the per-order item cap bounds edge generation exactly as in the
+    triangle census.  Each round ends in an eager lineage truncation
+    with scoped RDD-level block release (the ``connected_components``
+    discipline) — a plain persist leaves the LOGICAL plan doubling
+    per round (the frame references the previous round twice) and
+    driver-side analysis OOMs by round 8, caught live while building
+    this operator.
+
+    Output: ``(part, degree, coreness)``.
+
+    Round-11 oracle: documented in the pinned test
+    (tests/test_extensions.py::_kcore_oracle_sql) — the same
+    cap/edge/degree CTEs and the unrolled h-index rounds."""
+    from pyspark.sql.window import Window
+
+    edges, und = _copurchase_undirected(spark, sf_dir, max_order_items)
+    und = und.persist()
+    deg = (
+        und.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    cur = deg.select("v", F.col("degree").alias("c"))
+    prev_ids: set[int] = set()
+    w = Window.partitionBy("v").orderBy(F.desc("cu"))
+    try:
+        for _ in range(rounds):
+            nb = und.join(
+                cur.select(F.col("v").alias("u"), F.col("c").alias("cu")), "u"
+            ).select("v", "cu")
+            h = (
+                nb.withColumn("rn", F.row_number().over(w))
+                .groupBy("v")
+                .agg(
+                    F.max(F.least(F.col("rn").cast("long"), F.col("cu")))
+                    .alias("h")
+                )
+            )
+            nxt = (
+                cur.join(h, "v")
+                .select("v", F.least(F.col("c"), F.col("h")).alias("c"))
+                .localCheckpoint(eager=True)
+            )
+            ids = D._own_checkpoint_rdd_ids(nxt) & D._persistent_rdd_ids(spark)
+            D._release_rdds(spark, prev_ids)
+            cur, prev_ids = nxt, ids
+        return deg.join(cur, "v").select(
+            F.col("v").alias("part"),
+            "degree",
+            F.col("c").cast("long").alias("coreness"),
+        )
+    finally:
+        und.unpersist()
+
+
+def graph_kcore_converged(
+    spark: SparkSession,
+    sf_dir: str,
+    max_rounds: int = 50,
+    max_order_items: int | None = 256,
+) -> DataFrame:
+    """The production form of ``graph_kcore``: iterate the h-index
+    update until the fixpoint (the monotone non-increasing total Σc is
+    unchanged iff no node changed — ONE scalar driver check per round,
+    the ``supplier_pagerank_converged`` discipline), bounded by
+    ``max_rounds`` as a runaway guard.  Not registered — convergence
+    depth is data-dependent, so there is no fixed-depth SQL replay;
+    correctness rides the pinned equality against the fixed-round form
+    on corpora where that form converges."""
+    from pyspark.sql.window import Window
+
+    edges, und = _copurchase_undirected(spark, sf_dir, max_order_items)
+    und = und.persist()
+    deg = (
+        und.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    cur = deg.select("v", F.col("degree").alias("c"))
+    prev_ids: set[int] = set()
+    total = cur.agg(F.sum("c")).collect()[0][0]
+    w = Window.partitionBy("v").orderBy(F.desc("cu"))
+    try:
+        for _ in range(max_rounds):
+            nb = und.join(
+                cur.select(F.col("v").alias("u"), F.col("c").alias("cu")), "u"
+            ).select("v", "cu")
+            h = (
+                nb.withColumn("rn", F.row_number().over(w))
+                .groupBy("v")
+                .agg(
+                    F.max(F.least(F.col("rn").cast("long"), F.col("cu")))
+                    .alias("h")
+                )
+            )
+            nxt = (
+                cur.join(h, "v")
+                .select("v", F.least(F.col("c"), F.col("h")).alias("c"))
+                .localCheckpoint(eager=True)
+            )
+            ids = D._own_checkpoint_rdd_ids(nxt) & D._persistent_rdd_ids(spark)
+            n_total = nxt.agg(F.sum("c")).collect()[0][0]
+            D._release_rdds(spark, prev_ids)
+            cur, prev_ids = nxt, ids
+            if n_total == total:
+                break
+            total = n_total
+        return deg.join(cur, "v").select(
+            F.col("v").alias("part"),
+            "degree",
+            F.col("c").cast("long").alias("coreness"),
+        )
+    finally:
+        und.unpersist()

@@ -2404,3 +2404,262 @@ def test_graph_triangle_order_cap_meters_and_completes(spark, tmp_path):
     assert out[1][1] > 0
     got = obs.get
     assert got["capped_orders"] == 1 and got["dropped_items"] == 9744
+
+
+# -- round-11 registration queue (register at the r11 rotation) --------------
+
+
+def test_dedup_minhash_staged_matches_inline_and_oracle(spark):
+    """R11-queue entry pinned ahead of registration: the dedup that
+    READS a persisted signature table must be indistinguishable from
+    the inline path — same pairs, same jaccards — and hash-equal to
+    the registered dedup_minhash_lsh DuckDB oracle (the staged path
+    shares it verbatim)."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    staged = {
+        tuple(r) for r in X.dedup_minhash_staged(spark, SF_SMALL).collect()
+    }
+    inline = {
+        tuple(r) for r in X.dedup_minhash_lsh(spark, SF_SMALL).collect()
+    }
+    assert staged == inline and staged
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    exp = {
+        (r[0], r[1], round(r[2], 6))
+        for r in con.execute(E.oracle_sql()["dedup_minhash_lsh"]).fetchall()
+    }
+    got = {(a, b, round(j, 6)) for a, b, j in staged}
+    assert got == exp
+
+
+def _bigram_score_oracle(docs_rel: str) -> str:
+    """The doc_bigram_score DuckDB replay (round-11 oracle): same word
+    regex, same bigram construction, DECIMAL(30,12)-quantized
+    contributions (the doc_unigram_score ulp discipline)."""
+    return (
+        "WITH d AS (SELECT doc_id, text FROM "
+        + docs_rel
+        + " WHERE text IS NOT NULL), "
+        "w AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+        "t -> t <> '') AS w FROM d), "
+        "bgx AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 1), "
+        "i -> w[i+1] || ' ' || w[i+2])) AS bg FROM w WHERE len(w) >= 2), "
+        "doc_bg AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM bgx GROUP BY 1, 2), "
+        "vocab AS (SELECT bg, CAST(SUM(cnt) AS BIGINT) AS n_bg FROM doc_bg GROUP BY 1), "
+        "fw AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(n_bg) AS BIGINT) AS n_first "
+        "FROM vocab GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(n_bg) AS BIGINT) AS n_total FROM vocab) "
+        "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams, "
+        "CAST(SUM(CAST(cnt * (CAST(n_bg AS DOUBLE) / CAST(n_total AS DOUBLE)) "
+        "AS DECIMAL(30,12))) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS mean_bigram_p, "
+        "CAST(SUM(CAST(cnt * (CAST(n_bg AS DOUBLE) / CAST(n_first AS DOUBLE)) "
+        "AS DECIMAL(30,12))) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS mean_cond_p "
+        "FROM doc_bg JOIN vocab USING (bg) "
+        "JOIN fw ON string_split(bg, ' ')[1] = fw.w1 "
+        "CROSS JOIN t GROUP BY doc_id"
+    )
+
+
+def test_doc_bigram_score_matches_oracle(spark):
+    """R11-queue entry pinned ahead of registration: bigram-LM quality
+    scores must equal the DuckDB replay bit-exactly, and the
+    conditional signal must actually separate documents (a constant
+    column proves nothing)."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    got = {
+        tuple(r) for r in X.doc_bigram_score(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    exp = set(
+        map(
+            tuple,
+            con.execute(
+                _bigram_score_oracle(f"'{SF_SMALL}/documents.parquet'")
+            ).fetchall(),
+        )
+    )
+    assert got == exp and got
+    conds = sorted({r[3] for r in got})
+    assert len(conds) > 10 and conds[0] < conds[-1]
+
+
+def _dsir_oracle(docs_rel: str, n_buckets: int = 1024) -> str:
+    """The corpus_dsir_weights DuckDB replay (round-11 oracle):
+    md5-prefix bucket hashing, add-one smoothing, round(ln, 6)-anchored
+    log-ratios, DECIMAL(25,10)-summed per-doc weights."""
+    return (
+        "WITH d AS (SELECT doc_id, lang, text FROM "
+        + docs_rel
+        + " WHERE text IS NOT NULL), "
+        "w AS (SELECT doc_id, lang, list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+        "t -> t <> '') AS w FROM d), "
+        "f AS (SELECT doc_id, lang, unnest(w || CASE WHEN len(w) >= 2 THEN "
+        "list_transform(range(0, len(w) - 1), i -> w[i+1] || ' ' || w[i+2]) "
+        "ELSE [] END) AS feat FROM w), "
+        f"b AS (SELECT doc_id, lang, ('0x' || substr(md5(feat), 1, 7))::BIGINT % {n_buckets} AS bucket FROM f), "
+        "doc_b AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2), "
+        "dist AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_s, "
+        "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t FROM b GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(c_s) AS BIGINT) AS n_s, CAST(SUM(c_t) AS BIGINT) AS n_t FROM dist), "
+        "lrs AS (SELECT bucket, ROUND(ln("
+        f"(CAST(c_t + 1 AS DOUBLE) * CAST(n_s + {n_buckets} AS DOUBLE)) / "
+        f"(CAST(c_s + 1 AS DOUBLE) * CAST(n_t + {n_buckets} AS DOUBLE))"
+        "), 6) AS lr FROM dist CROSS JOIN t) "
+        "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats, "
+        "ROUND(CAST(SUM(CAST(cnt * lr AS DECIMAL(25,10))) AS DOUBLE), 6) AS dsir_logweight "
+        "FROM doc_b JOIN lrs USING (bucket) GROUP BY doc_id"
+    )
+
+
+def test_corpus_dsir_weights_matches_oracle(spark):
+    """R11-queue entry pinned ahead of registration: DSIR importance
+    log-weights must equal the DuckDB replay bit-exactly, target-slice
+    (lang='en') docs must skew positive vs the rest (the method's
+    defining property), and weights must discriminate."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    got = {
+        tuple(r) for r in X.corpus_dsir_weights(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    exp = set(
+        map(
+            tuple,
+            con.execute(
+                _dsir_oracle(f"'{SF_SMALL}/documents.parquet'")
+            ).fetchall(),
+        )
+    )
+    assert got == exp and got
+    langs = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT doc_id, lang FROM '{SF_SMALL}/documents.parquet'"
+        ).fetchall()
+    }
+    import statistics
+
+    en = [w for d, _n, w in got if langs.get(d) == "en"]
+    rest = [w for d, _n, w in got if langs.get(d) not in (None, "en")]
+    assert en and rest
+    assert statistics.mean(en) > statistics.mean(rest)
+    assert len({w for *_x, w in got}) > 10
+
+
+def _kcore_oracle_sql(rounds: int = 20, k_cap: int = 256) -> str:
+    """The graph_kcore DuckDB replay (round-11 oracle): the triangle
+    census's cap/edge/degree CTEs, then ``rounds`` unrolled h-index
+    updates — rank neighbor values descending per node, h = MAX(LEAST
+    (rank, value)), next = LEAST(current, h)."""
+    # MATERIALIZED (DuckDB-side hint): the unrolled rounds reference
+    # ``und`` ``rounds`` times — inlined CTEs would re-open the parquet
+    # scan per reference and exhaust the process fd limit
+    sql = (
+        "WITH bp0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+        "bp AS (SELECT o, p FROM (SELECT o, p, ROW_NUMBER() OVER "
+        f"(PARTITION BY o ORDER BY p) AS rn FROM bp0) WHERE rn <= {k_cap}), "
+        "e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM bp a "
+        "JOIN bp b ON a.o = b.o AND a.p < b.p), "
+        "und AS MATERIALIZED (SELECT pa AS v, pb AS u FROM e UNION ALL SELECT pb, pa FROM e), "
+        "deg AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY 1), "
+        "c0 AS (SELECT v, degree AS c FROM deg)"
+    )
+    # every c{i} is referenced twice (h{i+1} and c{i+1}) — materialize
+    # each round or the inlined expansion doubles per round (2^rounds
+    # plan nodes), the exact blowup the engine's localCheckpoint avoids
+    prev = "c0"
+    for i in range(1, rounds + 1):
+        sql += (
+            f", h{i} AS MATERIALIZED (SELECT v, CAST(MAX(LEAST(rn, cu)) AS BIGINT) AS h FROM ("
+            f"SELECT und.v, p.c AS cu, CAST(ROW_NUMBER() OVER "
+            f"(PARTITION BY und.v ORDER BY p.c DESC) AS BIGINT) AS rn "
+            f"FROM und JOIN {prev} p ON und.u = p.v) GROUP BY v)"
+            f", c{i} AS MATERIALIZED (SELECT {prev}.v, LEAST({prev}.c, h{i}.h) AS c "
+            f"FROM {prev} JOIN h{i} ON {prev}.v = h{i}.v)"
+        )
+        prev = f"c{i}"
+    return (
+        sql
+        + f" SELECT deg.v AS part, deg.degree, CAST({prev}.c AS BIGINT) AS coreness "
+        f"FROM deg JOIN {prev} ON deg.v = {prev}.v"
+    )
+
+
+def test_graph_kcore_matches_oracle(spark):
+    """R11-queue entry pinned ahead of registration: the h-index
+    coreness iteration must equal the DuckDB unrolled replay, the
+    fixed-round form must equal the true fixpoint at this SF (so
+    registered rows are exact corenesses), and the values must
+    discriminate."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    got = {tuple(r) for r in X.graph_kcore(spark, SF_SMALL).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_SMALL}/lineitem.parquet'"
+    )
+    exp = set(map(tuple, con.execute(_kcore_oracle_sql()).fetchall()))
+    assert got == exp and got
+    fix = {
+        tuple(r) for r in X.graph_kcore_converged(spark, SF_SMALL).collect()
+    }
+    assert got == fix, "20 rounds no longer reach the fixpoint at sf0.001"
+    cs = {r[2] for r in got}
+    assert len(cs) > 5 and all(c >= 1 for c in cs)
+    # coreness is bounded by degree everywhere
+    assert all(r[2] <= r[1] for r in got)
+
+
+def test_r11_queue_null_degeneracy(spark, tmp_path):
+    """Pre-registration NULL probe for the r11 queue (the documents
+    axis): NULL text must be gated identically on both engines for the
+    bigram scorer and the DSIR weights; the staged minhash path
+    inherits dedup_minhash_lsh's gates (signatures exist only for
+    shingled docs).  graph_kcore reads only the never-NULL lineitem
+    key columns (generator invariant), so it needs no axis."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    con = duckdb.connect()
+    docs = str(tmp_path / "documents.parquet")
+    con.execute(
+        "COPY (SELECT doc_id, "
+        "CASE WHEN doc_id % 17 = 0 THEN NULL ELSE text END AS text, "
+        "CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang, "
+        "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE source END AS source, "
+        "n_chars "
+        f"FROM read_parquet('{SF_SMALL}/documents.parquet')) "
+        f"TO '{docs}' (FORMAT PARQUET)"
+    )
+    sf = str(tmp_path)
+
+    got = {tuple(r) for r in X.doc_bigram_score(spark, sf).collect()}
+    exp = set(
+        map(tuple, con.execute(_bigram_score_oracle(f"'{docs}'")).fetchall())
+    )
+    assert got == exp and got
+
+    got = {tuple(r) for r in X.corpus_dsir_weights(spark, sf).collect()}
+    exp = set(map(tuple, con.execute(_dsir_oracle(f"'{docs}'")).fetchall()))
+    assert got == exp and got
