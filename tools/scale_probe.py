@@ -279,6 +279,10 @@ CORPUS_QUERIES = [
     "corpus_domain_cap",
     "corpus_gopher_rules",
     "bm25_topk",
+    # r11 queue (registers at the r11 rotation)
+    "dedup_minhash_staged",
+    "doc_bigram_score",
+    "corpus_dsir_weights",
 ]
 SIMILARITY_QUERIES = [
     "similarity_ivf_pq",
@@ -339,6 +343,8 @@ WAREHOUSE_QUERIES = [
     "supplier_pagerank",
     "graph_hop_distance",
     "graph_triangle_count",
+    # r11 queue (registers at the r11 rotation)
+    "graph_kcore",
 ]
 # Celebrity-key axis: the same per-user-ordered operators re-run on an
 # events table where one user owns 30% of all rows.  The merge as-of
@@ -434,6 +440,12 @@ PROBE_OVERRIDES = {
     # corpus_gopher_rules, bm25_topk, events_feature_matrix,
     # similarity_recall_audit, graph_triangle_count) registered at the
     # r10 rotation and now resolve straight from queries().
+    # r11 queue: built + pytest-pinned in r10, registers at the next
+    # rotation
+    "dedup_minhash_staged": _staged("dedup_minhash_staged"),
+    "doc_bigram_score": _staged("doc_bigram_score"),
+    "corpus_dsir_weights": _staged("corpus_dsir_weights"),
+    "graph_kcore": _staged("graph_kcore"),
 }
 
 
