@@ -207,6 +207,22 @@ SCALE_PROBES: dict[str, object] = {
         "fresh_session_inline_dedup_s": 30.49,
         "pairs_equal": True,
     },
+    # The same split at 1000x (5M docs — the volume whose r9 probe
+    # measured 948 s of interpreted-HOF signature staging): the
+    # vectorized stage writes the table once in 374 s, and a FRESH
+    # session then runs the complete banded join + exact verify in
+    # 32 s reading it — emitting the same 4.67M verified pairs the r9
+    # probe recorded, so the staged path is value-identical at every
+    # probed volume.
+    "staged_signature_probe_1000x": {
+        "mult": 1000,
+        "n_docs": 5_000_000,
+        "stage_once_s": 373.7,
+        "inline_signature_derive_s": 428.85,
+        "fresh_session_staged_dedup_s": 32.36,
+        "pairs": 4_672_482,
+        "r9_interpreted_stage_s": 948.0,
+    },
     # direct 100x-only second-run walls for the registered dedup family
     # (post minhash merge insurance; 500k docs, ~464k verified pairs;
     # zero GC-pressure warnings): the CC loop over a 500k-node near-dup
@@ -278,6 +294,10 @@ SCALE_PROBES: dict[str, object] = {
         "embedding_stats": 1.76,
         "corpus_quality_filter": 245.82,
         "dedup_minhash_lsh": 82.95,
+        # r10: fresh-session wall READING the staged signature table
+        # (see staged_signature_probe_1000x); the 948 s staging pass
+        # is paid once per corpus and is itself 2.5x cheaper vectorized
+        "dedup_minhash_staged": 32.36,
     },
     "scaling_exponent_full_range": {
         "events_upsert_delete": 0.05,
