@@ -298,6 +298,17 @@ SCALE_PROBES: dict[str, object] = {
         # (see staged_signature_probe_1000x); the 948 s staging pass
         # is paid once per corpus and is itself 2.5x cheaper vectorized
         "dedup_minhash_staged": 32.36,
+        # r10: the r11-queue text ops at 5M docs — both scan-bound
+        # linear from their 100x walls (30.5->315 s, 38.2->361 s for
+        # 10x the data)
+        "doc_bigram_score": 314.62,
+        "corpus_dsir_weights": 361.15,
+        # r10: 20 h-index rounds over the 18.75M-node co-purchase graph
+        # (150M orders) — sublinear from 100x (62->357 s for 10x the
+        # data); needs the 48g probe JVM (HEAP_FLOORS_GIB: the und edge
+        # view GCLocker-OOMs 8g under 32-way concurrency — caught by
+        # the new fail-fast table's own measurement run)
+        "graph_kcore": 356.55,
     },
     "scaling_exponent_full_range": {
         "events_upsert_delete": 0.05,

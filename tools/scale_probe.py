@@ -461,6 +461,9 @@ PROBE_OVERRIDES = {
 # whenever a probe run hits a heap cliff (record it in BUILDLOG too).
 HEAP_FLOORS_GIB: dict[tuple[str, int], int] = {
     ("events_feature_matrix", 1000): 48,
+    # r10: the und edge view over 150M orders (~hundreds of millions of
+    # rows) GCLocker-OOMs the 8g default under 32-way task concurrency
+    ("graph_kcore", 1000): 48,
 }
 
 
