@@ -5582,8 +5582,6 @@ def bm25_topk(
     window over ≤ the candidate postings, keyed by query.  Zipfian
     term skew lands on the compound (doc, term) key, not a single
     reducer."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, "documents", sf_dir).where(
         F.col("text").isNotNull()
     )
@@ -5602,6 +5600,24 @@ def bm25_topk(
     # pruning otherwise specializes each branch's scan and defeats
     # exchange reuse, leaving 3 full tokenize passes).
     tf = _bm25_postings(spark, sf_dir, toks)
+    return _bm25_rank(tf, toks, n_queries, n_terms, k_top, k1, b)
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    toks: DataFrame,
+    n_queries: int,
+    n_terms: int,
+    k_top: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The BM25 scoring pipeline downstream of the postings table —
+    shared verbatim by ``bm25_topk`` (in-session persisted postings)
+    and ``bm25_topk_staged`` (parquet-staged postings), so the staged
+    path cannot drift from the inline one by construction."""
+    from pyspark.sql import Window
+
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -5675,6 +5691,88 @@ def bm25_topk(
         .where(F.col("rank") <= k_top)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+_BM25_INDEX_MANIFEST = "bm25_index_manifest.json"
+
+
+def _bm25_index_params(k_shingle_none: None = None) -> dict:
+    # the staged index is valid only for the exact tokenization it was
+    # built under: lower() + the functions.text.tokens() word regex
+    return {"tokenizer": "lower+text.tokens", "schema": "doc_id,term,tf"}
+
+
+def stage_bm25_postings(docs: DataFrame, path: str) -> None:
+    """Materialize the BM25 postings table (doc_id, term, tf) once per
+    corpus — the inverted-index build every lexical-retrieval
+    deployment pays ONCE and queries many times.  The 1000x probe
+    measured the in-session build at 356 s over 5M docs (300M term
+    rows) against a 48 s amortized query: staging it as parquet makes
+    that build a per-CORPUS cost instead of a per-session one, the
+    same discipline as ``stage_minhash_signatures``.  A params
+    manifest rides next to the data so a reader under a different
+    tokenization raises instead of silently scoring against foreign
+    postings."""
+    import json
+
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    tf.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    with open(os.path.join(path, _BM25_INDEX_MANIFEST), "w") as fh:
+        json.dump(_bm25_index_params(), fh)
+
+
+def read_staged_bm25_postings(spark: SparkSession, path: str) -> DataFrame:
+    """Read a staged postings table back, validating its manifest —
+    the ``read_staged_signatures`` contract applied to the lexical
+    index."""
+    import json
+
+    with open(os.path.join(path, _BM25_INDEX_MANIFEST)) as fh:
+        params = json.load(fh)
+    want = _bm25_index_params()
+    if params != want:
+        raise ValueError(
+            f"staged BM25 index at {path} was built with {params}, "
+            f"caller expects {want} — rebuild before use"
+        )
+    return spark.read.parquet(os.path.join(path, "postings"))
+
+
+def bm25_topk_staged(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    n_terms: int = 4,
+    k_top: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k reading a PERSISTED postings index — ``bm25_topk``
+    with the posting-list build paid once per corpus instead of once
+    per session (staged to parquet on first touch, manifest-guarded).
+    Output and oracle are IDENTICAL to ``bm25_topk`` (the scorer is
+    shared verbatim via ``_bm25_rank``); df/dl/avgdl re-derive from
+    the staged table at scan cost, so a fresh session pays one parquet
+    scan + the two map-side-combinable aggregates, never the corpus
+    tokenize.  R12-queue candidate (built + pinned in r10)."""
+    docs = load_table(spark, "documents", sf_dir)
+    path = _scratch(
+        "bm25_index_" + os.path.abspath(sf_dir).replace(os.sep, "_")
+    )
+    if not os.path.exists(os.path.join(path, "postings")):
+        stage_bm25_postings(docs, path)
+    tf = read_staged_bm25_postings(spark, path)
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
+    )
+    return _bm25_rank(tf, toks, n_queries, n_terms, k_top, k1, b)
 
 
 def events_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2663,3 +2663,51 @@ def test_r11_queue_null_degeneracy(spark, tmp_path):
     got = {tuple(r) for r in X.corpus_dsir_weights(spark, sf).collect()}
     exp = set(map(tuple, con.execute(_dsir_oracle(f"'{docs}'")).fetchall()))
     assert got == exp and got
+
+
+def test_bm25_topk_staged_matches_inline_and_oracle(spark):
+    """R12-queue candidate pinned at build: BM25 reading the staged
+    postings index must be indistinguishable from the in-session path
+    — same ranks, same 6dp scores — and hash-equal to the registered
+    bm25_topk DuckDB oracle (the staged path shares it verbatim); a
+    manifest mismatch must raise instead of scoring against foreign
+    postings."""
+    import json
+    import os
+
+    import duckdb
+    import pytest
+
+    import __spark_entry__ as E
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    staged = {
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in X.bm25_topk_staged(spark, SF_SMALL).collect()
+    }
+    inline = {
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in X.bm25_topk(spark, SF_SMALL).collect()
+    }
+    assert staged == inline and staged
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    exp = set(map(tuple, con.execute(E.oracle_sql()["bm25_topk"]).fetchall()))
+    assert staged == exp
+    # manifest guard: a drifted-tokenizer index must refuse to load
+    path = X._scratch(
+        "bm25_index_" + os.path.abspath(SF_SMALL).replace(os.sep, "_")
+    )
+    mf = os.path.join(path, X._BM25_INDEX_MANIFEST)
+    orig = open(mf).read()
+    try:
+        with open(mf, "w") as fh:
+            json.dump({"tokenizer": "other", "schema": "doc_id,term,tf"}, fh)
+        with pytest.raises(ValueError, match="rebuild before use"):
+            X.read_staged_bm25_postings(spark, path)
+    finally:
+        with open(mf, "w") as fh:
+            fh.write(orig)
