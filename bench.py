@@ -214,6 +214,20 @@ SCALE_PROBES: dict[str, object] = {
     # 32 s reading it — emitting the same 4.67M verified pairs the r9
     # probe recorded, so the staged path is value-identical at every
     # probed volume.
+    # The lexical-index twin (r12-queue candidate bm25_topk_staged),
+    # same two-process shape at 1000x/5M docs: the parquet postings
+    # index builds in 66 s (the r9 in-session first run paid 356 s with
+    # the query riding on top), and a FRESH session answers the full
+    # top-k from the staged index in 66 s — dominated by re-deriving
+    # df/dl over 300M staged term rows at scan cost, never the corpus
+    # tokenize.
+    "staged_bm25_probe_1000x": {
+        "mult": 1000,
+        "n_docs": 5_000_000,
+        "index_build_s": 66.04,
+        "fresh_session_query_s": 65.59,
+        "r9_in_session_first_run_s": 356.0,
+    },
     "staged_signature_probe_1000x": {
         "mult": 1000,
         "n_docs": 5_000_000,
