@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "doc_bigram_score",
     "corpus_dsir_weights",
     "graph_kcore",
+    # r12-queue candidate (built late-r10): BM25 from the staged
+    # parquet postings index
+    "bm25_topk_staged",
 ]
 
 # Measured scale shape for the registered + queued lines
@@ -433,6 +436,7 @@ EXTRA_BENCH = {
     "doc_bigram_score": _bench_staged("doc_bigram_score"),
     "corpus_dsir_weights": _bench_staged("corpus_dsir_weights"),
     "graph_kcore": _bench_staged("graph_kcore"),
+    "bm25_topk_staged": _bench_staged("bm25_topk_staged"),
 }
 
 

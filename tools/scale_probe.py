@@ -283,6 +283,8 @@ CORPUS_QUERIES = [
     "dedup_minhash_staged",
     "doc_bigram_score",
     "corpus_dsir_weights",
+    # r12-queue candidate
+    "bm25_topk_staged",
 ]
 SIMILARITY_QUERIES = [
     "similarity_ivf_pq",
@@ -446,6 +448,7 @@ PROBE_OVERRIDES = {
     "doc_bigram_score": _staged("doc_bigram_score"),
     "corpus_dsir_weights": _staged("corpus_dsir_weights"),
     "graph_kcore": _staged("graph_kcore"),
+    "bm25_topk_staged": _staged("bm25_topk_staged"),
 }
 
 
