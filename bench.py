@@ -327,6 +327,20 @@ SCALE_PROBES: dict[str, object] = {
         # the new fail-fast table's own measurement run)
         "graph_kcore": 356.55,
     },
+    # Celebrity-hub skew probe for the graph family (r10): one part
+    # co-purchased in 30% of 1.5M orders — hub degree 528k in a
+    # 777k-node graph.  The h-index update ranks each node's neighbor
+    # values inside ONE window partition, so the hub costs a
+    # degree-sized single-task sort per round; measured 46 s warm for
+    # all 20 rounds vs 62 s for the UNSKEWED 1.9M-node 100x graph —
+    # an absorbed imbalance, not a cliff (the sort is O(d log d) once
+    # per round and every other node proceeds in parallel).
+    "graph_kcore_skew_probe": {
+        "n_orders": 1_500_000,
+        "n_nodes": 776_610,
+        "hub_degree": 527_974,
+        "walls_s": [60.87, 45.91],
+    },
     "scaling_exponent_full_range": {
         "events_upsert_delete": 0.05,
         "dedup_semantic": 0.33,
