@@ -303,6 +303,41 @@ def _sig_params(id_col: str, text_col: str, k_shingle: int, n_hashes: int) -> di
     }
 
 
+def staged_signatures_valid(
+    path: str,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    n_hashes: int = 12,
+    fingerprint: dict | None = None,
+) -> bool:
+    """Whether a staged signature table at ``path`` is safe to reuse.
+
+    The MANIFEST is the commit marker (ADVICE r10 #2): Spark creates the
+    data directory at write START but the manifest is written only after
+    the write succeeds, so gating reuse on the data dir would adopt a
+    crashed, partial stage forever (every later call FileNotFoundErrors
+    on the manifest instead of restaging).  A missing/unreadable
+    manifest, drifted params, or — when the caller passes the current
+    corpus ``fingerprint`` — a corpus that changed since staging all
+    mean "restage", not "raise": only ``read_staged_signatures`` raises,
+    for readers that cannot restage."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, _SIG_MANIFEST)) as fh:
+            manifest = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    want = _sig_params(id_col, text_col, k_shingle, n_hashes)
+    if {k: manifest.get(k) for k in want} != want:
+        return False
+    if fingerprint is not None and manifest.get("corpus") != fingerprint:
+        return False
+    return True
+
+
 def stage_minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -311,6 +346,7 @@ def stage_minhash_signatures(
     k_shingle: int = 3,
     n_hashes: int = 12,
     vectorized: bool = True,
+    fingerprint: dict | None = None,
 ) -> None:
     """Materialize the minhash signature table once per corpus.
 
@@ -323,7 +359,15 @@ def stage_minhash_signatures(
     at scan cost (the FAISS-index / inverted-index discipline applied to
     dedup).  A params manifest rides next to the data so a reader can
     never silently consume signatures computed under different shingle or
-    permutation parameters."""
+    permutation parameters.
+
+    The manifest is written LAST — it doubles as the commit marker a
+    reuse check gates on (``staged_signatures_valid``), so a stage that
+    dies mid-write leaves no manifest and the next caller restages
+    instead of adopting a partial table.  ``fingerprint`` (the corpus
+    stats the caller derived, e.g. row count + max id) rides in the
+    manifest under ``"corpus"`` so durable-path readers can detect a
+    corpus that changed since staging."""
     import json
     import os
 
@@ -331,8 +375,11 @@ def stage_minhash_signatures(
         df, id_col, text_col, k_shingle, n_hashes
     )
     sigs.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
+    manifest = _sig_params(id_col, text_col, k_shingle, n_hashes)
+    if fingerprint is not None:
+        manifest["corpus"] = fingerprint
     with open(os.path.join(path, _SIG_MANIFEST), "w") as fh:
-        json.dump(_sig_params(id_col, text_col, k_shingle, n_hashes), fh)
+        json.dump(manifest, fh)
 
 
 def append_minhash_signatures(
@@ -345,7 +392,9 @@ def append_minhash_signatures(
     per-batch half of the ``dedup_incremental_ingest`` discipline, so a
     growing corpus never recomputes the signatures it already staged.
     Parameters come from the staged manifest (the append cannot drift
-    from the table it extends)."""
+    from the table it extends).  If the manifest carries a corpus
+    fingerprint it is advanced to cover the appended batch (rewritten
+    AFTER the append lands, preserving the commit-marker order)."""
     import json
     import os
 
@@ -356,6 +405,33 @@ def append_minhash_signatures(
         params["k_shingle"], params["n_hashes"],
     )
     sigs.write.mode("append").parquet(os.path.join(path, "signatures"))
+    if "corpus" in params:
+        batch = corpus_fingerprint(df, params["id_col"])
+        old = params["corpus"]
+        params["corpus"] = {
+            "n_rows": old["n_rows"] + batch["n_rows"],
+            "max_id": max(
+                (x for x in (old["max_id"], batch["max_id"]) if x is not None),
+                default=None,
+            ),
+        }
+        with open(os.path.join(path, _SIG_MANIFEST), "w") as fh:
+            json.dump(params, fh)
+
+
+def corpus_fingerprint(df: DataFrame, id_col: str) -> dict:
+    """The cheap corpus identity a staged-table manifest records: row
+    count + max id.  Catches the durable-path hazard of a corpus that
+    grew or was regenerated since staging (ADVICE r10 #2) without
+    paying a content hash; an id-stable in-place edit is out of scope —
+    that is what ``append_minhash_signatures`` / restaging are for."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.max(id_col).alias("m")
+    ).collect()[0]
+    return {
+        "n_rows": int(row["n"]),
+        "max_id": None if row["m"] is None else int(row["m"]),
+    }
 
 
 def read_staged_signatures(
@@ -365,21 +441,36 @@ def read_staged_signatures(
     text_col: str,
     k_shingle: int = 3,
     n_hashes: int = 12,
+    expect_fingerprint: dict | None = None,
 ) -> DataFrame:
     """Read a staged signature table back, validating its manifest against
     the parameters the caller is about to dedup with — a mismatch raises
     instead of silently joining signatures from a different permutation
-    family (which would produce plausible-but-wrong candidate sets)."""
+    family (which would produce plausible-but-wrong candidate sets).
+    A missing manifest raises too: the manifest is the stage's commit
+    marker, so its absence means a crashed or in-flight write, never a
+    readable table.  Passing ``expect_fingerprint`` additionally pins
+    the corpus the signatures were derived from."""
     import json
     import os
 
     with open(os.path.join(path, _SIG_MANIFEST)) as fh:
-        params = json.load(fh)
+        manifest = json.load(fh)
     want = _sig_params(id_col, text_col, k_shingle, n_hashes)
-    if params != want:
+    got = {k: manifest.get(k) for k in want}
+    if got != want:
         raise ValueError(
-            f"staged signature table at {path} was built with {params}, "
+            f"staged signature table at {path} was built with {got}, "
             f"caller expects {want} — restage before use"
+        )
+    if (
+        expect_fingerprint is not None
+        and manifest.get("corpus") != expect_fingerprint
+    ):
+        raise ValueError(
+            f"staged signature table at {path} covers corpus "
+            f"{manifest.get('corpus')}, caller's corpus is "
+            f"{expect_fingerprint} — restage before use"
         )
     return spark.read.parquet(os.path.join(path, "signatures"))
 

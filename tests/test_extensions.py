@@ -2340,6 +2340,92 @@ def test_minhash_staged_signature_table_roundtrip(spark, tmp_path):
         D.read_staged_signatures(spark, path, "doc_id", "text", k_shingle=4)
 
 
+def test_staged_table_commit_marker_and_fingerprint(spark, tmp_path):
+    """ADVICE r10 #2: reuse gates on the MANIFEST (the commit marker
+    written after the data), never on the data directory — a crashed
+    stage that left parquet but no manifest must read as invalid and a
+    manifest-less read must raise; a corpus fingerprint mismatch must
+    invalidate reuse on durable paths; append must advance the staged
+    fingerprint so the grown table stays adoptable."""
+    import json
+    import os
+
+    from logistream_data_pipeline_aws_spark.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    rest = docs.where(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "sig_table")
+
+    # simulated crashed stage: data dir exists, no manifest yet
+    os.makedirs(os.path.join(path, "signatures"))
+    assert not D.staged_signatures_valid(path, "doc_id", "text")
+    with pytest.raises(OSError):
+        D.read_staged_signatures(spark, path, "doc_id", "text")
+
+    fp_half = D.corpus_fingerprint(half, "doc_id")
+    D.stage_minhash_signatures(
+        half, "doc_id", "text", path, fingerprint=fp_half
+    )
+    assert D.staged_signatures_valid(path, "doc_id", "text")
+    assert D.staged_signatures_valid(
+        path, "doc_id", "text", fingerprint=fp_half
+    )
+    # the full corpus is NOT what was staged — both the validity check
+    # and the pinned read must reject it
+    fp_full = D.corpus_fingerprint(docs, "doc_id")
+    assert fp_full != fp_half
+    assert not D.staged_signatures_valid(
+        path, "doc_id", "text", fingerprint=fp_full
+    )
+    with pytest.raises(ValueError, match="restage before use"):
+        D.read_staged_signatures(
+            spark, path, "doc_id", "text", expect_fingerprint=fp_full
+        )
+    # append advances the manifest fingerprint to the grown corpus
+    D.append_minhash_signatures(rest, path)
+    assert D.staged_signatures_valid(
+        path, "doc_id", "text", fingerprint=fp_full
+    )
+    with open(os.path.join(path, D._SIG_MANIFEST)) as fh:
+        assert json.load(fh)["corpus"] == fp_full
+    got = D.read_staged_signatures(
+        spark, path, "doc_id", "text", expect_fingerprint=fp_full
+    )
+    assert (
+        got.count()
+        == D.minhash_signatures(docs, "doc_id", "text").count()
+    )
+
+
+def test_staged_bm25_commit_marker_and_fingerprint(spark, tmp_path):
+    """The same ADVICE r10 #2 contract on the lexical index: a
+    manifest-less postings dir is invalid (crashed stage), a corpus
+    fingerprint mismatch invalidates reuse, and a committed stage
+    validates and reads back under its fingerprint."""
+    import os
+
+    from logistream_data_pipeline_aws_spark.catalog import load_table
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    path = str(tmp_path / "bm25_index")
+    os.makedirs(os.path.join(path, "postings"))
+    assert not X.staged_bm25_postings_valid(path)
+    with pytest.raises(OSError):
+        X.read_staged_bm25_postings(spark, path)
+
+    fp = D.corpus_fingerprint(docs, "doc_id")
+    X.stage_bm25_postings(docs, path, fingerprint=fp)
+    assert X.staged_bm25_postings_valid(path, fingerprint=fp)
+    stale = {"n_rows": fp["n_rows"] + 1, "max_id": fp["max_id"]}
+    assert not X.staged_bm25_postings_valid(path, fingerprint=stale)
+    with pytest.raises(ValueError, match="rebuild before use"):
+        X.read_staged_bm25_postings(spark, path, expect_fingerprint=stale)
+    tf = X.read_staged_bm25_postings(spark, path, expect_fingerprint=fp)
+    assert {c for c in tf.columns} == {"doc_id", "term", "tf"}
+
+
 def test_checkpoint_release_scoped_to_own_rdds(spark):
     """ADVICE r9 #1: the CC loop's block release must be scoped to the
     checkpoint's OWN RDD ids — a global getPersistentRDDs diff would
@@ -2566,7 +2652,9 @@ def _kcore_oracle_sql(rounds: int = 20, k_cap: int = 256) -> str:
     """The graph_kcore DuckDB replay (round-11 oracle): the triangle
     census's cap/edge/degree CTEs, then ``rounds`` unrolled h-index
     updates — rank neighbor values descending per node, h = MAX(LEAST
-    (rank, value)), next = LEAST(current, h)."""
+    (rank, value)), next = LEAST(current, h) — plus ONE probe round
+    whose total is compared against round ``rounds``'s to replay the
+    engine's ``converged`` flag (VERDICT r10 #4)."""
     # MATERIALIZED (DuckDB-side hint): the unrolled rounds reference
     # ``und`` ``rounds`` times — inlined CTEs would re-open the parquet
     # scan per reference and exhaust the process fd limit
@@ -2584,7 +2672,9 @@ def _kcore_oracle_sql(rounds: int = 20, k_cap: int = 256) -> str:
     # each round or the inlined expansion doubles per round (2^rounds
     # plan nodes), the exact blowup the engine's localCheckpoint avoids
     prev = "c0"
-    for i in range(1, rounds + 1):
+    # rounds + 1: the last unrolled round is the engine's convergence
+    # PROBE — it never contributes corenesses, only its total
+    for i in range(1, rounds + 2):
         sql += (
             f", h{i} AS MATERIALIZED (SELECT v, CAST(MAX(LEAST(rn, cu)) AS BIGINT) AS h FROM ("
             f"SELECT und.v, p.c AS cu, CAST(ROW_NUMBER() OVER "
@@ -2596,8 +2686,9 @@ def _kcore_oracle_sql(rounds: int = 20, k_cap: int = 256) -> str:
         prev = f"c{i}"
     return (
         sql
-        + f" SELECT deg.v AS part, deg.degree, CAST({prev}.c AS BIGINT) AS coreness "
-        f"FROM deg JOIN {prev} ON deg.v = {prev}.v"
+        + f" SELECT deg.v AS part, deg.degree, CAST(c{rounds}.c AS BIGINT) AS coreness, "
+        f"(SELECT SUM(c) FROM c{rounds}) = (SELECT SUM(c) FROM c{rounds + 1}) AS converged "
+        f"FROM deg JOIN c{rounds} ON deg.v = c{rounds}.v"
     )
 
 
@@ -2619,10 +2710,16 @@ def test_graph_kcore_matches_oracle(spark):
     )
     exp = set(map(tuple, con.execute(_kcore_oracle_sql()).fetchall()))
     assert got == exp and got
+    # the probe-round flag: converged must be TRUE here (and the rows
+    # must equal the true fixpoint), so a corpus that stops converging
+    # within the fixed rounds flips every row and fails the value hash
+    assert {r[3] for r in got} == {True}
     fix = {
         tuple(r) for r in X.graph_kcore_converged(spark, SF_SMALL).collect()
     }
-    assert got == fix, "20 rounds no longer reach the fixpoint at sf0.001"
+    assert {r[:3] for r in got} == fix, (
+        "20 rounds no longer reach the fixpoint at sf0.001"
+    )
     cs = {r[2] for r in got}
     assert len(cs) > 5 and all(c >= 1 for c in cs)
     # coreness is bounded by degree everywhere

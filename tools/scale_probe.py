@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import sys
 import tempfile
 import time
@@ -472,10 +473,29 @@ HEAP_FLOORS_GIB: dict[tuple[str, int], int] = {
 
 def _jvm_heap_gib() -> float:
     """The heap get_spark will request (env override or its 8g default).
-    Parsed here BEFORE the JVM exists so the floor check can fail fast."""
+    Parsed here BEFORE the JVM exists so the floor check can fail fast.
+
+    Mirrors Spark's JavaUtils.byteStringAsMb semantics (ADVICE r10 #1):
+    a suffix-less value is MiB (NOT bytes — ``'49152'`` means 48 GiB),
+    the unit suffix is parsed explicitly, and an unknown suffix raises
+    instead of silently mis-scaling the floor check."""
     raw = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g").strip().lower()
-    mult = {"g": 1.0, "m": 1.0 / 1024.0, "k": 1.0 / (1024.0 * 1024.0)}
-    return float(raw[:-1]) * mult.get(raw[-1], 1.0 / (1024.0**3))
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([kmgtp]?)b?", raw)
+    if not m:
+        raise SystemExit(
+            f"unparseable SPARK_GRAFT_DRIVER_MEM={raw!r} "
+            "(expected e.g. 8g, 49152m, or a unit-less MiB count)"
+        )
+    num, unit = float(m.group(1)), m.group(2)
+    gib_per_unit = {
+        "": 1.0 / 1024.0,  # JavaUtils: unit-less driver memory is MiB
+        "k": 1.0 / (1024.0 * 1024.0),
+        "m": 1.0 / 1024.0,
+        "g": 1.0,
+        "t": 1024.0,
+        "p": 1024.0 * 1024.0,
+    }
+    return num * gib_per_unit[unit]
 
 
 def _check_heap_floor(selected: set[str], mults: list[int]) -> None:
