@@ -471,84 +471,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # digest to the manifest recorded at their last green round — a
     # changed tail entry fails CI until rotated back into the head.
     return {
-        # ==== ROUND-10 HEAD WINDOW (the driver records the first ~50) ====
-        # Composition per VERDICT r9 next-round #1 and COVERAGE.md
-        # "Round-10 head-window composition":
-        #   1. the 6 r10-queue registrations (built + pytest-pinned in r9);
-        #   2. the 22 r5-green entries AT the 4-round staleness cap
+        # ==== ROUND-11 HEAD WINDOW (the driver records the first ~50) ====
+        # Composition per VERDICT r10 next-round #1 and COVERAGE.md
+        # "Round-11 head-window composition":
+        #   1. the 4 r11-queue registrations (built + pytest-pinned in
+        #      r10: staged-signature dedup, bigram-LM scoring, DSIR
+        #      weights, k-core coreness with the new converged flag);
+        #   2. the 27 r6-green entries AT the 4-round staleness cap
         #      (non-negotiable per COVERAGE);
-        #   3. the 21 entries drifted by this round's dedup_family.py /
-        #      plans/extensions.py edits (vectorized signature staging,
-        #      checkpoint-scope release, BM25 cache bound, triangle cap) —
-        #      each re-verified hash-exact at sf0.01+sf0.1 before this
-        #      rotation (adjudication protocol);
-        #   4. similarity_ivf_incremental (the 7th r9 drift-regen entry,
-        #      r8-green, queued for a driver row since the r9 rotation).
-        # The 27 r6-green entries hit the cap at r10 close and LEAD the
-        # r11 window (COVERAGE group-5 deferral — window had no room).
-        # -- group 1: new registrations (r10 queue) -----------------------
-        "corpus_domain_cap": X.corpus_domain_cap,
-        "corpus_gopher_rules": X.corpus_gopher_rules,
-        "bm25_topk": X.bm25_topk,
-        "events_feature_matrix": X.events_feature_matrix,
-        "similarity_recall_audit": X.similarity_recall_audit,
-        "graph_triangle_count": X.graph_triangle_count,
-        # -- group 2: r5-green at the staleness cap ------------------------
-        "repeat_customers_yoy": A.repeat_customers_yoy,
-        "brand_share_within_type": A.brand_share_within_type,
-        "daily_sales_range_frame": A.daily_sales_range_frame,
-        "sql_small_quantity_revenue": V.sql_small_quantity_revenue,
-        "lineitem_abc_pareto": A.lineitem_abc_pareto,
-        "a6_sales_trend_mom": A.a6_sales_trend_mom,
-        "a5_profit_rollup": A.a5_profit_rollup,
-        "a6_sales_trend": A.a6_sales_trend,
-        "a7_schedule_adherence": A.a7_schedule_adherence,
-        "cumulative_monthly_sales": A.cumulative_monthly_sales,
-        "acctbal_band_join": A.acctbal_band_join,
-        "customer_rank_in_nation": A.customer_rank_in_nation,
-        "a5_profit_by_hierarchy": A.a5_profit_by_hierarchy,
-        "a5_profit_cube": A.a5_profit_cube,
-        "segment_region_pivot": A.segment_region_pivot,
-        "sql_profit_by_hierarchy": V.sql_profit_by_hierarchy,
-        "sql_shipping_priority": V.sql_shipping_priority,
-        "sql_local_supplier_volume": V.sql_local_supplier_volume,
-        "sql_product_profit_by_nation_year": V.sql_product_profit_by_nation_year,
-        "sql_volume_shipping": V.sql_volume_shipping,
-        "sql_market_share": V.sql_market_share,
-        "sql_lapsed_big_spenders": V.sql_lapsed_big_spenders,
-        # -- group 3: drifted this round (dedup_family.py + extensions.py) -
-        "corpus_dedup_pipeline": X.corpus_dedup_pipeline,
-        "doc_substring_dedup": X.doc_substring_dedup,
-        "dedup_semantic": X.dedup_semantic_k8,
-        "dedup_exact": X.dedup_exact,
-        "dedup_survivors": X.dedup_survivors,
-        "dedup_dropped": X.dedup_dropped,
-        "dedup_fuzzy_levenshtein": X.dedup_fuzzy_levenshtein,
-        "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
-        "dedup_prefix_filter": X.dedup_prefix_filter,
-        "dedup_simhash": X.dedup_simhash,
-        "dedup_simhash_pairs": X.dedup_simhash_pairs,
-        "doc_repetition": X.doc_repetition,
-        "doc_winnowing": X.doc_winnowing,
-        "doc_winnow_pairs": X.doc_winnow_pairs,
-        "contamination_check": X.contamination_check,
-        "doc_substring_spans": X.doc_substring_spans,
-        "dedup_clusters": X.dedup_clusters,
-        "dedup_near_survivors": X.dedup_near_survivors,
-        "dedup_incremental_ingest": X.dedup_incremental_ingest,
-        "dedup_embedding": X.dedup_embedding,
-        "dedup_minhash_lsh": X.dedup_minhash_lsh,
-        # -- group 4: r9 drift-regen entry owed a driver row ---------------
-        "similarity_ivf_incremental": X.similarity_ivf_incremental,
+        #   3. 19 stalest r7-green entries, custom plans preferred over
+        #      pure SQL (dim_region / dim_geography and the 11 sql_* r7
+        #      entries defer to r12 — COVERAGE group-4 tiebreak).
+        # The 22 entries drifted by this round's dedup_family.py edits
+        # (manifest commit markers + corpus fingerprints — additive
+        # helpers; no registered entry's executed plan changed) are
+        # handled by the adjudication protocol instead of window slots:
+        # each re-verified hash-exact at sf0.01+sf0.1 before this
+        # rotation, then re-pinned in the regenerated ledger manifest
+        # (see COVERAGE.md "Round-11 drift adjudication").
+        # -- group 1: new registrations (r11 queue) -----------------------
+        "dedup_minhash_staged": X.dedup_minhash_staged,
+        "doc_bigram_score": X.doc_bigram_score,
+        "corpus_dsir_weights": X.corpus_dsir_weights,
+        "graph_kcore": X.graph_kcore,
+        # -- group 2: r6-green at the staleness cap ------------------------
+        "media_image_features": X.media_image_features,
+        "bpe_encode_stats": X.bpe_encode_stats,
+        "events_conversion_lag": X.events_conversion_lag,
+        "scd2_daily_snapshot": X.scd2_daily_snapshot,
+        "customer_rfm_scores_approx": A.customer_rfm_scores_approx_checked,
+        "events_salted_user_stats": X.events_salted_user_stats,
+        "sales_forecast_ses": X.sales_forecast_ses,
+        "events_stickiness_hll": X.events_stickiness_hll,
+        "tfidf_top_terms": X.tfidf_top_terms,
+        "doc_fingerprints": X.doc_fingerprints,
+        "lang_id": X.lang_id,
+        "text_stats": X.text_stats,
+        "doc_unigram_score": X.doc_unigram_score,
+        "sales_trendline_ols": X.sales_trendline_ols,
+        "embedding_outliers": X.embedding_outliers,
+        "corpus_quality_filter": X.corpus_quality_filter,
+        "corpus_split_assignment": X.corpus_split_assignment,
+        "lineitem_column_profile": X.lineitem_column_profile,
+        "fact_backfill_plan": X.fact_backfill_plan,
+        "events_orc_readback": X.events_orc_readback,
+        "dev_sample_cap": W.dev_sample_cap,
+        "top_customers": A.top_customers,
+        "corpus_length_histogram": X.corpus_length_histogram,
+        "sql_customer_order_distribution": V.sql_customer_order_distribution,
+        "sql_orders_above_customer_avg": V.sql_orders_above_customer_avg,
+        "sql_large_volume_orders": V.sql_large_volume_orders,
+        "sql_disjunctive_basket": V.sql_disjunctive_basket,
+        # -- group 3: stalest r7-green, custom plans first -----------------
+        "a8_returns_by_nation": A.a8_returns_by_nation,
+        "corpus_mixture_sample": X.corpus_mixture_sample,
+        "dim_date": W.dim_date,
+        "dim_junk_status": W.dim_junk_status,
+        "dim_route_shapes": X.dim_route_shapes,
+        "embedding_quantize": X.embedding_quantize,
+        "events_asof_last_purchase": X.events_asof_last_purchase,
+        "events_hourly": A.events_hourly,
+        "events_json_kv": X.events_json_kv,
+        "events_lookback_count": X.events_lookback_count,
+        "events_multigrain_rollup": X.events_multigrain_rollup,
+        "events_sketch_profile": X.events_sketch_profile_checked,
+        "fact_bucket_profile": W.fact_bucket_profile,
+        "geojson_routes": X.geojson_routes,
+        "q1_pricing_summary": A.q1_pricing_summary,
+        "routes_csv_readback": X.routes_csv_readback,
+        "sequence_packing": X.sequence_packing,
+        "user_sessions": X.user_sessions,
+        "warehouse_orc_readback": X.warehouse_orc_readback,
         # ===== ~50-entry driver window boundary.  Everything below is
-        #    tail: green in r6-r9 (rows+schema+hash), digest-pinned since
+        #    tail: green in r7-r10 (rows+schema+hash), digest-pinned since
         #    its green row (tests/test_rotation_ledger.py), stalest first.
-        #    The r6-green custom-plan block LEADS the round-11 window (they
-        #    reach the 4-round staleness cap at r10 close).  The two
-        #    sketch-only prod twins (events_stickiness_hll_prod,
+        #    The two sketch-only prod twins (events_stickiness_hll_prod,
         #    customer_rfm_scores_approx_prod) stay deregistered per VERDICT
         #    r6 #2 (benched in bench.py, pinned in tests/test_prod_twins.py).
         # ==================================================================
+        "dim_region": W.dim_region,
+        "dim_geography": W.dim_geography,
+        "sql_cheapest_supplier": V.sql_cheapest_supplier,
+        "sql_excess_suppliers": V.sql_excess_suppliers,
+        "sql_forecast_revenue": V.sql_forecast_revenue,
+        "sql_important_parts": V.sql_important_parts,
+        "sql_priority_shipping_split": V.sql_priority_shipping_split,
+        "sql_promo_revenue": V.sql_promo_revenue,
+        "sql_prospect_customers": V.sql_prospect_customers,
+        "sql_returned_item_losses": V.sql_returned_item_losses,
+        "sql_supplier_part_variety": V.sql_supplier_part_variety,
+        "sql_top_supplier": V.sql_top_supplier,
+        "sql_unshipped_orders": V.sql_unshipped_orders,
         "metadata_dictionary": MDI.metadata_dictionary,
         "dedup_golden_record": X.dedup_golden_record,
         "embedding_centered": X.embedding_centered,
@@ -590,65 +603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_lineitem_bucketed": W.fact_lineitem_bucketed,
         "fact_write_readback": X.fact_write_readback,
         "pii_scrub_stats": X.pii_scrub_stats,
-        "corpus_split_assignment": X.corpus_split_assignment,
-        "lineitem_column_profile": X.lineitem_column_profile,
-        "embedding_outliers": X.embedding_outliers,
-        "doc_unigram_score": X.doc_unigram_score,
-        "fact_backfill_plan": X.fact_backfill_plan,
-        "sales_trendline_ols": X.sales_trendline_ols,
-        "events_orc_readback": X.events_orc_readback,
-        "media_image_features": X.media_image_features,
-        "events_conversion_lag": X.events_conversion_lag,
-        "events_stickiness_hll": X.events_stickiness_hll,
-        "sales_forecast_ses": X.sales_forecast_ses,
-        "bpe_encode_stats": X.bpe_encode_stats,
-        "scd2_daily_snapshot": X.scd2_daily_snapshot,
-        "customer_rfm_scores_approx": A.customer_rfm_scores_approx_checked,
-        "events_salted_user_stats": X.events_salted_user_stats,
-        "sql_customer_order_distribution": V.sql_customer_order_distribution,
-        "sql_orders_above_customer_avg": V.sql_orders_above_customer_avg,
-        "corpus_quality_filter": X.corpus_quality_filter,
-        "sql_large_volume_orders": V.sql_large_volume_orders,
-        "corpus_length_histogram": X.corpus_length_histogram,
-        "sql_disjunctive_basket": V.sql_disjunctive_basket,
-        "tfidf_top_terms": X.tfidf_top_terms,
-        "text_stats": X.text_stats,
-        "lang_id": X.lang_id,
-        "dev_sample_cap": W.dev_sample_cap,
-        "top_customers": A.top_customers,
-        "doc_fingerprints": X.doc_fingerprints,
-        "dim_region": W.dim_region,
-        "dim_geography": W.dim_geography,
-        "dim_junk_status": W.dim_junk_status,
-        "dim_date": W.dim_date,
-        "q1_pricing_summary": A.q1_pricing_summary,
-        "fact_bucket_profile": W.fact_bucket_profile,
-        "events_json_kv": X.events_json_kv,
-        "a8_returns_by_nation": A.a8_returns_by_nation,
-        "corpus_mixture_sample": X.corpus_mixture_sample,
-        "dim_route_shapes": X.dim_route_shapes,
-        "embedding_quantize": X.embedding_quantize,
-        "events_asof_last_purchase": X.events_asof_last_purchase,
-        "events_hourly": A.events_hourly,
-        "events_lookback_count": X.events_lookback_count,
-        "events_multigrain_rollup": X.events_multigrain_rollup,
-        "events_sketch_profile": X.events_sketch_profile_checked,
-        "geojson_routes": X.geojson_routes,
-        "routes_csv_readback": X.routes_csv_readback,
-        "sequence_packing": X.sequence_packing,
-        "sql_cheapest_supplier": V.sql_cheapest_supplier,
-        "sql_excess_suppliers": V.sql_excess_suppliers,
-        "sql_forecast_revenue": V.sql_forecast_revenue,
-        "sql_important_parts": V.sql_important_parts,
-        "sql_priority_shipping_split": V.sql_priority_shipping_split,
-        "sql_promo_revenue": V.sql_promo_revenue,
-        "sql_prospect_customers": V.sql_prospect_customers,
-        "sql_returned_item_losses": V.sql_returned_item_losses,
-        "sql_supplier_part_variety": V.sql_supplier_part_variety,
-        "sql_top_supplier": V.sql_top_supplier,
-        "sql_unshipped_orders": V.sql_unshipped_orders,
-        "user_sessions": X.user_sessions,
-        "warehouse_orc_readback": X.warehouse_orc_readback,
         # -- r9-green (freshest tail: verified by the round-9 driver gate) --
         "similarity_ivf_pq": X.similarity_ivf_pq,
         "media_audio_windows": X.media_audio_windows,
@@ -685,6 +639,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_candidates": X.bpe_merge_candidates,
         "corpus_epoch_shuffle": X.corpus_epoch_shuffle,
         "corpus_mixture_plan": X.corpus_mixture_plan,
+        # -- r10-green (freshest tail: verified by the round-10 driver gate;
+        #    the r10 head window rotated here intact, newest rows last) ----
+        "corpus_domain_cap": X.corpus_domain_cap,
+        "corpus_gopher_rules": X.corpus_gopher_rules,
+        "bm25_topk": X.bm25_topk,
+        "events_feature_matrix": X.events_feature_matrix,
+        "similarity_recall_audit": X.similarity_recall_audit,
+        "graph_triangle_count": X.graph_triangle_count,
+        "repeat_customers_yoy": A.repeat_customers_yoy,
+        "brand_share_within_type": A.brand_share_within_type,
+        "daily_sales_range_frame": A.daily_sales_range_frame,
+        "sql_small_quantity_revenue": V.sql_small_quantity_revenue,
+        "lineitem_abc_pareto": A.lineitem_abc_pareto,
+        "a6_sales_trend_mom": A.a6_sales_trend_mom,
+        "a5_profit_rollup": A.a5_profit_rollup,
+        "a6_sales_trend": A.a6_sales_trend,
+        "a7_schedule_adherence": A.a7_schedule_adherence,
+        "cumulative_monthly_sales": A.cumulative_monthly_sales,
+        "acctbal_band_join": A.acctbal_band_join,
+        "customer_rank_in_nation": A.customer_rank_in_nation,
+        "a5_profit_by_hierarchy": A.a5_profit_by_hierarchy,
+        "a5_profit_cube": A.a5_profit_cube,
+        "segment_region_pivot": A.segment_region_pivot,
+        "sql_profit_by_hierarchy": V.sql_profit_by_hierarchy,
+        "sql_shipping_priority": V.sql_shipping_priority,
+        "sql_local_supplier_volume": V.sql_local_supplier_volume,
+        "sql_product_profit_by_nation_year": V.sql_product_profit_by_nation_year,
+        "sql_volume_shipping": V.sql_volume_shipping,
+        "sql_market_share": V.sql_market_share,
+        "sql_lapsed_big_spenders": V.sql_lapsed_big_spenders,
+        "corpus_dedup_pipeline": X.corpus_dedup_pipeline,
+        "doc_substring_dedup": X.doc_substring_dedup,
+        "dedup_semantic": X.dedup_semantic_k8,
+        "dedup_exact": X.dedup_exact,
+        "dedup_survivors": X.dedup_survivors,
+        "dedup_dropped": X.dedup_dropped,
+        "dedup_fuzzy_levenshtein": X.dedup_fuzzy_levenshtein,
+        "dedup_ngram_jaccard": X.dedup_ngram_jaccard,
+        "dedup_prefix_filter": X.dedup_prefix_filter,
+        "dedup_simhash": X.dedup_simhash,
+        "dedup_simhash_pairs": X.dedup_simhash_pairs,
+        "doc_repetition": X.doc_repetition,
+        "doc_winnowing": X.doc_winnowing,
+        "doc_winnow_pairs": X.doc_winnow_pairs,
+        "contamination_check": X.contamination_check,
+        "doc_substring_spans": X.doc_substring_spans,
+        "dedup_clusters": X.dedup_clusters,
+        "dedup_near_survivors": X.dedup_near_survivors,
+        "dedup_incremental_ingest": X.dedup_incremental_ingest,
+        "dedup_embedding": X.dedup_embedding,
+        "dedup_minhash_lsh": X.dedup_minhash_lsh,
+        "similarity_ivf_incremental": X.similarity_ivf_incremental,
     }
 
 
@@ -786,6 +792,107 @@ _CLUSTERS_CTE_PREFIX = (
     "UNION SELECT reach.src, s.dst FROM reach JOIN sym s ON reach.dst = s.src), "
     "reach_min AS (SELECT src, MIN(dst) AS min_reach FROM reach GROUP BY src) "
 )
+
+
+def _bigram_score_oracle(docs_rel: str = "documents") -> str:
+    """The doc_bigram_score DuckDB replay (round-11 oracle): same word
+    regex, same bigram construction, DECIMAL(30,12)-quantized
+    contributions (the doc_unigram_score ulp discipline)."""
+    return (
+        "WITH d AS (SELECT doc_id, text FROM "
+        + docs_rel
+        + " WHERE text IS NOT NULL), "
+        "w AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+        "t -> t <> '') AS w FROM d), "
+        "bgx AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 1), "
+        "i -> w[i+1] || ' ' || w[i+2])) AS bg FROM w WHERE len(w) >= 2), "
+        "doc_bg AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM bgx GROUP BY 1, 2), "
+        "vocab AS (SELECT bg, CAST(SUM(cnt) AS BIGINT) AS n_bg FROM doc_bg GROUP BY 1), "
+        "fw AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(n_bg) AS BIGINT) AS n_first "
+        "FROM vocab GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(n_bg) AS BIGINT) AS n_total FROM vocab) "
+        "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams, "
+        "CAST(SUM(CAST(cnt * (CAST(n_bg AS DOUBLE) / CAST(n_total AS DOUBLE)) "
+        "AS DECIMAL(30,12))) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS mean_bigram_p, "
+        "CAST(SUM(CAST(cnt * (CAST(n_bg AS DOUBLE) / CAST(n_first AS DOUBLE)) "
+        "AS DECIMAL(30,12))) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS mean_cond_p "
+        "FROM doc_bg JOIN vocab USING (bg) "
+        "JOIN fw ON string_split(bg, ' ')[1] = fw.w1 "
+        "CROSS JOIN t GROUP BY doc_id"
+    )
+
+
+def _dsir_oracle(docs_rel: str = "documents", n_buckets: int = 1024) -> str:
+    """The corpus_dsir_weights DuckDB replay (round-11 oracle):
+    md5-prefix bucket hashing, add-one smoothing, round(ln, 6)-anchored
+    log-ratios, DECIMAL(25,10)-summed per-doc weights."""
+    return (
+        "WITH d AS (SELECT doc_id, lang, text FROM "
+        + docs_rel
+        + " WHERE text IS NOT NULL), "
+        "w AS (SELECT doc_id, lang, list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+        "t -> t <> '') AS w FROM d), "
+        "f AS (SELECT doc_id, lang, unnest(w || CASE WHEN len(w) >= 2 THEN "
+        "list_transform(range(0, len(w) - 1), i -> w[i+1] || ' ' || w[i+2]) "
+        "ELSE [] END) AS feat FROM w), "
+        f"b AS (SELECT doc_id, lang, ('0x' || substr(md5(feat), 1, 7))::BIGINT % {n_buckets} AS bucket FROM f), "
+        "doc_b AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2), "
+        "dist AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_s, "
+        "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t FROM b GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(c_s) AS BIGINT) AS n_s, CAST(SUM(c_t) AS BIGINT) AS n_t FROM dist), "
+        "lrs AS (SELECT bucket, ROUND(ln("
+        f"(CAST(c_t + 1 AS DOUBLE) * CAST(n_s + {n_buckets} AS DOUBLE)) / "
+        f"(CAST(c_s + 1 AS DOUBLE) * CAST(n_t + {n_buckets} AS DOUBLE))"
+        "), 6) AS lr FROM dist CROSS JOIN t) "
+        "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats, "
+        "ROUND(CAST(SUM(CAST(cnt * lr AS DECIMAL(25,10))) AS DOUBLE), 6) AS dsir_logweight "
+        "FROM doc_b JOIN lrs USING (bucket) GROUP BY doc_id"
+    )
+
+
+def _kcore_oracle_sql(rounds: int = 20, k_cap: int = 256) -> str:
+    """The graph_kcore DuckDB replay (round-11 oracle): the triangle
+    census's cap/edge/degree CTEs, then ``rounds`` unrolled h-index
+    updates — rank neighbor values descending per node, h = MAX(LEAST
+    (rank, value)), next = LEAST(current, h) — plus ONE probe round
+    whose total is compared against round ``rounds``'s to replay the
+    engine's ``converged`` flag (VERDICT r10 #4)."""
+    # MATERIALIZED (DuckDB-side hint): the unrolled rounds reference
+    # ``und`` ``rounds`` times — inlined CTEs would re-open the parquet
+    # scan per reference and exhaust the process fd limit
+    sql = (
+        "WITH bp0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+        "bp AS (SELECT o, p FROM (SELECT o, p, ROW_NUMBER() OVER "
+        f"(PARTITION BY o ORDER BY p) AS rn FROM bp0) WHERE rn <= {k_cap}), "
+        "e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM bp a "
+        "JOIN bp b ON a.o = b.o AND a.p < b.p), "
+        "und AS MATERIALIZED (SELECT pa AS v, pb AS u FROM e UNION ALL SELECT pb, pa FROM e), "
+        "deg AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY 1), "
+        "c0 AS (SELECT v, degree AS c FROM deg)"
+    )
+    # every c{i} is referenced twice (h{i+1} and c{i+1}) — materialize
+    # each round or the inlined expansion doubles per round (2^rounds
+    # plan nodes), the exact blowup the engine's localCheckpoint avoids.
+    # rounds + 1: the last unrolled round is the engine's convergence
+    # PROBE — it never contributes corenesses, only its total
+    prev = "c0"
+    for i in range(1, rounds + 2):
+        sql += (
+            f", h{i} AS MATERIALIZED (SELECT v, CAST(MAX(LEAST(rn, cu)) AS BIGINT) AS h FROM ("
+            f"SELECT und.v, p.c AS cu, CAST(ROW_NUMBER() OVER "
+            f"(PARTITION BY und.v ORDER BY p.c DESC) AS BIGINT) AS rn "
+            f"FROM und JOIN {prev} p ON und.u = p.v) GROUP BY v)"
+            f", c{i} AS MATERIALIZED (SELECT {prev}.v, LEAST({prev}.c, h{i}.h) AS c "
+            f"FROM {prev} JOIN h{i} ON {prev}.v = h{i}.v)"
+        )
+        prev = f"c{i}"
+    return (
+        sql
+        + f" SELECT deg.v AS part, deg.degree, CAST(c{rounds}.c AS BIGINT) AS coreness, "
+        f"(SELECT SUM(c) FROM c{rounds}) = (SELECT SUM(c) FROM c{rounds + 1}) AS converged "
+        f"FROM deg JOIN c{rounds} ON deg.v = c{rounds}.v"
+    )
 
 
 def _ext_oracles() -> dict[str, str]:
@@ -3153,4 +3260,11 @@ def oracle_sql() -> dict[str, str]:
         "/ (deg.d * (deg.d - 1)) END AS clustering_coeff "
         "FROM deg LEFT JOIN pn ON deg.v = pn.v"
     )
+    # r11 registrations.  dedup_minhash_staged shares dedup_minhash_lsh's
+    # oracle VERBATIM — that is the claim under test: the staged path
+    # must be indistinguishable from the inline one under the value hash.
+    out["dedup_minhash_staged"] = out["dedup_minhash_lsh"]
+    out["doc_bigram_score"] = _bigram_score_oracle()
+    out["corpus_dsir_weights"] = _dsir_oracle()
+    out["graph_kcore"] = _kcore_oracle_sql()
     return out

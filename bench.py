@@ -101,10 +101,11 @@ BENCH_QUERIES = [
     "events_feature_matrix",
     "similarity_recall_audit",
     "graph_triangle_count",
-    # round-10 build, r11 registration queue: the staged-signature
-    # dedup path, bigram-LM quality scores, DSIR importance weights,
-    # and h-index k-core decomposition — benched ahead of registration
-    # via EXTRA_BENCH, like the r9/r10 queues before them.
+    # round-10 build, REGISTERED at the r11 rotation: the staged-
+    # signature dedup path, bigram-LM quality scores, DSIR importance
+    # weights, and h-index k-core decomposition (now with the
+    # converged flag) — resolve from queries() now; their r10 lines
+    # came via EXTRA_BENCH shims.
     "dedup_minhash_staged",
     "doc_bigram_score",
     "corpus_dsir_weights",
@@ -434,7 +435,7 @@ _WH_CACHE = None
 
 
 def _bench_staged(name):
-    # r11-queue operators: built + pytest-pinned but not yet registered
+    # queue operators: built + pytest-pinned but not yet registered
     # in queries() (the head window is committed for this round)
     from logistream_data_pipeline_aws_spark.plans import extensions as X
 
@@ -446,10 +447,7 @@ EXTRA_BENCH = {
     "reference_warehouse_fact": _reference_warehouse_fact,
     "events_stickiness_hll_prod": _bench_stickiness_prod,
     "customer_rfm_scores_approx_prod": _bench_rfm_prod,
-    "dedup_minhash_staged": _bench_staged("dedup_minhash_staged"),
-    "doc_bigram_score": _bench_staged("doc_bigram_score"),
-    "corpus_dsir_weights": _bench_staged("corpus_dsir_weights"),
-    "graph_kcore": _bench_staged("graph_kcore"),
+    # r12-queue candidate: registers at the r12 rotation
     "bm25_topk_staged": _bench_staged("bm25_topk_staged"),
 }
 
@@ -524,6 +522,35 @@ def _await_quiet_box(
 # doc_substring_spans — x3.75 at constant input, unexplained).
 ALWAYS_ISOLATE = ["dedup_semantic", "doc_substring_spans"]
 ISOLATE_RUNS = 3  # best-of-3, same discipline as the suite lines
+# Isolated re-runs triple every flagged line's cost; a round where many
+# lines flag would silently turn the suite into a multi-hour run.  Cap
+# the isolated set by a ranked budget — worst in-suite spread first —
+# and RECORD what was skipped (the probes' no-silent-caps discipline),
+# so the artifact says "not isolated this round" instead of implying
+# clean (VERDICT r10 #8).
+MAX_ISOLATED = 5
+
+
+def _heap_pool_beans(spark):
+    """The JVM's heap-typed MemoryPoolMXBeans (driver == executor heap
+    under local[*]), used for measured per-line peak heap evidence."""
+    mf = spark._jvm.java.lang.management.ManagementFactory
+    beans = mf.getMemoryPoolMXBeans()
+    out = []
+    for i in range(beans.size()):
+        b = beans.get(i)
+        if b.getType().toString() == "Heap memory":
+            out.append(b)
+    return out
+
+
+def _reset_heap_peaks(pools) -> None:
+    for b in pools:
+        b.resetPeakUsage()
+
+
+def _heap_peak_mb(pools) -> int:
+    return int(sum(b.getPeakUsage().getUsed() for b in pools) / (1024 * 1024))
 
 
 def _provenance_path() -> str:
@@ -569,14 +596,28 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     flagged: list[str] = []
     total = 0.0
+    heap_pools = _heap_pool_beans(spark)
+    heap_peaks: dict[str, int] = {}
     for name in BENCH_QUERIES + [k for k in EXTRA_BENCH if k not in BENCH_QUERIES]:
-        # best-of-N: first run can pay stage-codegen/classload for plan
-        # shapes the warmup didn't cover; min is the engine's real cost
+        # UNIFORM per-line warm-up (VERDICT r10 #3): one untimed
+        # throwaway run absorbs first-run AQE re-planning, stage
+        # codegen, and one-time staging (bucketed tables, warehouse
+        # dims, signature/postings stages) for EVERY line — the
+        # graph_triangle_count isolated runs spread 11.96-21.69 s in
+        # r10 purely on first-run re-planning, and a policy applied
+        # only to known offenders would bias line-to-line comparisons.
+        run_query(qs[name](spark, sf_dir))
+        # per-line JVM heap peak, MEASURED (VERDICT r10 #7): reset the
+        # heap pools' peak-usage marks, run, read the summed peak — the
+        # artifact shows how close each line comes to the driver-heap
+        # ceiling instead of asserting the default suffices.
+        _reset_heap_peaks(heap_pools)
         per_run: list[float] = []
         for _ in range(N_RUNS):
             t0 = time.time()
             run_query(qs[name](spark, sf_dir))
             per_run.append(round(time.time() - t0, 3))
+        heap_peaks[name] = _heap_peak_mb(heap_pools)
         # mid-run load sentinel (VERDICT r9 #2): r9's artifact passed the
         # start-only gate yet was uniformly ~1.36x inflated — external
         # load arriving AFTER t=0 was invisible.  Sampling between lines
@@ -591,11 +632,10 @@ def main() -> None:
         # loud load sentinel: best-of hides a contaminated run, so a
         # query whose runs disagree by >30% is flagged in the artifact —
         # the round-3 driver artifact misreported the engine by ~20% and
-        # nothing in the JSON said so.  The FIRST run is excluded from
-        # the check: it legitimately pays one-time staging/codegen
-        # (bucketed tables, warehouse dims) that best-of amortizes by
-        # design; only steady-state disagreement indicates load.
-        steady = per_run[1:] if len(per_run) > 2 else per_run
+        # nothing in the JSON said so.  The untimed warm-up run has
+        # already absorbed one-time staging/codegen, so ALL timed runs
+        # are steady state and all participate in the check.
+        steady = per_run
         if (
             max(steady) - min(steady) > VARIANCE_FLOOR_S
             and max(steady) / max(min(steady), 1e-9) - 1.0 > VARIANCE_FLAG
@@ -617,9 +657,22 @@ def main() -> None:
     # the r9 hard-coded isolated_reruns dict (builder testimony compiled
     # into source), which the verdict correctly rejected as evidence.
     isolated: dict[str, dict[str, object]] = {}
-    for name in list(dict.fromkeys(flagged + ALWAYS_ISOLATE)):
-        if name not in qs:
-            continue
+    candidates = [n for n in dict.fromkeys(flagged + ALWAYS_ISOLATE) if n in qs]
+    # ranked budget (VERDICT r10 #8): flagged lines ordered worst
+    # in-suite spread first; the standing ALWAYS_ISOLATE list competes
+    # under the same ranking (its spread comes from the same runs dict)
+    candidates.sort(
+        key=lambda n: max(runs[n]) / max(min(runs[n]), 1e-9),
+        reverse=True,
+    )
+    skipped_isolated = candidates[MAX_ISOLATED:]
+    for name in skipped_isolated:
+        print(
+            f"[bench] isolated-rerun budget ({MAX_ISOLATED}) exhausted: "
+            f"{name} NOT re-measured in isolation this run",
+            file=sys.stderr,
+        )
+    for name in candidates[:MAX_ISOLATED]:
         gate_retries, still_loaded = _await_quiet_box(
             retry_s=20.0, retries_max=9
         )
@@ -648,6 +701,16 @@ def main() -> None:
         "load_contaminated": load_contaminated,
         "variance_flagged": flagged,
         "isolated_reruns": isolated,
+        "skipped_isolated": skipped_isolated,
+        # measured per-line JVM heap peaks (MiB) + the configured cap:
+        # the fail-fast floor evidence VERDICT r10 #7 asked for — a line
+        # whose peak approaches jvm_max_heap_mb needs a HEAP_FLOORS_GIB
+        # entry before it GC-thrashes a future suite
+        "jvm_peak_heap_mb": heap_peaks,
+        "jvm_max_heap_mb": int(
+            spark._jvm.java.lang.Runtime.getRuntime().maxMemory()
+            / (1024 * 1024)
+        ),
         "scale_probes": SCALE_PROBES,
         "table_rows": _table_rows(sf_dir),
     }

@@ -14,6 +14,12 @@ from logistream_data_pipeline_aws_spark.operators.multimodal import (
     with_media_meta,
 )
 
+from __spark_entry__ import (  # shared r11 oracle builders (single source)
+    _bigram_score_oracle,
+    _dsir_oracle,
+    _kcore_oracle_sql,
+)
+
 DOCS = [
     (1, "the quick brown fox jumps over the lazy dog"),
     (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
@@ -2526,35 +2532,6 @@ def test_dedup_minhash_staged_matches_inline_and_oracle(spark):
     assert got == exp
 
 
-def _bigram_score_oracle(docs_rel: str) -> str:
-    """The doc_bigram_score DuckDB replay (round-11 oracle): same word
-    regex, same bigram construction, DECIMAL(30,12)-quantized
-    contributions (the doc_unigram_score ulp discipline)."""
-    return (
-        "WITH d AS (SELECT doc_id, text FROM "
-        + docs_rel
-        + " WHERE text IS NOT NULL), "
-        "w AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
-        "t -> t <> '') AS w FROM d), "
-        "bgx AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 1), "
-        "i -> w[i+1] || ' ' || w[i+2])) AS bg FROM w WHERE len(w) >= 2), "
-        "doc_bg AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS cnt "
-        "FROM bgx GROUP BY 1, 2), "
-        "vocab AS (SELECT bg, CAST(SUM(cnt) AS BIGINT) AS n_bg FROM doc_bg GROUP BY 1), "
-        "fw AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(n_bg) AS BIGINT) AS n_first "
-        "FROM vocab GROUP BY 1), "
-        "t AS (SELECT CAST(SUM(n_bg) AS BIGINT) AS n_total FROM vocab) "
-        "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams, "
-        "CAST(SUM(CAST(cnt * (CAST(n_bg AS DOUBLE) / CAST(n_total AS DOUBLE)) "
-        "AS DECIMAL(30,12))) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS mean_bigram_p, "
-        "CAST(SUM(CAST(cnt * (CAST(n_bg AS DOUBLE) / CAST(n_first AS DOUBLE)) "
-        "AS DECIMAL(30,12))) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS mean_cond_p "
-        "FROM doc_bg JOIN vocab USING (bg) "
-        "JOIN fw ON string_split(bg, ' ')[1] = fw.w1 "
-        "CROSS JOIN t GROUP BY doc_id"
-    )
-
-
 def test_doc_bigram_score_matches_oracle(spark):
     """R11-queue entry pinned ahead of registration: bigram-LM quality
     scores must equal the DuckDB replay bit-exactly, and the
@@ -2580,34 +2557,6 @@ def test_doc_bigram_score_matches_oracle(spark):
     assert got == exp and got
     conds = sorted({r[3] for r in got})
     assert len(conds) > 10 and conds[0] < conds[-1]
-
-
-def _dsir_oracle(docs_rel: str, n_buckets: int = 1024) -> str:
-    """The corpus_dsir_weights DuckDB replay (round-11 oracle):
-    md5-prefix bucket hashing, add-one smoothing, round(ln, 6)-anchored
-    log-ratios, DECIMAL(25,10)-summed per-doc weights."""
-    return (
-        "WITH d AS (SELECT doc_id, lang, text FROM "
-        + docs_rel
-        + " WHERE text IS NOT NULL), "
-        "w AS (SELECT doc_id, lang, list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
-        "t -> t <> '') AS w FROM d), "
-        "f AS (SELECT doc_id, lang, unnest(w || CASE WHEN len(w) >= 2 THEN "
-        "list_transform(range(0, len(w) - 1), i -> w[i+1] || ' ' || w[i+2]) "
-        "ELSE [] END) AS feat FROM w), "
-        f"b AS (SELECT doc_id, lang, ('0x' || substr(md5(feat), 1, 7))::BIGINT % {n_buckets} AS bucket FROM f), "
-        "doc_b AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2), "
-        "dist AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_s, "
-        "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t FROM b GROUP BY 1), "
-        "t AS (SELECT CAST(SUM(c_s) AS BIGINT) AS n_s, CAST(SUM(c_t) AS BIGINT) AS n_t FROM dist), "
-        "lrs AS (SELECT bucket, ROUND(ln("
-        f"(CAST(c_t + 1 AS DOUBLE) * CAST(n_s + {n_buckets} AS DOUBLE)) / "
-        f"(CAST(c_s + 1 AS DOUBLE) * CAST(n_t + {n_buckets} AS DOUBLE))"
-        "), 6) AS lr FROM dist CROSS JOIN t) "
-        "SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats, "
-        "ROUND(CAST(SUM(CAST(cnt * lr AS DECIMAL(25,10))) AS DOUBLE), 6) AS dsir_logweight "
-        "FROM doc_b JOIN lrs USING (bucket) GROUP BY doc_id"
-    )
 
 
 def test_corpus_dsir_weights_matches_oracle(spark):
@@ -2646,50 +2595,6 @@ def test_corpus_dsir_weights_matches_oracle(spark):
     assert en and rest
     assert statistics.mean(en) > statistics.mean(rest)
     assert len({w for *_x, w in got}) > 10
-
-
-def _kcore_oracle_sql(rounds: int = 20, k_cap: int = 256) -> str:
-    """The graph_kcore DuckDB replay (round-11 oracle): the triangle
-    census's cap/edge/degree CTEs, then ``rounds`` unrolled h-index
-    updates — rank neighbor values descending per node, h = MAX(LEAST
-    (rank, value)), next = LEAST(current, h) — plus ONE probe round
-    whose total is compared against round ``rounds``'s to replay the
-    engine's ``converged`` flag (VERDICT r10 #4)."""
-    # MATERIALIZED (DuckDB-side hint): the unrolled rounds reference
-    # ``und`` ``rounds`` times — inlined CTEs would re-open the parquet
-    # scan per reference and exhaust the process fd limit
-    sql = (
-        "WITH bp0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
-        "bp AS (SELECT o, p FROM (SELECT o, p, ROW_NUMBER() OVER "
-        f"(PARTITION BY o ORDER BY p) AS rn FROM bp0) WHERE rn <= {k_cap}), "
-        "e AS (SELECT DISTINCT a.p AS pa, b.p AS pb FROM bp a "
-        "JOIN bp b ON a.o = b.o AND a.p < b.p), "
-        "und AS MATERIALIZED (SELECT pa AS v, pb AS u FROM e UNION ALL SELECT pb, pa FROM e), "
-        "deg AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY 1), "
-        "c0 AS (SELECT v, degree AS c FROM deg)"
-    )
-    # every c{i} is referenced twice (h{i+1} and c{i+1}) — materialize
-    # each round or the inlined expansion doubles per round (2^rounds
-    # plan nodes), the exact blowup the engine's localCheckpoint avoids
-    prev = "c0"
-    # rounds + 1: the last unrolled round is the engine's convergence
-    # PROBE — it never contributes corenesses, only its total
-    for i in range(1, rounds + 2):
-        sql += (
-            f", h{i} AS MATERIALIZED (SELECT v, CAST(MAX(LEAST(rn, cu)) AS BIGINT) AS h FROM ("
-            f"SELECT und.v, p.c AS cu, CAST(ROW_NUMBER() OVER "
-            f"(PARTITION BY und.v ORDER BY p.c DESC) AS BIGINT) AS rn "
-            f"FROM und JOIN {prev} p ON und.u = p.v) GROUP BY v)"
-            f", c{i} AS MATERIALIZED (SELECT {prev}.v, LEAST({prev}.c, h{i}.h) AS c "
-            f"FROM {prev} JOIN h{i} ON {prev}.v = h{i}.v)"
-        )
-        prev = f"c{i}"
-    return (
-        sql
-        + f" SELECT deg.v AS part, deg.degree, CAST(c{rounds}.c AS BIGINT) AS coreness, "
-        f"(SELECT SUM(c) FROM c{rounds}) = (SELECT SUM(c) FROM c{rounds + 1}) AS converged "
-        f"FROM deg JOIN c{rounds} ON deg.v = c{rounds}.v"
-    )
 
 
 def test_graph_kcore_matches_oracle(spark):

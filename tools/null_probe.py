@@ -236,6 +236,11 @@ DEFAULT_QUERIES = {
         "media_audio_windows",
         # r10 registrations (source / text / lang NULLs gated both sides)
         "corpus_domain_cap", "corpus_gopher_rules", "bm25_topk",
+        # r11 registrations (text/lang NULLs gated both sides; the
+        # staged minhash path inherits dedup_minhash_lsh's gates —
+        # signatures exist only for shingled docs).  graph_kcore reads
+        # only the never-NULL lineitem key columns, so it has no axis.
+        "dedup_minhash_staged", "doc_bigram_score", "corpus_dsir_weights",
     ],
 }
 
