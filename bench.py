@@ -110,9 +110,12 @@ BENCH_QUERIES = [
     "doc_bigram_score",
     "corpus_dsir_weights",
     "graph_kcore",
-    # r12-queue candidate (built late-r10): BM25 from the staged
-    # parquet postings index
+    # r12 queue: BM25 from the staged parquet postings index (built
+    # late-r10) + the staged-token consumers (built r11, VERDICT r10
+    # #6 — one token stage serves both)
     "bm25_topk_staged",
+    "doc_bigram_score_staged",
+    "corpus_dsir_weights_staged",
 ]
 
 # Measured scale shape for the registered + queued lines
@@ -240,6 +243,25 @@ SCALE_PROBES: dict[str, object] = {
         "fresh_session_staged_dedup_s": 32.36,
         "pairs": 4_672_482,
         "r9_interpreted_stage_s": 948.0,
+    },
+    # r11 (VERDICT r10 #6), same two-process shape at 1000x/5M docs:
+    # the (doc_id, lang, words) token table stages in 9.1 s, then a
+    # FRESH session runs the bigram scorer in 206.3 s (314.6 inline at
+    # r10) and DSIR in 260.0 s (361.1 inline) off the SAME staged
+    # table.  The saving EXCEEDS the single tokenize cost because the
+    # inline plans re-evaluate the interpreted tokenize expression per
+    # reference (two bigram slices + the n>=2 gate + the feature
+    # concat — no CSE for higher-order exprs, the doc_winnowing
+    # lesson); the staged scan pays it zero times.  Remaining wall is
+    # the explode + (doc,gram) pre-agg both scorers inherently cost.
+    "staged_tokens_probe_1000x": {
+        "mult": 1000,
+        "n_docs": 5_000_000,
+        "stage_once_s": 9.1,
+        "fresh_session_bigram_staged_s": 206.3,
+        "fresh_session_dsir_staged_s": 260.0,
+        "r10_inline_bigram_s": 314.62,
+        "r10_inline_dsir_s": 361.15,
     },
     # direct 100x-only second-run walls for the registered dedup family
     # (post minhash merge insurance; 500k docs, ~464k verified pairs;
@@ -447,8 +469,10 @@ EXTRA_BENCH = {
     "reference_warehouse_fact": _reference_warehouse_fact,
     "events_stickiness_hll_prod": _bench_stickiness_prod,
     "customer_rfm_scores_approx_prod": _bench_rfm_prod,
-    # r12-queue candidate: registers at the r12 rotation
+    # r12 queue: registers at the r12 rotation
     "bm25_topk_staged": _bench_staged("bm25_topk_staged"),
+    "doc_bigram_score_staged": _bench_staged("doc_bigram_score_staged"),
+    "corpus_dsir_weights_staged": _bench_staged("corpus_dsir_weights_staged"),
 }
 
 

@@ -2404,6 +2404,89 @@ def test_staged_table_commit_marker_and_fingerprint(spark, tmp_path):
     )
 
 
+def test_doc_tokens_staged_twins_match_inline_and_oracle(spark):
+    """R12-queue candidates pinned ahead of registration (VERDICT r10
+    #6): the bigram scorer and the DSIR weigher reading the PERSISTED
+    token table must be indistinguishable from their inline twins —
+    same rows, same values — and hash-equal to the registered oracles
+    (both staged paths share them verbatim).  One staged table serves
+    both consumers (the second call must not restage)."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    staged_bg = {
+        tuple(r) for r in X.doc_bigram_score_staged(spark, SF_SMALL).collect()
+    }
+    inline_bg = {
+        tuple(r) for r in X.doc_bigram_score(spark, SF_SMALL).collect()
+    }
+    assert staged_bg == inline_bg and staged_bg
+    # the shared staged table is committed now — the DSIR twin must
+    # reuse it, not restage (manifest mtime unchanged across the call)
+    path = X._scratch(
+        "doc_tokens_" + os.path.abspath(SF_SMALL).replace(os.sep, "_")
+    )
+    manifest = os.path.join(path, X._DOC_TOKENS_MANIFEST)
+    mtime_before = os.path.getmtime(manifest)
+    staged_w = {
+        tuple(r)
+        for r in X.corpus_dsir_weights_staged(spark, SF_SMALL).collect()
+    }
+    assert os.path.getmtime(manifest) == mtime_before, "DSIR twin restaged"
+    inline_w = {
+        tuple(r) for r in X.corpus_dsir_weights(spark, SF_SMALL).collect()
+    }
+    assert staged_w == inline_w and staged_w
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    exp_bg = set(
+        map(tuple, con.execute(E.oracle_sql()["doc_bigram_score"]).fetchall())
+    )
+    assert staged_bg == exp_bg
+    exp_w = set(
+        map(
+            tuple,
+            con.execute(E.oracle_sql()["corpus_dsir_weights"]).fetchall(),
+        )
+    )
+    assert staged_w == exp_w
+
+
+def test_staged_doc_tokens_commit_marker_and_fingerprint(spark, tmp_path):
+    """The ADVICE r10 #2 contract on the token table: manifest-less
+    tokens dir is invalid (crashed stage), fingerprint mismatch
+    invalidates reuse, committed stage validates and reads back."""
+    import os
+
+    from logistream_data_pipeline_aws_spark.catalog import load_table
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    path = str(tmp_path / "doc_tokens")
+    os.makedirs(os.path.join(path, "tokens"))
+    assert not X.staged_doc_tokens_valid(path)
+    with pytest.raises(OSError):
+        X.read_staged_doc_tokens(spark, path)
+
+    fp = D.corpus_fingerprint(docs, "doc_id")
+    X.stage_doc_tokens(docs, path, fingerprint=fp)
+    assert X.staged_doc_tokens_valid(path, fingerprint=fp)
+    stale = {"n_rows": fp["n_rows"] + 1, "max_id": fp["max_id"]}
+    assert not X.staged_doc_tokens_valid(path, fingerprint=stale)
+    with pytest.raises(ValueError, match="restage before use"):
+        X.read_staged_doc_tokens(spark, path, expect_fingerprint=stale)
+    toks = X.read_staged_doc_tokens(spark, path, expect_fingerprint=fp)
+    assert set(toks.columns) == {"doc_id", "lang", "words"}
+    assert toks.count() == docs.where(F.col("text").isNotNull()).count()
+
+
 def test_staged_bm25_commit_marker_and_fingerprint(spark, tmp_path):
     """The same ADVICE r10 #2 contract on the lexical index: a
     manifest-less postings dir is invalid (crashed stage), a corpus

@@ -280,12 +280,14 @@ CORPUS_QUERIES = [
     "corpus_domain_cap",
     "corpus_gopher_rules",
     "bm25_topk",
-    # r11 queue (registers at the r11 rotation)
+    # r11 queue (registered at the r11 rotation)
     "dedup_minhash_staged",
     "doc_bigram_score",
     "corpus_dsir_weights",
-    # r12-queue candidate
+    # r12 queue: staged BM25 + the staged-token consumers
     "bm25_topk_staged",
+    "doc_bigram_score_staged",
+    "corpus_dsir_weights_staged",
 ]
 SIMILARITY_QUERIES = [
     "similarity_ivf_pq",
@@ -443,13 +445,12 @@ PROBE_OVERRIDES = {
     # corpus_gopher_rules, bm25_topk, events_feature_matrix,
     # similarity_recall_audit, graph_triangle_count) registered at the
     # r10 rotation and now resolve straight from queries().
-    # r11 queue: built + pytest-pinned in r10, registers at the next
-    # rotation
-    "dedup_minhash_staged": _staged("dedup_minhash_staged"),
-    "doc_bigram_score": _staged("doc_bigram_score"),
-    "corpus_dsir_weights": _staged("corpus_dsir_weights"),
-    "graph_kcore": _staged("graph_kcore"),
+    # the r11-queue operators registered at the r11 rotation and now
+    # resolve straight from queries().  r12 queue: built + pytest-
+    # pinned, registers at the next rotation.
     "bm25_topk_staged": _staged("bm25_topk_staged"),
+    "doc_bigram_score_staged": _staged("doc_bigram_score_staged"),
+    "corpus_dsir_weights_staged": _staged("corpus_dsir_weights_staged"),
 }
 
 
