@@ -6288,7 +6288,7 @@ def doc_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     wtab = docs.where(F.col("text").isNotNull()).select(
         "doc_id", _corpus_words().alias("w")
     )
-    return _bigram_rank(wtab)
+    return _bigram_rank(spark, sf_dir, wtab, "inline")
 
 
 def _corpus_words():
@@ -6302,11 +6302,64 @@ def _corpus_words():
     )
 
 
-def _bigram_rank(wtab: DataFrame) -> DataFrame:
+# app -> (corpus, {kind: persisted frame}) — the _bm25_postings
+# session cache generalized to the other corpus-scale pre-aggregates
+# (bigram doc_bg, DSIR doc_bl).  A corpus switch evicts the previous
+# corpus's frames with unpersist, exactly like _BM25_POSTINGS_CACHE.
+_CORPUS_AGG_CACHE: dict[str, tuple[str, dict[str, DataFrame]]] = {}
+
+
+def _cached_corpus_agg(spark: SparkSession, sf_dir: str, kind, build) -> DataFrame:
+    """Session-scoped PERSISTED pre-aggregate per (corpus, kind).
+
+    Why persist at all: referencing a derived frame twice re-derives
+    its whole subtree (no CSE across DataFrame reuse), and exchange
+    reuse does NOT rescue the multi-consumer aggregates here — column
+    pruning specializes each branch's scan, so the branches' subtrees
+    stop being identical (the bm25 lesson, re-measured for DSIR in
+    r11: 3 FileScans, 0 ReusedExchange).  At 100x the persisted shared
+    pre-agg ran the DSIR tail in 3.5 s against 31.7 s for the
+    triple-derivation plan.  MEMORY_AND_DISK: the frame spills rather
+    than OOMs at corpus scale."""
+    from pyspark import StorageLevel
+
+    app = spark.sparkContext.applicationId
+    corpus = os.path.abspath(sf_dir)
+    entry = _CORPUS_AGG_CACHE.get(app)
+    if entry is not None and entry[0] != corpus:
+        for frame in entry[1].values():
+            try:
+                frame.unpersist()
+            except Exception:  # session may be gone
+                pass
+        del _CORPUS_AGG_CACHE[app]
+        entry = None
+    if entry is None:
+        entry = (corpus, {})
+        _CORPUS_AGG_CACHE[app] = entry
+    frame = entry[1].get(kind)
+    if frame is None:
+        frame = build().persist(StorageLevel.MEMORY_AND_DISK)
+        entry[1][kind] = frame
+    return frame
+
+
+def _bigram_rank(
+    spark: SparkSession, sf_dir: str, wtab: DataFrame, variant: str
+) -> DataFrame:
     """The bigram-LM scoring pipeline downstream of the token table —
     shared verbatim by ``doc_bigram_score`` (inline tokenize) and
     ``doc_bigram_score_staged`` (parquet-staged tokens), the
-    ``_bm25_rank`` discipline applied to the corpus-LM scorer."""
+    ``_bm25_rank`` discipline applied to the corpus-LM scorer.
+
+    The (doc, bigram) pre-agg and the bigram vocabulary are persisted
+    through ``_cached_corpus_agg``: the downstream consumers (vocab,
+    first-word marginals, totals, the final join) would otherwise
+    re-derive the explode + pre-agg up to 4x — exchange reuse saved
+    only 2 of the 4 in the measured plan (column pruning specializes
+    the branches).  ``variant`` keys the cache so the staged and
+    inline paths never share a frame (the staged==inline pin must
+    compare independent executions)."""
     n = F.size("w")
     bigrams = F.zip_with(
         F.slice("w", 1, n - 1),
@@ -6317,8 +6370,18 @@ def _bigram_rank(wtab: DataFrame) -> DataFrame:
         wtab.where(n >= 2)
         .select("doc_id", F.explode(bigrams).alias("bg"))
     )
-    doc_bg = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
-    vocab = doc_bg.groupBy("bg").agg(F.sum("cnt").alias("n_bg"))
+    doc_bg = _cached_corpus_agg(
+        spark,
+        sf_dir,
+        f"bigram_doc_bg:{variant}",
+        lambda: bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt")),
+    )
+    vocab = _cached_corpus_agg(
+        spark,
+        sf_dir,
+        f"bigram_vocab:{variant}",
+        lambda: doc_bg.groupBy("bg").agg(F.sum("cnt").alias("n_bg")),
+    )
     first = vocab.groupBy(
         F.split(F.col("bg"), " ").getItem(0).alias("w1")
     ).agg(F.sum("n_bg").alias("n_first"))
@@ -6377,13 +6440,24 @@ def corpus_dsir_weights(
         F.col("text").isNotNull()
     )
     wtab = docs.select("doc_id", "lang", _corpus_words().alias("w"))
-    return _dsir_rank(wtab, n_buckets)
+    return _dsir_rank(spark, sf_dir, wtab, "inline", n_buckets)
 
 
-def _dsir_rank(wtab: DataFrame, n_buckets: int) -> DataFrame:
+def _dsir_rank(
+    spark: SparkSession, sf_dir: str, wtab: DataFrame, variant: str, n_buckets: int
+) -> DataFrame:
     """The DSIR weighting pipeline downstream of the token table —
     shared verbatim by ``corpus_dsir_weights`` (inline tokenize) and
-    ``corpus_dsir_weights_staged`` (parquet-staged tokens)."""
+    ``corpus_dsir_weights_staged`` (parquet-staged tokens).
+
+    ONE persisted (doc, lang, bucket) pre-agg feeds both the bucket
+    distributions and the doc-grain combine (r11: the
+    feats-referenced-thrice plan got no exchange reuse — column
+    pruning specialized the branches — and re-ran the explode + hash
+    per reference; the persisted shared pre-agg cut the 100x warm
+    wall 31.7 s -> 3.5 s).  ``c_s``/``c_t`` as SUMs of the pre-agg's
+    counts are exactly the occurrence counts the direct aggregation
+    produces."""
     n = F.size("w")
     bigrams = F.zip_with(
         F.slice("w", 1, n - 1),
@@ -6412,18 +6486,23 @@ def _dsir_rank(wtab: DataFrame, n_buckets: int) -> DataFrame:
             ).alias("bucket"),
         )
     )
-    doc_b = feats.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+    doc_bl = _cached_corpus_agg(
+        spark,
+        sf_dir,
+        f"dsir_doc_bl:{variant}:{n_buckets}",
+        lambda: feats.groupBy("doc_id", "lang", "bucket").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
     )
-    dist = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c_s"),
+    dist = doc_bl.groupBy("bucket").agg(
+        F.sum("cnt").alias("c_s"),
         # CASE-shaped target count, NOT sum of a boolean cast: a bucket
         # whose every occurrence has NULL lang would sum all-NULLs to
         # NULL, poison its log-ratio and silently DROP the bucket from
         # every doc's weight — the oracle's CASE yields 0 and keeps it
         # (caught by tools/null_probe.py at registration, r11)
         F.sum(
-            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+            F.when(F.col("lang") == "en", F.col("cnt")).otherwise(F.lit(0))
         ).cast("long").alias("c_t"),
     )
     tot = dist.agg(
@@ -6441,7 +6520,7 @@ def _dsir_rank(wtab: DataFrame, n_buckets: int) -> DataFrame:
         "bucket", lr.alias("lr")
     )
     return (
-        doc_b.join(F.broadcast(scored), "bucket")
+        doc_bl.join(F.broadcast(scored), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("long").alias("n_feats"),
@@ -6563,7 +6642,9 @@ def doc_bigram_score_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     the regex tokenize.  R12-queue candidate (built + pinned in
     r11)."""
     toks = _staged_doc_tokens(spark, sf_dir)
-    return _bigram_rank(toks.select("doc_id", F.col("words").alias("w")))
+    return _bigram_rank(
+        spark, sf_dir, toks.select("doc_id", F.col("words").alias("w")), "staged"
+    )
 
 
 def corpus_dsir_weights_staged(
@@ -6575,7 +6656,11 @@ def corpus_dsir_weights_staged(
     R12-queue candidate (built + pinned in r11)."""
     toks = _staged_doc_tokens(spark, sf_dir)
     return _dsir_rank(
-        toks.select("doc_id", "lang", F.col("words").alias("w")), n_buckets
+        spark,
+        sf_dir,
+        toks.select("doc_id", "lang", F.col("words").alias("w")),
+        "staged",
+        n_buckets,
     )
 
 
