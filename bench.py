@@ -190,8 +190,17 @@ SCALE_PROBES: dict[str, object] = {
         # (the degree aggregate dominates — rounds shrink as peeling
         # converges, hence the strong sublinearity).
         "dedup_minhash_staged": [7.37, 5.56, 9.96],
-        "doc_bigram_score": [1.58, 3.46, 30.53],
-        "corpus_dsir_weights": [1.50, 4.80, 38.21],
+        # r11 re-probe after the shared persisted pre-agg landed
+        # (_cached_corpus_agg): the r10 rows were 30.53 / 38.21 at
+        # 100x — the triple/quadruple subtree re-derivation is gone,
+        # steady state reads the persisted (doc, gram/bucket) frame.
+        # Cold first runs at 100x: bigram 24.2 s, DSIR 33.8 s.
+        "doc_bigram_score": [1.59, 1.31, 4.35],
+        "corpus_dsir_weights": [1.77, 1.61, 3.53],
+        # r12 queue (staged twins + staged BM25), same probe basis
+        "doc_bigram_score_staged": [1.25, 1.41, 7.35],
+        "corpus_dsir_weights_staged": [1.77, 1.72, 3.67],
+        "bm25_topk_staged": [1.11, 2.12, 6.27],
         "graph_kcore": [10.40, 27.04, 62.19],
     },
     # The cross-session staged-signature split (VERDICT r9 #4 "probe
@@ -245,21 +254,29 @@ SCALE_PROBES: dict[str, object] = {
         "r9_interpreted_stage_s": 948.0,
     },
     # r11 (VERDICT r10 #6), same two-process shape at 1000x/5M docs:
-    # the (doc_id, lang, words) token table stages in 9.1 s, then a
-    # FRESH session runs the bigram scorer in 206.3 s (314.6 inline at
-    # r10) and DSIR in 260.0 s (361.1 inline) off the SAME staged
-    # table.  The saving EXCEEDS the single tokenize cost because the
-    # inline plans re-evaluate the interpreted tokenize expression per
-    # reference (two bigram slices + the n>=2 gate + the feature
-    # concat — no CSE for higher-order exprs, the doc_winnowing
-    # lesson); the staged scan pays it zero times.  Remaining wall is
-    # the explode + (doc,gram) pre-agg both scorers inherently cost.
+    # the (doc_id, lang, words) token table stages in 9.2 s, then a
+    # FRESH session runs the bigram scorer in 99.1 s (314.6 inline at
+    # r10; 206.3 staged BEFORE the shared pre-agg landed) and DSIR in
+    # 221.1 s (361.1 inline) off the SAME staged table; warm re-query
+    # 46.2 / 33.0 s.  Two independent effects compound: the staged
+    # scan stops re-evaluating the interpreted tokenize expression per
+    # reference (no CSE for higher-order exprs — the doc_winnowing
+    # lesson), and the persisted (doc, gram/bucket) pre-agg
+    # (_cached_corpus_agg) stops the multi-consumer subtree
+    # re-derivation that exchange reuse does not rescue.  Remaining
+    # fresh-session wall is the one explode + pre-agg pass each scorer
+    # inherently costs; DSIR's is bigger (unigrams+bigrams, 425M-row
+    # persisted frame spilling to disk).
     "staged_tokens_probe_1000x": {
         "mult": 1000,
         "n_docs": 5_000_000,
-        "stage_once_s": 9.1,
-        "fresh_session_bigram_staged_s": 206.3,
-        "fresh_session_dsir_staged_s": 260.0,
+        "stage_once_s": 9.2,
+        "fresh_session_bigram_staged_s": 99.1,
+        "warm_bigram_staged_s": 46.2,
+        "fresh_session_dsir_staged_s": 221.1,
+        "warm_dsir_staged_s": 33.0,
+        "r11_prepersist_staged_bigram_s": 206.3,
+        "r11_prepersist_staged_dsir_s": 260.0,
         "r10_inline_bigram_s": 314.62,
         "r10_inline_dsir_s": 361.15,
     },

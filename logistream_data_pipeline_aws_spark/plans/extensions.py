@@ -5811,7 +5811,17 @@ def bm25_topk_staged(
     fprint = _corpus_fingerprint(spark, sf_dir)
     if not staged_bm25_postings_valid(path, fingerprint=fprint):
         stage_bm25_postings(docs, path, fingerprint=fprint)
-    tf = read_staged_bm25_postings(spark, path, expect_fingerprint=fprint)
+    # persist the staged read like the inline path persists its build
+    # (_bm25_postings): the scorer's three consumers (df, dl, the
+    # postings join) would otherwise re-scan the staged parquet each
+    tf = _cached_corpus_agg(
+        spark,
+        sf_dir,
+        "bm25_tf:staged",
+        lambda: read_staged_bm25_postings(
+            spark, path, expect_fingerprint=fprint
+        ),
+    )
     toks = docs.where(F.col("text").isNotNull()).select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
     )
