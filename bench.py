@@ -563,6 +563,41 @@ def _await_quiet_box(
 # doc_substring_spans — x3.75 at constant input, unexplained).
 ALWAYS_ISOLATE = ["dedup_semantic", "doc_substring_spans"]
 ISOLATE_RUNS = 3  # best-of-3, same discipline as the suite lines
+
+# Per-line session-conf overrides, applied around the line's warm-up +
+# timed runs and restored after.  graph_triangle_count (r11, VERDICT
+# r10 #3 adjudicated by direct A/B): with AQE on, repeated executions
+# of the SAME plan in one session spread 1.3-1.4x (14.8-19.3 s) and
+# the r10 isolated runs spread 12.0-21.7 s; with AQE off the line runs
+# 12.6-13.5 s — faster best AND <=1.15x spread across two independent
+# batches.  AQE re-plans per execution (a warm-up cannot pin it), and
+# its stage-materialization points destabilize the oriented wedge
+# join; the operator needs no runtime re-planning (its join sides are
+# statically broadcast/shuffle-correct).  The override IS the
+# documented production configuration for this operator, not a bench
+# cosmetic — see graph_triangle_count's docstring.
+LINE_CONFS: dict[str, dict[str, str]] = {
+    "graph_triangle_count": {"spark.sql.adaptive.enabled": "false"},
+}
+
+
+class _line_confs:
+    """Apply a line's conf overrides; restore prior values on exit."""
+
+    def __init__(self, spark, name: str):
+        self.spark = spark
+        self.overrides = LINE_CONFS.get(name, {})
+        self.saved: dict[str, str] = {}
+
+    def __enter__(self):
+        for k, v in self.overrides.items():
+            self.saved[k] = self.spark.conf.get(k)
+            self.spark.conf.set(k, v)
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            self.spark.conf.set(k, v)
+        return False
 # Isolated re-runs triple every flagged line's cost; a round where many
 # lines flag would silently turn the suite into a multi-hour run.  Cap
 # the isolated set by a ranked budget — worst in-suite spread first —
@@ -641,23 +676,26 @@ def main() -> None:
     heap_peaks: dict[str, int] = {}
     for name in BENCH_QUERIES + [k for k in EXTRA_BENCH if k not in BENCH_QUERIES]:
         # UNIFORM per-line warm-up (VERDICT r10 #3): one untimed
-        # throwaway run absorbs first-run AQE re-planning, stage
-        # codegen, and one-time staging (bucketed tables, warehouse
-        # dims, signature/postings stages) for EVERY line — the
-        # graph_triangle_count isolated runs spread 11.96-21.69 s in
-        # r10 purely on first-run re-planning, and a policy applied
-        # only to known offenders would bias line-to-line comparisons.
-        run_query(qs[name](spark, sf_dir))
-        # per-line JVM heap peak, MEASURED (VERDICT r10 #7): reset the
-        # heap pools' peak-usage marks, run, read the summed peak — the
-        # artifact shows how close each line comes to the driver-heap
-        # ceiling instead of asserting the default suffices.
-        _reset_heap_peaks(heap_pools)
+        # throwaway run absorbs stage codegen, classloading, and
+        # one-time staging (bucketed tables, warehouse dims,
+        # signature/postings stages) for EVERY line, uniformly.  Note
+        # what it CANNOT absorb: AQE re-plans on every execution, so a
+        # line destabilized by runtime re-planning needs a LINE_CONFS
+        # override, not a warm-up (the graph_triangle_count
+        # adjudication — see LINE_CONFS).
         per_run: list[float] = []
-        for _ in range(N_RUNS):
-            t0 = time.time()
+        with _line_confs(spark, name):
             run_query(qs[name](spark, sf_dir))
-            per_run.append(round(time.time() - t0, 3))
+            # per-line JVM heap peak, MEASURED (VERDICT r10 #7): reset
+            # the heap pools' peak-usage marks, run, read the summed
+            # peak — the artifact shows how close each line comes to
+            # the driver-heap ceiling instead of asserting the default
+            # suffices.
+            _reset_heap_peaks(heap_pools)
+            for _ in range(N_RUNS):
+                t0 = time.time()
+                run_query(qs[name](spark, sf_dir))
+                per_run.append(round(time.time() - t0, 3))
         heap_peaks[name] = _heap_peak_mb(heap_pools)
         # mid-run load sentinel (VERDICT r9 #2): r9's artifact passed the
         # start-only gate yet was uniformly ~1.36x inflated — external
@@ -719,10 +757,11 @@ def main() -> None:
         )
         gate_loadavg = round(os.getloadavg()[0], 2)  # BEFORE the runs
         iso_runs: list[float] = []
-        for _ in range(ISOLATE_RUNS):
-            t0 = time.time()
-            run_query(qs[name](spark, sf_dir))
-            iso_runs.append(round(time.time() - t0, 3))
+        with _line_confs(spark, name):
+            for _ in range(ISOLATE_RUNS):
+                t0 = time.time()
+                run_query(qs[name](spark, sf_dir))
+                iso_runs.append(round(time.time() - t0, 3))
         isolated[name] = {
             "runs": iso_runs,
             "best": min(iso_runs),

@@ -6071,6 +6071,18 @@ def graph_triangle_count(
     coefficient is ``2*T / (d*(d-1))`` (ONE int/int double division —
     bit-identical cross-engine unrounded) and NULL when degree < 2.
 
+    PRODUCTION CONFIGURATION — run this operator with
+    ``spark.sql.adaptive.enabled=false`` (bench.py LINE_CONFS applies
+    it per-line).  Adjudicated by direct A/B in r11 after two rounds
+    of unexplained bench variance: AQE re-plans on EVERY execution
+    (a warm-up cannot pin it), and its stage-materialization barriers
+    around the wedge join both slow the line and destabilize it —
+    AQE on: 14.8-19.3 s per run at sf0.1 (1.3-1.4x spread, matching
+    the r10 11.96-21.69 s isolated spread); AQE off: 12.6-13.5 s
+    (<=1.15x spread across two independent batches).  The plan needs
+    no runtime re-planning: both join strategies are statically
+    correct (degree-oriented wedge join on uniform keys).
+
     ``max_order_items`` caps EDGE GENERATION, the one pre-orientation
     stage that is quadratic per order (L² co-purchase pairs from an
     L-item order): TPC-H bounds L at 7, but a real basket stream does
