@@ -1498,6 +1498,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (it is the benchmark suite), so Catalyst broadcasts it and the
     whole pass is scan -> explode -> broadcast semi-ish join -> per-doc
     re-aggregate: one shuffle on doc_id, map-side combinable.
+
+    The shingled frame is persisted through ``_cached_corpus_agg``
+    (r11): it is referenced three times (train grams, train sizes,
+    eval grams) and the interpreted shingle build got no CSE across
+    those references — the 1000x probe measured 729 s, the
+    bigram/DSIR re-derivation class; persisting it ran the 100x pass
+    29.1 -> 20.0 s cold / 5.6 s warm, values unchanged.
     """
     from logistream_data_pipeline_aws_spark.functions.arrays import explode_once
     from logistream_data_pipeline_aws_spark.operators.dedup_family import (
@@ -1508,7 +1515,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir).select("doc_id", "text")
     )
     sh = word_shingles(tokens(F.col("text")), 3)
-    with_sh = docs.select("doc_id", sh.alias("sh"))
+    with_sh = _cached_corpus_agg(
+        spark,
+        sf_dir,
+        "contamination_shingles",
+        lambda: docs.select("doc_id", sh.alias("sh")),
+    )
     train = with_sh.where(F.col("doc_id") % 10 != 0)
     eval_grams = explode_once(
         with_sh.where(F.col("doc_id") % 10 == 0), "sh", "gram"

@@ -274,6 +274,10 @@ CORPUS_QUERIES = [
     "doc_winnowing",
     "lang_id",
     "sequence_packing",
+    # r11: the remaining text-analysis family, added for 1000x coverage
+    "tfidf_top_terms",
+    "contamination_check",
+    "text_stats",
     "doc_substring_spans",
     "doc_substring_dedup",
     "corpus_dedup_pipeline",
