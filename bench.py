@@ -352,16 +352,18 @@ SCALE_PROBES: dict[str, object] = {
         "corpus_quality_filter": 245.82,
         "dedup_minhash_lsh": 82.95,
         # r11 batch: the remaining text-analysis family (second-run
-        # walls, 5M docs).  contamination_check at 729 s is the
-        # family's outlier and the flagged r12 optimization target —
-        # its doc-gram build is another multi-reference interpreted
-        # higher-order expression (the class _cached_corpus_agg just
-        # fixed for bigram/DSIR).
+        # walls, 5M docs).  contamination_check's pre-fix walls were
+        # 729/773 s — its doc-gram build was referenced 3x with no CSE
+        # (the bigram/DSIR re-derivation class); persisting the
+        # shingle frame (_cached_corpus_agg) cut the second-run wall
+        # to 33.0 s.  Honest cold-run cost: 867 s first run (+19% over
+        # pre-fix — the persist write + spill of the 5M-doc gram
+        # arrays), paid once per (session, corpus).
         "bpe_encode_stats": 255.10,
         "doc_unigram_score": 99.14,
         "sequence_packing": 12.71,
         "tfidf_top_terms": 131.25,
-        "contamination_check": 773.34,
+        "contamination_check": 33.0,
         "text_stats": 142.23,
         # r10: fresh-session wall READING the staged signature table
         # (see staged_signature_probe_1000x); the 948 s staging pass
