@@ -799,7 +799,12 @@ def main() -> None:
         # measured per-line JVM heap peaks (MiB) + the configured cap:
         # the fail-fast floor evidence VERDICT r10 #7 asked for — a line
         # whose peak approaches jvm_max_heap_mb needs a HEAP_FLOORS_GIB
-        # entry before it GC-thrashes a future suite
+        # entry before it GC-thrashes a future suite.  NOTE: the value
+        # sums each heap pool's own peak (eden/survivor/old peak at
+        # different moments), so it is an UPPER BOUND on simultaneous
+        # occupancy and can exceed jvm_max_heap_mb; the signal is the
+        # line-to-line ordering and round-over-round drift, not the
+        # absolute headroom.
         "jvm_peak_heap_mb": heap_peaks,
         "jvm_max_heap_mb": int(
             spark._jvm.java.lang.Runtime.getRuntime().maxMemory()
