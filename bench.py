@@ -154,6 +154,15 @@ SCALE_PROBES: dict[str, object] = {
         # completes at 100x only after BOTH broadcast fixes (gram-keep
         # shuffle_hash + minhash verify-join merge insurance + merge
         # hints on its own corpus-sized stitch joins)
+        # r11: the first direct 1000x attempt on the composed pipeline
+        # FAILED — Py4JJavaError after ~55 min at 48g driver heap (the
+        # probe recorded the error line; root cause not yet isolated —
+        # the substring stage is the suspect: it is the composition's
+        # only member with no 1000x wall of its own and its 10->100x
+        # growth is match-count-bound at exponent 0.86 on the
+        # template-dense probe corpus).  Recorded as data, NOT retried
+        # silently; isolating the failing stage is the lead r12 scale
+        # item (see COVERAGE "Round-12 queue").
         "corpus_dedup_pipeline": [19.43, 27.19, 201.93],
         # r10 queue (r9, quiet box, value-dependent consumer):
         # domain cap is one window shuffle (exp 0.06); gopher rules are
