@@ -471,84 +471,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # digest to the manifest recorded at their last green round — a
     # changed tail entry fails CI until rotated back into the head.
     return {
-        # ==== ROUND-11 HEAD WINDOW (the driver records the first ~50) ====
-        # Composition per VERDICT r10 next-round #1 and COVERAGE.md
-        # "Round-11 head-window composition":
-        #   1. the 4 r11-queue registrations (built + pytest-pinned in
-        #      r10: staged-signature dedup, bigram-LM scoring, DSIR
-        #      weights, k-core coreness with the new converged flag);
-        #   2. the 27 r6-green entries AT the 4-round staleness cap
-        #      (non-negotiable per COVERAGE);
-        #   3. 19 stalest r7-green entries, custom plans preferred over
-        #      pure SQL (dim_region / dim_geography and the 11 sql_* r7
-        #      entries defer to r12 — COVERAGE group-4 tiebreak).
-        # The 22 entries drifted by this round's dedup_family.py edits
-        # (manifest commit markers + corpus fingerprints — additive
-        # helpers; no registered entry's executed plan changed) are
-        # handled by the adjudication protocol instead of window slots:
-        # each re-verified hash-exact at sf0.01+sf0.1 before this
-        # rotation, then re-pinned in the regenerated ledger manifest
-        # (see COVERAGE.md "Round-11 drift adjudication").
-        # -- group 1: new registrations (r11 queue) -----------------------
-        "dedup_minhash_staged": X.dedup_minhash_staged,
-        "doc_bigram_score": X.doc_bigram_score,
-        "corpus_dsir_weights": X.corpus_dsir_weights,
-        "graph_kcore": X.graph_kcore,
-        # -- group 2: r6-green at the staleness cap ------------------------
-        "media_image_features": X.media_image_features,
-        "bpe_encode_stats": X.bpe_encode_stats,
-        "events_conversion_lag": X.events_conversion_lag,
-        "scd2_daily_snapshot": X.scd2_daily_snapshot,
-        "customer_rfm_scores_approx": A.customer_rfm_scores_approx_checked,
-        "events_salted_user_stats": X.events_salted_user_stats,
-        "sales_forecast_ses": X.sales_forecast_ses,
-        "events_stickiness_hll": X.events_stickiness_hll,
-        "tfidf_top_terms": X.tfidf_top_terms,
-        "doc_fingerprints": X.doc_fingerprints,
-        "lang_id": X.lang_id,
-        "text_stats": X.text_stats,
-        "doc_unigram_score": X.doc_unigram_score,
-        "sales_trendline_ols": X.sales_trendline_ols,
-        "embedding_outliers": X.embedding_outliers,
-        "corpus_quality_filter": X.corpus_quality_filter,
-        "corpus_split_assignment": X.corpus_split_assignment,
-        "lineitem_column_profile": X.lineitem_column_profile,
-        "fact_backfill_plan": X.fact_backfill_plan,
-        "events_orc_readback": X.events_orc_readback,
-        "dev_sample_cap": W.dev_sample_cap,
-        "top_customers": A.top_customers,
-        "corpus_length_histogram": X.corpus_length_histogram,
-        "sql_customer_order_distribution": V.sql_customer_order_distribution,
-        "sql_orders_above_customer_avg": V.sql_orders_above_customer_avg,
-        "sql_large_volume_orders": V.sql_large_volume_orders,
-        "sql_disjunctive_basket": V.sql_disjunctive_basket,
-        # -- group 3: stalest r7-green, custom plans first -----------------
-        "a8_returns_by_nation": A.a8_returns_by_nation,
-        "corpus_mixture_sample": X.corpus_mixture_sample,
-        "dim_date": W.dim_date,
-        "dim_junk_status": W.dim_junk_status,
-        "dim_route_shapes": X.dim_route_shapes,
-        "embedding_quantize": X.embedding_quantize,
-        "events_asof_last_purchase": X.events_asof_last_purchase,
-        "events_hourly": A.events_hourly,
-        "events_json_kv": X.events_json_kv,
-        "events_lookback_count": X.events_lookback_count,
-        "events_multigrain_rollup": X.events_multigrain_rollup,
-        "events_sketch_profile": X.events_sketch_profile_checked,
-        "fact_bucket_profile": W.fact_bucket_profile,
-        "geojson_routes": X.geojson_routes,
-        "q1_pricing_summary": A.q1_pricing_summary,
-        "routes_csv_readback": X.routes_csv_readback,
-        "sequence_packing": X.sequence_packing,
-        "user_sessions": X.user_sessions,
-        "warehouse_orc_readback": X.warehouse_orc_readback,
-        # ===== ~50-entry driver window boundary.  Everything below is
-        #    tail: green in r7-r10 (rows+schema+hash), digest-pinned since
-        #    its green row (tests/test_rotation_ledger.py), stalest first.
-        #    The two sketch-only prod twins (events_stickiness_hll_prod,
-        #    customer_rfm_scores_approx_prod) stay deregistered per VERDICT
-        #    r6 #2 (benched in bench.py, pinned in tests/test_prod_twins.py).
-        # ==================================================================
+        # ==== ROUND-12 HEAD WINDOW (the driver records the first ~50) ====
+        # Composition per VERDICT r11 next-round #3 and COVERAGE.md
+        # "Round-12 head-window composition":
+        #   1. the 3 r12-queue registrations (built + pytest-pinned in
+        #      r10/r11): BM25 reading the persisted postings index and
+        #      the two staged-token consumers — each sharing its inline
+        #      twin's oracle VERBATIM (the dedup_minhash_staged claim:
+        #      the staged path must be indistinguishable under the
+        #      value hash);
+        #   2. the 13 entries AT the 4-round staleness cap — the 11 r7
+        #      sql_* entries plus dim_region / dim_geography deferred
+        #      from the r11 window (non-negotiable leaders, COVERAGE
+        #      "Round-11 rotation" item 4);
+        #   3. the 34 stalest r8-green entries (the next at-cap cohort,
+        #      pulled forward: similarity family, events tail, dedup
+        #      golden record, metadata dictionary).
+        # -- group 1: new registrations (r12 queue) -----------------------
+        "bm25_topk_staged": X.bm25_topk_staged,
+        "doc_bigram_score_staged": X.doc_bigram_score_staged,
+        "corpus_dsir_weights_staged": X.corpus_dsir_weights_staged,
+        # -- group 2: at the 4-round staleness cap (r7-green) --------------
         "dim_region": W.dim_region,
         "dim_geography": W.dim_geography,
         "sql_cheapest_supplier": V.sql_cheapest_supplier,
@@ -562,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_supplier_part_variety": V.sql_supplier_part_variety,
         "sql_top_supplier": V.sql_top_supplier,
         "sql_unshipped_orders": V.sql_unshipped_orders,
+        # -- group 3: stalest r8-green (the next at-cap cohort) ------------
         "metadata_dictionary": MDI.metadata_dictionary,
         "dedup_golden_record": X.dedup_golden_record,
         "embedding_centered": X.embedding_centered,
@@ -596,6 +540,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_date_slice": X.fact_date_slice,
         "events_json_readback": X.events_json_readback,
         "dim_customer": W.dim_customer,
+        # ===== ~50-entry driver window boundary.  Everything below is
+        #    tail: green in r8-r11 (rows+schema+hash), digest-pinned since
+        #    its green row (tests/test_rotation_ledger.py), stalest first.
+        #    The two sketch-only prod twins (events_stickiness_hll_prod,
+        #    customer_rfm_scores_approx_prod) stay deregistered per VERDICT
+        #    r6 #2 (benched in bench.py, pinned in tests/test_prod_twins.py).
+        # ==================================================================
         "dim_product": W.dim_product,
         "dim_product_type": W.dim_product_type,
         "dim_brand": W.dim_brand,
@@ -662,7 +613,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_profit_by_hierarchy": A.a5_profit_by_hierarchy,
         "a5_profit_cube": A.a5_profit_cube,
         "segment_region_pivot": A.segment_region_pivot,
-        "sql_profit_by_hierarchy": V.sql_profit_by_hierarchy,
+        # sql_profit_by_hierarchy DEREGISTERED at the r12 rotation — the
+        # first execution of the registry-cap endgame shortlist
+        # (COVERAGE "Registry-cap endgame" #1, rehearsed before the cap
+        # binds): a pure-SQL twin of the registered a5_profit_by_
+        # hierarchy, green r5-r10, now pinned by an oracle-replay test
+        # (tests/test_prod_twins.py::test_deregistered_sql_profit_by_
+        # hierarchy_oracle_replay) plus the standing bit-exact twin pin
+        # (tests/test_skew_sql.py::test_sql_surface_matches_dataframe_plan).
         "sql_shipping_priority": V.sql_shipping_priority,
         "sql_local_supplier_volume": V.sql_local_supplier_volume,
         "sql_product_profit_by_nation_year": V.sql_product_profit_by_nation_year,
@@ -691,6 +649,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": X.dedup_embedding,
         "dedup_minhash_lsh": X.dedup_minhash_lsh,
         "similarity_ivf_incremental": X.similarity_ivf_incremental,
+        # -- r11-green (freshest tail: verified by the round-11 driver gate;
+        #    the r11 head window rotated here intact, newest rows last) ----
+        "dedup_minhash_staged": X.dedup_minhash_staged,
+        "doc_bigram_score": X.doc_bigram_score,
+        "corpus_dsir_weights": X.corpus_dsir_weights,
+        "graph_kcore": X.graph_kcore,
+        "media_image_features": X.media_image_features,
+        "bpe_encode_stats": X.bpe_encode_stats,
+        "events_conversion_lag": X.events_conversion_lag,
+        "scd2_daily_snapshot": X.scd2_daily_snapshot,
+        "customer_rfm_scores_approx": A.customer_rfm_scores_approx_checked,
+        "events_salted_user_stats": X.events_salted_user_stats,
+        "sales_forecast_ses": X.sales_forecast_ses,
+        "events_stickiness_hll": X.events_stickiness_hll,
+        "tfidf_top_terms": X.tfidf_top_terms,
+        "doc_fingerprints": X.doc_fingerprints,
+        "lang_id": X.lang_id,
+        "text_stats": X.text_stats,
+        "doc_unigram_score": X.doc_unigram_score,
+        "sales_trendline_ols": X.sales_trendline_ols,
+        "embedding_outliers": X.embedding_outliers,
+        "corpus_quality_filter": X.corpus_quality_filter,
+        "corpus_split_assignment": X.corpus_split_assignment,
+        "lineitem_column_profile": X.lineitem_column_profile,
+        "fact_backfill_plan": X.fact_backfill_plan,
+        "events_orc_readback": X.events_orc_readback,
+        "dev_sample_cap": W.dev_sample_cap,
+        "top_customers": A.top_customers,
+        "corpus_length_histogram": X.corpus_length_histogram,
+        "sql_customer_order_distribution": V.sql_customer_order_distribution,
+        "sql_orders_above_customer_avg": V.sql_orders_above_customer_avg,
+        "sql_large_volume_orders": V.sql_large_volume_orders,
+        "sql_disjunctive_basket": V.sql_disjunctive_basket,
+        "a8_returns_by_nation": A.a8_returns_by_nation,
+        "corpus_mixture_sample": X.corpus_mixture_sample,
+        "dim_date": W.dim_date,
+        "dim_junk_status": W.dim_junk_status,
+        "dim_route_shapes": X.dim_route_shapes,
+        "embedding_quantize": X.embedding_quantize,
+        "events_asof_last_purchase": X.events_asof_last_purchase,
+        "events_hourly": A.events_hourly,
+        "events_json_kv": X.events_json_kv,
+        "events_lookback_count": X.events_lookback_count,
+        "events_multigrain_rollup": X.events_multigrain_rollup,
+        "events_sketch_profile": X.events_sketch_profile_checked,
+        "fact_bucket_profile": W.fact_bucket_profile,
+        "geojson_routes": X.geojson_routes,
+        "q1_pricing_summary": A.q1_pricing_summary,
+        "routes_csv_readback": X.routes_csv_readback,
+        "sequence_packing": X.sequence_packing,
+        "user_sessions": X.user_sessions,
+        "warehouse_orc_readback": X.warehouse_orc_readback,
     }
 
 
@@ -2837,13 +2847,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"
         ),
-        "sql_profit_by_hierarchy": (
-            "SELECT p.p_brand, p.p_type, "
-            + _dsum("l.l_extendedprice * (1.0 - l.l_discount)", "total_revenue")
-            + ", COUNT(*) AS n_items "
-            "FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey "
-            "GROUP BY p.p_brand, p.p_type"
-        ),
+        # sql_profit_by_hierarchy's oracle moved with its deregistration
+        # to tests/test_prod_twins.py (oracle-replay pin)
         "sql_shipping_priority": (
             "SELECT l.l_orderkey, "
             + _dsum("l.l_extendedprice * (1.0 - l.l_discount)", "revenue")
@@ -3267,4 +3272,11 @@ def oracle_sql() -> dict[str, str]:
     out["doc_bigram_score"] = _bigram_score_oracle()
     out["corpus_dsir_weights"] = _dsir_oracle()
     out["graph_kcore"] = _kcore_oracle_sql()
+    # r12 registrations: each staged twin shares its inline op's oracle
+    # VERBATIM — same claim as dedup_minhash_staged (the parquet-staged
+    # path must be indistinguishable under the value hash; the scorers
+    # are shared by construction: _bm25_rank / _bigram_rank / _dsir_rank).
+    out["bm25_topk_staged"] = out["bm25_topk"]
+    out["doc_bigram_score_staged"] = out["doc_bigram_score"]
+    out["corpus_dsir_weights_staged"] = out["corpus_dsir_weights"]
     return out

@@ -496,23 +496,12 @@ _RAW_CACHE = None
 _WH_CACHE = None
 
 
-def _bench_staged(name):
-    # queue operators: built + pytest-pinned but not yet registered
-    # in queries() (the head window is committed for this round)
-    from logistream_data_pipeline_aws_spark.plans import extensions as X
-
-    fn = getattr(X, name)
-    return lambda spark, sf_dir: fn(spark, sf_dir)
-
-
 EXTRA_BENCH = {
     "reference_warehouse_fact": _reference_warehouse_fact,
     "events_stickiness_hll_prod": _bench_stickiness_prod,
     "customer_rfm_scores_approx_prod": _bench_rfm_prod,
-    # r12 queue: registers at the r12 rotation
-    "bm25_topk_staged": _bench_staged("bm25_topk_staged"),
-    "doc_bigram_score_staged": _bench_staged("doc_bigram_score_staged"),
-    "corpus_dsir_weights_staged": _bench_staged("corpus_dsir_weights_staged"),
+    # (the r12 queue registered at the r12 rotation — bm25_topk_staged
+    # and the two staged-token consumers resolve from queries() now)
 }
 
 
@@ -521,6 +510,30 @@ def run_query(df) -> None:
 
 
 N_RUNS = 3  # best-of-3: two runs were not enough insulation on a shared box
+
+# The 13-query size-stable floor subset BENCH_r01 recorded (16.158 s,
+# BASELINE.md) — the cross-round comparison basis, and the gate line's
+# truncation fallback when the full per-query dict outgrows the
+# driver's tail capture.
+FLOOR_SUBSET = [
+    "fact_lineitem",
+    "q1_pricing_summary",
+    "a5_profit_rollup",
+    "a6_sales_trend",
+    "a7_schedule_adherence",
+    "a8_returns_by_nation",
+    "top_customers",
+    "events_hourly",
+    "dim_date",
+    "dim_customer",
+    "user_sessions",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+]
+# Hard budget for the serialized gate line: the driver keeps the LAST
+# 2000 bytes of stdout, so a line beyond ~1.9 KB loses its head and
+# records parsed:null (the r4 + r11 failure mode).
+GATE_LINE_MAX = 1900
 VARIANCE_FLAG = 0.30  # max/min - 1 beyond this marks the line load-suspect
 VARIANCE_FLOOR_S = 0.3  # ...but only when the absolute spread is material
 # (sub-second queries swing 2x on first-run codegen alone; flagging them
@@ -605,21 +618,30 @@ LINE_CONFS: dict[str, dict[str, str]] = {
 
 
 class _line_confs:
-    """Apply a line's conf overrides; restore prior values on exit."""
+    """Apply a line's conf overrides; restore prior values on exit.
+
+    The save uses ``conf.get(k, None)`` (ADVICE r11 #4): a bare
+    ``conf.get(k)`` raises for a key with no session value and no
+    SQLConf default, which would abort the whole suite before any line
+    ran the moment a future LINE_CONFS entry names such a key.  A
+    ``None`` save is restored by unsetting the key."""
 
     def __init__(self, spark, name: str):
         self.spark = spark
         self.overrides = LINE_CONFS.get(name, {})
-        self.saved: dict[str, str] = {}
+        self.saved: dict[str, str | None] = {}
 
     def __enter__(self):
         for k, v in self.overrides.items():
-            self.saved[k] = self.spark.conf.get(k)
+            self.saved[k] = self.spark.conf.get(k, None)
             self.spark.conf.set(k, v)
 
     def __exit__(self, *exc):
         for k, v in self.saved.items():
-            self.spark.conf.set(k, v)
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
         return False
 # Isolated re-runs triple every flagged line's cost; a round where many
 # lines flag would silently turn the suite into a multi-hour run.  Cap
@@ -650,6 +672,17 @@ def _reset_heap_peaks(pools) -> None:
 
 def _heap_peak_mb(pools) -> int:
     return int(sum(b.getPeakUsage().getUsed() for b in pools) / (1024 * 1024))
+
+
+def _storage_mem_mb(spark) -> int:
+    """MiB of persisted RDD/DataFrame blocks currently resident in
+    storage memory (RDDStorageInfo sum).  Recorded per line so a
+    round-over-round wall drift at constant code can be adjudicated
+    between cache pressure and an engine regression (VERDICT r11 #4:
+    dedup_semantic's isolated best moved 10.8 -> 13.6 s with the new
+    session-resident MEMORY_AND_DISK corpus frames the suspect)."""
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    return int(sum(i.memSize() for i in infos) / (1024 * 1024))
 
 
 def _provenance_path() -> str:
@@ -697,6 +730,7 @@ def main() -> None:
     total = 0.0
     heap_pools = _heap_pool_beans(spark)
     heap_peaks: dict[str, int] = {}
+    storage_mb: dict[str, int] = {}
     for name in BENCH_QUERIES + [k for k in EXTRA_BENCH if k not in BENCH_QUERIES]:
         # UNIFORM per-line warm-up (VERDICT r10 #3): one untimed
         # throwaway run absorbs stage codegen, classloading, and
@@ -720,6 +754,7 @@ def main() -> None:
                 run_query(qs[name](spark, sf_dir))
                 per_run.append(round(time.time() - t0, 3))
         heap_peaks[name] = _heap_peak_mb(heap_pools)
+        storage_mb[name] = _storage_mem_mb(spark)
         # mid-run load sentinel (VERDICT r9 #2): r9's artifact passed the
         # start-only gate yet was uniformly ~1.36x inflated — external
         # load arriving AFTER t=0 was invisible.  Sampling between lines
@@ -759,6 +794,20 @@ def main() -> None:
     # the r9 hard-coded isolated_reruns dict (builder testimony compiled
     # into source), which the verdict correctly rejected as evidence.
     isolated: dict[str, dict[str, object]] = {}
+    # Evict the session's persisted corpus frames BEFORE the quiet-box
+    # block (VERDICT r11 #4): r11's isolated dedup_semantic best moved
+    # 10.8 -> 13.6 s at constant code, with the suite's accumulated
+    # MEMORY_AND_DISK corpus pre-aggs + the contamination shingle frame
+    # resident in the 8g heap by end of suite the plausible mechanism.
+    # Residency is recorded before/after the evict so the artifact can
+    # separate cache pressure from an engine regression.
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        invalidate_corpus_caches,
+    )
+
+    storage_before_evict = _storage_mem_mb(spark)
+    invalidate_corpus_caches(spark)
+    storage_after_evict = _storage_mem_mb(spark)
     candidates = [n for n in dict.fromkeys(flagged + ALWAYS_ISOLATE) if n in qs]
     # ranked budget (VERDICT r10 #8): flagged lines ordered worst
     # in-suite spread first; the standing ALWAYS_ISOLATE list competes
@@ -815,6 +864,11 @@ def main() -> None:
         # line-to-line ordering and round-over-round drift, not the
         # absolute headroom.
         "jvm_peak_heap_mb": heap_peaks,
+        # persisted-block residency after each line + around the
+        # pre-isolation evict (VERDICT r11 #4 adjudication evidence)
+        "storage_mem_mb": storage_mb,
+        "storage_mb_before_isolated_evict": storage_before_evict,
+        "storage_mb_after_isolated_evict": storage_after_evict,
         "jvm_max_heap_mb": int(
             spark._jvm.java.lang.Runtime.getRuntime().maxMemory()
             / (1024 * 1024)
@@ -834,27 +888,50 @@ def main() -> None:
     except OSError as exc:  # read-only checkout: keep the gate line alive
         print(f"[bench] provenance file not written: {exc}", file=sys.stderr)
     print(json.dumps(provenance))
-    # integrity flags + measured isolated bests ride the COMPACT gate
-    # line too (names/scalars only — small enough to survive the
-    # driver's 2000-byte tail capture).
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "load_contaminated": load_contaminated,
-                "load_gate_retries": load_retries,
-                "loadavg_max_during": round(load_max_during, 2),
-                "variance_flagged": flagged,
-                "isolated_best": {
-                    k: v["best"] for k, v in isolated.items()
-                },
-            }
-        )
+    # The COMPACT gate line — the ONE artifact the driver parses
+    # mechanically, via a 2000-byte tail capture that keeps only the
+    # END of stdout.  It outgrew that budget twice (r4 and r11 both
+    # recorded parsed:null), so the line is now budgeted: timings at
+    # 2dp, per-name isolated bests live ONLY in the provenance file
+    # (isolated_reruns), and if the full per-query dict still exceeds
+    # the cap the line drops to the 13-query floor subset with an
+    # explicit truncation flag — loud in the artifact, never silently
+    # unparseable.  The assert makes future growth fail at print time.
+    gate = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        # the BASELINE.md comparison basis (BENCH_r01's 16.158 s), so
+        # the floor number survives even a truncated line
+        "floor_subset_total": round(
+            sum(timings[q] for q in FLOOR_SUBSET if q in timings), 3
+        ),
+        "sf": sf,
+        "load_contaminated": load_contaminated,
+        "load_gate_retries": load_retries,
+        "loadavg_max_during": round(load_max_during, 2),
+        "variance_flagged": flagged,
+    }
+    line = json.dumps(gate)
+    if len(line) > GATE_LINE_MAX:
+        # degrade gracefully, cheapest information first: the flagged
+        # NAMES are already in the provenance file, so swap the list
+        # for a count before sacrificing any per-query timing
+        gate["variance_flagged"] = len(flagged)
+        line = json.dumps(gate)
+    if len(line) > GATE_LINE_MAX:
+        gate["queries"] = {
+            q: round(timings[q], 2) for q in FLOOR_SUBSET if q in timings
+        }
+        gate["queries_truncated_to_floor_subset"] = True
+        line = json.dumps(gate)
+    assert len(line) <= GATE_LINE_MAX, (
+        f"bench gate line is {len(line)} bytes > GATE_LINE_MAX="
+        f"{GATE_LINE_MAX} even after floor-subset truncation — shrink it "
+        f"before the driver records an unparseable artifact"
     )
+    print(line)
 
 
 if __name__ == "__main__":

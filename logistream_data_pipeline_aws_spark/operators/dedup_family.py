@@ -173,11 +173,56 @@ def parallelize_cpu_stage(df: DataFrame, min_parallelism: int | None = None) -> 
     parallelism is below the cluster's, pay one narrow shuffle of the
     projected columns up front — amortized immediately by the map stage.
     A no-op when the input is already parallel (the 100 TB case), so no
-    extra exchange appears at scale."""
+    extra exchange appears at scale.
+
+    HOLLOW-SPLIT HAZARD (found live in the r12 1000x probe): the
+    partition COUNT lies when the input is a few large single-row-group
+    parquet files.  Spark splits files into maxPartitionBytes byte
+    ranges, but a parquet row group is assigned to the ONE split holding
+    its midpoint — so a 5M-doc corpus written as 4 x ~80 MB files (one
+    row group each) scans as 32 nominal partitions of which exactly 4
+    carry rows, and the whole gram/shingle stage grinds through 4
+    straggler tasks (jstack showed tasks 3/10/17/24 — the 4 row-group
+    midpoints — burning 20+ CPU-minutes each while 28 tasks finished
+    instantly).  The count check above cannot see this, so a second
+    check repartitions when the input is FEW files that are each SMALL
+    enough to plausibly be single-row-group (<= ~2x the 128 MB default
+    row-group size).  At 100 TB any sane layout has file count >> cores
+    and the stat loop never runs; genuinely huge files (> 256 MB avg)
+    carry many row groups, so their byte splits are not hollow and the
+    narrow shuffle is correctly skipped."""
     sc = df.sparkSession.sparkContext
     target = min_parallelism or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file source: nothing to adjudicate
+        return df
+    # only a shuffle-free scan plan can still be hollow: any exchange
+    # already in the lineage (explicit repartition, join, aggregate,
+    # window) redistributes rows regardless of the scan's layout
+    try:
+        logical = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        logical = ""
+    if any(
+        op in logical
+        for op in ("Repartition", "Join", "Aggregate", "Window", "Sort")
+    ):
+        return df
+    if files and len(files) < target:
+        try:
+            jvm = sc._jvm
+            conf = sc._jsc.hadoopConfiguration()
+            total = 0
+            for f in files:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                total += p.getFileSystem(conf).getFileStatus(p).getLen()
+            if total / len(files) <= 256 * 1024 * 1024:
+                return df.repartition(target)
+        except Exception:  # unstattable paths: keep the scan layout
+            return df
     return df
 
 
@@ -292,6 +337,25 @@ def minhash_signatures_vectorized(
 _SIG_MANIFEST = "_minhash_sig_manifest.json"
 
 
+def write_manifest_atomic(manifest_path: str, obj: dict) -> None:
+    """Write a staged-table manifest atomically (temp file +
+    ``os.replace``).  A plain ``open(..., 'w')`` truncates first, so a
+    crash mid-rewrite leaves a corrupt manifest on an otherwise-good
+    table and the next caller restages a table it could have reused
+    (ADVICE r11 #1).  ``os.replace`` is atomic on POSIX, so a reader
+    sees either the old manifest or the new one, never a torn write.
+    Shared by the signature, BM25-postings, and token-table stages."""
+    import json
+    import os
+
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, manifest_path)
+
+
 def _sig_params(id_col: str, text_col: str, k_shingle: int, n_hashes: int) -> dict:
     return {
         "id_col": id_col,
@@ -378,8 +442,7 @@ def stage_minhash_signatures(
     manifest = _sig_params(id_col, text_col, k_shingle, n_hashes)
     if fingerprint is not None:
         manifest["corpus"] = fingerprint
-    with open(os.path.join(path, _SIG_MANIFEST), "w") as fh:
-        json.dump(manifest, fh)
+    write_manifest_atomic(os.path.join(path, _SIG_MANIFEST), manifest)
 
 
 def append_minhash_signatures(
@@ -392,20 +455,27 @@ def append_minhash_signatures(
     per-batch half of the ``dedup_incremental_ingest`` discipline, so a
     growing corpus never recomputes the signatures it already staged.
     Parameters come from the staged manifest (the append cannot drift
-    from the table it extends).  If the manifest carries a corpus
-    fingerprint it is advanced to cover the appended batch (rewritten
-    AFTER the append lands, preserving the commit-marker order)."""
+    from the table it extends).
+
+    Commit-marker order holds for the append too (ADVICE r11 #1): the
+    manifest is REMOVED before the batch append starts and rewritten
+    (atomically) only after it lands, so a crash anywhere in the append
+    window leaves a manifest-less table — ``staged_signatures_valid``
+    then restages instead of silently adopting a grown table that still
+    validated under the pre-append fingerprint."""
     import json
     import os
 
-    with open(os.path.join(path, _SIG_MANIFEST)) as fh:
+    manifest_path = os.path.join(path, _SIG_MANIFEST)
+    with open(manifest_path) as fh:
         params = json.load(fh)
     sigs = (minhash_signatures_vectorized if vectorized else minhash_signatures)(
         df, params["id_col"], params["text_col"],
         params["k_shingle"], params["n_hashes"],
     )
-    sigs.write.mode("append").parquet(os.path.join(path, "signatures"))
     if "corpus" in params:
+        # batch fingerprint BEFORE invalidating: if this job fails the
+        # table is untouched and the still-present manifest stays valid
         batch = corpus_fingerprint(df, params["id_col"])
         old = params["corpus"]
         params["corpus"] = {
@@ -415,8 +485,9 @@ def append_minhash_signatures(
                 default=None,
             ),
         }
-        with open(os.path.join(path, _SIG_MANIFEST), "w") as fh:
-            json.dump(params, fh)
+    os.remove(manifest_path)  # invalidate: crash mid-append => restage
+    sigs.write.mode("append").parquet(os.path.join(path, "signatures"))
+    write_manifest_atomic(manifest_path, params)
 
 
 def corpus_fingerprint(df: DataFrame, id_col: str) -> dict:

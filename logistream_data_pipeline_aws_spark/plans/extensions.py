@@ -4946,9 +4946,31 @@ def _substring_span_frame(
     gates, bounded occurrence arrays with in-plan pair expansion, and
     gaps-and-islands diagonal run assembly.  Returns one row per
     maximal shared run: (doc_a, doc_b, diag, s, e) with s..e the
-    a-side character interval (b-side = s-diag .. e-diag)."""
-    from pyspark.sql import Window
+    a-side character interval (b-side = s-diag .. e-diag).
 
+    Two physical strategies behind one logical contract (value-equal,
+    pinned by ``test_substring_sharded_matches_single_pass``):
+
+    - SMALL corpus (below ``_SUBSTRING_SHARD_DOCS``): single-plan —
+      the gram table is hash-partitioned by gram and session-cached
+      once (see the r12 note below), and the count gate + occurrence
+      collect run shuffle-free on top.
+    - BIG corpus: the single-pass gram shuffle is ~40-50 bytes per
+      corpus CHARACTER — a ~300x blow-up over the input that exceeds
+      per-host shuffle capacity long before 100 TB (the r12 probe
+      measured 5M docs / 318 MB of text writing >80 GB of shuffle:
+      "No space left on device", the root cause of the r11 composed-
+      pipeline 1000x failure).  Lee et al. 2021 (arXiv:2107.06499)
+      shard their suffix table by hash range for exactly this reason;
+      the distributed analog here is gram-hash sharding
+      (``_substring_matches_sharded``): stage the gram table ONCE as
+      shard-partitioned parquet, mine matched anchor pairs per shard
+      (per-shard shuffle ~1/B of the single-pass volume, released
+      before the next shard runs), and assemble runs from the staged
+      pairs.  Shard boundaries partition GRAM KEY space, so per-shard
+      frequency gates and pair sets are exactly the global ones —
+      the union of shard outputs is value-identical by construction.
+    """
     # per-character substring+md5 is the CPU stage: decouple it from the
     # input file layout (a small corpus parquet scans as one partition)
     docs = D.parallelize_cpu_stage(
@@ -4956,22 +4978,89 @@ def _substring_span_frame(
         .where(F.col("text").isNotNull() & (F.length("text") >= k))
         .select("doc_id", "text")
     )
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - k + 1)
-        ).alias("pos"),
-        "text",
-    ).select(
-        "doc_id",
-        F.col("pos").cast("long").alias("pos"),
-        F.md5(F.expr(f"substring(text, pos, {k})")).alias("g"),
+    if _corpus_fingerprint(spark, sf_dir)["n_rows"] > _SUBSTRING_SHARD_DOCS:
+        m = _substring_matches_sharded(
+            spark, sf_dir, docs, k, max_gram_docs, max_gram_occurrences
+        )
+        return _runs_from_matches(m, k)
+    # The gram table is ~one row per corpus CHARACTER — the r12 1000x
+    # probe measured the original two-derivation plan (count pass +
+    # collect pass each re-exploding and re-hashing 1.9B grams, ~4
+    # gram-scale exchanges once the distinct-agg's two shuffles and the
+    # keep join are counted) filling the probe host's disk with shuffle
+    # files: "No space left on device" at 5M docs, the root cause of
+    # the r11 composed-pipeline 1000x failure.  Two changes, both
+    # value-invisible (the gram key never reaches the output and md5
+    # equality is preserved bijectively under unhex):
+    #   1. BINARY md5 keys (16 bytes) instead of the 32-char hex
+    #      string — roughly halves every gram-scale byte count;
+    #   2. ONE materialization: the gram table is hash-partitioned by
+    #      gram and persisted via _cached_corpus_agg (MEMORY_AND_DISK,
+    #      per-corpus session cache with eviction).  hash(g) satisfies
+    #      every downstream distribution — the two-level count
+    #      aggregate, the keep join's left side, and the occurrence
+    #      collect all run SHUFFLE-FREE on top, so the corpus-scale
+    #      exchange count drops from ~4 to exactly 1 and the explode+
+    #      md5 CPU pass is paid once per (session, corpus), not twice
+    #      per call.
+    # Partition count scales with the corpus (bytes per partition stay
+    # bounded for the cache build's per-task hash maps); an explicit N
+    # keeps AQE from coalescing the CPU-heavy exchange.
+    n_parts = spark.sparkContext.defaultParallelism * (
+        8 if _docs_is_big(spark, sf_dir) else 1
     )
+    from pyspark import StorageLevel
+
+    grams = _cached_corpus_agg(
+        spark,
+        sf_dir,
+        f"substring_grams_k{k}",
+        # MEMORY_ONLY, not the cache's MEMORY_AND_DISK default: this
+        # frame's lineage cuts at its own repartition exchange, so an
+        # evicted partition recomputes via a plain shuffle fetch — disk
+        # rows here would double-store next to the retained shuffle
+        # files (measured: the 1000x gram table + its shuffle exceeded
+        # the probe host's disk together)
+        lambda: docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - k + 1)
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.unhex(F.md5(F.expr(f"substring(text, pos, {k})"))).alias("g"),
+        )
+        .repartition(n_parts, "g"),
+        storage_level=StorageLevel.MEMORY_ONLY,
+    )
+    m = _gram_pair_matches(grams, max_gram_docs, max_gram_occurrences, prefer_shuffle)
+    return _runs_from_matches(m, k)
+
+
+def _gram_pair_matches(
+    grams: DataFrame,
+    max_gram_docs: int,
+    max_gram_occurrences: int,
+    prefer_shuffle: bool,
+) -> DataFrame:
+    """Count gate -> bounded occurrence arrays -> in-plan pair
+    expansion over a (doc_id, pos, g) gram frame.  Shared verbatim by
+    the single-plan and sharded paths — the twins-cannot-drift-by-
+    construction discipline (same as _bigram_rank / _dsir_rank).
+    Returns matches (doc_a, pa, doc_b, pb, diag)."""
+    from pyspark.sql import Observation
+
     counts = grams.groupBy("g").agg(
         F.countDistinct("doc_id").alias("_nd"), F.count(F.lit(1)).alias("_n")
     )
+    # anonymous Observation (not the old "substring_gram_cap" string
+    # name): the sharded path runs this subplan once per shard and a
+    # fixed name would collide across the loop's queries
     counts = counts.observe(
-        "substring_gram_cap",
+        Observation(),
         F.sum(
             (
                 (F.col("_nd") > max_gram_docs)
@@ -5015,17 +5104,135 @@ def _substring_span_frame(
             ),
         )
     )
-    m = (
+    return (
         occs.select(F.explode(pair_expr).alias("p"))
         .select("p.doc_a", "p.pa", "p.doc_b", "p.pb")
         .where(F.col("doc_a") < F.col("doc_b"))
         .withColumn("diag", F.col("pa") - F.col("pb"))
     )
+
+
+def _runs_from_matches(m: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands diagonal run assembly over matched anchor pairs
+    — shared verbatim by both physical strategies."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     runs = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
     return runs.groupBy("doc_a", "doc_b", "diag", "grp").agg(
         F.min("pa").alias("s"), (F.max("pa") + (k - 1)).alias("e")
     )
+
+
+# Above this many corpus documents the single-pass gram shuffle is
+# sharded (see _substring_span_frame's docstring).  500k docs worked
+# single-pass on the r11 100x probe (~8 GB shuffle); 5M did not.
+_SUBSTRING_SHARD_DOCS = 1_500_000
+_SUBSTRING_DOCS_PER_SHARD = 750_000
+_SUBSTRING_GRAMS_MANIFEST = "substring_grams_manifest.json"
+
+
+def _substring_matches_sharded(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame,
+    k: int,
+    max_gram_docs: int,
+    max_gram_occurrences: int,
+) -> DataFrame:
+    """Gram-hash-sharded anchor mining for corpora whose single-pass
+    gram shuffle exceeds per-host shuffle capacity.
+
+    Stage 1 (once per corpus, manifest commit marker + corpus
+    fingerprint — the staged-signatures contract): explode + md5 every
+    gram ONCE and write (doc_id, pos, g) as parquet PARTITIONED BY
+    ``pmod(xxhash64(g), n_shards)``.  The shard key hashes the GRAM,
+    so every occurrence of a gram lands in exactly one shard and the
+    per-shard frequency gates are the global ones.
+
+    Stage 2 (per (caps) parameterization): loop shards; each shard
+    reads its partition-pruned slice, runs the SHARED gate + pair
+    expansion (``_gram_pair_matches``), and appends its matched pairs
+    to a staged pair table.  Each shard's shuffle belongs to its own
+    job and is released before the next starts (driver drops the
+    refs + System.gc(), the k-core scoped-release pattern), so peak
+    shuffle footprint is ~1/n_shards of the single-pass plan.  The
+    pair manifest is written LAST: a crash mid-loop leaves no
+    manifest and the next caller re-mines from shard 0 (mode
+    "overwrite"), never adopting a partial pair table."""
+    import gc as _gc
+    import json
+    import math
+
+    fprint = _corpus_fingerprint(spark, sf_dir)
+    n_shards = max(2, math.ceil(fprint["n_rows"] / _SUBSTRING_DOCS_PER_SHARD))
+    tag = os.path.abspath(sf_dir).replace(os.sep, "_")
+    base = _scratch(f"substring_shards_k{k}_{tag}")
+    os.makedirs(base, exist_ok=True)
+    gram_path = os.path.join(base, "grams")
+    gram_manifest = os.path.join(base, _SUBSTRING_GRAMS_MANIFEST)
+    gparams = {"k": k, "n_shards": n_shards, "corpus": fprint}
+
+    def _valid(manifest_path, want):
+        try:
+            with open(manifest_path) as fh:
+                return json.load(fh) == want
+        except (OSError, ValueError):
+            return False
+
+    if not _valid(gram_manifest, gparams):
+        (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.lit(1), F.length("text") - k + 1)
+                ).alias("pos"),
+                "text",
+            )
+            .select(
+                "doc_id",
+                F.col("pos").cast("long").alias("pos"),
+                F.unhex(
+                    F.md5(F.expr(f"substring(text, pos, {k})"))
+                ).alias("g"),
+            )
+            .withColumn(
+                "shard", F.pmod(F.xxhash64("g"), F.lit(n_shards)).cast("int")
+            )
+            .write.partitionBy("shard")
+            .mode("overwrite")
+            .parquet(gram_path)
+        )
+        D.write_manifest_atomic(gram_manifest, gparams)
+    pairs_path = os.path.join(
+        base, f"pairs_d{max_gram_docs}_o{max_gram_occurrences}"
+    )
+    pairs_manifest = pairs_path + ".manifest.json"
+    pparams = {
+        **gparams,
+        "max_gram_docs": max_gram_docs,
+        "max_gram_occurrences": max_gram_occurrences,
+    }
+    if not _valid(pairs_manifest, pparams):
+        all_grams = spark.read.parquet(gram_path)
+        for i in range(n_shards):
+            sl = all_grams.where(F.col("shard") == i).select(
+                "doc_id", "pos", "g"
+            )
+            m_i = _gram_pair_matches(
+                sl, max_gram_docs, max_gram_occurrences, prefer_shuffle=True
+            )
+            m_i.write.mode("overwrite" if i == 0 else "append").parquet(
+                pairs_path
+            )
+            # scoped shuffle release: this shard's exchanges are
+            # unreachable once the local refs drop — collect them so
+            # the ContextCleaner frees the files before shard i+1
+            del sl, m_i
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        D.write_manifest_atomic(pairs_manifest, pparams)
+    return spark.read.parquet(pairs_path)
 
 
 def doc_substring_spans(
@@ -5080,17 +5287,18 @@ def doc_substring_spans(
         FROM spans GROUP BY doc_a, doc_b HAVING MAX(e - s + 1) >= 40
 
     Scale shape (the ``capped_bucket_pairs`` two-phase discipline):
-    anchors shuffle on the md5 gram key (uniform by construction) for a
-    map-side-combinable count; the frequency gate kills the only
+    anchors shuffle ONCE on the (binary) md5 gram key — uniform by
+    construction — into a hash-partitioned per-(session, corpus)
+    persisted frame whose partitioning every downstream step reuses
+    (count aggregate, keep join, occurrence collect: all shuffle-free;
+    see the r12 note in ``_substring_span_frame`` — the prior
+    two-derivation form's ~4 gram-scale exchanges filled the probe
+    host's disk at 5M docs).  The frequency gate kills the only
     quadratic blow-up BEFORE any occurrence list or pair exists; the
     surviving grams collect ONE bounded occurrence array each (<=
     ``max_gram_occurrences`` entries by the gate) and expand their
-    cross-document pairs in-plan — no second equi-join, and the gram
-    table is derived twice (count pass + collect pass), never three
-    times (the no-CSE-across-DataFrame-reuse trap: the original
-    keep-join + a/b self-join formulation derived it 3x and paid an
-    extra shuffle — probe-measured ~2x slower at 10x volume).  Dropped
-    grams are counted in an observed ``substring_gram_cap`` metric.
+    cross-document pairs in-plan — no second equi-join.  Dropped
+    grams are counted in an observed dropped-grams metric.
     The run-assembly windows partition by (pair, diagonal) — small
     groups bounded by document length, never a global sort.  Spans on
     different diagonals may overlap in text; they count separately
@@ -5765,8 +5973,7 @@ def stage_bm25_postings(
     # manifest LAST: it is the commit marker staged_bm25_postings_valid
     # gates on — a stage that dies above leaves no manifest, so the
     # next caller restages instead of adopting a partial index
-    with open(os.path.join(path, _BM25_INDEX_MANIFEST), "w") as fh:
-        json.dump(manifest, fh)
+    D.write_manifest_atomic(os.path.join(path, _BM25_INDEX_MANIFEST), manifest)
 
 
 def read_staged_bm25_postings(
@@ -6224,6 +6431,16 @@ _CORPUS_FPRINT_CACHE: dict[tuple[str, str], dict] = {}
 
 
 def _corpus_fingerprint(spark: SparkSession, sf_dir: str) -> dict:
+    """One (row count, max doc_id) aggregate per (session, corpus).
+
+    LIMITATION (ADVICE r11 #2): the fingerprint is cached for the
+    session's lifetime, so the corpus-staleness gates it feeds
+    (``staged_signatures_valid`` / ``staged_bm25_postings_valid`` /
+    ``staged_doc_tokens_valid`` and the ``_cached_corpus_agg`` persisted
+    frames) detect a corpus regenerated in-place at the same path only
+    ACROSS sessions — within a session the stale fingerprint validates
+    the stale stage.  Anything that rewrites a corpus in place mid-
+    session must call ``invalidate_corpus_caches(spark, sf_dir)``."""
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     fprint = _CORPUS_FPRINT_CACHE.get(key)
     if fprint is None:
@@ -6231,6 +6448,39 @@ def _corpus_fingerprint(spark: SparkSession, sf_dir: str) -> dict:
         fprint = D.corpus_fingerprint(docs, "doc_id")
         _CORPUS_FPRINT_CACHE[key] = fprint
     return fprint
+
+
+def invalidate_corpus_caches(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop this session's corpus-derived in-memory state: the cached
+    corpus fingerprint(s) and the ``_cached_corpus_agg`` persisted
+    frames (which are unpersisted, releasing executor storage memory).
+
+    Two callers: (a) anything that regenerates a corpus in place at the
+    same path mid-session (the in-session staleness gap documented on
+    ``_corpus_fingerprint``); (b) the bench harness before its isolated
+    re-run block, so end-of-suite quiet-box numbers are measured without
+    the suite's accumulated persisted frames competing for heap (the
+    ``dedup_semantic`` drift adjudication, VERDICT r11 #4).  ``sf_dir``
+    limits the fingerprint drop to one corpus; the persisted agg cache
+    holds a single corpus per session and is dropped whenever it matches
+    (or unconditionally when ``sf_dir`` is None)."""
+    app = spark.sparkContext.applicationId
+    if sf_dir is None:
+        drop = [k for k in _CORPUS_FPRINT_CACHE if k[0] == app]
+    else:
+        drop = [(app, os.path.abspath(sf_dir))]
+    for key in drop:
+        _CORPUS_FPRINT_CACHE.pop(key, None)
+    entry = _CORPUS_AGG_CACHE.get(app)
+    if entry is not None and (
+        sf_dir is None or entry[0] == os.path.abspath(sf_dir)
+    ):
+        for frame in entry[1].values():
+            try:
+                frame.unpersist()
+            except Exception:  # session may be gone
+                pass
+        del _CORPUS_AGG_CACHE[app]
 
 
 def dedup_minhash_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6343,7 +6593,9 @@ def _corpus_words():
 _CORPUS_AGG_CACHE: dict[str, tuple[str, dict[str, DataFrame]]] = {}
 
 
-def _cached_corpus_agg(spark: SparkSession, sf_dir: str, kind, build) -> DataFrame:
+def _cached_corpus_agg(
+    spark: SparkSession, sf_dir: str, kind, build, storage_level=None
+) -> DataFrame:
     """Session-scoped PERSISTED pre-aggregate per (corpus, kind).
 
     Why persist at all: referencing a derived frame twice re-derives
@@ -6353,10 +6605,18 @@ def _cached_corpus_agg(spark: SparkSession, sf_dir: str, kind, build) -> DataFra
     stop being identical (the bm25 lesson, re-measured for DSIR in
     r11: 3 FileScans, 0 ReusedExchange).  At 100x the persisted shared
     pre-agg ran the DSIR tail in 3.5 s against 31.7 s for the
-    triple-derivation plan.  MEMORY_AND_DISK: the frame spills rather
-    than OOMs at corpus scale."""
+    triple-derivation plan.  Default MEMORY_AND_DISK: the frame spills
+    rather than OOMs at corpus scale.  ``storage_level`` overrides for
+    frames whose lineage cuts at an exchange: the substring gram table
+    passes MEMORY_ONLY because its parent is its own repartition —
+    storing evicted partitions on disk would DOUBLE-STORE them next to
+    the retained shuffle files (the r12 1000x disk exhaustion), while a
+    MEMORY_ONLY miss recomputes via a plain shuffle fetch, no CPU
+    re-derivation."""
     from pyspark import StorageLevel
 
+    if storage_level is None:
+        storage_level = StorageLevel.MEMORY_AND_DISK
     app = spark.sparkContext.applicationId
     corpus = os.path.abspath(sf_dir)
     entry = _CORPUS_AGG_CACHE.get(app)
@@ -6373,7 +6633,7 @@ def _cached_corpus_agg(spark: SparkSession, sf_dir: str, kind, build) -> DataFra
         _CORPUS_AGG_CACHE[app] = entry
     frame = entry[1].get(kind)
     if frame is None:
-        frame = build().persist(StorageLevel.MEMORY_AND_DISK)
+        frame = build().persist(storage_level)
         entry[1][kind] = frame
     return frame
 
@@ -6620,8 +6880,7 @@ def stage_doc_tokens(
     manifest = _doc_tokens_params()
     if fingerprint is not None:
         manifest["corpus"] = fingerprint
-    with open(os.path.join(path, _DOC_TOKENS_MANIFEST), "w") as fh:
-        json.dump(manifest, fh)
+    D.write_manifest_atomic(os.path.join(path, _DOC_TOKENS_MANIFEST), manifest)
 
 
 def read_staged_doc_tokens(
@@ -6795,11 +7054,14 @@ def graph_kcore(
     driver-side analysis OOMs by round 8, caught live while building
     this operator.
 
-    Output: ``(part, degree, coreness)``.
+    Output: ``(part, degree, coreness, converged)`` — ``converged`` is
+    the fixpoint flag riding every row (one extra probe round; a
+    convergence regression fails the driver's value hash).
 
-    Round-11 oracle: documented in the pinned test
-    (tests/test_extensions.py::_kcore_oracle_sql) — the same
-    cap/edge/degree CTEs and the unrolled h-index rounds."""
+    Round-11 oracle: ``__spark_entry__._kcore_oracle_sql`` (imported by
+    the pinned test in tests/test_extensions.py) — the same
+    cap/edge/degree CTEs and the unrolled h-index rounds, replayed with
+    one more round and compared by total for the converged flag."""
     from pyspark.sql.window import Window
 
     edges, und = _copurchase_undirected(spark, sf_dir, max_order_items)

@@ -258,3 +258,46 @@ def test_golden_record_field_survivorship(spark):
     assert g.source == "web"       # 2-1 frequency win
     u = out[7]
     assert u.n_members == 1 and u.lang is None and u.source is None
+
+
+def test_parallelize_cpu_stage_detects_hollow_splits(spark, tmp_path):
+    """The r12 probe finding: byte-range splits of a few large
+    single-row-group parquet files report full nominal parallelism
+    while only the splits holding a row-group midpoint carry rows —
+    the partition-count check alone funneled a 5M-doc gram scan
+    through 4 straggler tasks.  parallelize_cpu_stage must repartition
+    on the few-small-files signal even when the nominal split count
+    looks parallel."""
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        parallelize_cpu_stage,
+    )
+
+    path = str(tmp_path / "hollow")
+    (
+        spark.range(20_000)
+        .selectExpr("id", "repeat('x', 64) AS text")
+        .coalesce(2)
+        .write.parquet(path)
+    )
+    target = spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8k")
+    try:
+        df = spark.read.parquet(path)
+        nominal = df.rdd.getNumPartitions()
+        # the hazard precondition: the scan LOOKS parallel (>= target
+        # byte-range splits) but is 2 files of 1 row group each
+        assert nominal >= target, (nominal, target)
+        assert len(df.inputFiles()) == 2
+        out = parallelize_cpu_stage(df)
+        assert out.rdd.getNumPartitions() == target
+        # and the repartition is a real round-robin: every partition
+        # carries rows (the hollow scan had rows in only 2)
+        sizes = out.rdd.glom().map(len).collect()
+        assert sum(1 for s in sizes if s > 0) == target
+        # a genuinely multi-file input at target parallelism is left
+        # untouched (the 100 TB no-op contract)
+        wide = df.repartition(target)
+        assert parallelize_cpu_stage(wide) is wide
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -2432,12 +2432,26 @@ def test_doc_tokens_staged_twins_match_inline_and_oracle(spark):
         "doc_tokens_" + os.path.abspath(SF_SMALL).replace(os.sep, "_")
     )
     manifest = os.path.join(path, X._DOC_TOKENS_MANIFEST)
-    mtime_before = os.path.getmtime(manifest)
-    staged_w = {
-        tuple(r)
-        for r in X.corpus_dsir_weights_staged(spark, SF_SMALL).collect()
-    }
-    assert os.path.getmtime(manifest) == mtime_before, "DSIR twin restaged"
+    # no-restage signal (ADVICE r11 #5): spy on stage_doc_tokens rather
+    # than compare getmtime for equality — coarse-mtime filesystems can
+    # false-pass a restage that completes within one timestamp tick,
+    # and mtime can't see an identical-content rewrite at all
+    stat_before = os.stat(manifest)
+    real_stage, calls = X.stage_doc_tokens, []
+    X.stage_doc_tokens = lambda *a, **k: (
+        calls.append(1), real_stage(*a, **k))[1]
+    try:
+        staged_w = {
+            tuple(r)
+            for r in X.corpus_dsir_weights_staged(spark, SF_SMALL).collect()
+        }
+    finally:
+        X.stage_doc_tokens = real_stage
+    assert not calls, "DSIR twin restaged (stage_doc_tokens was called)"
+    stat_after = os.stat(manifest)
+    assert (stat_after.st_ino, stat_after.st_mtime_ns) == (
+        stat_before.st_ino, stat_before.st_mtime_ns
+    ), "manifest rewritten under the DSIR twin"
     inline_w = {
         tuple(r) for r in X.corpus_dsir_weights(spark, SF_SMALL).collect()
     }
@@ -2796,3 +2810,37 @@ def test_bm25_topk_staged_matches_inline_and_oracle(spark):
     finally:
         with open(mf, "w") as fh:
             fh.write(orig)
+
+
+def test_substring_sharded_matches_single_pass(spark):
+    """The r12 scale split: big corpora mine substring anchors through
+    gram-hash shards (staged parquet + per-shard jobs) while small
+    corpora keep the single cached-plan path.  Shard boundaries
+    partition gram-key space, so the union of shard outputs must be
+    VALUE-IDENTICAL to the single pass — pinned here by forcing the
+    sharded path onto the small corpus and comparing the registered
+    operators' full row sets."""
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    single_spans = {
+        tuple(r) for r in X.doc_substring_spans(spark, SF_SMALL).collect()
+    }
+    single_dedup = {
+        tuple(r) for r in X.doc_substring_dedup(spark, SF_SMALL).collect()
+    }
+    old_thresh = X._SUBSTRING_SHARD_DOCS
+    X._SUBSTRING_SHARD_DOCS = 0  # force the sharded path
+    try:
+        sharded_spans = {
+            tuple(r)
+            for r in X.doc_substring_spans(spark, SF_SMALL).collect()
+        }
+        sharded_dedup = {
+            tuple(r)
+            for r in X.doc_substring_dedup(spark, SF_SMALL).collect()
+        }
+    finally:
+        X._SUBSTRING_SHARD_DOCS = old_thresh
+    assert sharded_spans == single_spans and single_spans
+    assert sharded_dedup == single_dedup and single_dedup

@@ -69,3 +69,51 @@ def test_rfm_prod_within_tie_window_of_exact(spark):
             assert abs(ai - ei) <= 2, (k, name, ai, ei)
         # scores stay in the quintile range
         assert all(1 <= s <= 5 for s in a), k
+
+
+# -- deregistered composition aliases (registry-cap endgame, r12) ------------
+
+# The oracle sql_profit_by_hierarchy carried while registered (moved
+# here verbatim at its r12 deregistration — COVERAGE "Registry-cap
+# endgame" shortlist #1, the first executed slot-free).  The replay
+# below keeps the deregistered entry under the SAME cross-engine value
+# check the driver gate ran, every CI run.
+SQL_PROFIT_BY_HIERARCHY_ORACLE = (
+    "SELECT p.p_brand, p.p_type, "
+    "CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) "
+    "AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue, "
+    "COUNT(*) AS n_items "
+    "FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey "
+    "GROUP BY p.p_brand, p.p_type"
+)
+
+
+def test_deregistered_sql_profit_by_hierarchy_oracle_replay(spark):
+    """Oracle-replay pin for the first registry-cap deregistration: the
+    pure-SQL twin left queries() at the r12 rotation (its slot freed for
+    new registrations), so its DuckDB value check moves from the driver
+    gate into CI.  Together with test_skew_sql.py::test_sql_surface_
+    matches_dataframe_plan (bit-exact vs the REGISTERED
+    a5_profit_by_hierarchy) the twin stays double-pinned."""
+    import duckdb
+
+    from logistream_data_pipeline_aws_spark.plans.sql_views import (
+        sql_profit_by_hierarchy,
+    )
+
+    got = {
+        (r.p_brand, r.p_type): (r.total_revenue, r.n_items)
+        for r in sql_profit_by_hierarchy(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"
+        )
+    exp = {
+        (b, t): (rev, n)
+        for b, t, rev, n in con.execute(
+            SQL_PROFIT_BY_HIERARCHY_ORACLE
+        ).fetchall()
+    }
+    assert got == exp and got

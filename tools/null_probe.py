@@ -175,8 +175,10 @@ DEFAULT_QUERIES = {
         "a5_profit_cube", "brand_share_within_type", "basket_part_pairs",
         "sql_promo_revenue", "sql_important_parts", "sql_cheapest_supplier",
         "sql_supplier_part_variety", "sql_small_quantity_revenue",
-        "sql_forecast_revenue", "sql_profit_by_hierarchy",
+        "sql_forecast_revenue",
         "sql_product_profit_by_nation_year",
+        # sql_profit_by_hierarchy deregistered r12: its NULL coverage
+        # rides a5_profit_by_hierarchy (above) + the bit-exact twin pin
     ],
     "supplier": [
         "fact_lineitem", "a8_returns_by_nation", "sql_top_supplier",
@@ -184,7 +186,6 @@ DEFAULT_QUERIES = {
         "sql_waiting_suppliers", "sql_local_supplier_volume",
         "sql_volume_shipping", "sql_market_share",
         "sql_product_profit_by_nation_year", "supplier_pagerank",
-        "sql_profit_by_hierarchy",
     ],
     "customer": [
         "dim_customer", "dim_geography", "fact_lineitem", "top_customers",
@@ -241,6 +242,14 @@ DEFAULT_QUERIES = {
         # signatures exist only for shingled docs).  graph_kcore reads
         # only the never-NULL lineitem key columns, so it has no axis.
         "dedup_minhash_staged", "doc_bigram_score", "corpus_dsir_weights",
+        # r12 registrations: the staged twins inherit the inline ops'
+        # text/lang gates through the shared scorers AND the staged
+        # table's own `text IS NOT NULL` stage filter — probed
+        # independently here because the staged table is REBUILT from
+        # the NULL-injected fixture (fingerprint differs), so the stage
+        # filter itself is under test, not just the scorer.
+        "bm25_topk_staged", "doc_bigram_score_staged",
+        "corpus_dsir_weights_staged",
     ],
 }
 

@@ -449,12 +449,9 @@ PROBE_OVERRIDES = {
     # corpus_gopher_rules, bm25_topk, events_feature_matrix,
     # similarity_recall_audit, graph_triangle_count) registered at the
     # r10 rotation and now resolve straight from queries().
-    # the r11-queue operators registered at the r11 rotation and now
-    # resolve straight from queries().  r12 queue: built + pytest-
-    # pinned, registers at the next rotation.
-    "bm25_topk_staged": _staged("bm25_topk_staged"),
-    "doc_bigram_score_staged": _staged("doc_bigram_score_staged"),
-    "corpus_dsir_weights_staged": _staged("corpus_dsir_weights_staged"),
+    # the r11-queue operators registered at the r11 rotation, and the
+    # r12 queue (staged BM25 + staged-token consumers) at the r12
+    # rotation — all resolve straight from queries() now.
 }
 
 
