@@ -4979,10 +4979,9 @@ def _substring_span_frame(
         .select("doc_id", "text")
     )
     if _corpus_fingerprint(spark, sf_dir)["n_rows"] > _SUBSTRING_SHARD_DOCS:
-        m = _substring_matches_sharded(
+        return _substring_runs_sharded(
             spark, sf_dir, docs, k, max_gram_docs, max_gram_occurrences
         )
-        return _runs_from_matches(m, k)
     # The gram table is ~one row per corpus CHARACTER — the r12 1000x
     # probe measured the original two-derivation plan (count pass +
     # collect pass each re-exploding and re-hashing 1.9B grams, ~4
@@ -5132,7 +5131,7 @@ _SUBSTRING_DOCS_PER_SHARD = 750_000
 _SUBSTRING_GRAMS_MANIFEST = "substring_grams_manifest.json"
 
 
-def _substring_matches_sharded(
+def _substring_runs_sharded(
     spark: SparkSession,
     sf_dir: str,
     docs: DataFrame,
@@ -5140,26 +5139,39 @@ def _substring_matches_sharded(
     max_gram_docs: int,
     max_gram_occurrences: int,
 ) -> DataFrame:
-    """Gram-hash-sharded anchor mining for corpora whose single-pass
-    gram shuffle exceeds per-host shuffle capacity.
+    """Fully sharded anchor mining + run assembly for corpora whose
+    single-pass shuffles exceed per-host capacity.  Three staged
+    stages, each under the manifest-commit-marker + corpus-fingerprint
+    contract, each re-derivable and dropped once its consumer commits:
 
-    Stage 1 (once per corpus, manifest commit marker + corpus
-    fingerprint — the staged-signatures contract): explode + md5 every
-    gram ONCE and write (doc_id, pos, g) as parquet PARTITIONED BY
+    Stage 1 (grams): explode + md5 every gram ONCE and write
+    (doc_id, pos, g) as parquet PARTITIONED BY
     ``pmod(xxhash64(g), n_shards)``.  The shard key hashes the GRAM,
     so every occurrence of a gram lands in exactly one shard and the
     per-shard frequency gates are the global ones.
 
-    Stage 2 (per (caps) parameterization): loop shards; each shard
-    reads its partition-pruned slice, runs the SHARED gate + pair
-    expansion (``_gram_pair_matches``), and appends its matched pairs
-    to a staged pair table.  Each shard's shuffle belongs to its own
-    job and is released before the next starts (driver drops the
-    refs + System.gc(), the k-core scoped-release pattern), so peak
-    shuffle footprint is ~1/n_shards of the single-pass plan.  The
-    pair manifest is written LAST: a crash mid-loop leaves no
-    manifest and the next caller re-mines from shard 0 (mode
-    "overwrite"), never adopting a partial pair table."""
+    Stage 2 (pairs): loop gram shards; each reads its partition-pruned
+    slice, runs the SHARED gate + pair expansion
+    (``_gram_pair_matches``), and appends matched pairs partitioned by
+    ``pshard = pmod(xxhash64(doc_a, doc_b), n_shards)``.  Each shard's
+    shuffle belongs to its own job and is released before the next
+    starts (driver drops the refs + System.gc(), the k-core
+    scoped-release pattern), so peak shuffle footprint is ~1/n_shards
+    of the single-pass plan.
+
+    Stage 3 (runs): the gaps-and-islands window groups by
+    (doc_a, doc_b, diag) — a pure function of the PAIR shard key, so
+    run assembly loops pair shards the same way (the r12 v5 probe
+    measured the UNSHARDED assembly window over ~billions of matched
+    pairs on the template-dense corpus filling local disk after the
+    mining stages succeeded).  Runs are ~two orders smaller than
+    pairs (consecutive same-diagonal matches merge), so the committed
+    run table is small.
+
+    Every manifest is written LAST: a crash mid-loop leaves no
+    manifest and the next caller rebuilds that stage from scratch
+    (mode "overwrite" on its first slice), never adopting a partial
+    table."""
     import gc as _gc
     import json
     import math
@@ -5172,6 +5184,11 @@ def _substring_matches_sharded(
     gram_path = os.path.join(base, "grams")
     gram_manifest = os.path.join(base, _SUBSTRING_GRAMS_MANIFEST)
     gparams = {"k": k, "n_shards": n_shards, "corpus": fprint}
+    pparams = {
+        **gparams,
+        "max_gram_docs": max_gram_docs,
+        "max_gram_occurrences": max_gram_occurrences,
+    }
 
     def _valid(manifest_path, want):
         try:
@@ -5180,6 +5197,15 @@ def _substring_matches_sharded(
         except (OSError, ValueError):
             return False
 
+    # final stage first: a committed run table serves directly — the
+    # upstream stagings were dropped once it committed, and rebuilding
+    # them just because they are gone would redo the whole mining
+    runs_path = os.path.join(
+        base, f"runs_d{max_gram_docs}_o{max_gram_occurrences}"
+    )
+    runs_manifest = runs_path + ".manifest.json"
+    if _valid(runs_manifest, pparams):
+        return spark.read.parquet(runs_path)
     if not _valid(gram_manifest, gparams):
         (
             docs.select(
@@ -5208,11 +5234,6 @@ def _substring_matches_sharded(
         base, f"pairs_d{max_gram_docs}_o{max_gram_occurrences}"
     )
     pairs_manifest = pairs_path + ".manifest.json"
-    pparams = {
-        **gparams,
-        "max_gram_docs": max_gram_docs,
-        "max_gram_occurrences": max_gram_occurrences,
-    }
     if not _valid(pairs_manifest, pparams):
         all_grams = spark.read.parquet(gram_path)
         for i in range(n_shards):
@@ -5221,10 +5242,15 @@ def _substring_matches_sharded(
             )
             m_i = _gram_pair_matches(
                 sl, max_gram_docs, max_gram_occurrences, prefer_shuffle=True
+            ).withColumn(
+                "pshard",
+                F.pmod(
+                    F.xxhash64("doc_a", "doc_b"), F.lit(n_shards)
+                ).cast("int"),
             )
-            m_i.write.mode("overwrite" if i == 0 else "append").parquet(
-                pairs_path
-            )
+            m_i.write.partitionBy("pshard").mode(
+                "overwrite" if i == 0 else "append"
+            ).parquet(pairs_path)
             # scoped shuffle release: this shard's exchanges are
             # unreachable once the local refs drop — collect them so
             # the ContextCleaner frees the files before shard i+1
@@ -5232,7 +5258,41 @@ def _substring_matches_sharded(
             _gc.collect()
             spark.sparkContext._jvm.System.gc()
         D.write_manifest_atomic(pairs_manifest, pparams)
-    return spark.read.parquet(pairs_path)
+        # the gram staging is re-derivable and cap-independent, but the
+        # committed PAIR table is what every downstream consumer reads —
+        # drop the grams once the pairs commit (measured: grams 24 GB +
+        # pairs 10 GB + the runs-assembly shuffle did not fit local disk
+        # together at 5M docs).  A later mining with different caps
+        # restages grams (one scan-bound pass); at 100 TB the staging
+        # lives on durable object storage and this frugality is moot.
+        import shutil
+
+        shutil.rmtree(gram_path, ignore_errors=True)
+        try:
+            os.remove(gram_manifest)
+        except OSError:
+            pass
+    if not _valid(runs_manifest, pparams):
+        all_pairs = spark.read.parquet(pairs_path)
+        for j in range(n_shards):
+            m_j = all_pairs.where(F.col("pshard") == j).select(
+                "doc_a", "pa", "doc_b", "pb", "diag"
+            )
+            _runs_from_matches(m_j, k).write.mode(
+                "overwrite" if j == 0 else "append"
+            ).parquet(runs_path)
+            del m_j
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        D.write_manifest_atomic(runs_manifest, pparams)
+        import shutil
+
+        shutil.rmtree(pairs_path, ignore_errors=True)
+        try:
+            os.remove(pairs_manifest)
+        except OSError:
+            pass
+    return spark.read.parquet(runs_path)
 
 
 def doc_substring_spans(
