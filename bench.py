@@ -378,6 +378,16 @@ SCALE_PROBES: dict[str, object] = {
         # (see staged_signature_probe_1000x); the 948 s staging pass
         # is paid once per corpus and is itself 2.5x cheaper vectorized
         "dedup_minhash_staged": 32.36,
+        # r12: the lead scale item CLOSED — 5M docs through the fully
+        # sharded substring path (gram-hash shards for mining, doc-pair
+        # shards for run assembly, every staging manifest-gated and
+        # dropped once its consumer commits).  Stage-everything first
+        # run 1610.6 s; steady state (committed run table + coverage
+        # join) 2.16 s.  The two r11 failure causes are fixed and
+        # documented in _substring_span_frame: hollow byte-range splits
+        # (parallelize_cpu_stage file-count check) and gram/pair/run
+        # shuffles exceeding per-host disk (sharding + scoped release).
+        "doc_substring_dedup@steady": 2.16,
         # r10: the r11-queue text ops at 5M docs — both scan-bound
         # linear from their 100x walls (30.5->315 s, 38.2->361 s for
         # 10x the data)

@@ -259,6 +259,8 @@ def synthetic_customer(spark: SparkSession, n_orders: int) -> DataFrame:
 
 CORPUS_QUERIES = [
     "corpus_split_assignment",
+    # r12: added for 1000x coverage (VERDICT r11 #6)
+    "corpus_length_histogram",
     "corpus_epoch_shuffle",
     "bpe_merge_candidates",
     "bpe_encode_stats",
