@@ -388,6 +388,22 @@ SCALE_PROBES: dict[str, object] = {
         # (parallelize_cpu_stage file-count check) and gram/pair/run
         # shuffles exceeding per-host disk (sharding + scoped release).
         "doc_substring_dedup@steady": 2.16,
+        # r12 batch two (same probe session discipline): the composed
+        # pipeline's r11 1000x failure is CLOSED — 208.1 s first run /
+        # 99.4 s warm at 5M docs (minhash + exact + CC + stitch; the
+        # substring coverage reads the committed run table).  spans'
+        # 1000x run emits 0 rows, and that is DATA-real, not a plan
+        # defect: the staged run table holds 200M maximal runs whose
+        # span lengths are all 34-38 chars — the probe generator's
+        # shared-stretch geometry at 5M docs caps runs below the
+        # min_span=40 contract (verified by a 7-shard vs single-pass
+        # A/B at sf0.1: 259 == 259 rows, value-equal).
+        "corpus_dedup_pipeline@1000x_first": 208.13,
+        "corpus_dedup_pipeline@1000x_warm": 99.35,
+        "doc_substring_spans@1000x_stage": 1426.98,
+        "doc_substring_spans@1000x_steady": 6.68,
+        "corpus_split_assignment@1000x": 1.51,
+        "corpus_length_histogram@1000x": 94.87,
         # r10: the r11-queue text ops at 5M docs — both scan-bound
         # linear from their 100x walls (30.5->315 s, 38.2->361 s for
         # 10x the data)
