@@ -120,6 +120,58 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
     )
 
 
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled greedy k-center replay of operators.similarity
+    .kcenter_coreset (r13-queue candidate, built + pinned in r12; NOT
+    yet registered): seed = min vec_id, each round argmax of the
+    running min-distance with (dmin DESC, vid) tie-break, identical
+    left-fold distances, final assignment with (d2, round) argmin —
+    hash-exact against the Spark plan."""
+
+    def d2(v: str, c: str) -> str:
+        diffs = (
+            f"list_transform(list_zip({v}, {c}), "
+            "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+            "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))"
+        )
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {diffs}), "
+            "(u, v2) -> u + v2)"
+        )
+
+    sql = (
+        "WITH v AS (SELECT vec_id AS vid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv "
+        "FROM embeddings WHERE embedding IS NOT NULL), "
+        "c0 AS (SELECT vid, vv FROM v ORDER BY vid LIMIT 1), "
+        f"d0 AS (SELECT v.vid, v.vv, {d2('v.vv', 'c.vv')} AS dmin "
+        "FROM v CROSS JOIN c0 c)"
+    )
+    for r in range(1, k):
+        sql += (
+            f", c{r} AS (SELECT vid, vv FROM d{r-1} "
+            "ORDER BY dmin DESC, vid LIMIT 1)"
+            f", d{r} AS (SELECT d.vid, d.vv, "
+            f"LEAST(d.dmin, {d2('d.vv', 'c.vv')}) AS dmin "
+            f"FROM d{r-1} d CROSS JOIN c{r} c)"
+        )
+    cents = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, vid AS cvid, vv AS cv FROM c{r}"
+        for r in range(k)
+    )
+    return (
+        sql
+        + f", cents AS ({cents}), "
+        f"scored AS (SELECT v.vid, c.rnd, c.cvid, {d2('v.vv', 'c.cv')} AS d2 "
+        "FROM v CROSS JOIN cents c), "
+        "best AS (SELECT vid, rnd, cvid, d2, ROW_NUMBER() OVER "
+        "(PARTITION BY vid ORDER BY d2, rnd) AS rn FROM scored) "
+        "SELECT vid AS vec_id, cvid AS center_id, "
+        "CAST(rnd AS INT) AS center_round, ROUND(d2, 6) AS dist2 "
+        "FROM best WHERE rn = 1"
+    )
+
+
 def _pagerank_oracle(iters: int = 2) -> str:
     """Unrolled synchronous-PageRank replay of plans.extensions
     .supplier_pagerank: DECIMAL(38,18) contribution sums (exact,

@@ -16,7 +16,7 @@ Two paths with identical scoring (functions.vectors.cosine):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from logistream_data_pipeline_aws_spark.functions.vectors import (
@@ -326,5 +326,71 @@ def ivf_incremental_assign(
     return _nearest(svecs, cents).select(
         F.col("_vid").alias("vec_id"),
         F.col("_cid").alias("list_id"),
+        F.round("_d2", 6).alias("dist2"),
+    )
+
+
+def kcenter_coreset(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8
+) -> DataFrame:
+    """Greedy farthest-point (Gonzalez 1985) k-center coreset selection
+    + full-corpus assignment — the diversity-sampling leg of the
+    training-data pipeline family (pick k maximally-spread exemplars,
+    then label every vector with its covering center; the classic
+    coreset / diverse-subset primitive next to SemDeDup's
+    redundancy-removal).  Built in r12 as an r13 registration-queue
+    candidate (COVERAGE "Round-13 head-window composition").
+
+    Deterministic and engine-exact so an unrolled SQL oracle replays
+    it verbatim (the ``ivf_kmeans_assign`` discipline): the seed is the
+    minimum vector id; each round's next center is the argmax of the
+    running min-distance with ties broken on the smaller vector id;
+    distances are the same sequential left-fold of (x-y)^2 the k-means
+    family compiles (``list_reduce`` == ``F.aggregate``); the final
+    assignment reuses ``_nearest`` with the selection round as the
+    tie-break id.  Output: (vec_id, center_id, center_round, dist2).
+
+    Scale shape: k-1 rounds, each ONE map-side scan of the gated
+    vector table (every round's running-min is a column expression, so
+    round r's plan is still a single projection) + a global top-1
+    aggregate collecting ONE row to the driver (the k-means/k-core
+    driver-scalar precedent — k scalars total, never the corpus).  The
+    chosen centers travel as k broadcast-sized literal rows; nothing
+    self-joins.  The gated table is persisted across the rounds
+    (MEMORY_AND_DISK via .persist) — at 100 TB this is the standard
+    iterate-over-a-staged-projection shape."""
+    vecs = _gated_vecs(df, id_col, vec_col).persist()
+
+    def d2_to(center_vec: list) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.aggregate(
+            F.zip_with("_v", arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    seed = vecs.orderBy("_vid").limit(1).collect()[0]
+    centers = [(0, int(seed["_vid"]), [float(x) for x in seed["_v"]])]
+    state = vecs.withColumn("_dmin", d2_to(centers[0][2]))
+    for rnd in range(1, k):
+        nxt = state.orderBy(F.desc("_dmin"), "_vid").limit(1).collect()[0]
+        centers.append(
+            (rnd, int(nxt["_vid"]), [float(x) for x in nxt["_v"]])
+        )
+        state = state.withColumn(
+            "_dmin", F.least("_dmin", d2_to(centers[-1][2]))
+        )
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(rnd, cvid, vec) for rnd, cvid, vec in centers],
+        "_cid int, _cvid bigint, _c array<double>",
+    )
+    out = _nearest(vecs, cents.select("_cid", "_c")).join(
+        F.broadcast(cents.select("_cid", "_cvid")), "_cid"
+    )
+    return out.select(
+        F.col("_vid").alias("vec_id"),
+        F.col("_cvid").alias("center_id"),
+        F.col("_cid").cast("int").alias("center_round"),
         F.round("_d2", 6).alias("dist2"),
     )

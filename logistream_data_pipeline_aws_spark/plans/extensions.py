@@ -2207,6 +2207,22 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_kmeans_assign(emb, "vec_id", "embedding", k=4, iters=2)
 
 
+def corpus_coreset_kcenter(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> DataFrame:
+    """Diversity coreset over the embedding corpus: greedy
+    farthest-point k-center selection + full assignment (see
+    ``operators.similarity.kcenter_coreset`` — Gonzalez 1985, the
+    diverse-subset-sampling primitive of a training-data pipeline,
+    complementary to SemDeDup's redundancy removal: SemDeDup deletes
+    near-twins, the coreset PICKS maximally-spread exemplars).  Built
+    in r12 for the r13 registration queue; oracle
+    ``__spark_entry__._kcenter_oracle`` (unrolled greedy rounds,
+    hash-exact), pinned in tests ahead of registration."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.kcenter_coreset(emb, "vec_id", "embedding", k=k)
+
+
 def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-aggregate maintenance: the monthly sales rollup is
     kept as ALGEBRAIC partials (count, exact decimal sum) so a delta

@@ -2844,3 +2844,31 @@ def test_substring_sharded_matches_single_pass(spark):
         X._SUBSTRING_SHARD_DOCS = old_thresh
     assert sharded_spans == single_spans and single_spans
     assert sharded_dedup == single_dedup and single_dedup
+
+
+def test_kcenter_coreset_matches_unrolled_oracle(spark):
+    """R13-queue candidate pinned ahead of registration (the r12-queue
+    precedent): greedy k-center selection + assignment must hash-match
+    the unrolled DuckDB replay — seed, every round's argmax pick, and
+    the final (d2, round) argmin all engine-exact."""
+    import duckdb
+
+    from __spark_entry__ import _kcenter_oracle
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    for sf in (SF_SMALL, "/root/testdata/sf0.01"):
+        got = {
+            tuple(r) for r in X.corpus_coreset_kcenter(spark, sf).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+        )
+        exp = set(map(tuple, con.execute(_kcenter_oracle()).fetchall()))
+        con.close()
+        assert got == exp and got, sf
+        # the coreset property worth asserting beyond equality: k
+        # distinct centers, every vector covered exactly once
+        rounds = {r for (_, _, r, _) in got}
+        assert rounds == set(range(8)), sf

@@ -296,6 +296,9 @@ CORPUS_QUERIES = [
     "corpus_dsir_weights_staged",
 ]
 SIMILARITY_QUERIES = [
+    # r12-built r13-queue candidate (not yet registered; resolves via
+    # PROBE_OVERRIDES like every pre-registration operator)
+    "corpus_coreset_kcenter",
     "similarity_ivf_pq",
     "similarity_topk",
     "similarity_pq_adc",
@@ -454,6 +457,9 @@ PROBE_OVERRIDES = {
     # the r11-queue operators registered at the r11 rotation, and the
     # r12 queue (staged BM25 + staged-token consumers) at the r12
     # rotation — all resolve straight from queries() now.
+    # r13 queue: built + pytest-pinned in r12, registers at the next
+    # rotation.
+    "corpus_coreset_kcenter": _staged("corpus_coreset_kcenter"),
 }
 
 
