@@ -221,6 +221,10 @@ SCALE_PROBES: dict[str, object] = {
         "corpus_dsir_weights_staged": [1.77, 1.72, 3.67],
         "bm25_topk_staged": [1.11, 2.12, 6.27],
         "graph_kcore": [10.40, 27.04, 62.19],
+        # r12-built r13-queue candidate (pinned, not yet registered):
+        # greedy k-center is k map-side scans + k driver scalars, so
+        # the wall is broadcast/launch-dominated and ~flat (exp 0.04)
+        "corpus_coreset_kcenter": [2.07, 1.96, 2.54],
     },
     # The cross-session staged-signature split (VERDICT r9 #4 "probe
     # line" — measured r10 with TWO processes at 100x/500k docs):
