@@ -412,12 +412,12 @@ SCALE_PROBES: dict[str, object] = {
         # shared-stretch geometry at 5M docs caps runs below the
         # min_span=40 contract (verified by a 7-shard vs single-pass
         # A/B at sf0.1: 259 == 259 rows, value-equal).
-        "corpus_dedup_pipeline@1000x_first": 208.13,
-        "corpus_dedup_pipeline@1000x_warm": 99.35,
-        "doc_substring_spans@1000x_stage": 1426.98,
-        "doc_substring_spans@1000x_steady": 6.68,
-        "corpus_split_assignment@1000x": 1.51,
-        "corpus_length_histogram@1000x": 94.87,
+        # pipeline: 208.1 s first run (staging), warm below;
+        # spans: 1427.0 s stage-everything first run, steady below
+        "corpus_dedup_pipeline": 99.35,
+        "doc_substring_spans@steady": 6.68,
+        "corpus_split_assignment": 1.51,
+        "corpus_length_histogram": 94.87,
         # r10: the r11-queue text ops at 5M docs — both scan-bound
         # linear from their 100x walls (30.5->315 s, 38.2->361 s for
         # 10x the data)
