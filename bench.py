@@ -418,6 +418,10 @@ SCALE_PROBES: dict[str, object] = {
         "doc_substring_spans@steady": 6.68,
         "corpus_split_assignment": 1.51,
         "corpus_length_histogram": 94.87,
+        # r13-queue candidate (pinned, unregistered): 500k vectors,
+        # first run 12.8 s — k scans stay sublinear (100x->1000x
+        # exponent ~0.46)
+        "corpus_coreset_kcenter": 7.36,
         # r10: the r11-queue text ops at 5M docs — both scan-bound
         # linear from their 100x walls (30.5->315 s, 38.2->361 s for
         # 10x the data)
