@@ -122,8 +122,8 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
 
 def _kcenter_oracle(k: int = 8) -> str:
     """Unrolled greedy k-center replay of operators.similarity
-    .kcenter_coreset (r13-queue candidate, built + pinned in r12; NOT
-    yet registered): seed = min vec_id, each round argmax of the
+    .kcenter_coreset (built + pinned in r12, REGISTERED at the r13
+    rotation as corpus_coreset_kcenter): seed = min vec_id, each round argmax of the
     running min-distance with (dmin DESC, vid) tie-break, identical
     left-fold distances, final assignment with (d2, round) argmin —
     hash-exact against the Spark plan."""
@@ -523,82 +523,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # digest to the manifest recorded at their last green round — a
     # changed tail entry fails CI until rotated back into the head.
     return {
-        # ==== ROUND-12 HEAD WINDOW (the driver records the first ~50) ====
-        # Composition per VERDICT r11 next-round #3 and COVERAGE.md
-        # "Round-12 head-window composition":
-        #   1. the 3 r12-queue registrations (built + pytest-pinned in
-        #      r10/r11): BM25 reading the persisted postings index and
-        #      the two staged-token consumers — each sharing its inline
-        #      twin's oracle VERBATIM (the dedup_minhash_staged claim:
-        #      the staged path must be indistinguishable under the
-        #      value hash);
-        #   2. the 13 entries AT the 4-round staleness cap — the 11 r7
-        #      sql_* entries plus dim_region / dim_geography deferred
-        #      from the r11 window (non-negotiable leaders, COVERAGE
-        #      "Round-11 rotation" item 4);
-        #   3. the 34 stalest r8-green entries (the next at-cap cohort,
-        #      pulled forward: similarity family, events tail, dedup
-        #      golden record, metadata dictionary).
-        # -- group 1: new registrations (r12 queue) -----------------------
+        # ==== ROUND-13 HEAD WINDOW (the driver records the first ~50) ====
+        # Composition per VERDICT r12 next-round #1/#2 and COVERAGE.md
+        # "Round-13 head-window composition (PINNED at r12 close)":
+        #   1. the 2 r13-queue registrations: the greedy k-center coreset
+        #      (built + 2-SF oracle-pinned in r12) and the cross-session
+        #      substring steady-state twin (durable-path run table under
+        #      the manifest-commit-marker + fingerprint contract, oracle
+        #      shared VERBATIM with the inline twin);
+        #   2. the 5 entries changed this round: the staged BM25 pair
+        #      (the NULL-score impossible-state assert rides _bm25_rank)
+        #      and the substring trio (coverage-step refactor into the
+        #      shared _substring_coverage + memory-derived shard bounds +
+        #      reachable dropped-gram observation);
+        #   3. the 7 at-cap r8-green leaders (non-negotiable);
+        #   4. the 35 stalest r9-green entries + the first r10-green.
+        # -- group 1: new registrations (r13 queue) -----------------------
+        "corpus_coreset_kcenter": X.corpus_coreset_kcenter,
+        "doc_substring_dedup_staged": X.doc_substring_dedup_staged,
+        # -- group 2: changed this round -----------------------------------
         "bm25_topk_staged": X.bm25_topk_staged,
-        "doc_bigram_score_staged": X.doc_bigram_score_staged,
-        "corpus_dsir_weights_staged": X.corpus_dsir_weights_staged,
-        # -- group 2: at the 4-round staleness cap (r7-green) --------------
-        "dim_region": W.dim_region,
-        "dim_geography": W.dim_geography,
-        "sql_cheapest_supplier": V.sql_cheapest_supplier,
-        "sql_excess_suppliers": V.sql_excess_suppliers,
-        "sql_forecast_revenue": V.sql_forecast_revenue,
-        "sql_important_parts": V.sql_important_parts,
-        "sql_priority_shipping_split": V.sql_priority_shipping_split,
-        "sql_promo_revenue": V.sql_promo_revenue,
-        "sql_prospect_customers": V.sql_prospect_customers,
-        "sql_returned_item_losses": V.sql_returned_item_losses,
-        "sql_supplier_part_variety": V.sql_supplier_part_variety,
-        "sql_top_supplier": V.sql_top_supplier,
-        "sql_unshipped_orders": V.sql_unshipped_orders,
-        # -- group 3: stalest r8-green (the next at-cap cohort) ------------
-        "metadata_dictionary": MDI.metadata_dictionary,
-        "dedup_golden_record": X.dedup_golden_record,
-        "embedding_centered": X.embedding_centered,
-        "embedding_stats": X.embedding_stats,
-        "similarity_ivf_kmeans": X.similarity_ivf_kmeans,
-        "similarity_pq_adc": X.similarity_pq_adc,
-        "similarity_pq_refine": X.similarity_pq_refine,
-        "similarity_topk": X.similarity_topk,
-        "similarity_ann_lsh": X.similarity_ann_lsh,
-        "similarity_ann_multiprobe": X.similarity_ann_multiprobe,
-        "similarity_ivf": X.similarity_ivf,
-        "events_anomaly_mad": X.events_anomaly_mad,
-        "events_ohlc": X.events_ohlc,
-        "events_hll_mergeable_rollup": X.events_hll_mergeable_rollup,
-        "events_transition_matrix": X.events_transition_matrix,
-        "events_gapfill_locf": X.events_gapfill_locf,
-        "events_twap": X.events_twap,
-        "events_attribution": X.events_attribution,
-        "basket_part_pairs": X.basket_part_pairs,
-        "events_active_users": X.events_active_users,
-        "events_value_binning": X.events_value_binning,
-        "doc_chunking": X.doc_chunking,
-        "snapshot_cdc_diff": X.snapshot_cdc_diff,
-        "orders_zorder_clustering": X.orders_zorder_clustering,
-        "scd2_user_state": X.scd2_user_state,
-        "corpus_stratified_sample": X.corpus_stratified_sample,
-        "warehouse_integrity_audit": X.warehouse_integrity_audit,
-        "corpus_shard_manifest": X.corpus_shard_manifest,
-        "incremental_agg_maintenance": X.incremental_agg_maintenance,
-        "events_heavy_hitters": X.events_heavy_hitters,
-        "supplier_pagerank": X.supplier_pagerank,
-        "fact_date_slice": X.fact_date_slice,
-        "events_json_readback": X.events_json_readback,
-        "dim_customer": W.dim_customer,
-        # ===== ~50-entry driver window boundary.  Everything below is
-        #    tail: green in r8-r11 (rows+schema+hash), digest-pinned since
-        #    its green row (tests/test_rotation_ledger.py), stalest first.
-        #    The two sketch-only prod twins (events_stickiness_hll_prod,
-        #    customer_rfm_scores_approx_prod) stay deregistered per VERDICT
-        #    r6 #2 (benched in bench.py, pinned in tests/test_prod_twins.py).
-        # ==================================================================
+        "bm25_topk": X.bm25_topk,
+        "doc_substring_dedup": X.doc_substring_dedup,
+        "doc_substring_spans": X.doc_substring_spans,
+        "corpus_dedup_pipeline": X.corpus_dedup_pipeline,
+        # -- group 3: at the 4-round staleness cap (r8-green) --------------
         "dim_product": W.dim_product,
         "dim_product_type": W.dim_product_type,
         "dim_brand": W.dim_brand,
@@ -606,7 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_lineitem_bucketed": W.fact_lineitem_bucketed,
         "fact_write_readback": X.fact_write_readback,
         "pii_scrub_stats": X.pii_scrub_stats,
-        # -- r9-green (freshest tail: verified by the round-9 driver gate) --
+        # -- group 4: stalest r9-green fill + first r10-green --------------
         "similarity_ivf_pq": X.similarity_ivf_pq,
         "media_audio_windows": X.media_audio_windows,
         "events_upsert_delete": X.events_upsert_delete,
@@ -642,11 +591,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_candidates": X.bpe_merge_candidates,
         "corpus_epoch_shuffle": X.corpus_epoch_shuffle,
         "corpus_mixture_plan": X.corpus_mixture_plan,
-        # -- r10-green (freshest tail: verified by the round-10 driver gate;
-        #    the r10 head window rotated here intact, newest rows last) ----
         "corpus_domain_cap": X.corpus_domain_cap,
+        # ===== ~50-entry driver window boundary.  Everything below is
+        #    tail: green in r8-r12 (rows+schema+hash), digest-pinned since
+        #    its green row (tests/test_rotation_ledger.py), stalest first;
+        #    the r12 head window rotated here intact (newest rows last,
+        #    minus bm25_topk_staged which re-enters the r13 head as a
+        #    changed entry).  The two sketch-only prod twins and
+        #    sql_profit_by_hierarchy stay deregistered (bench.py +
+        #    tests/test_prod_twins.py pins).
+        # ==================================================================
         "corpus_gopher_rules": X.corpus_gopher_rules,
-        "bm25_topk": X.bm25_topk,
         "events_feature_matrix": X.events_feature_matrix,
         "similarity_recall_audit": X.similarity_recall_audit,
         "graph_triangle_count": X.graph_triangle_count,
@@ -665,22 +620,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_profit_by_hierarchy": A.a5_profit_by_hierarchy,
         "a5_profit_cube": A.a5_profit_cube,
         "segment_region_pivot": A.segment_region_pivot,
-        # sql_profit_by_hierarchy DEREGISTERED at the r12 rotation — the
-        # first execution of the registry-cap endgame shortlist
-        # (COVERAGE "Registry-cap endgame" #1, rehearsed before the cap
-        # binds): a pure-SQL twin of the registered a5_profit_by_
-        # hierarchy, green r5-r10, now pinned by an oracle-replay test
-        # (tests/test_prod_twins.py::test_deregistered_sql_profit_by_
-        # hierarchy_oracle_replay) plus the standing bit-exact twin pin
-        # (tests/test_skew_sql.py::test_sql_surface_matches_dataframe_plan).
         "sql_shipping_priority": V.sql_shipping_priority,
         "sql_local_supplier_volume": V.sql_local_supplier_volume,
         "sql_product_profit_by_nation_year": V.sql_product_profit_by_nation_year,
         "sql_volume_shipping": V.sql_volume_shipping,
         "sql_market_share": V.sql_market_share,
         "sql_lapsed_big_spenders": V.sql_lapsed_big_spenders,
-        "corpus_dedup_pipeline": X.corpus_dedup_pipeline,
-        "doc_substring_dedup": X.doc_substring_dedup,
         "dedup_semantic": X.dedup_semantic_k8,
         "dedup_exact": X.dedup_exact,
         "dedup_survivors": X.dedup_survivors,
@@ -694,15 +639,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnowing": X.doc_winnowing,
         "doc_winnow_pairs": X.doc_winnow_pairs,
         "contamination_check": X.contamination_check,
-        "doc_substring_spans": X.doc_substring_spans,
         "dedup_clusters": X.dedup_clusters,
         "dedup_near_survivors": X.dedup_near_survivors,
         "dedup_incremental_ingest": X.dedup_incremental_ingest,
         "dedup_embedding": X.dedup_embedding,
         "dedup_minhash_lsh": X.dedup_minhash_lsh,
         "similarity_ivf_incremental": X.similarity_ivf_incremental,
-        # -- r11-green (freshest tail: verified by the round-11 driver gate;
-        #    the r11 head window rotated here intact, newest rows last) ----
         "dedup_minhash_staged": X.dedup_minhash_staged,
         "doc_bigram_score": X.doc_bigram_score,
         "corpus_dsir_weights": X.corpus_dsir_weights,
@@ -753,6 +695,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": X.sequence_packing,
         "user_sessions": X.user_sessions,
         "warehouse_orc_readback": X.warehouse_orc_readback,
+        "doc_bigram_score_staged": X.doc_bigram_score_staged,
+        "corpus_dsir_weights_staged": X.corpus_dsir_weights_staged,
+        "dim_region": W.dim_region,
+        "dim_geography": W.dim_geography,
+        "sql_cheapest_supplier": V.sql_cheapest_supplier,
+        "sql_excess_suppliers": V.sql_excess_suppliers,
+        "sql_forecast_revenue": V.sql_forecast_revenue,
+        "sql_important_parts": V.sql_important_parts,
+        "sql_priority_shipping_split": V.sql_priority_shipping_split,
+        "sql_promo_revenue": V.sql_promo_revenue,
+        "sql_prospect_customers": V.sql_prospect_customers,
+        "sql_returned_item_losses": V.sql_returned_item_losses,
+        "sql_supplier_part_variety": V.sql_supplier_part_variety,
+        "sql_top_supplier": V.sql_top_supplier,
+        "sql_unshipped_orders": V.sql_unshipped_orders,
+        "metadata_dictionary": MDI.metadata_dictionary,
+        "dedup_golden_record": X.dedup_golden_record,
+        "embedding_centered": X.embedding_centered,
+        "embedding_stats": X.embedding_stats,
+        "similarity_ivf_kmeans": X.similarity_ivf_kmeans,
+        "similarity_pq_adc": X.similarity_pq_adc,
+        "similarity_pq_refine": X.similarity_pq_refine,
+        "similarity_topk": X.similarity_topk,
+        "similarity_ann_lsh": X.similarity_ann_lsh,
+        "similarity_ann_multiprobe": X.similarity_ann_multiprobe,
+        "similarity_ivf": X.similarity_ivf,
+        "events_anomaly_mad": X.events_anomaly_mad,
+        "events_ohlc": X.events_ohlc,
+        "events_hll_mergeable_rollup": X.events_hll_mergeable_rollup,
+        "events_transition_matrix": X.events_transition_matrix,
+        "events_gapfill_locf": X.events_gapfill_locf,
+        "events_twap": X.events_twap,
+        "events_attribution": X.events_attribution,
+        "basket_part_pairs": X.basket_part_pairs,
+        "events_active_users": X.events_active_users,
+        "events_value_binning": X.events_value_binning,
+        "doc_chunking": X.doc_chunking,
+        "snapshot_cdc_diff": X.snapshot_cdc_diff,
+        "orders_zorder_clustering": X.orders_zorder_clustering,
+        "scd2_user_state": X.scd2_user_state,
+        "corpus_stratified_sample": X.corpus_stratified_sample,
+        "warehouse_integrity_audit": X.warehouse_integrity_audit,
+        "corpus_shard_manifest": X.corpus_shard_manifest,
+        "incremental_agg_maintenance": X.incremental_agg_maintenance,
+        "events_heavy_hitters": X.events_heavy_hitters,
+        "supplier_pagerank": X.supplier_pagerank,
+        "fact_date_slice": X.fact_date_slice,
+        "events_json_readback": X.events_json_readback,
+        "dim_customer": W.dim_customer,
     }
 
 
@@ -3331,4 +3322,13 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_topk_staged"] = out["bm25_topk"]
     out["doc_bigram_score_staged"] = out["doc_bigram_score"]
     out["corpus_dsir_weights_staged"] = out["corpus_dsir_weights"]
+    # r13 registrations: the greedy k-center coreset (unrolled greedy-
+    # rounds replay, pinned at 2 SFs since r12) and the cross-session
+    # substring steady-state twin — the latter shares doc_substring_
+    # dedup's oracle VERBATIM (the staged-twin claim again: a
+    # pre-committed run table must be indistinguishable from inline
+    # mining under the value hash; the coverage step is shared by
+    # construction via _substring_coverage).
+    out["corpus_coreset_kcenter"] = _kcenter_oracle()
+    out["doc_substring_dedup_staged"] = out["doc_substring_dedup"]
     return out

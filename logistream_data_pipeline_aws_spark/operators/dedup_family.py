@@ -166,6 +166,37 @@ def _minhash_coeffs(s: int) -> tuple[int, int]:
     return 2_000_003 + 4_001 * s, 48_611 * s + 11
 
 
+def _has_exchange_in_lineage(df: DataFrame) -> bool:
+    """Whether the analyzed logical plan already contains a row-
+    redistributing operator (repartition, join, aggregate, window,
+    sort) — if so the scan's physical layout no longer determines the
+    row distribution and the hollow-split repartition is unnecessary.
+
+    Node names are matched ANCHORED at the start of each tree line
+    (after the ``+-``/``:-`` drawing prefix), not as bare substrings —
+    a column alias like ``window_start`` or a string literal containing
+    'Sort' rides inside Project/Filter lines and must not fake an
+    exchange, which would silently skip the hollow-split repartition
+    and reintroduce the 4-straggler-task behavior (ADVICE r12)."""
+    try:
+        logical = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    exchange_nodes = (
+        "Repartition",  # also matches RepartitionByExpression
+        "Join",
+        "Aggregate",
+        "Window",
+        "Sort",
+        "Deduplicate",
+    )
+    for line in logical.splitlines():
+        node = line.lstrip(" +-:|'")
+        if node.startswith(exchange_nodes):
+            return True
+    return False
+
+
 def parallelize_cpu_stage(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Decouple CPU-bound per-row work (tokenize/shingle/hash) from input
     file layout: a small corpus file scans as ONE partition, which would
@@ -202,14 +233,7 @@ def parallelize_cpu_stage(df: DataFrame, min_parallelism: int | None = None) -> 
     # only a shuffle-free scan plan can still be hollow: any exchange
     # already in the lineage (explicit repartition, join, aggregate,
     # window) redistributes rows regardless of the scan's layout
-    try:
-        logical = df._jdf.queryExecution().analyzed().toString()
-    except Exception:
-        logical = ""
-    if any(
-        op in logical
-        for op in ("Repartition", "Join", "Aggregate", "Window", "Sort")
-    ):
+    if _has_exchange_in_lineage(df):
         return df
     if files and len(files) < target:
         try:

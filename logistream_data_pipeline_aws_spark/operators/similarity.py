@@ -357,8 +357,17 @@ def kcenter_coreset(
     driver-scalar precedent — k scalars total, never the corpus).  The
     chosen centers travel as k broadcast-sized literal rows; nothing
     self-joins.  The gated table is persisted across the rounds
-    (MEMORY_AND_DISK via .persist) — at 100 TB this is the standard
-    iterate-over-a-staged-projection shape."""
+    (released before the final assignment scan — centers are driver
+    literals by then, so holding the cache would only leak executor
+    storage for the session lifetime, ADVICE r12) — at 100 TB this is
+    the standard iterate-over-a-staged-projection shape.
+
+    Degenerate inputs (ADVICE r12): an empty / all-NULL-embedding
+    corpus returns an empty typed frame instead of raising, and the
+    greedy loop STOPS once the farthest remaining point has distance 0
+    (fewer than k distinct vectors) — duplicate centers with dmin=0
+    would add rounds that can never cover a new point."""
+    spark = df.sparkSession
     vecs = _gated_vecs(df, id_col, vec_col).persist()
 
     def d2_to(center_vec: list) -> Column:
@@ -369,18 +378,37 @@ def kcenter_coreset(
             lambda a, x: a + x,
         )
 
-    seed = vecs.orderBy("_vid").limit(1).collect()[0]
+    out_schema = (
+        "vec_id bigint, center_id bigint, center_round int, dist2 double"
+    )
+    seed_rows = vecs.orderBy("_vid").limit(1).collect()
+    if not seed_rows:
+        vecs.unpersist()
+        return spark.createDataFrame([], out_schema)
+    seed = seed_rows[0]
     centers = [(0, int(seed["_vid"]), [float(x) for x in seed["_v"]])]
     state = vecs.withColumn("_dmin", d2_to(centers[0][2]))
     for rnd in range(1, k):
-        nxt = state.orderBy(F.desc("_dmin"), "_vid").limit(1).collect()[0]
+        nxt_rows = (
+            state.where(F.col("_dmin") > 0.0)
+            .orderBy(F.desc("_dmin"), "_vid")
+            .limit(1)
+            .collect()
+        )
+        if not nxt_rows:  # < k distinct vectors: every point is covered
+            break
+        nxt = nxt_rows[0]
         centers.append(
             (rnd, int(nxt["_vid"]), [float(x) for x in nxt["_v"]])
         )
         state = state.withColumn(
             "_dmin", F.least("_dmin", d2_to(centers[-1][2]))
         )
-    spark = df.sparkSession
+    # centers are driver-side literals now: release the iteration cache
+    # before the (single-scan) final assignment so nothing persists past
+    # the call — the final _nearest pass recomputes the gated projection
+    # once, which beats leaking storage memory for the session lifetime
+    vecs.unpersist()
     cents = spark.createDataFrame(
         [(rnd, cvid, vec) for rnd, cvid, vec in centers],
         "_cid int, _cvid bigint, _c array<double>",

@@ -2216,9 +2216,9 @@ def corpus_coreset_kcenter(
     diverse-subset-sampling primitive of a training-data pipeline,
     complementary to SemDeDup's redundancy removal: SemDeDup deletes
     near-twins, the coreset PICKS maximally-spread exemplars).  Built
-    in r12 for the r13 registration queue; oracle
+    in r12, REGISTERED at the r13 rotation; oracle
     ``__spark_entry__._kcenter_oracle`` (unrolled greedy rounds,
-    hash-exact), pinned in tests ahead of registration."""
+    hash-exact), pinned in tests since r12."""
     emb = load_table(spark, "embeddings", sf_dir)
     return S.kcenter_coreset(emb, "vec_id", "embedding", k=k)
 
@@ -4994,7 +4994,7 @@ def _substring_span_frame(
         .where(F.col("text").isNotNull() & (F.length("text") >= k))
         .select("doc_id", "text")
     )
-    if _corpus_fingerprint(spark, sf_dir)["n_rows"] > _SUBSTRING_SHARD_DOCS:
+    if _corpus_fingerprint(spark, sf_dir)["n_rows"] > _substring_shard_bounds(spark)[0]:
         return _substring_runs_sharded(
             spark, sf_dir, docs, k, max_gram_docs, max_gram_occurrences
         )
@@ -5060,22 +5060,28 @@ def _gram_pair_matches(
     max_gram_docs: int,
     max_gram_occurrences: int,
     prefer_shuffle: bool,
+    cap_observation=None,
 ) -> DataFrame:
     """Count gate -> bounded occurrence arrays -> in-plan pair
     expansion over a (doc_id, pos, g) gram frame.  Shared verbatim by
     the single-plan and sharded paths — the twins-cannot-drift-by-
     construction discipline (same as _bigram_rank / _dsir_rank).
-    Returns matches (doc_a, pa, doc_b, pb, diag)."""
-    from pyspark.sql import Observation
+    Returns matches (doc_a, pa, doc_b, pb, diag).
 
+    ``cap_observation``: an Observation (driver-readable) or a string
+    name (listener/UI-visible) for the dropped-grams meter — the
+    ``graph_triangle_count`` cap_observation pattern.  The r12 form
+    attached an anonymous Observation() that was created and discarded,
+    making the metric unreachable by any consumer (ADVICE r12); callers
+    now pass a unique name per query (the sharded loop includes the
+    shard index, so loop queries never collide)."""
     counts = grams.groupBy("g").agg(
         F.countDistinct("doc_id").alias("_nd"), F.count(F.lit(1)).alias("_n")
     )
-    # anonymous Observation (not the old "substring_gram_cap" string
-    # name): the sharded path runs this subplan once per shard and a
-    # fixed name would collide across the loop's queries
     counts = counts.observe(
-        Observation(),
+        cap_observation
+        if cap_observation is not None
+        else "substring_gram_cap",
         F.sum(
             (
                 (F.col("_nd") > max_gram_docs)
@@ -5139,18 +5145,109 @@ def _runs_from_matches(m: DataFrame, k: int) -> DataFrame:
     )
 
 
-# Above this many corpus documents the substring path shards (see
-# _substring_span_frame's docstring).  The bound is MEMORY-derived,
-# not shuffle-derived: the single-pass plan session-caches the gram
-# table MEMORY_ONLY (~400 grams x ~40 B per document), so 500k docs
-# is ~8 GB of cache — the r12 100x re-probe OOMed exactly there on
-# the default 8g heap, while 150k docs (~2.4 GB) leaves execution
-# headroom.  Sharded runs never hold gram state in heap (staged
-# parquet + bounded per-shard shuffles): 5M docs completed at 48g
-# with 7 shards and 2 shards suffice at 500k on 8g.
-_SUBSTRING_SHARD_DOCS = 150_000
-_SUBSTRING_DOCS_PER_SHARD = 750_000
+# Measured anchors for the substring path's two scale knobs (see
+# _substring_span_frame's docstring).  Both are MEMORY-derived, so the
+# runtime bounds come from _substring_shard_bounds (below) scaled by
+# the session's actual heap — these module constants are the measured
+# anchor points (and the knobs tests monkeypatch):
+#
+# - _SUBSTRING_SHARD_DOCS: docs the SINGLE-PLAN path can hold at the
+#   8 GiB local default heap.  The single-pass plan session-caches the
+#   gram table MEMORY_ONLY (~400 grams x ~40 B per document ≈ 16 KB of
+#   cache per doc), so 500k docs is ~8 GB of cache — the r12 100x
+#   re-probe OOMed exactly there on the default 8g heap, while 150k
+#   docs (~2.4 GB) leaves execution headroom.
+# - _SUBSTRING_DOCS_PER_SHARD: per-shard doc budget at the 48 GiB
+#   probe heap.  Sharded runs never hold gram state in heap (staged
+#   parquet + bounded per-shard shuffles): 5M docs completed at 48g
+#   with 7 shards (= ceil(5M / 750k)) and 2 shards sufficed at 500k
+#   on 8g.
+_SUBSTRING_SHARD_DOCS = 150_000  # at the 8 GiB reference heap
+_SUBSTRING_DOCS_PER_SHARD = 750_000  # at the 48 GiB reference heap
 _SUBSTRING_GRAMS_MANIFEST = "substring_grams_manifest.json"
+
+
+def _substring_shard_bounds(spark: SparkSession) -> tuple[int, int]:
+    """(shard_docs, docs_per_shard) for THIS session — the r12 VERDICT
+    "What's wrong #1" fix: the hard-coded constants encoded one box's
+    8g-heap OOM point, so a bigger cluster would shard ~heap/8g times
+    more than it needs to.  Both knobs scale LINEARLY with the worker
+    heap from their measured anchors (8g -> 150k single-plan docs,
+    48g -> 750k docs per shard), because both model per-JVM state that
+    is proportional to docs covered per JVM: the single-plan bound is
+    the MEMORY_ONLY gram-cache footprint (~16 KB/doc) and the
+    per-shard bound is the mining aggregate's in-flight hash-map +
+    shuffle slice per shard.
+
+    Heap signal: in local mode the DRIVER JVM is the worker, so ask
+    the live Runtime for maxMemory (truth, no conf parsing); on a real
+    cluster use spark.executor.memory (worker heap; the driver heap is
+    irrelevant to task state).  Unparseable/absent signals fall back
+    to the 8 GiB reference point — the pre-r13 behavior exactly.
+    Explicit conf wins over any derivation:
+    ``spark.logistream.substring.shardDocs`` /
+    ``spark.logistream.substring.docsPerShard``.
+
+    (regex import is local — the module otherwise never needs re)
+
+    Reproduces both measured probe points: at 8g -> (150_000, 125_000)
+    so the sf gates stay single-plan and 500k docs shard (4 shards —
+    the measured-sufficient 2 was never a floor; smaller shards only
+    bound per-shard shuffle tighter); at 48g -> (900_000, 750_000) so
+    the green 5M-doc probe keeps its exact 7-shard plan."""
+    import re
+
+    conf = spark.conf
+
+    def _conf_int(key: str) -> int | None:
+        try:
+            v = conf.get(key, None)
+        except Exception:
+            v = None
+        return int(v) if v is not None else None
+
+    explicit_sd = _conf_int("spark.logistream.substring.shardDocs")
+    explicit_dps = _conf_int("spark.logistream.substring.docsPerShard")
+    if explicit_sd is not None and explicit_dps is not None:
+        return explicit_sd, explicit_dps
+    heap_gib = 8.0
+    try:
+        master = spark.sparkContext.master
+        if master.startswith("local"):
+            heap_gib = (
+                spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+                .maxMemory()
+                / (1024.0**3)
+            )
+        else:
+            raw = conf.get("spark.executor.memory", "8g").strip().lower()
+            m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([kmgtp]?)b?", raw)
+            if m:
+                num, unit = float(m.group(1)), m.group(2)
+                heap_gib = num * {
+                    "": 1.0 / 1024.0,  # JavaUtils: unit-less is MiB
+                    "k": 1.0 / 1024.0**2,
+                    "m": 1.0 / 1024.0,
+                    "g": 1.0,
+                    "t": 1024.0,
+                    "p": 1024.0**2,
+                }[unit]
+    except Exception:
+        heap_gib = 8.0
+    # floors keep a tiny test heap (1g sessions) from sharding the sf
+    # gate corpora: the smallest real corpus that should ever shard is
+    # well above the 5k-doc sf0.1 table.  The floor is capped at the
+    # anchor itself so a test that monkeypatches the anchor to 0 (to
+    # force the sharded path on a small corpus) still gets 0.
+    shard_docs = explicit_sd if explicit_sd is not None else max(
+        int(_SUBSTRING_SHARD_DOCS * heap_gib / 8.0),
+        min(_SUBSTRING_SHARD_DOCS, 18_750),
+    )
+    docs_per_shard = explicit_dps if explicit_dps is not None else max(
+        int(_SUBSTRING_DOCS_PER_SHARD * heap_gib / 48.0),
+        min(_SUBSTRING_DOCS_PER_SHARD, 15_625),
+    )
+    return shard_docs, docs_per_shard
 
 
 def _substring_runs_sharded(
@@ -5199,7 +5296,9 @@ def _substring_runs_sharded(
     import math
 
     fprint = _corpus_fingerprint(spark, sf_dir)
-    n_shards = max(2, math.ceil(fprint["n_rows"] / _SUBSTRING_DOCS_PER_SHARD))
+    n_shards = max(
+        2, math.ceil(fprint["n_rows"] / _substring_shard_bounds(spark)[1])
+    )
     tag = os.path.abspath(sf_dir).replace(os.sep, "_")
     base = _scratch(f"substring_shards_k{k}_{tag}")
     os.makedirs(base, exist_ok=True)
@@ -5228,42 +5327,50 @@ def _substring_runs_sharded(
     runs_manifest = runs_path + ".manifest.json"
     if _valid(runs_manifest, pparams):
         return spark.read.parquet(runs_path)
-    if not _valid(gram_manifest, gparams):
-        (
-            docs.select(
-                "doc_id",
-                F.explode(
-                    F.sequence(F.lit(1), F.length("text") - k + 1)
-                ).alias("pos"),
-                "text",
-            )
-            .select(
-                "doc_id",
-                F.col("pos").cast("long").alias("pos"),
-                F.unhex(
-                    F.md5(F.expr(f"substring(text, pos, {k})"))
-                ).alias("g"),
-            )
-            .withColumn(
-                "shard", F.pmod(F.xxhash64("g"), F.lit(n_shards)).cast("int")
-            )
-            .write.partitionBy("shard")
-            .mode("overwrite")
-            .parquet(gram_path)
-        )
-        D.write_manifest_atomic(gram_manifest, gparams)
     pairs_path = os.path.join(
         base, f"pairs_d{max_gram_docs}_o{max_gram_occurrences}"
     )
     pairs_manifest = pairs_path + ".manifest.json"
     if not _valid(pairs_manifest, pparams):
+        # the gram staging is checked/rebuilt INSIDE the pairs branch
+        # (ADVICE r12): only pair mining reads grams, and on a
+        # crash-resume during run assembly (pairs committed, runs
+        # manifest absent, grams already dropped) a top-level rebuild
+        # would redo the most expensive scan (~24 GB at 5M docs) only
+        # to orphan it — the rmtree lives at the end of this branch
+        if not _valid(gram_manifest, gparams):
+            (
+                docs.select(
+                    "doc_id",
+                    F.explode(
+                        F.sequence(F.lit(1), F.length("text") - k + 1)
+                    ).alias("pos"),
+                    "text",
+                )
+                .select(
+                    "doc_id",
+                    F.col("pos").cast("long").alias("pos"),
+                    F.unhex(
+                        F.md5(F.expr(f"substring(text, pos, {k})"))
+                    ).alias("g"),
+                )
+                .withColumn(
+                    "shard",
+                    F.pmod(F.xxhash64("g"), F.lit(n_shards)).cast("int"),
+                )
+                .write.partitionBy("shard")
+                .mode("overwrite")
+                .parquet(gram_path)
+            )
+            D.write_manifest_atomic(gram_manifest, gparams)
         all_grams = spark.read.parquet(gram_path)
         for i in range(n_shards):
             sl = all_grams.where(F.col("shard") == i).select(
                 "doc_id", "pos", "g"
             )
             m_i = _gram_pair_matches(
-                sl, max_gram_docs, max_gram_occurrences, prefer_shuffle=True
+                sl, max_gram_docs, max_gram_occurrences, prefer_shuffle=True,
+                cap_observation=f"substring_gram_cap_s{i}",
             ).withColumn(
                 "pshard",
                 F.pmod(
@@ -5460,12 +5567,24 @@ def doc_substring_dedup(
     by spans per document, never corpus-global) + a broadcast-sized
     left join back to the corpus spine.  Nothing crosses to the
     driver."""
-    from pyspark.sql import Window
-
     spans = _substring_span_frame(
         spark, sf_dir, k, max_gram_docs, max_gram_occurrences,
         prefer_shuffle=_docs_is_big(spark, sf_dir),
     )
+    return _substring_coverage(spark, sf_dir, spans, min_span)
+
+
+def _substring_coverage(
+    spark: SparkSession, sf_dir: str, spans: DataFrame, min_span: int
+) -> DataFrame:
+    """Per-document coverage + keep/trim/drop disposition downstream of
+    a mined run frame (doc_a, doc_b, diag, s, e) — shared VERBATIM by
+    ``doc_substring_dedup`` (inline span mining) and
+    ``doc_substring_dedup_staged`` (pre-committed run table), the
+    ``_bm25_rank`` twins-cannot-drift discipline applied to the
+    substring family's application step."""
+    from pyspark.sql import Window
+
     ivals = (
         spans.where(F.col("e") - F.col("s") + 1 >= min_span)
         .select(
@@ -5533,6 +5652,191 @@ def doc_substring_dedup(
         .otherwise(F.lit("keep"))
         .alias("status"),
     )
+
+
+_SUBSTRING_RUNS_MANIFEST = "substring_runs_manifest.json"
+
+
+def _durable_stage_root() -> str:
+    """Cross-SESSION staging root for per-corpus artifacts whose first
+    derivation is expensive enough to amortize across processes (the
+    substring run table: 1610 s at 5M docs).  ``LSDP_STAGE_DIR`` if
+    set (production points this at durable object storage); otherwise
+    a per-USER directory under the system temp root — unlike
+    ``_scratch`` (per-process mkdtemp, dies with the session) it
+    survives process exit, which is the whole point of a steady-state
+    twin.  Correctness against staleness rides the manifest contract
+    (params + corpus fingerprint, written LAST, atomic), not the path:
+    a foreign or stale table fails validation and restages.  Two
+    concurrent stagers of the SAME corpus may duplicate work (last
+    manifest wins atomically via os.replace) — wasteful, never
+    wrong."""
+    root = os.environ.get("LSDP_STAGE_DIR")
+    if not root:
+        import getpass
+        import tempfile
+
+        root = os.path.join(
+            tempfile.gettempdir(), f"lsdp_stage_{getpass.getuser()}"
+        )
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def _substring_runs_params(
+    k: int, max_gram_docs: int, max_gram_occurrences: int
+) -> dict:
+    return {
+        "k": k,
+        "max_gram_docs": max_gram_docs,
+        "max_gram_occurrences": max_gram_occurrences,
+        "schema": "doc_a,doc_b,diag,s,e",
+    }
+
+
+def staged_substring_runs_valid(
+    path: str,
+    k: int,
+    max_gram_docs: int,
+    max_gram_occurrences: int,
+    fingerprint: dict | None = None,
+) -> bool:
+    """The ``staged_bm25_postings_valid`` contract applied to the
+    substring run table: manifest (written last) is the commit marker;
+    params or corpus drift means restage, never silent reuse."""
+    import json
+
+    try:
+        with open(os.path.join(path, _SUBSTRING_RUNS_MANIFEST)) as fh:
+            manifest = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    want = _substring_runs_params(k, max_gram_docs, max_gram_occurrences)
+    if {kk: manifest.get(kk) for kk in want} != want:
+        return False
+    if fingerprint is not None and manifest.get("corpus") != fingerprint:
+        return False
+    return True
+
+
+def stage_substring_runs(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    k: int,
+    max_gram_docs: int,
+    max_gram_occurrences: int,
+    fingerprint: dict | None = None,
+) -> None:
+    """Commit the mined maximal-run table (doc_a, doc_b, diag, s, e)
+    to a DURABLE path — the `dedup_minhash_staged` pattern applied to
+    the r12 substring staging (VERDICT r12 next-round #2).  The mining
+    itself is the audited ``_substring_span_frame`` (single cached
+    plan below the memory-derived shard bound, Lee-et-al-style
+    gram-hash sharding above it); what this adds is cross-session
+    amortization: the 3-stage sharded mining's scratch tables die with
+    the process, so without this a fresh session re-pays the full
+    staging (measured 1610.6 s at 5M docs) even though the run table
+    it ends at is small (~two orders below pairs).  Manifest written
+    LAST (atomic) = the commit marker."""
+    runs = _substring_span_frame(
+        spark, sf_dir, k, max_gram_docs, max_gram_occurrences,
+        prefer_shuffle=_docs_is_big(spark, sf_dir),
+    )
+    runs.select("doc_a", "doc_b", "diag", "s", "e").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "runs"))
+    manifest = _substring_runs_params(k, max_gram_docs, max_gram_occurrences)
+    if fingerprint is not None:
+        manifest["corpus"] = fingerprint
+    D.write_manifest_atomic(
+        os.path.join(path, _SUBSTRING_RUNS_MANIFEST), manifest
+    )
+
+
+def read_staged_substring_runs(
+    spark: SparkSession,
+    path: str,
+    k: int,
+    max_gram_docs: int,
+    max_gram_occurrences: int,
+    expect_fingerprint: dict | None = None,
+) -> DataFrame:
+    """Manifest-pinned read of a committed run table — missing
+    manifest = uncommitted stage = raise; params/fingerprint drift
+    raises instead of silently assembling coverage from foreign
+    runs."""
+    import json
+
+    with open(os.path.join(path, _SUBSTRING_RUNS_MANIFEST)) as fh:
+        manifest = json.load(fh)
+    want = _substring_runs_params(k, max_gram_docs, max_gram_occurrences)
+    got = {kk: manifest.get(kk) for kk in want}
+    if got != want:
+        raise ValueError(
+            f"staged substring runs at {path} were mined with {got}, "
+            f"caller expects {want} — restage before use"
+        )
+    if (
+        expect_fingerprint is not None
+        and manifest.get("corpus") != expect_fingerprint
+    ):
+        raise ValueError(
+            f"staged substring runs at {path} cover corpus "
+            f"{manifest.get('corpus')}, caller's corpus is "
+            f"{expect_fingerprint} — restage before use"
+        )
+    return spark.read.parquet(os.path.join(path, "runs"))
+
+
+def doc_substring_dedup_staged(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    min_span: int = 40,
+    max_gram_docs: int = 50,
+    max_gram_occurrences: int = 200,
+) -> DataFrame:
+    """``doc_substring_dedup`` reading a PRE-COMMITTED run table from a
+    durable path — the cross-session steady state of the r12 3-stage
+    sharded mining (VERDICT r12 next-round #2): the gram/pair/run
+    staging is paid once per CORPUS, and every later session — not
+    just later calls in the staging session — assembles coverage from
+    the committed runs at scan cost.  Output and oracle are IDENTICAL
+    to ``doc_substring_dedup``: the coverage step is shared verbatim
+    (``_substring_coverage``) and the run table is the same
+    ``_substring_span_frame`` output, so staged and inline results
+    cannot drift by construction (pinned by
+    ``test_substring_staged_twin_matches_inline_and_survives_sessions``).
+
+    Scale shape: first touch per corpus = the audited mining (sharded
+    above the memory-derived bound) + one small parquet write (runs
+    are ~two orders below pairs); steady state from ANY session = one
+    parquet scan of the runs + the per-document interval-merge window
+    + a broadcast-sized join to the corpus spine."""
+    fprint = _corpus_fingerprint(spark, sf_dir)
+    path = os.path.join(
+        _durable_stage_root(),
+        "substring_runs_k%d_d%d_o%d_%s"
+        % (
+            k,
+            max_gram_docs,
+            max_gram_occurrences,
+            os.path.abspath(sf_dir).replace(os.sep, "_"),
+        ),
+    )
+    if not staged_substring_runs_valid(
+        path, k, max_gram_docs, max_gram_occurrences, fingerprint=fprint
+    ):
+        stage_substring_runs(
+            spark, sf_dir, path, k, max_gram_docs, max_gram_occurrences,
+            fingerprint=fprint,
+        )
+    runs = read_staged_substring_runs(
+        spark, path, k, max_gram_docs, max_gram_occurrences,
+        expect_fingerprint=fprint,
+    )
+    return _substring_coverage(spark, sf_dir, runs, min_span)
 
 
 def similarity_ivf_incremental(
@@ -5913,11 +6217,22 @@ def _bm25_rank(
     k_top: int,
     k1: float,
     b: float,
+    null_score_diag: str | None = None,
 ) -> DataFrame:
     """The BM25 scoring pipeline downstream of the postings table —
     shared verbatim by ``bm25_topk`` (in-session persisted postings)
     and ``bm25_topk_staged`` (parquet-staged postings), so the staged
-    path cannot drift from the inline one by construction."""
+    path cannot drift from the inline one by construction.
+
+    ``null_score_diag``: when set (the STAGED path passes its postings
+    location), a NULL final score raises in-plan instead of flowing to
+    the output — the impossible-state assert from the r12 one-off
+    incident adjudication (BUILDLOG r12 "Staged-BM25 incident"): every
+    factor of the contribution is non-null by construction (tf from a
+    count, df/dl from counts/sums over it, idf a total function of
+    df/n_docs), so a NULL score can only mean corrupt or partially-read
+    staged postings, and scoring must fail loudly with the staging
+    diagnostic rather than emit a NULL that survives to the gate."""
     from pyspark.sql import Window
 
     df_ = tf.groupBy("term").agg(
@@ -5985,6 +6300,27 @@ def _bm25_rank(
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("c").cast("double"), 6).alias("score"))
     )
+    if null_score_diag is not None:
+        scored = scored.withColumn(
+            "score",
+            F.when(F.col("score").isNotNull(), F.col("score")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "BM25 impossible state: NULL score for "
+                            "(query_id, doc_id)=("
+                        ),
+                        F.col("query_id").cast("string"),
+                        F.lit(", "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(
+                            ") — staged postings corrupt or partially "
+                            f"read; diagnostic: {null_score_diag}"
+                        ),
+                    )
+                )
+            ),
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
@@ -6126,7 +6462,10 @@ def bm25_topk_staged(
     toks = docs.where(F.col("text").isNotNull()).select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
     )
-    return _bm25_rank(tf, toks, n_queries, n_terms, k_top, k1, b)
+    return _bm25_rank(
+        tf, toks, n_queries, n_terms, k_top, k1, b,
+        null_score_diag=f"staged postings at {path}",
+    )
 
 
 def events_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7079,6 +7418,7 @@ def graph_kcore(
     sf_dir: str,
     rounds: int = 20,
     max_order_items: int | None = 256,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """K-core decomposition (coreness per node) over the part
     co-purchase graph — the graph family's fourth leg next to
@@ -7129,7 +7469,13 @@ def graph_kcore(
     edge view), one NODE-PARTITIONED window (never global), one
     aggregate, one vertex-sized min-combine — all keyed on node id;
     the per-order item cap bounds edge generation exactly as in the
-    triangle census.  Each round ends in an eager lineage truncation
+    triangle census.  ``checkpoint_every`` sets the lineage-truncation
+    cadence (VERDICT r12 #8's A/B knob): every N rounds the plan is
+    cut; in between it grows by the _step doubling, so N=2 means at
+    most one un-truncated doubling — bounded — and halves the
+    per-round materialization count.  The knob is PHYSICAL only
+    (values identical at any cadence); the sf0.1 A/B is recorded in
+    the r13 bench provenance.  Each round ends in an eager lineage truncation
     with scoped RDD-level block release (the ``connected_components``
     discipline) — a plain persist leaves the LOGICAL plan doubling
     per round (the frame references the previous round twice) and
@@ -7174,11 +7520,19 @@ def graph_kcore(
         )
 
     try:
-        for _ in range(rounds):
-            nxt = _step(cur).localCheckpoint(eager=True)
-            ids = D._own_checkpoint_rdd_ids(nxt) & D._persistent_rdd_ids(spark)
-            D._release_rdds(spark, prev_ids)
-            cur, prev_ids = nxt, ids
+        for rnd in range(rounds):
+            nxt = _step(cur)
+            # truncate on the cadence AND at the last round (the
+            # convergence probe + final join below re-reference cur)
+            if (rnd + 1) % checkpoint_every == 0 or rnd == rounds - 1:
+                nxt = nxt.localCheckpoint(eager=True)
+                ids = (
+                    D._own_checkpoint_rdd_ids(nxt)
+                    & D._persistent_rdd_ids(spark)
+                )
+                D._release_rdds(spark, prev_ids)
+                prev_ids = ids
+            cur = nxt
         # convergence probe (VERDICT r10 #4): one extra round, compared
         # by the monotone total — evaluated HERE while und is persisted
         # (two vertex-sized scalar aggregates, the converged twin's

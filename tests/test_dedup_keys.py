@@ -301,3 +301,59 @@ def test_parallelize_cpu_stage_detects_hollow_splits(spark, tmp_path):
         assert parallelize_cpu_stage(wide) is wide
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_hollow_split_guard_is_node_anchored(spark, tmp_path):
+    """ADVICE r12: the exchange-in-lineage check must match logical
+    NODE names at tree-line starts, not bare substrings anywhere in the
+    analyzed plan — a column alias like ``window_start`` or a string
+    literal containing 'Sort' rides inside Project/Filter lines and
+    must NOT fake an exchange (which would silently skip the hollow-
+    split repartition and reintroduce the 4-straggler behavior)."""
+    from pyspark.sql import functions as F
+
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        parallelize_cpu_stage,
+    )
+
+    path = str(tmp_path / "hollow2")
+    (
+        spark.range(20_000)
+        .selectExpr("id", "repeat('x', 64) AS text")
+        .coalesce(2)
+        .write.parquet(path)
+    )
+    target = spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8k")
+    try:
+        # shuffle-free scan whose PLAN TEXT contains the node words only
+        # inside expressions: aliases window_start / sort_key, and a
+        # filter comparing against the literal 'Aggregate'
+        df = (
+            spark.read.parquet(path)
+            .where(F.col("text") != F.lit("Aggregate Join Repartition"))
+            .select(
+                F.col("id").alias("window_start"),
+                F.col("text").alias("sort_key"),
+            )
+        )
+        from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+            _has_exchange_in_lineage,
+        )
+
+        # the expression words must not read as exchanges...
+        assert not _has_exchange_in_lineage(df)
+        # ...so the hollow-split repartition still fires end-to-end
+        out = parallelize_cpu_stage(df)
+        assert out.rdd.getNumPartitions() == target
+        sizes = out.rdd.glom().map(len).collect()
+        assert sum(1 for s in sizes if s > 0) == target
+        # and REAL exchange nodes are still detected (anchored match)
+        base = spark.read.parquet(path)
+        assert _has_exchange_in_lineage(base.groupBy("text").count())
+        assert _has_exchange_in_lineage(base.repartition(8))
+        assert _has_exchange_in_lineage(base.orderBy("id"))
+        assert _has_exchange_in_lineage(base.join(base.limit(1), "id"))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -2872,3 +2872,187 @@ def test_kcenter_coreset_matches_unrolled_oracle(spark):
         # distinct centers, every vector covered exactly once
         rounds = {r for (_, _, r, _) in got}
         assert rounds == set(range(8)), sf
+
+
+def test_kcenter_degenerate_inputs(spark):
+    """ADVICE r12: an empty / all-NULL-embedding corpus returns an
+    empty typed frame (no IndexError on the seed collect), and with
+    fewer distinct vectors than k the greedy loop stops instead of
+    re-picking duplicate centers with dmin=0."""
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = S.kcenter_coreset(empty, "vec_id", "embedding", k=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "center_id", "center_round", "dist2",
+    ]
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id bigint, embedding array<float>"
+    )
+    assert S.kcenter_coreset(allnull, "vec_id", "embedding", k=4).count() == 0
+    # 6 vectors but only 3 distinct values, k=8: rounds stop at 3
+    dup = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 3)]) for i in range(6)],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = S.kcenter_coreset(dup, "vec_id", "embedding", k=8).collect()
+    assert len(rows) == 6
+    assert {r.center_round for r in rows} == {0, 1, 2}
+    assert all(r.dist2 == 0.0 for r in rows)  # every point IS a center value
+
+
+def test_kcenter_releases_its_iteration_cache(spark):
+    """ADVICE r12 (medium): kcenter_coreset must not leak the persisted
+    gated-vector frame into session storage — every call unpersists it
+    once the greedy centers are collected, so repeated calls cannot pin
+    executor storage memory for the session lifetime."""
+    from tests.conftest import SF_SMALL
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    X.corpus_coreset_kcenter(spark, SF_SMALL).collect()
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, (before, after)
+
+
+def test_bm25_staged_null_score_raises_impossible_state(spark):
+    """The r12 one-off incident's defense-in-depth (VERDICT r12
+    next-round #3): a NULL final score is impossible from intact staged
+    postings (tf/df/dl are counts and sums over them), so the staged
+    path must raise in-plan with the staging diagnostic rather than
+    emit a NULL that could survive to the gate.  Exercised by feeding
+    the shared scorer a postings frame with a NULL tf — the corrupt-
+    parquet shape."""
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    tf = spark.createDataFrame(
+        [(0, "alpha", 2), (7, "alpha", None), (8, "alpha", 3)],
+        "doc_id long, term string, tf long",
+    )
+    toks = spark.createDataFrame(
+        [(0, ["alpha", "beta", "gamma"])], "doc_id long, tk array<string>"
+    )
+    bad = X._bm25_rank(
+        tf, toks, n_queries=1, n_terms=4, k_top=10, k1=1.2, b=0.75,
+        null_score_diag="staged postings at /tmp/test-postings",
+    )
+    with pytest.raises(SparkRuntimeException, match="BM25 impossible state"):
+        bad.collect()
+    # the inline path (no diagnostic) keeps its r8-pinned semantics:
+    # no raise wrapper in the plan at all
+    ok = X._bm25_rank(
+        tf, toks, n_queries=1, n_terms=4, k_top=10, k1=1.2, b=0.75,
+    )
+    assert "raise_error" not in ok._jdf.queryExecution().analyzed().toString()
+
+
+def test_substring_shard_bounds_derivation(spark):
+    """VERDICT r12 "What's wrong #1": the substring shard knobs derive
+    from the session's worker heap (anchors: 150k single-plan docs at
+    8 GiB, 750k docs/shard at 48 GiB) instead of encoding one box's
+    OOM point; explicit conf wins; the monkeypatch-to-0 test hook
+    still forces the sharded path."""
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+
+    sd, dps = X._substring_shard_bounds(spark)
+    heap_gib = (
+        spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+        / (1024.0 ** 3)
+    )
+    # linear in the live heap, floored for tiny test heaps
+    assert sd == max(int(150_000 * heap_gib / 8.0), 18_750)
+    assert dps == max(int(750_000 * heap_gib / 48.0), 15_625)
+    # conf overrides beat the derivation
+    spark.conf.set("spark.logistream.substring.shardDocs", "1234")
+    spark.conf.set("spark.logistream.substring.docsPerShard", "5678")
+    try:
+        assert X._substring_shard_bounds(spark) == (1234, 5678)
+    finally:
+        spark.conf.unset("spark.logistream.substring.shardDocs")
+        spark.conf.unset("spark.logistream.substring.docsPerShard")
+    # the test hook: anchor monkeypatched to 0 must yield 0 (the floor
+    # is capped at the anchor), so forcing the sharded path still works
+    old = X._SUBSTRING_SHARD_DOCS
+    X._SUBSTRING_SHARD_DOCS = 0
+    try:
+        assert X._substring_shard_bounds(spark)[0] == 0
+    finally:
+        X._SUBSTRING_SHARD_DOCS = old
+
+
+def test_substring_staged_twin_matches_inline_and_survives_sessions(
+    spark, tmp_path, monkeypatch
+):
+    """R13 registration queue slot 2 (VERDICT r12 next-round #2): the
+    staged substring dedup must be value-identical to the inline twin
+    (shared _substring_coverage + the same mined runs), must NOT
+    re-mine on a second call (the committed run table is the steady
+    state), and must refuse a params/fingerprint-drifted table."""
+    import json
+    import os
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    monkeypatch.setenv("LSDP_STAGE_DIR", str(tmp_path / "stage"))
+    inline = {
+        tuple(r) for r in X.doc_substring_dedup(spark, SF_SMALL).collect()
+    }
+    staged = {
+        tuple(r)
+        for r in X.doc_substring_dedup_staged(spark, SF_SMALL).collect()
+    }
+    assert staged == inline and staged
+    # steady state: the second call reads the SAME committed table
+    # (restage would rewrite the manifest — pin inode + mtime)
+    path = os.path.join(
+        X._durable_stage_root(),
+        "substring_runs_k20_d50_o200_"
+        + os.path.abspath(SF_SMALL).replace(os.sep, "_"),
+    )
+    mf = os.path.join(path, X._SUBSTRING_RUNS_MANIFEST)
+    st0 = os.stat(mf)
+    again = {
+        tuple(r)
+        for r in X.doc_substring_dedup_staged(spark, SF_SMALL).collect()
+    }
+    st1 = os.stat(mf)
+    assert again == inline
+    assert (st0.st_ino, st0.st_mtime_ns) == (st1.st_ino, st1.st_mtime_ns)
+    # a params-drifted manifest raises instead of silently serving
+    drifted = json.load(open(mf))
+    drifted["k"] = 19
+    with open(mf, "w") as fh:
+        json.dump(drifted, fh)
+    with pytest.raises(ValueError, match="restage before use"):
+        X.read_staged_substring_runs(spark, path, 20, 50, 200)
+    # and the gated entry point RESTAGES through the invalid manifest
+    # (commit-marker contract) rather than raising
+    refreshed = {
+        tuple(r)
+        for r in X.doc_substring_dedup_staged(spark, SF_SMALL).collect()
+    }
+    assert refreshed == inline
+
+
+def test_graph_kcore_checkpoint_cadence_is_value_neutral(spark):
+    """VERDICT r12 #8: the lineage-truncation cadence is a PHYSICAL
+    knob — values (and the converged flag) must be identical at any
+    checkpoint_every, so the sf0.1 A/B in the r13 provenance compares
+    like for like and the registered entry (cadence default) cannot
+    drift semantically."""
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    every1 = {
+        tuple(r)
+        for r in X.graph_kcore(spark, SF_SMALL, checkpoint_every=1).collect()
+    }
+    every2 = {
+        tuple(r)
+        for r in X.graph_kcore(spark, SF_SMALL, checkpoint_every=2).collect()
+    }
+    assert every1 == every2 and every1

@@ -220,6 +220,10 @@ DEFAULT_QUERIES = {
         "similarity_ivf_incremental", "similarity_ivf_pq",
         # r10 registration (both component operators gate NULL vectors)
         "similarity_recall_audit",
+        # r13 registration (the seed/argmax collects and the assignment
+        # all run over the shared _gated_vecs NULL-vector gate; the
+        # empty/all-NULL degenerate path is additionally pytest-pinned)
+        "corpus_coreset_kcenter",
     ],
     "documents": [
         "dedup_exact", "dedup_survivors", "dedup_minhash_lsh",
@@ -250,6 +254,12 @@ DEFAULT_QUERIES = {
         # filter itself is under test, not just the scorer.
         "bm25_topk_staged", "doc_bigram_score_staged",
         "corpus_dsir_weights_staged",
+        # r13 registration: the substring steady-state twin — probed
+        # independently (same rationale as the r12 staged twins: the
+        # durable run table REBUILDS from the NULL-injected fixture
+        # because its corpus fingerprint differs, so the mining path's
+        # text gate is under test, not just the shared coverage step)
+        "doc_substring_dedup_staged",
     ],
 }
 

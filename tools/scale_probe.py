@@ -175,7 +175,21 @@ def synthetic_documents(spark: SparkSession, n: int) -> DataFrame:
     probe measures the degenerate-drop path instead of real mining.
     Real corpora have heavy-tailed vocabularies; the scaled lexicon
     restores that shape at any mult (probe numbers from r5 on are not
-    comparable to the r4 fixed-vocabulary corpus lines)."""
+    comparable to the r4 fixed-vocabulary corpus lines).
+
+    Shared-stretch geometry (VERDICT r12 "What's missing #4"): the
+    12-word substitution cycle bounds contiguous shared text between
+    variants at 34-38 chars — BELOW doc_substring_spans' min_span=40,
+    so the spans operator emitted 0 rows at every probe scale (data-
+    real, but a span-zeroing regression would be invisible).  Each doc
+    therefore ends with a ~49-char FAMILY-CONSTANT tail whose family
+    id repeats every ~10-16 chars: every 20-gram inside it contains
+    the id (so gram doc-frequency stays at the 5 family variants, far
+    under the max_gram_docs=50 cap), the 5 variants share the whole
+    tail as one maximal >=40-char run, and pair volume stays linear
+    (C(5,2) pairs per family).  Real duplicated-boilerplate shape —
+    and char-scale probe lines from r13 on are ~15% heavier than r12's
+    (documented in BUILDLOG r13)."""
     d = spark.range(n)
     i = F.col("id")
     fam = (i / 5).cast("long")
@@ -199,7 +213,13 @@ def synthetic_documents(spark: SparkSession, n: int) -> DataFrame:
             )
         ),
     )
-    text = F.array_join(words, " ")
+    fam_tag = F.concat(F.lit("f"), fam.cast("string"), F.lit("x"))
+    shared_tail = F.concat(
+        F.lit(" "), fam_tag, F.lit(" alpha "), fam_tag, F.lit(" bravo "),
+        fam_tag, F.lit(" charl "), fam_tag, F.lit(" delta "), fam_tag,
+        F.lit(" echos"),
+    )
+    text = F.concat(F.array_join(words, " "), shared_tail)
     return d.select(
         i.alias("doc_id"),
         text.alias("text"),
