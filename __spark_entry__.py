@@ -547,6 +547,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dedup": X.doc_substring_dedup,
         "doc_substring_spans": X.doc_substring_spans,
         "corpus_dedup_pipeline": X.corpus_dedup_pipeline,
+        # graph_kcore: changed late-r13 (the ADOPTED checkpoint_every=2
+        # cadence from the VERDICT #8 A/B — physical-only, value-pinned)
+        # -> head slot per changed-entries-first, displacing the
+        # r10-green corpus_domain_cap fill back to the tail front
+        "graph_kcore": X.graph_kcore,
         # -- group 3: at the 4-round staleness cap (r8-green) --------------
         "dim_product": W.dim_product,
         "dim_product_type": W.dim_product_type,
@@ -591,7 +596,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_candidates": X.bpe_merge_candidates,
         "corpus_epoch_shuffle": X.corpus_epoch_shuffle,
         "corpus_mixture_plan": X.corpus_mixture_plan,
-        "corpus_domain_cap": X.corpus_domain_cap,
         # ===== ~50-entry driver window boundary.  Everything below is
         #    tail: green in r8-r12 (rows+schema+hash), digest-pinned since
         #    its green row (tests/test_rotation_ledger.py), stalest first;
@@ -601,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    sql_profit_by_hierarchy stay deregistered (bench.py +
         #    tests/test_prod_twins.py pins).
         # ==================================================================
+        "corpus_domain_cap": X.corpus_domain_cap,
         "corpus_gopher_rules": X.corpus_gopher_rules,
         "events_feature_matrix": X.events_feature_matrix,
         "similarity_recall_audit": X.similarity_recall_audit,
@@ -648,7 +653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_staged": X.dedup_minhash_staged,
         "doc_bigram_score": X.doc_bigram_score,
         "corpus_dsir_weights": X.corpus_dsir_weights,
-        "graph_kcore": X.graph_kcore,
         "media_image_features": X.media_image_features,
         "bpe_encode_stats": X.bpe_encode_stats,
         "events_conversion_lag": X.events_conversion_lag,

@@ -7418,7 +7418,7 @@ def graph_kcore(
     sf_dir: str,
     rounds: int = 20,
     max_order_items: int | None = 256,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """K-core decomposition (coreness per node) over the part
     co-purchase graph — the graph family's fourth leg next to
@@ -7474,8 +7474,14 @@ def graph_kcore(
     cut; in between it grows by the _step doubling, so N=2 means at
     most one un-truncated doubling — bounded — and halves the
     per-round materialization count.  The knob is PHYSICAL only
-    (values identical at any cadence); the sf0.1 A/B is recorded in
-    the r13 bench provenance.  Each round ends in an eager lineage truncation
+    (values identical at any cadence, pinned by
+    ``test_graph_kcore_checkpoint_cadence_is_value_neutral``); the
+    sf0.1 A/B (3 reps each, warm scan): every-round 29.8-30.7 s,
+    every-2 24.0-26.4 s (-19%, ADOPTED as the default), every-4
+    39-41 s (the un-truncated plan doubling re-derives two rounds per
+    materialization and loses more than the skipped materializations
+    save) — recorded in the r13 bench provenance.  Each cadence
+    period ends in an eager lineage truncation
     with scoped RDD-level block release (the ``connected_components``
     discipline) — a plain persist leaves the LOGICAL plan doubling
     per round (the frame references the previous round twice) and
