@@ -433,6 +433,35 @@ SCALE_PROBES: dict[str, object] = {
         # view GCLocker-OOMs 8g under 32-way concurrency — caught by
         # the new fail-fast table's own measurement run)
         "graph_kcore": 356.55,
+        # r13 (VERDICT r12 #6): the CC/stitch family at 5M docs / 500k
+        # vectors — the last corpus family whose top scale was
+        # extrapolated.  dedup_clusters' FIRST run (275.3 s) includes
+        # the vectorized signature staging + banded mining the whole
+        # family shares; warm label propagation converges in 119.8 s
+        # over the 4.67M-pair edge list.  near_survivors (the stitch:
+        # mine -> cluster -> keep-one -> semi-join) rides the same
+        # staged state: 82.1 s first / 115.3 s second (the spread is
+        # cache-eviction variance across the 5M-doc session, both
+        # runs green).  dedup_embedding at 500k vectors is 8.8 s warm
+        # — the banded sign-LSH candidate join stays candidate-bound,
+        # not corpus-bound (its r10 100x wall of 27.9 s predates the
+        # vectorized signature path; the family is sublinear even
+        # against that anchor).
+        "dedup_clusters": 119.85,
+        "dedup_near_survivors": 115.32,
+        "dedup_embedding": 8.80,
+    },
+    # r13 (VERDICT r12 #8): graph_kcore lineage-truncation cadence A/B
+    # at sf0.1, 3 interleaved reps each, warm scan, local[32].  Every-2
+    # ADOPTED as the default (-19%); every-4 rejected — the un-truncated
+    # plan doubling re-derives rounds and loses more than the skipped
+    # materializations save.  Value-neutrality pinned by
+    # test_graph_kcore_checkpoint_cadence_is_value_neutral.
+    "graph_kcore_checkpoint_cadence_ab": {
+        "every_1_s": [30.69, 29.89, 29.82],
+        "every_2_s": [26.37, 24.02, 24.31],
+        "every_4_s": [40.91, 39.02, 38.95],
+        "adopted": 2,
     },
     # Celebrity-hub skew probe for the graph family (r10): one part
     # co-purchased in 30% of 1.5M orders — hub degree 528k in a

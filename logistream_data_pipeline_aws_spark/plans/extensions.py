@@ -5263,11 +5263,20 @@ def _substring_runs_sharded(
     stages, each under the manifest-commit-marker + corpus-fingerprint
     contract, each re-derivable and dropped once its consumer commits:
 
-    Stage 1 (grams): explode + md5 every gram ONCE and write
+    Stage 1 (grams): explode + md5 every gram and write
     (doc_id, pos, g) as parquet PARTITIONED BY
     ``pmod(xxhash64(g), n_shards)``.  The shard key hashes the GRAM,
     so every occurrence of a gram lands in exactly one shard and the
-    per-shard frequency gates are the global ones.
+    per-shard frequency gates are the global ones.  When the estimated
+    full gram table (~55 B per corpus char on disk; the md5 column is
+    incompressible) exceeds ~40% of the staging volume's free space,
+    shards are staged and mined in disk-sized GROUPS instead — the
+    explode+md5 pass is re-paid once per group and each group's gram
+    slice is dropped before the next is written (r13: writing the full
+    table first filled the probe host's disk at 5M docs).  Group count
+    is overridable via ``spark.logistream.substring.gramGroups``; on
+    durable object storage it stays 1 and the single-pass flow (with
+    its crash-resumable gram manifest) is unchanged.
 
     Stage 2 (pairs): loop gram shards; each reads its partition-pruned
     slice, runs the SHARED gate + pair expansion
@@ -5332,14 +5341,18 @@ def _substring_runs_sharded(
     )
     pairs_manifest = pairs_path + ".manifest.json"
     if not _valid(pairs_manifest, pparams):
+        import shutil
+
         # the gram staging is checked/rebuilt INSIDE the pairs branch
         # (ADVICE r12): only pair mining reads grams, and on a
         # crash-resume during run assembly (pairs committed, runs
         # manifest absent, grams already dropped) a top-level rebuild
-        # would redo the most expensive scan (~24 GB at 5M docs) only
-        # to orphan it — the rmtree lives at the end of this branch
-        if not _valid(gram_manifest, gparams):
-            (
+        # would redo the most expensive scan (tens of GB at 5M docs)
+        # only to orphan it — the cleanup lives at the end of this
+        # branch.
+
+        def _grams_for(lo: int, hi: int) -> DataFrame:
+            g = (
                 docs.select(
                     "doc_id",
                     F.explode(
@@ -5358,18 +5371,20 @@ def _substring_runs_sharded(
                     "shard",
                     F.pmod(F.xxhash64("g"), F.lit(n_shards)).cast("int"),
                 )
-                .write.partitionBy("shard")
-                .mode("overwrite")
-                .parquet(gram_path)
             )
-            D.write_manifest_atomic(gram_manifest, gparams)
-        all_grams = spark.read.parquet(gram_path)
-        for i in range(n_shards):
-            sl = all_grams.where(F.col("shard") == i).select(
+            if (lo, hi) != (0, n_shards):
+                g = g.where(
+                    (F.col("shard") >= lo) & (F.col("shard") < hi)
+                )
+            return g
+
+        def _mine_shard(i: int, grams_df: DataFrame, first: bool) -> None:
+            sl = grams_df.where(F.col("shard") == i).select(
                 "doc_id", "pos", "g"
             )
             m_i = _gram_pair_matches(
-                sl, max_gram_docs, max_gram_occurrences, prefer_shuffle=True,
+                sl, max_gram_docs, max_gram_occurrences,
+                prefer_shuffle=True,
                 cap_observation=f"substring_gram_cap_s{i}",
             ).withColumn(
                 "pshard",
@@ -5378,24 +5393,86 @@ def _substring_runs_sharded(
                 ).cast("int"),
             )
             m_i.write.partitionBy("pshard").mode(
-                "overwrite" if i == 0 else "append"
+                "overwrite" if first else "append"
             ).parquet(pairs_path)
             # scoped shuffle release: this shard's exchanges are
             # unreachable once the local refs drop — collect them so
-            # the ContextCleaner frees the files before shard i+1
+            # the ContextCleaner frees the files before the next shard
             del sl, m_i
             _gc.collect()
             spark.sparkContext._jvm.System.gc()
+
+        # DISK-ADAPTIVE GRAM GROUPING (found live in the r13 probe: the
+        # full gram table is ~50-60 B per corpus CHARACTER on disk —
+        # the 16-byte md5 column is incompressible — and writing ALL of
+        # it before mining filled the probe host's 74 GB free at 5M
+        # docs, even though the r12 run had squeaked through).  When
+        # the estimated full gram table exceeds ~40% of the staging
+        # volume's free space, shards are staged and mined in GROUPS:
+        # the explode+md5 corpus pass is re-paid once per group (scan-
+        # bound, the cheap part), each group's gram slice is dropped
+        # before the next is written, and peak gram footprint falls by
+        # the group count.  On a 100 TB cluster the staging volume is
+        # durable object storage with effectively unbounded capacity,
+        # so n_groups stays 1 and the single-pass flow (with its
+        # crash-resumable gram manifest) is unchanged.
+        forced = spark.conf.get(
+            "spark.logistream.substring.gramGroups", None
+        )
+        if forced is not None:
+            n_groups = max(1, min(n_shards, int(forced)))
+        else:
+            total_chars = int(
+                load_table(spark, "documents", sf_dir)
+                .agg(F.sum("n_chars"))
+                .collect()[0][0]
+                or 0
+            )
+            est_gram_bytes = total_chars * 55
+            free = shutil.disk_usage(base).free
+            budget = max(1, int(free * 0.4))
+            n_groups = 1
+            if est_gram_bytes > budget:
+                n_groups = min(
+                    n_shards, max(2, math.ceil(est_gram_bytes / budget))
+                )
+        if n_groups > 1 and _valid(gram_manifest, gparams):
+            n_groups = 1  # a committed full gram table costs no new disk
+        if n_groups == 1:
+            if not _valid(gram_manifest, gparams):
+                _grams_for(0, n_shards).write.partitionBy("shard").mode(
+                    "overwrite"
+                ).parquet(gram_path)
+                D.write_manifest_atomic(gram_manifest, gparams)
+            all_grams = spark.read.parquet(gram_path)
+            for i in range(n_shards):
+                _mine_shard(i, all_grams, first=(i == 0))
+        else:
+            # grouped: gram slices are transient (never manifested) —
+            # a crash anywhere here leaves no pairs manifest, so the
+            # next caller rebuilds the whole pairs stage from scratch
+            per_group = math.ceil(n_shards / n_groups)
+            first = True
+            for lo in range(0, n_shards, per_group):
+                hi = min(lo + per_group, n_shards)
+                gpath = f"{gram_path}_g{lo}"
+                _grams_for(lo, hi).write.partitionBy("shard").mode(
+                    "overwrite"
+                ).parquet(gpath)
+                gg = spark.read.parquet(gpath)
+                for i in range(lo, hi):
+                    _mine_shard(i, gg, first=first)
+                    first = False
+                del gg
+                shutil.rmtree(gpath, ignore_errors=True)
         D.write_manifest_atomic(pairs_manifest, pparams)
         # the gram staging is re-derivable and cap-independent, but the
         # committed PAIR table is what every downstream consumer reads —
-        # drop the grams once the pairs commit (measured: grams 24 GB +
-        # pairs 10 GB + the runs-assembly shuffle did not fit local disk
-        # together at 5M docs).  A later mining with different caps
-        # restages grams (one scan-bound pass); at 100 TB the staging
-        # lives on durable object storage and this frugality is moot.
-        import shutil
-
+        # drop the grams once the pairs commit (measured: grams + pairs
+        # + the runs-assembly shuffle did not fit local disk together
+        # at 5M docs).  A later mining with different caps restages
+        # grams (one scan-bound pass); at 100 TB the staging lives on
+        # durable object storage and this frugality is moot.
         shutil.rmtree(gram_path, ignore_errors=True)
         try:
             os.remove(gram_manifest)

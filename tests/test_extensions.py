@@ -3056,3 +3056,53 @@ def test_graph_kcore_checkpoint_cadence_is_value_neutral(spark):
         for r in X.graph_kcore(spark, SF_SMALL, checkpoint_every=2).collect()
     }
     assert every1 == every2 and every1
+
+
+def test_substring_grouped_gram_staging_matches_single_pass(spark):
+    """R13 disk-adaptive gram grouping: when the gram table would not
+    fit local staging disk, shards stage+mine in groups (explode+md5
+    re-paid per group, slices dropped between groups).  Group
+    boundaries partition SHARD space, which partitions gram-key space,
+    so the union of outputs must be value-identical to both the
+    single-gram-table sharded flow and the single-plan path."""
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    import tempfile
+
+    single = {
+        tuple(r) for r in X.doc_substring_spans(spark, SF_SMALL).collect()
+    }
+    old = X._SUBSTRING_SHARD_DOCS
+    old_scratch = X._SCRATCH_DIR
+    X._SUBSTRING_SHARD_DOCS = 0  # force the sharded path
+    # a FRESH scratch root: the session-shared one may already hold a
+    # committed run table from the plain sharded twin test, which would
+    # short-circuit this test before any grouped staging runs
+    X._SCRATCH_DIR = tempfile.mkdtemp(prefix="lsdp_grouped_test_")
+    spark.conf.set("spark.logistream.substring.gramGroups", "3")
+    try:
+        grouped = {
+            tuple(r)
+            for r in X.doc_substring_spans(spark, SF_SMALL).collect()
+        }
+        # the grouped flow must actually have run: the transient gram
+        # slices are dropped and no gram manifest is ever written
+        import glob
+        import os
+
+        base = glob.glob(
+            os.path.join(X._SCRATCH_DIR, "substring_shards_k20_*")
+        )
+        assert base, "sharded staging dir missing — grouping never ran"
+        assert not glob.glob(os.path.join(base[0], "grams_g*")), (
+            "transient group slices must be dropped"
+        )
+        assert not os.path.exists(
+            os.path.join(base[0], X._SUBSTRING_GRAMS_MANIFEST)
+        ), "grouped staging must not commit a gram manifest"
+    finally:
+        spark.conf.unset("spark.logistream.substring.gramGroups")
+        X._SUBSTRING_SHARD_DOCS = old
+        X._SCRATCH_DIR = old_scratch
+    assert grouped == single and grouped

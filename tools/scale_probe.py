@@ -316,8 +316,8 @@ CORPUS_QUERIES = [
     "corpus_dsir_weights_staged",
 ]
 SIMILARITY_QUERIES = [
-    # r12-built r13-queue candidate (not yet registered; resolves via
-    # PROBE_OVERRIDES like every pre-registration operator)
+    # registered at the r13 rotation (the override below is now just a
+    # direct resolve — kept so older probe lines stay comparable)
     "corpus_coreset_kcenter",
     "similarity_ivf_pq",
     "similarity_topk",
