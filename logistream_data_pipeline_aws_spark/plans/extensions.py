@@ -5167,6 +5167,39 @@ _SUBSTRING_DOCS_PER_SHARD = 750_000  # at the 48 GiB reference heap
 _SUBSTRING_GRAMS_MANIFEST = "substring_grams_manifest.json"
 
 
+def _worker_heap_gib(spark: SparkSession) -> float:
+    """The WORKER JVM heap in GiB — the signal every memory-derived
+    substring knob scales from.  Local mode asks the live Runtime for
+    maxMemory (truth, no conf parsing — the driver JVM is the worker);
+    cluster mode parses ``spark.executor.memory`` with JavaUtils
+    suffix semantics (suffix-less = MiB).  Unparseable or absent
+    signals fall back to the 8 GiB reference point."""
+    import re
+
+    try:
+        if spark.sparkContext.master.startswith("local"):
+            return (
+                spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+                .maxMemory()
+                / (1024.0**3)
+            )
+        raw = spark.conf.get("spark.executor.memory", "8g").strip().lower()
+        m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([kmgtp]?)b?", raw)
+        if m:
+            num, unit = float(m.group(1)), m.group(2)
+            return num * {
+                "": 1.0 / 1024.0,  # JavaUtils: unit-less is MiB
+                "k": 1.0 / 1024.0**2,
+                "m": 1.0 / 1024.0,
+                "g": 1.0,
+                "t": 1024.0,
+                "p": 1024.0**2,
+            }[unit]
+    except Exception:
+        pass
+    return 8.0
+
+
 def _substring_shard_bounds(spark: SparkSession) -> tuple[int, int]:
     """(shard_docs, docs_per_shard) for THIS session — the r12 VERDICT
     "What's wrong #1" fix: the hard-coded constants encoded one box's
@@ -5195,8 +5228,6 @@ def _substring_shard_bounds(spark: SparkSession) -> tuple[int, int]:
     the measured-sufficient 2 was never a floor; smaller shards only
     bound per-shard shuffle tighter); at 48g -> (900_000, 750_000) so
     the green 5M-doc probe keeps its exact 7-shard plan."""
-    import re
-
     conf = spark.conf
 
     def _conf_int(key: str) -> int | None:
@@ -5210,30 +5241,7 @@ def _substring_shard_bounds(spark: SparkSession) -> tuple[int, int]:
     explicit_dps = _conf_int("spark.logistream.substring.docsPerShard")
     if explicit_sd is not None and explicit_dps is not None:
         return explicit_sd, explicit_dps
-    heap_gib = 8.0
-    try:
-        master = spark.sparkContext.master
-        if master.startswith("local"):
-            heap_gib = (
-                spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
-                .maxMemory()
-                / (1024.0**3)
-            )
-        else:
-            raw = conf.get("spark.executor.memory", "8g").strip().lower()
-            m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([kmgtp]?)b?", raw)
-            if m:
-                num, unit = float(m.group(1)), m.group(2)
-                heap_gib = num * {
-                    "": 1.0 / 1024.0,  # JavaUtils: unit-less is MiB
-                    "k": 1.0 / 1024.0**2,
-                    "m": 1.0 / 1024.0,
-                    "g": 1.0,
-                    "t": 1024.0,
-                    "p": 1024.0**2,
-                }[unit]
-    except Exception:
-        heap_gib = 8.0
+    heap_gib = _worker_heap_gib(spark)
     # floors keep a tiny test heap (1g sessions) from sharding the sf
     # gate corpora: the smallest real corpus that should ever shard is
     # well above the 5k-doc sf0.1 table.  The floor is capped at the
@@ -5480,16 +5488,56 @@ def _substring_runs_sharded(
             pass
     if not _valid(runs_manifest, pparams):
         all_pairs = spark.read.parquet(pairs_path)
-        for j in range(n_shards):
-            m_j = all_pairs.where(F.col("pshard") == j).select(
-                "doc_a", "pa", "doc_b", "pb", "diag"
+        # HEAP-ADAPTIVE SUB-SPLITTING (found live in the r13 probe: the
+        # shared-tail generator change tripled pair volume to 37 GB,
+        # and one pshard slice — ~5.3 GB compressed, ~1.5B rows —
+        # OOMed the 48g probe JVM when 32 concurrent window-sort tasks
+        # each buffered their shuffle partition).  Each pair shard's
+        # run-assembly window is further split by a second
+        # (doc_a, doc_b) hash so one job's input stays under a
+        # heap-derived compressed-bytes budget (~43 MB per heap GiB:
+        # 2 GB per job at the 48g anchor, comfortably under the OOM
+        # point).  (doc_a, doc_b) determines the window group, so the
+        # sub-split never divides a group and the union over
+        # (pshard, subsplit) is exactly the pair set.  At r12's pair
+        # geometry (10 GB / 7 shards) the budget yields 1 sub-split =
+        # the r12 plan unchanged.  Override:
+        # ``spark.logistream.substring.runSubsplits``.
+        forced_sub = spark.conf.get(
+            "spark.logistream.substring.runSubsplits", None
+        )
+        if forced_sub is not None:
+            sub = max(1, int(forced_sub))
+        else:
+            pair_bytes = 0
+            for root_, _dirs, files_ in os.walk(pairs_path):
+                for fn in files_:
+                    try:
+                        pair_bytes += os.path.getsize(os.path.join(root_, fn))
+                    except OSError:
+                        pass
+            per_shard = pair_bytes / max(1, n_shards)
+            budget = max(
+                256 * 2**20, int(_worker_heap_gib(spark) * 43 * 2**20)
             )
-            _runs_from_matches(m_j, k).write.mode(
-                "overwrite" if j == 0 else "append"
-            ).parquet(runs_path)
-            del m_j
-            _gc.collect()
-            spark.sparkContext._jvm.System.gc()
+            sub = max(1, math.ceil(per_shard / budget))
+        for j in range(n_shards):
+            shard_j = all_pairs.where(F.col("pshard") == j)
+            for s in range(sub):
+                m_j = shard_j
+                if sub > 1:
+                    m_j = m_j.where(
+                        F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(sub))
+                        == s
+                    )
+                m_j = m_j.select("doc_a", "pa", "doc_b", "pb", "diag")
+                _runs_from_matches(m_j, k).write.mode(
+                    "overwrite" if (j == 0 and s == 0) else "append"
+                ).parquet(runs_path)
+                del m_j
+                _gc.collect()
+                spark.sparkContext._jvm.System.gc()
+            del shard_j
         D.write_manifest_atomic(runs_manifest, pparams)
         import shutil
 

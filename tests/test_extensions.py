@@ -3081,6 +3081,9 @@ def test_substring_grouped_gram_staging_matches_single_pass(spark):
     # short-circuit this test before any grouped staging runs
     X._SCRATCH_DIR = tempfile.mkdtemp(prefix="lsdp_grouped_test_")
     spark.conf.set("spark.logistream.substring.gramGroups", "3")
+    # and the run-assembly sub-split (the second r13 disk/heap bound):
+    # (doc_a, doc_b) sub-hashing must never divide a window group
+    spark.conf.set("spark.logistream.substring.runSubsplits", "2")
     try:
         grouped = {
             tuple(r)
@@ -3103,6 +3106,7 @@ def test_substring_grouped_gram_staging_matches_single_pass(spark):
         ), "grouped staging must not commit a gram manifest"
     finally:
         spark.conf.unset("spark.logistream.substring.gramGroups")
+        spark.conf.unset("spark.logistream.substring.runSubsplits")
         X._SUBSTRING_SHARD_DOCS = old
         X._SCRATCH_DIR = old_scratch
     assert grouped == single and grouped
