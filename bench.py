@@ -450,6 +450,21 @@ SCALE_PROBES: dict[str, object] = {
         "dedup_clusters": 119.85,
         "dedup_near_survivors": 115.32,
         "dedup_embedding": 8.80,
+        # r13 (VERDICT r12 #2/#5): the substring staging re-probed at
+        # 5M docs under the NEW shared-tail generator geometry (pair
+        # volume 3.7x the r12 corpus: 37 GB staged pairs), exercising
+        # both new disk/heap adaptations end to end — gram staging ran
+        # in 4 disk-sized groups, run assembly in 3 heap-sized
+        # sub-splits per pair shard.  doc_substring_spans now emits
+        # 10,000,000 rows at 1000x (exactly the 2n family-tail pairs;
+        # the r12 zero-row blind spot is closed) in 14.4 s steady.
+        # The staged twin's CROSS-SESSION steady state: a fresh
+        # process read the committed durable run table in 15.0 s with
+        # restaged=False (inode+mtime-pinned) — the staging is a
+        # once-per-corpus cost across sessions now, not per session.
+        "doc_substring_spans@steady_r13geom": 14.4,
+        "doc_substring_dedup_staged@fresh_session_steady": 15.0,
+        "doc_substring_dedup_staged@warm": 3.6,
     },
     # r13 (VERDICT r12 #8): graph_kcore lineage-truncation cadence A/B
     # at sf0.1, 3 interleaved reps each, warm scan, local[32].  Every-2

@@ -5258,6 +5258,28 @@ def _substring_shard_bounds(spark: SparkSession) -> tuple[int, int]:
     return shard_docs, docs_per_shard
 
 
+def _reap_dead_stage_tmp(path_prefix: str) -> None:
+    """Remove crash-orphaned private tmp staging dirs (``<prefix>.tmp-
+    <pid>`` where pid is no longer alive) — a crashed loop's tmp dir
+    would otherwise leak disk on the durable staging base forever.  A
+    LIVE pid's tmp dir is never touched (that is a concurrent stager
+    mid-loop)."""
+    import glob
+    import shutil
+
+    for d in glob.glob(path_prefix + ".tmp-*"):
+        try:
+            pid = int(d.rsplit("-", 1)[1])
+        except ValueError:
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid
+
+
 def _substring_runs_sharded(
     spark: SparkSession,
     sf_dir: str,
@@ -5317,7 +5339,18 @@ def _substring_runs_sharded(
         2, math.ceil(fprint["n_rows"] / _substring_shard_bounds(spark)[1])
     )
     tag = os.path.abspath(sf_dir).replace(os.sep, "_")
-    base = _scratch(f"substring_shards_k{k}_{tag}")
+    # DURABLE staging base (r13; was per-process _scratch): the whole
+    # point of the manifest-commit-marker + fingerprint contract is
+    # crash-RESUME, and a crash kills the process — per-process scratch
+    # meant a resumed run could never see its own committed pairs table
+    # and re-mined everything (hit live in the r13 1000x probe: 37 GB
+    # of committed pairs invisible to the retry).  The manifests embed
+    # the corpus fingerprint, so adopting a prior process's committed
+    # stage is exactly as safe as the dedup_minhash_staged durable
+    # path.  The append-loops publish via private-dir + atomic rename
+    # (below), so a concurrent stager cannot interleave appends into a
+    # table another writer commits.
+    base = os.path.join(_durable_stage_root(), f"substring_shards_k{k}_{tag}")
     os.makedirs(base, exist_ok=True)
     gram_path = os.path.join(base, "grams")
     gram_manifest = os.path.join(base, _SUBSTRING_GRAMS_MANIFEST)
@@ -5350,6 +5383,16 @@ def _substring_runs_sharded(
     pairs_manifest = pairs_path + ".manifest.json"
     if not _valid(pairs_manifest, pparams):
         import shutil
+
+        # append-loop publish contract: mine into a PRIVATE tmp dir,
+        # then atomically rename into place before the manifest write —
+        # on a shared durable base a concurrent stager must never
+        # interleave appends into a table another writer commits (the
+        # single-write stages are deterministic-content safe without
+        # this; only the loops need it)
+        _reap_dead_stage_tmp(pairs_path)
+        pairs_tmp = f"{pairs_path}.tmp-{os.getpid()}"
+        shutil.rmtree(pairs_tmp, ignore_errors=True)
 
         # the gram staging is checked/rebuilt INSIDE the pairs branch
         # (ADVICE r12): only pair mining reads grams, and on a
@@ -5402,7 +5445,7 @@ def _substring_runs_sharded(
             )
             m_i.write.partitionBy("pshard").mode(
                 "overwrite" if first else "append"
-            ).parquet(pairs_path)
+            ).parquet(pairs_tmp)
             # scoped shuffle release: this shard's exchanges are
             # unreachable once the local refs drop — collect them so
             # the ContextCleaner frees the files before the next shard
@@ -5463,7 +5506,7 @@ def _substring_runs_sharded(
             first = True
             for lo in range(0, n_shards, per_group):
                 hi = min(lo + per_group, n_shards)
-                gpath = f"{gram_path}_g{lo}"
+                gpath = f"{gram_path}_g{lo}_p{os.getpid()}"
                 _grams_for(lo, hi).write.partitionBy("shard").mode(
                     "overwrite"
                 ).parquet(gpath)
@@ -5473,6 +5516,8 @@ def _substring_runs_sharded(
                     first = False
                 del gg
                 shutil.rmtree(gpath, ignore_errors=True)
+        shutil.rmtree(pairs_path, ignore_errors=True)
+        os.rename(pairs_tmp, pairs_path)
         D.write_manifest_atomic(pairs_manifest, pparams)
         # the gram staging is re-derivable and cap-independent, but the
         # committed PAIR table is what every downstream consumer reads —
@@ -5487,7 +5532,12 @@ def _substring_runs_sharded(
         except OSError:
             pass
     if not _valid(runs_manifest, pparams):
+        import shutil
+
         all_pairs = spark.read.parquet(pairs_path)
+        _reap_dead_stage_tmp(runs_path)
+        runs_tmp = f"{runs_path}.tmp-{os.getpid()}"
+        shutil.rmtree(runs_tmp, ignore_errors=True)
         # HEAP-ADAPTIVE SUB-SPLITTING (found live in the r13 probe: the
         # shared-tail generator change tripled pair volume to 37 GB,
         # and one pshard slice — ~5.3 GB compressed, ~1.5B rows —
@@ -5533,14 +5583,14 @@ def _substring_runs_sharded(
                 m_j = m_j.select("doc_a", "pa", "doc_b", "pb", "diag")
                 _runs_from_matches(m_j, k).write.mode(
                     "overwrite" if (j == 0 and s == 0) else "append"
-                ).parquet(runs_path)
+                ).parquet(runs_tmp)
                 del m_j
                 _gc.collect()
                 spark.sparkContext._jvm.System.gc()
             del shard_j
+        shutil.rmtree(runs_path, ignore_errors=True)
+        os.rename(runs_tmp, runs_path)
         D.write_manifest_atomic(runs_manifest, pparams)
-        import shutil
-
         shutil.rmtree(pairs_path, ignore_errors=True)
         try:
             os.remove(pairs_manifest)

@@ -2812,16 +2812,20 @@ def test_bm25_topk_staged_matches_inline_and_oracle(spark):
             fh.write(orig)
 
 
-def test_substring_sharded_matches_single_pass(spark):
+def test_substring_sharded_matches_single_pass(spark, tmp_path, monkeypatch):
     """The r12 scale split: big corpora mine substring anchors through
     gram-hash shards (staged parquet + per-shard jobs) while small
     corpora keep the single cached-plan path.  Shard boundaries
     partition gram-key space, so the union of shard outputs must be
     VALUE-IDENTICAL to the single pass — pinned here by forcing the
     sharded path onto the small corpus and comparing the registered
-    operators' full row sets."""
+    operators' full row sets.  The staging base is durable (r13) —
+    redirected to a fresh root here so the mining actually runs
+    instead of adopting a prior test run's committed tables."""
     from logistream_data_pipeline_aws_spark.plans import extensions as X
     from tests.conftest import SF_SMALL
+
+    monkeypatch.setenv("LSDP_STAGE_DIR", str(tmp_path / "stage_sharded"))
 
     single_spans = {
         tuple(r) for r in X.doc_substring_spans(spark, SF_SMALL).collect()
@@ -3058,7 +3062,9 @@ def test_graph_kcore_checkpoint_cadence_is_value_neutral(spark):
     assert every1 == every2 and every1
 
 
-def test_substring_grouped_gram_staging_matches_single_pass(spark):
+def test_substring_grouped_gram_staging_matches_single_pass(
+    spark, tmp_path, monkeypatch
+):
     """R13 disk-adaptive gram grouping: when the gram table would not
     fit local staging disk, shards stage+mine in groups (explode+md5
     re-paid per group, slices dropped between groups).  Group
@@ -3068,18 +3074,16 @@ def test_substring_grouped_gram_staging_matches_single_pass(spark):
     from logistream_data_pipeline_aws_spark.plans import extensions as X
     from tests.conftest import SF_SMALL
 
-    import tempfile
-
     single = {
         tuple(r) for r in X.doc_substring_spans(spark, SF_SMALL).collect()
     }
     old = X._SUBSTRING_SHARD_DOCS
-    old_scratch = X._SCRATCH_DIR
     X._SUBSTRING_SHARD_DOCS = 0  # force the sharded path
-    # a FRESH scratch root: the session-shared one may already hold a
+    # a FRESH durable root: the default one may already hold a
     # committed run table from the plain sharded twin test, which would
     # short-circuit this test before any grouped staging runs
-    X._SCRATCH_DIR = tempfile.mkdtemp(prefix="lsdp_grouped_test_")
+    stage_root = str(tmp_path / "stage_grouped")
+    monkeypatch.setenv("LSDP_STAGE_DIR", stage_root)
     spark.conf.set("spark.logistream.substring.gramGroups", "3")
     # and the run-assembly sub-split (the second r13 disk/heap bound):
     # (doc_a, doc_b) sub-hashing must never divide a window group
@@ -3095,7 +3099,7 @@ def test_substring_grouped_gram_staging_matches_single_pass(spark):
         import os
 
         base = glob.glob(
-            os.path.join(X._SCRATCH_DIR, "substring_shards_k20_*")
+            os.path.join(stage_root, "substring_shards_k20_*")
         )
         assert base, "sharded staging dir missing — grouping never ran"
         assert not glob.glob(os.path.join(base[0], "grams_g*")), (
@@ -3108,5 +3112,4 @@ def test_substring_grouped_gram_staging_matches_single_pass(spark):
         spark.conf.unset("spark.logistream.substring.gramGroups")
         spark.conf.unset("spark.logistream.substring.runSubsplits")
         X._SUBSTRING_SHARD_DOCS = old
-        X._SCRATCH_DIR = old_scratch
     assert grouped == single and grouped
