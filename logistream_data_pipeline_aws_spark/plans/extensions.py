@@ -5354,7 +5354,14 @@ def _substring_runs_sharded(
     os.makedirs(base, exist_ok=True)
     gram_path = os.path.join(base, "grams")
     gram_manifest = os.path.join(base, _SUBSTRING_GRAMS_MANIFEST)
-    gparams = {"k": k, "n_shards": n_shards, "corpus": fprint}
+    # "impl" ties every committed stage to the mining source that built
+    # it — on the durable base a code change must restage, never adopt
+    gparams = {
+        "k": k,
+        "n_shards": n_shards,
+        "corpus": fprint,
+        "impl": _substring_impl_digest(),
+    }
     pparams = {
         **gparams,
         "max_gram_docs": max_gram_docs,
@@ -5858,6 +5865,38 @@ def _durable_stage_root() -> str:
     return root
 
 
+_SUBSTRING_IMPL_DIGEST: str | None = None
+
+
+def _substring_impl_digest() -> str:
+    """Source digest of the substring mining implementation, embedded
+    in every durable substring-staging manifest.  The durable base
+    (r13) means a committed gram/pair/run table outlives the process
+    AND the code that built it — params + corpus fingerprint alone
+    would silently adopt a table mined by an OLDER algorithm after a
+    code change (the rotation ledger pins registry entries, but a
+    staged table on disk is outside its reach).  Hashing the mining
+    functions' source makes any change restage: conservative (a
+    comment edit restages too — one scan-bound pass) and automatic,
+    the same transitive-digest discipline the rotation ledger uses."""
+    global _SUBSTRING_IMPL_DIGEST
+    if _SUBSTRING_IMPL_DIGEST is None:
+        import hashlib
+        import inspect
+
+        src = "".join(
+            inspect.getsource(f)
+            for f in (
+                _substring_span_frame,
+                _gram_pair_matches,
+                _runs_from_matches,
+                _substring_runs_sharded,
+            )
+        )
+        _SUBSTRING_IMPL_DIGEST = hashlib.md5(src.encode()).hexdigest()[:12]
+    return _SUBSTRING_IMPL_DIGEST
+
+
 def _substring_runs_params(
     k: int, max_gram_docs: int, max_gram_occurrences: int
 ) -> dict:
@@ -5866,6 +5905,7 @@ def _substring_runs_params(
         "max_gram_docs": max_gram_docs,
         "max_gram_occurrences": max_gram_occurrences,
         "schema": "doc_a,doc_b,diag,s,e",
+        "impl": _substring_impl_digest(),
     }
 
 

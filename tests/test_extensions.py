@@ -3113,3 +3113,36 @@ def test_substring_grouped_gram_staging_matches_single_pass(
         spark.conf.unset("spark.logistream.substring.runSubsplits")
         X._SUBSTRING_SHARD_DOCS = old
     assert grouped == single and grouped
+
+
+def test_substring_staged_impl_digest_gates_adoption(spark, tmp_path, monkeypatch):
+    """R13 durable-base corollary: a committed run table outlives the
+    code that built it, so the manifest embeds a source digest of the
+    mining implementation — a table mined by an OLDER algorithm must
+    restage on the next touch, never be silently adopted."""
+    import json
+    import os
+
+    from logistream_data_pipeline_aws_spark.plans import extensions as X
+    from tests.conftest import SF_SMALL
+
+    monkeypatch.setenv("LSDP_STAGE_DIR", str(tmp_path / "stage_impl"))
+    X.doc_substring_dedup_staged(spark, SF_SMALL).count()
+    path = os.path.join(
+        X._durable_stage_root(),
+        "substring_runs_k20_d50_o200_"
+        + os.path.abspath(SF_SMALL).replace(os.sep, "_"),
+    )
+    assert X.staged_substring_runs_valid(path, 20, 50, 200)
+    mf = os.path.join(path, X._SUBSTRING_RUNS_MANIFEST)
+    manifest = json.load(open(mf))
+    assert manifest["impl"] == X._substring_impl_digest()
+    manifest["impl"] = "000000000000"  # an older algorithm's table
+    with open(mf, "w") as fh:
+        json.dump(manifest, fh)
+    assert not X.staged_substring_runs_valid(path, 20, 50, 200)
+    st0 = os.stat(mf)
+    X.doc_substring_dedup_staged(spark, SF_SMALL).count()  # restages
+    st1 = os.stat(mf)
+    assert (st0.st_ino, st0.st_mtime_ns) != (st1.st_ino, st1.st_mtime_ns)
+    assert json.load(open(mf))["impl"] == X._substring_impl_digest()
