@@ -523,89 +523,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # digest to the manifest recorded at their last green round — a
     # changed tail entry fails CI until rotated back into the head.
     return {
-        # ==== ROUND-13 HEAD WINDOW (the driver records the first ~50) ====
-        # Composition per VERDICT r12 next-round #1/#2 and COVERAGE.md
-        # "Round-13 head-window composition (PINNED at r12 close)":
-        #   1. the 2 r13-queue registrations: the greedy k-center coreset
-        #      (built + 2-SF oracle-pinned in r12) and the cross-session
-        #      substring steady-state twin (durable-path run table under
-        #      the manifest-commit-marker + fingerprint contract, oracle
-        #      shared VERBATIM with the inline twin);
-        #   2. the 5 entries changed this round: the staged BM25 pair
-        #      (the NULL-score impossible-state assert rides _bm25_rank)
-        #      and the substring trio (coverage-step refactor into the
-        #      shared _substring_coverage + memory-derived shard bounds +
-        #      reachable dropped-gram observation);
-        #   3. the 7 at-cap r8-green leaders (non-negotiable);
-        #   4. the 35 stalest r9-green entries + the first r10-green.
-        # -- group 1: new registrations (r13 queue) -----------------------
-        "corpus_coreset_kcenter": X.corpus_coreset_kcenter,
-        "doc_substring_dedup_staged": X.doc_substring_dedup_staged,
-        # -- group 2: changed this round -----------------------------------
-        "bm25_topk_staged": X.bm25_topk_staged,
-        "bm25_topk": X.bm25_topk,
-        "doc_substring_dedup": X.doc_substring_dedup,
+    # ==== ROUND-14 HEAD WINDOW (the driver records the first ~50) ====
+    # Composition per VERDICT r13 next-round #1 and COVERAGE.md
+    # "Round-14 rotation queue (set at round-13 close)":
+    #   1. the 5 entries changed this round — the durable substring
+    #      staging rework (content-vs-layout manifest split, hardened
+    #      reaper, retired-variant GC, slot-aware shard bounds) drifts
+    #      the substring trio + the staged twin + the composed
+    #      pipeline's digests, and graph_kcore gained the
+    #      checkpoint_every>=1 validation (ADVICE r13);
+    #   2. corpus_domain_cap (r10-green, displaced from the r13 window
+    #      by the late kcore cadence adoption — queue leader);
+    #   3. the full 44-entry r10-green block in tail order
+    #      (corpus_gopher_rules .. similarity_ivf_incremental).
+    # 5 + 1 + 44 = exactly the 50-slot window; no registrations this
+    # round (registry stays 193 <= 196).
+    # -- group 1: changed this round ------------------------------------
         "doc_substring_spans": X.doc_substring_spans,
+        "doc_substring_dedup": X.doc_substring_dedup,
+        "doc_substring_dedup_staged": X.doc_substring_dedup_staged,
         "corpus_dedup_pipeline": X.corpus_dedup_pipeline,
-        # graph_kcore: changed late-r13 (the ADOPTED checkpoint_every=2
-        # cadence from the VERDICT #8 A/B — physical-only, value-pinned)
-        # -> head slot per changed-entries-first, displacing the
-        # r10-green corpus_domain_cap fill back to the tail front
         "graph_kcore": X.graph_kcore,
-        # -- group 3: at the 4-round staleness cap (r8-green) --------------
-        "dim_product": W.dim_product,
-        "dim_product_type": W.dim_product_type,
-        "dim_brand": W.dim_brand,
-        "fact_lineitem": W.fact_lineitem,
-        "fact_lineitem_bucketed": W.fact_lineitem_bucketed,
-        "fact_write_readback": X.fact_write_readback,
-        "pii_scrub_stats": X.pii_scrub_stats,
-        # -- group 4: stalest r9-green fill + first r10-green --------------
-        "similarity_ivf_pq": X.similarity_ivf_pq,
-        "media_audio_windows": X.media_audio_windows,
-        "events_upsert_delete": X.events_upsert_delete,
-        "events_stream_upsert": X.events_stream_upsert,
-        "events_upsert_changes": X.events_upsert_changes,
-        "events_upsert_timetravel": X.events_upsert_timetravel,
-        "events_stream_jdbc_upsert": X.events_stream_jdbc_upsert,
-        "events_stream_jdbc_hourly": X.events_stream_jdbc_hourly,
-        "events_stream_hourly": X.events_stream_hourly,
-        "events_stream_dedup": X.events_stream_dedup,
-        "events_stream_enriched": X.events_stream_enriched,
-        "events_stream_order_shipment": X.events_stream_order_shipment,
-        "events_stream_sessions": X.events_stream_sessions,
-        "events_stream_sessions_flushed": X.events_stream_sessions_flushed,
-        "events_stream_sliding": X.events_stream_sliding,
-        "warehouse_compaction_audit": X.warehouse_compaction_audit,
-        "sql_waiting_suppliers": V.sql_waiting_suppliers,
-        "acctbal_window_profile": A.acctbal_window_profile,
-        "lineitem_measures_unpivot": A.lineitem_measures_unpivot,
-        "daily_sales_moving_avg": A.daily_sales_moving_avg,
-        "events_cohort_retention": A.events_cohort_retention,
-        "multimodal_meta": X.multimodal_meta,
-        "media_frames": X.media_frames,
-        "lineitem_abc_pareto_approx": A.lineitem_abc_pareto_approx,
-        "route_geometry_stats": X.route_geometry_stats,
-        "orders_backlog_series": A.orders_backlog_series,
-        "events_attribution_decayed": X.events_attribution_decayed,
-        "graph_hop_distance": X.graph_hop_distance,
-        "events_funnel": A.events_funnel,
-        "customer_rfm_scores": A.customer_rfm_scores,
-        "events_value_quantiles": X.events_value_quantiles,
-        "lineitem_column_profile_approx": X.lineitem_column_profile_approx,
-        "bpe_merge_candidates": X.bpe_merge_candidates,
-        "corpus_epoch_shuffle": X.corpus_epoch_shuffle,
-        "corpus_mixture_plan": X.corpus_mixture_plan,
-        # ===== ~50-entry driver window boundary.  Everything below is
-        #    tail: green in r8-r12 (rows+schema+hash), digest-pinned since
-        #    its green row (tests/test_rotation_ledger.py), stalest first;
-        #    the r12 head window rotated here intact (newest rows last,
-        #    minus bm25_topk_staged which re-enters the r13 head as a
-        #    changed entry).  The two sketch-only prod twins and
-        #    sql_profit_by_hierarchy stay deregistered (bench.py +
-        #    tests/test_prod_twins.py pins).
-        # ==================================================================
+    # -- group 2: queue leader (stalest green row, r10) -----------------
         "corpus_domain_cap": X.corpus_domain_cap,
+    # -- group 3: the r10-green block (stalest-first tail order) --------
         "corpus_gopher_rules": X.corpus_gopher_rules,
         "events_feature_matrix": X.events_feature_matrix,
         "similarity_recall_audit": X.similarity_recall_audit,
@@ -650,6 +591,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": X.dedup_embedding,
         "dedup_minhash_lsh": X.dedup_minhash_lsh,
         "similarity_ivf_incremental": X.similarity_ivf_incremental,
+    # ===== ~50-entry driver window boundary.  Everything below is
+    #    tail: green in r11-r13 (rows+schema+hash), digest-pinned since
+    #    its green row (tests/test_rotation_ledger.py), stalest first:
+    #    the r11-green block leads (dedup_minhash_staged ..), then the
+    #    r12 head window (rotated here intact at r13 close), then the
+    #    r13 head window (newest rows last, minus the 5 changed entries
+    #    and corpus_domain_cap re-entering the r14 head).  The two
+    #    sketch-only prod twins and sql_profit_by_hierarchy stay
+    #    deregistered (bench.py + tests/test_prod_twins.py pins).
+    # ==================================================================
         "dedup_minhash_staged": X.dedup_minhash_staged,
         "doc_bigram_score": X.doc_bigram_score,
         "corpus_dsir_weights": X.corpus_dsir_weights,
@@ -748,6 +699,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_date_slice": X.fact_date_slice,
         "events_json_readback": X.events_json_readback,
         "dim_customer": W.dim_customer,
+        "corpus_coreset_kcenter": X.corpus_coreset_kcenter,
+        "bm25_topk_staged": X.bm25_topk_staged,
+        "bm25_topk": X.bm25_topk,
+        "dim_product": W.dim_product,
+        "dim_product_type": W.dim_product_type,
+        "dim_brand": W.dim_brand,
+        "fact_lineitem": W.fact_lineitem,
+        "fact_lineitem_bucketed": W.fact_lineitem_bucketed,
+        "fact_write_readback": X.fact_write_readback,
+        "pii_scrub_stats": X.pii_scrub_stats,
+        "similarity_ivf_pq": X.similarity_ivf_pq,
+        "media_audio_windows": X.media_audio_windows,
+        "events_upsert_delete": X.events_upsert_delete,
+        "events_stream_upsert": X.events_stream_upsert,
+        "events_upsert_changes": X.events_upsert_changes,
+        "events_upsert_timetravel": X.events_upsert_timetravel,
+        "events_stream_jdbc_upsert": X.events_stream_jdbc_upsert,
+        "events_stream_jdbc_hourly": X.events_stream_jdbc_hourly,
+        "events_stream_hourly": X.events_stream_hourly,
+        "events_stream_dedup": X.events_stream_dedup,
+        "events_stream_enriched": X.events_stream_enriched,
+        "events_stream_order_shipment": X.events_stream_order_shipment,
+        "events_stream_sessions": X.events_stream_sessions,
+        "events_stream_sessions_flushed": X.events_stream_sessions_flushed,
+        "events_stream_sliding": X.events_stream_sliding,
+        "warehouse_compaction_audit": X.warehouse_compaction_audit,
+        "sql_waiting_suppliers": V.sql_waiting_suppliers,
+        "acctbal_window_profile": A.acctbal_window_profile,
+        "lineitem_measures_unpivot": A.lineitem_measures_unpivot,
+        "daily_sales_moving_avg": A.daily_sales_moving_avg,
+        "events_cohort_retention": A.events_cohort_retention,
+        "multimodal_meta": X.multimodal_meta,
+        "media_frames": X.media_frames,
+        "lineitem_abc_pareto_approx": A.lineitem_abc_pareto_approx,
+        "route_geometry_stats": X.route_geometry_stats,
+        "orders_backlog_series": A.orders_backlog_series,
+        "events_attribution_decayed": X.events_attribution_decayed,
+        "graph_hop_distance": X.graph_hop_distance,
+        "events_funnel": A.events_funnel,
+        "customer_rfm_scores": A.customer_rfm_scores,
+        "events_value_quantiles": X.events_value_quantiles,
+        "lineitem_column_profile_approx": X.lineitem_column_profile_approx,
+        "bpe_merge_candidates": X.bpe_merge_candidates,
+        "corpus_epoch_shuffle": X.corpus_epoch_shuffle,
+        "corpus_mixture_plan": X.corpus_mixture_plan,
     }
 
 

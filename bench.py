@@ -685,7 +685,15 @@ def _await_quiet_box(
 # official artifact always carries a quiet-box number for them
 # (VERDICT r9 #3: dedup_semantic — two rounds of dirty lines;
 # doc_substring_spans — x3.75 at constant input, unexplained).
-ALWAYS_ISOLATE = ["dedup_semantic", "doc_substring_spans"]
+ALWAYS_ISOLATE = [
+    "dedup_semantic",
+    "doc_substring_spans",
+    # r14 (VERDICT r13 #3): the one unadjudicated r13 regression —
+    # its interleaved A/B cleared the raise_error guard (<5% cost,
+    # noise-band) but the line stays isolated so a real drift
+    # self-identifies in the artifact
+    "bm25_topk_staged",
+]
 ISOLATE_RUNS = 3  # best-of-3, same discipline as the suite lines
 
 # Per-line session-conf overrides, applied around the line's warm-up +
