@@ -8033,7 +8033,21 @@ def graph_kcore(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"
         )
     edges, und = _copurchase_undirected(spark, sf_dir, max_order_items)
-    und = und.persist()
+    # persist the edge view ALREADY HASH-PARTITIONED on the h-index
+    # window's key (r14, guide §2.4 "remove shuffles outright"): every
+    # round's plan is join(und, c on u) -> Window(partitionBy v) -> agg
+    # -> join(c on v).  The c side is vertex-sized (AQE broadcasts it at
+    # bench scale), so with und cached on hashpartitioning(v) the
+    # window's ENSURE_REQUIREMENTS exchange of the FULL edge frame
+    # disappears from every round — 20 rounds x one 2.4M-row exchange at
+    # sf0.1 (plans/r14/graph_kcore_*.txt).  Cached-plan partitioning is
+    # stable under AQE (canChangeCachedPlanOutputPartitioning defaults
+    # false).  At scales where c outgrows the broadcast threshold the
+    # join re-shuffles und by u and the window re-shuffles by v — the
+    # same one edge-sized exchange per round the unpartitioned form
+    # pays, so the change is neutral there and strictly better below
+    # the threshold.  The degree aggregate reuses the same partitioning.
+    und = und.repartition(F.col("v")).persist()
     deg = (
         und.groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
@@ -8042,10 +8056,34 @@ def graph_kcore(
     cur = deg.select("v", F.col("degree").alias("c"))
     prev_ids: set[int] = set()
     w = Window.partitionBy("v").orderBy(F.desc("cu"))
+    # explicit broadcast of the vertex-sized frames (r14, guide §3.1):
+    # both per-round joins have a vertex-sized side (current corenesses
+    # onto the edge view; h back onto corenesses), but every round's
+    # c-frame is a localCheckpoint LogicalRDD with NO size statistics,
+    # so the static planner can't broadcast it and AQE only recovers
+    # the strategy after materializing each side as a shuffle stage —
+    # two extra stage barriers per round.  The hint makes the plan
+    # statically broadcast: one codegen span per round, zero
+    # non-broadcast exchanges (und is cached pre-partitioned on v).
+    # SIZE-GATED like every other broadcast insurance in this repo:
+    # above ``lsdp.graph.kcore.broadcastMaxNodes`` vertices (~32 B/row
+    # => the default 4M is a ~128 MB relation) the hint is withheld and
+    # the join planning is left to AQE exactly as before — the 1000x
+    # probe graph (18.75M nodes) takes that path.
+    n_nodes = deg.count()
+    bcast_max = int(
+        spark.conf.get("lsdp.graph.kcore.broadcastMaxNodes", "4000000")
+    )
+
+    def _vertex_hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_nodes <= bcast_max else df
 
     def _step(c_frame: DataFrame) -> DataFrame:
         nb = und.join(
-            c_frame.select(F.col("v").alias("u"), F.col("c").alias("cu")), "u"
+            _vertex_hint(
+                c_frame.select(F.col("v").alias("u"), F.col("c").alias("cu"))
+            ),
+            "u",
         ).select("v", "cu")
         h = (
             nb.withColumn("rn", F.row_number().over(w))
@@ -8055,7 +8093,7 @@ def graph_kcore(
                 .alias("h")
             )
         )
-        return c_frame.join(h, "v").select(
+        return c_frame.join(_vertex_hint(h), "v").select(
             "v", F.least(F.col("c"), F.col("h")).alias("c")
         )
 
@@ -8109,7 +8147,9 @@ def graph_kcore_converged(
     from pyspark.sql.window import Window
 
     edges, und = _copurchase_undirected(spark, sf_dir, max_order_items)
-    und = und.persist()
+    # hash-partition on the window key before caching — the same
+    # per-round exchange removal as graph_kcore (see the comment there)
+    und = und.repartition(F.col("v")).persist()
     deg = (
         und.groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
@@ -8119,10 +8159,23 @@ def graph_kcore_converged(
     prev_ids: set[int] = set()
     total = cur.agg(F.sum("c")).collect()[0][0]
     w = Window.partitionBy("v").orderBy(F.desc("cu"))
+    # size-gated vertex broadcast hints — same rationale and knob as
+    # graph_kcore (the c-frames are stat-less LogicalRDDs every round)
+    n_nodes = deg.count()
+    bcast_max = int(
+        spark.conf.get("lsdp.graph.kcore.broadcastMaxNodes", "4000000")
+    )
+
+    def _vertex_hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_nodes <= bcast_max else df
+
     try:
         for _ in range(max_rounds):
             nb = und.join(
-                cur.select(F.col("v").alias("u"), F.col("c").alias("cu")), "u"
+                _vertex_hint(
+                    cur.select(F.col("v").alias("u"), F.col("c").alias("cu"))
+                ),
+                "u",
             ).select("v", "cu")
             h = (
                 nb.withColumn("rn", F.row_number().over(w))
@@ -8133,7 +8186,7 @@ def graph_kcore_converged(
                 )
             )
             nxt = (
-                cur.join(h, "v")
+                cur.join(_vertex_hint(h), "v")
                 .select("v", F.least(F.col("c"), F.col("h")).alias("c"))
                 .localCheckpoint(eager=True)
             )
