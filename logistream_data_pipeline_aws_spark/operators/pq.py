@@ -87,9 +87,10 @@ def pq_codes(
     cents = parts.where(F.col("_vid") < k).select(
         "_sid", F.col("_vid").cast("int").alias("_cid"), F.col("_sv").alias("_cv")
     )
-    w = Window.partitionBy("_vid", "_sid").orderBy("_d2", "_cid")
-
     def assign(cents_df: DataFrame) -> DataFrame:
+        # argmin as a map-side-combinable min(struct) instead of a
+        # row_number window — same (d2, cid) tie-break, k-fold fewer
+        # shuffled rows, no sort (see similarity._nearest, r14)
         d2 = F.aggregate(
             F.zip_with("_sv", "_cv", lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -98,9 +99,15 @@ def pq_codes(
         return (
             parts.join(F.broadcast(cents_df), "_sid")
             .withColumn("_d2", d2)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("_vid", "_sid", "_sv", "_cid", "_d2")
+            .groupBy("_vid", "_sid")
+            .agg(F.min(F.struct("_d2", "_cid", "_sv")).alias("_m"))
+            .select(
+                "_vid",
+                "_sid",
+                F.col("_m._sv").alias("_sv"),
+                F.col("_m._cid").alias("_cid"),
+                F.col("_m._d2").alias("_d2"),
+            )
         )
 
     for _ in range(iters):

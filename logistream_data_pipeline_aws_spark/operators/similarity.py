@@ -244,8 +244,19 @@ def _gated_vecs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 def _nearest(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Argmin centroid per vector — left-fold d2, (d2, cid) tie-break;
-    centroids broadcast (k tiny rows), so this is a map-side score."""
-    w = Window.partitionBy("_vid").orderBy("_d2", "_cid")
+    centroids broadcast (k tiny rows), so this is a map-side score.
+
+    The argmin is a ``groupBy(min(struct(_d2, _cid, _v)))``, not a
+    row_number window (r14, guide §2.3 "aggregate before you shuffle"):
+    struct ordering is lexicographic by field, so ``min`` picks exactly
+    the ``orderBy(_d2, _cid)`` first row (``_cid`` is unique within a
+    vector's group — the trailing ``_v`` never decides), while the
+    aggregate partially combines MAP-SIDE: the k-way crossJoin expansion
+    collapses back to one row per vector before the exchange, so the
+    shuffle carries n rows with one vector array instead of n*k rows
+    with two, and the per-partition sort disappears.  Every k-means
+    consumer (ivf_kmeans_assign, ivf_pq_topk, dedup_semantic,
+    ivf_incremental_assign, kcenter_coreset) inherits the change."""
     d2 = F.aggregate(
         F.zip_with("_v", "_c", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -254,9 +265,14 @@ def _nearest(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     return (
         vecs.crossJoin(F.broadcast(cents))
         .withColumn("_d2", d2)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("_vid", "_v", "_cid", "_d2")
+        .groupBy("_vid")
+        .agg(F.min(F.struct("_d2", "_cid", "_v")).alias("_m"))
+        .select(
+            "_vid",
+            F.col("_m._v").alias("_v"),
+            F.col("_m._cid").alias("_cid"),
+            F.col("_m._d2").alias("_d2"),
+        )
     )
 
 

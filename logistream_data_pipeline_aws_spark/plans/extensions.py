@@ -7304,10 +7304,36 @@ def graph_triangle_count(
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
+    # size-gated broadcast of the vertex-sized degree frames (r14, guide
+    # §3.1): this line runs with AQE OFF (the adjudicated r11 production
+    # conf), so a statically-planned SortMergeJoin is never rescued at
+    # runtime — and deg is an aggregate with no size stats, so the
+    # static planner always picked SMJ, paying two edge-sized exchanges
+    # (by pa, then pb) plus two deg-sized ones.  Vertex count is bounded
+    # by the part table (nodes are l_partkey values), a cheap
+    # metadata-sized count; above ``lsdp.graph.triangle.broadcastMaxNodes``
+    # (~16 B/row => the default 4M is a ~64 MB relation) the hint is
+    # withheld and the join shape is exactly the pre-r14 one.
+    try:
+        n_parts = load_table(spark, "part", sf_dir).count()
+    except Exception:
+        # synthetic fixtures carry only a lineitem table — without the
+        # part count the gate cannot prove the vertex side small, so
+        # withhold the hints (exactly the pre-r14 join shape)
+        n_parts = None
+    bcast_max = int(
+        spark.conf.get("lsdp.graph.triangle.broadcastMaxNodes", "4000000")
+    )
+
+    def _vhint(df: DataFrame) -> DataFrame:
+        if n_parts is not None and n_parts <= bcast_max:
+            return F.broadcast(df)
+        return df
+
     da = deg.select(F.col("v").alias("_va"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("_vb"), F.col("d").alias("db"))
-    with_deg = edges.join(da, F.col("pa") == F.col("_va")).join(
-        db, F.col("pb") == F.col("_vb")
+    with_deg = edges.join(_vhint(da), F.col("pa") == F.col("_va")).join(
+        _vhint(db), F.col("pb") == F.col("_vb")
     )
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
@@ -7343,14 +7369,25 @@ def graph_triangle_count(
         (F.col("v") == F.col("_cs")) & (F.col("w") == F.col("_cd")),
         "left_semi",
     )
+    # one explode instead of a 3-way union of per-column selects (r14,
+    # guide §1.2 "the distributed algorithm"): each union branch
+    # re-EXECUTED the wedge join + closure semi-join — ReusedExchange
+    # shares only the shuffle writes, not the join compute after them —
+    # so the most expensive subtree in the census ran three times
+    # (plans/r14/graph_triangle_count_before.txt: three SortMergeJoin
+    # LeftSemi at ops 64/76/82).  explode(array(u,v,w)) emits the same
+    # vertex multiset from ONE derivation of the triangle list; the
+    # count per vertex — and the rows out — are identical.  The array
+    # here is three already-computed long columns, not an expensive
+    # computed array, so the InferFiltersFromGenerate trap
+    # (functions/arrays.py::explode_once) does not apply.
     per_node = (
-        tri.select(F.col("u").alias("v"))
-        .unionAll(tri.select(F.col("v").alias("v")))
-        .unionAll(tri.select(F.col("w").alias("v")))
+        tri.select(F.explode(F.array("u", "v", "w")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
     )
-    return deg.join(per_node, "v", "left").select(
+    # per_node is vertex-bounded too — same gate as the degree joins
+    return deg.join(_vhint(per_node), "v", "left").select(
         F.col("v").alias("part"),
         F.col("d").alias("degree"),
         F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_triangles"),
