@@ -927,10 +927,15 @@ def prefix_filter_pairs(
         base = build_item_sets(df, id_col, text_col, k_shingle)
 
     h = (lambda d: d.hint("merge")) if prefer_merge else (lambda d: d)
-    td = base.select("doc_id", F.explode("tk").alias("token"))
+    # carry the set size from the (distinct) item array instead of a
+    # second count-window pass: tk is array_distinct by construction, so
+    # size(tk) == the exploded row count per doc, and the rank window's
+    # doc_id exchange no longer pays an extra full aggregation pass
+    td = base.select(
+        "doc_id", F.size("tk").alias("n"), F.explode("tk").alias("token")
+    )
     dfreq = td.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
-    wn = Window.partitionBy("doc_id")
     # the shingle vocabulary scales with the corpus — dfreq must never be
     # a broadcast build side (static size estimates for this aggregate
     # are unreliable; the 100x probe watched a multi-GB broadcast OOM the
@@ -942,21 +947,29 @@ def prefix_filter_pairs(
             "doc_id",
             "token",
             F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wn).alias("n"),
+            "n",
         )
     )
     prefix = ranked.where(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     ).select("doc_id", F.col("token").alias("block"))
     prefix = bounded_blocks(prefix, max_token_bucket, "prefix_token_cap")
-    # prefix-token self-join: both sides scale with the corpus — shuffle,
-    # never broadcast (bucket caps bound the per-key expansion, not the
-    # frame size)
+    # in-bucket pair expansion (the capped_bucket_pairs shape) instead of
+    # a prefix-token self-join: the join planned the explode -> dfreq ->
+    # rank -> cap subtree independently per side (the pre-exchange
+    # projections differ, so no ReusedExchange) and EXECUTED THE WHOLE
+    # PREFIX DERIVATION TWICE.  Grouping the capped buckets and exploding
+    # sorted-id combinations derives it once; bounded_blocks guarantees
+    # 2..max_token_bucket rows per block, so the collected id array and
+    # the O(bucket²) expansion stay bounded exactly like the LSH paths.
+    buckets = prefix.groupBy("block").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
     cand = (
-        h(prefix.select("block", F.col("doc_id").alias("id_a")))
-        .join(prefix.select("block", F.col("doc_id").alias("id_b")), "block")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(
+            F.explode(_pairs_from_sorted_ids(F.col("ids"))).alias("p")
+        )
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
     a = base.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("tk_a"))

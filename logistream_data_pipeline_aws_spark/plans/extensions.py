@@ -4478,32 +4478,58 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     left joins on doc_id plus one per-cluster min — broadcast/shuffle
     joins on the corpus key, nothing new crosses to the driver."""
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
-    exact_keeps = dedup_survivors(spark, sf_dir).select("doc_id").withColumn(
-        "_ek", F.lit(1)
+    # the keep-id set IS the exact-survivor doc_id set (keep_id = the min
+    # doc_id of its content group, always a corpus doc_id), so derive it
+    # straight from the group table — dedup_survivors' semi-join back
+    # through the corpus re-reads documents for columns this stitch
+    # never consumes (guide §1.2: don't compute things you throw away)
+    exact_keeps = (
+        D.exact_duplicates(
+            load_table(spark, "documents", sf_dir), "doc_id", "text"
+        )
+        .select(F.col("keep_id").alias("doc_id"))
+        .withColumn("_ek", F.lit(1))
     )
     clusters = dedup_clusters(spark, sf_dir)  # (doc_id, cluster_id)
     # EVERY stitch side is corpus-sized (survivor set, cluster labels,
-    # per-cluster mins, coverage verdicts), so none may ride a broadcast:
-    # at the 100x probe AQE's runtime estimates put them under the 64 MB
-    # threshold and the inflated hash relations OOMed the JVM — the same
-    # failure dedup_family's verify joins hint against.  merge = sorted
-    # shuffle on the corpus key, the only join shape that survives any
-    # scale here.
-    mg = lambda d: d.hint("merge")  # noqa: E731
-    # min EXACT-SURVIVING member per cluster
-    surv_min = (
-        clusters.join(mg(exact_keeps.select("doc_id")), "doc_id")
-        .groupBy("cluster_id")
-        .agg(F.min("doc_id").alias("_surv_min"))
-    )
+    # per-cluster mins, coverage verdicts), so above corpus scale none
+    # may ride a broadcast: at the 100x probe AQE's runtime estimates
+    # put them under the 64 MB threshold and the inflated hash relations
+    # OOMed the JVM — the same failure dedup_family's verify joins hint
+    # against.  merge = sorted shuffle on the corpus key, the only join
+    # shape that survives at scale.  The insurance is SIZE-GATED on the
+    # same staged corpus flag the minhash stage derives (the
+    # prefix-filter gate pattern, r5 VERDICT #2): below the threshold
+    # every stitch side is definitionally broadcast-safe and the forced
+    # sorts are pure overhead.
+    _, _big_corpus = _staged_minhash_sigs(spark, sf_dir)
+    mg = (lambda d: d.hint("merge")) if _big_corpus else (lambda d: d)
     coverage = doc_substring_dedup(spark, sf_dir).select(
         "doc_id", "dup_chars", F.col("status").alias("_sub")
     )
     out = (
         docs.join(mg(exact_keeps), "doc_id", "left")
         .join(mg(clusters), "doc_id", "left")
-        .join(mg(surv_min), "cluster_id", "left")
         .join(mg(coverage), "doc_id", "left")
+    )
+    # min EXACT-SURVIVING member per cluster as ONE window over the
+    # stitched spine (clusters emits a row per document, so each
+    # cluster_id partition already holds every member): the former
+    # groupBy + cluster_id join re-derived the exact-dedup aggregate and
+    # the cluster labels a second time (different projections — no plan
+    # reuse) and forced an extra corpus-wide merge join.  min ignores
+    # NULLs, so only _ek rows contribute — identical semantics, and the
+    # isNotNull guard preserves the join's NULL-key-never-matches
+    # behavior for any spine row without a cluster label.
+    from pyspark.sql import Window
+
+    _w_cluster = Window.partitionBy("cluster_id")
+    out = out.withColumn(
+        "_surv_min",
+        F.when(
+            F.col("cluster_id").isNotNull(),
+            F.min(F.when(F.col("_ek") == 1, F.col("doc_id"))).over(_w_cluster),
+        ),
     )
     return out.select(
         "doc_id",

@@ -247,7 +247,7 @@ def test_prefix_filter_merge_insurance_gate(spark):
     plan = insured._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("SortMergeJoin") >= 4  # dfreq, cap, self-join, 2x verify
+    assert plan.count("SortMergeJoin") >= 4  # dfreq, cap keep-join, 2x verify
     # the registered entry's gate is corpus-size-driven: at test scale
     # it must take the cheap broadcast arm (the A/B-measured form)
     gated = _plan(spark, "dedup_prefix_filter")
