@@ -389,7 +389,13 @@ def _assemble_fact_lineitem(
     # passes run once, not once per fact build.
     products = _staged_keymap(spark, sf_dir, "part", "p_partkey", "product_key")
     customers = _staged_keymap(spark, sf_dir, "customer", "c_custkey", "customer_key")
-    status = dim_junk_status(spark, sf_dir)
+    # the junk dimension is a dimension like any other: stage it once per
+    # (application, sf_dir) instead of re-running its lineitem+orders
+    # distinct scan on every fact build (the registered dim_junk_status
+    # entry still times the unstaged build)
+    status = _staged(
+        spark, sf_dir, "dim:junk_status", lambda: dim_junk_status(spark, sf_dir)
+    )
 
     # J4 analog: differing column names, big-big equi join on the natural key.
     orders_slim = orders.select(
