@@ -96,6 +96,13 @@ def capped_bucket_pairs(
     count and the collect shuffle on the same band key, so AQE reuses the
     partitioning (one logical extra pass, no extra wide exchange).
     ``max_bucket_size=None`` disables the cap (small-corpus/test use only).
+
+    CONTRACT: ``banded`` holds at most one row per (band, id).  Every
+    in-repo band generator satisfies it by construction (an explode of a
+    per-id array of index-prefixed band keys), which lets the cap count
+    be a plain map-side-combinable ``count(1)`` — ``countDistinct`` here
+    planned an extra full (band, id) de-dup exchange before the per-band
+    count, doubling the shuffled bytes of the cap pass for nothing.
     """
     if max_bucket_size is None:
         buckets = banded.groupBy(band_col).agg(
@@ -103,7 +110,7 @@ def capped_bucket_pairs(
         ).where(F.size("ids") > 1)
     else:
         counts = banded.groupBy(band_col).agg(
-            F.countDistinct(id_col).alias("_n_ids")
+            F.count(F.lit(1)).alias("_n_ids")
         )
         counts = counts.observe(
             metric_name or f"lsh_bucket_cap_{band_col}",

@@ -81,6 +81,13 @@ def test_fact_side_table_scans_are_narrow(spark):
         assert len(cols) == 1, f"side-table scan not key-pruned: {scan.group(0)[:120]}"
     for m in re.finditer(r"InMemoryTableScan \[([^\]]*)\]", plan):
         cols = [c for c in m.group(1).split(",") if c.strip()]
+        if any("status_key" in c for c in cols):
+            # the staged junk dimension is (status_key + 3 flag columns)
+            # by definition — tiny (distinct flag combos), not a key map
+            assert len(cols) <= 4, (
+                f"staged junk dim wider than key + 3 flags: {m.group(0)[:120]}"
+            )
+            continue
         assert len(cols) <= 2, (
             f"staged key-map scan wider than (key, surrogate): {m.group(0)[:120]}"
         )
