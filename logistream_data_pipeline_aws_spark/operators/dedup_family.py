@@ -1055,14 +1055,27 @@ def _release_rdds(spark, ids: set[int]) -> None:
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iters: int = 20
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iters: int = 20,
+    driver_path_max_edges: int | None = 100_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — turns
     near-duplicate *pairs* into duplicate *clusters* (the step between
     pair mining and choosing one survivor per group).
 
     ``nodes``: one column ``id``; ``edges``: columns ``id_a``/``id_b``.
-    Each round every node adopts the minimum label among itself, its
+
+    Two strategies behind one contract (cluster_id = min reachable id,
+    singletons keep their own id): graphs at or under
+    ``driver_path_max_edges`` symmetric edge rows are labeled by a
+    driver-side union-find over the collected (gate-bounded, few-MB)
+    edge list — the distributed loop pays ~4 Spark jobs per round
+    regardless of data size, which dominates wall-clock on the
+    duplicate graphs real corpora produce (dupes are a small fraction
+    of the corpus); larger graphs run the distributed loop below.
+
+    Each loop round every node adopts the minimum label among itself, its
     neighbors, AND its current label's label (pointer doubling — the
     shortcutting half of classic hook/jump PRAM connectivity, same
     trick as Kiveris et al. "Connected Components in MapReduce and
@@ -1125,6 +1138,63 @@ def connected_components(
     # frames from corpus-sized to edge-bounded.  Untouched nodes rejoin
     # via the final left join.
     n_sym = sym.count()  # also materializes the (often expensive) mining
+    if driver_path_max_edges is not None and n_sym <= driver_path_max_edges:
+        # TINY-GRAPH DRIVER PATH (guide §1.2 step 1: pick the algorithm
+        # by size — the broadcast-join discipline applied to iteration).
+        # The distributed loop costs ~4 driver-visible jobs PER ROUND
+        # regardless of data size: measured 10.1 s for a 323-edge graph
+        # at sf0.1, while a collected union-find labels it in
+        # milliseconds.  The collect is BOUNDED by the gate (<= 100k
+        # symmetric edge rows, a few MB — the same tiny-graph threshold
+        # the AQE bypass below uses); at corpus scale the gate keeps CC
+        # on the O(log d) loop, so nothing data-sized ever crosses to
+        # the driver.  Labels are identical by construction:
+        # union-by-minimum-root + find-to-root yields the minimum
+        # reachable id — exactly the loop's fixpoint and the DuckDB
+        # oracle's recursive min-reach.  Pass ``driver_path_max_edges=0``
+        # or ``None`` to force the distributed loop — the loop-behavior
+        # tests (convergence guard, AQE restore, block release) do.
+        from pyspark.sql import types as T
+
+        pair_rows = sym.collect()
+        sym.unpersist()
+        parent: dict = {}
+
+        def _find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # full path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in pair_rows:
+            a, b = row[0], row[1]
+            if a is None or b is None:
+                continue  # NULL endpoints never equi-join in the loop
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = _find(a), _find(b)
+            if ra == rb:
+                continue
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # roots stay set-minimums inductively
+        id_type = sym.schema["src"].dataType
+        label_schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("label", id_type)]
+        )
+        labels_df = nodes.sparkSession.createDataFrame(
+            [(v, _find(v)) for v in parent], label_schema
+        )
+        # labels_df is gate-bounded (<= 2 * driver_path_max_edges rows):
+        # broadcast so the corpus-sized node spine never shuffles
+        return nodes.join(F.broadcast(labels_df), "id", "left").select(
+            F.col("id"),
+            F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
+        )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

@@ -180,10 +180,12 @@ def test_guards_raise_loudly(spark):
             parent=spark.createDataFrame([(1,)], ["k"]),
         )
     # a 25-node path graph has diameter > 3: must refuse, not mislabel
+    # (driver_path_max_edges=0 forces the distributed loop this guard
+    # protects; the default driver path has no partial-label mode)
     nodes = spark.createDataFrame([(i,) for i in range(25)], ["id"])
     edges = spark.createDataFrame([(i, i + 1) for i in range(24)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(nodes, edges, max_iters=3)
+        connected_components(nodes, edges, max_iters=3, driver_path_max_edges=0)
 
 
 def test_quality_score_pandas_null_parity(spark):
@@ -239,7 +241,7 @@ def test_connected_components_restores_aqe_on_failure(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "count", flaky)
     try:
         with pytest.raises(RuntimeError, match="mid-round"):
-            D.connected_components(nodes, edges)
+            D.connected_components(nodes, edges, driver_path_max_edges=0)
     finally:
         monkeypatch.undo()
     assert calls["n"] > 1  # the failure really fired inside the loop
@@ -1714,7 +1716,9 @@ def test_connected_components_releases_checkpoint_blocks(spark):
         [(i, i + 1) for i in range(39)], ["id_a", "id_b"]
     )
     before = persistent_ids()
-    out = D.connected_components(nodes, edges)
+    # force the distributed loop: the block-release discipline under
+    # test only exists there (the driver path persists nothing)
+    out = D.connected_components(nodes, edges, driver_path_max_edges=0)
     # consume the result (it reads the final round's retained blocks)
     assert out.where(F.col("cluster_id") != 0).count() == 0
     leaked = persistent_ids() - before

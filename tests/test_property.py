@@ -441,6 +441,15 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(nodes, e, max_iters=20).collect()
     }
     assert got == expected
+    # both strategies must agree: force the distributed loop too (the
+    # default above takes the gate-bounded driver union-find path)
+    got_loop = {
+        r.id: r.cluster_id
+        for r in connected_components(
+            nodes, e, max_iters=20, driver_path_max_edges=0
+        ).collect()
+    }
+    assert got_loop == expected
 
 
 @_slow
