@@ -290,6 +290,23 @@ SCALE_PROBES: dict[str, object] = {
     # fresh-session wall is the one explode + pre-agg pass each scorer
     # inherently costs; DSIR's is bigger (unigrams+bigrams, 425M-row
     # persisted frame spilling to disk).
+    # r14 (VERDICT r13 #8): the durable substring twin's cross-session
+    # claim, witnessed by tools/cold_twin_probe.py as two SEPARATE
+    # processes — `stage` paid the mining at 48 g, then `steady` ran
+    # from a genuinely cold 8 g JVM (a DIFFERENT heap, so the row also
+    # witnesses the r14 content-vs-layout manifest split: a
+    # heap-drifted session must adopt, not restage).  restaged:false is
+    # asserted by manifest inode+mtime pinning; the probe exits
+    # non-zero on a restage, so a regression cannot produce this row.
+    "cold_twin_steady_state": {
+        "mult": 1000,
+        "n_docs": 5000000,
+        "stage_heap_gib": 48.0,
+        "steady_heap_gib": 8.0,
+        "steady_wall_s": 8.614,
+        "value_hash_matches_stage_phase": True,
+        "restaged": False,
+    },
     "staged_tokens_probe_1000x": {
         "mult": 1000,
         "n_docs": 5_000_000,
