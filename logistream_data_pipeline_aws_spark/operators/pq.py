@@ -84,6 +84,98 @@ def pq_codes(
         )
     )
     parts = _pq_subspaces(vecs, m, sub)
+    spark = df.sparkSession
+    from logistream_data_pipeline_aws_spark.operators.similarity import (
+        _literal_argmin_max_k,
+        _sql_argmin,
+    )
+
+    if k <= _literal_argmin_max_k(spark):
+        # k-gated driver-literal codebooks (r15, the similarity._nearest
+        # _literal discipline): per Lloyd round the assign is an IN-ROW
+        # argmin against literal centroids dispatched by a CASE on _sid
+        # (only the matching branch evaluates, so per-row fold work is
+        # exactly k — the same as the broadcast-join expansion), and the
+        # means come back as m*k*sub tiny collected rows.  Zero assign
+        # exchange; values bit-identical (same left-fold d2, same
+        # (d2, cid) lexicographic winner).
+        def _collect_cbs(rows) -> dict[int, list[tuple[int, list]]]:
+            cbs: dict[int, list[tuple[int, list]]] = {}
+            for sid, cid, vec in rows:
+                cbs.setdefault(int(sid), []).append(
+                    (int(cid), [float(x) for x in vec])
+                )
+            return {sid: sorted(lst) for sid, lst in cbs.items()}
+
+        cbs = _collect_cbs(
+            (r["_sid"], r["_vid"], r["_sv"])
+            for r in parts.where(F.col("_vid") < k).collect()
+        )
+
+        def assign_literal(cbs: dict) -> DataFrame:
+            if not cbs:
+                return parts.select(
+                    "_vid",
+                    "_sid",
+                    "_sv",
+                    F.lit(None).cast("int").alias("_cid"),
+                    F.lit(None).cast("double").alias("_d2"),
+                ).where(F.lit(False))
+            # ONE SQL string for the whole _sid-dispatched argmin (the
+            # _sql_argmin py4j-batching discipline); only the matching
+            # CASE branch evaluates per row
+            m_expr = F.expr(
+                "CASE "
+                + " ".join(
+                    f"WHEN _sid = {int(sid)} THEN "
+                    + _sql_argmin("_sv", cbs[sid])
+                    for sid in sorted(cbs)
+                )
+                + " END"
+            )
+            return parts.select(
+                "_vid",
+                "_sid",
+                "_sv",
+                m_expr.getField("_cid").alias("_cid"),
+                m_expr.getField("_d2").alias("_d2"),
+            )
+
+        for _ in range(iters):
+            if not cbs:
+                break
+            mean_rows = (
+                assign_literal(cbs)
+                .select("_sid", "_cid", F.posexplode("_sv").alias("_pos", "_x"))
+                .groupBy("_sid", "_cid", "_pos")
+                .agg(
+                    (
+                        F.sum(F.col("_x").cast("decimal(30,8)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("_mu")
+                )
+                .collect()
+            )
+            by_key: dict[tuple[int, int], dict[int, float]] = {}
+            for r in mean_rows:
+                by_key.setdefault((int(r["_sid"]), int(r["_cid"])), {})[
+                    int(r["_pos"])
+                ] = r["_mu"]
+            cbs = _collect_cbs(
+                (sid, cid, [vals[p] for p in sorted(vals)])
+                for (sid, cid), vals in by_key.items()
+            )
+        codes = assign_literal(cbs).select("_vid", "_sid", "_cid", "_d2")
+        cents = spark.createDataFrame(
+            [
+                (sid, cid, cv)
+                for sid in sorted(cbs)
+                for cid, cv in cbs[sid]
+            ],
+            "_sid int, _cid int, _cv array<double>",
+        )
+        return codes, cents
+
     cents = parts.where(F.col("_vid") < k).select(
         "_sid", F.col("_vid").cast("int").alias("_cid"), F.col("_sv").alias("_cv")
     )
@@ -328,35 +420,82 @@ def ivf_pq_topk(
     driver."""
     from logistream_data_pipeline_aws_spark.operators.similarity import (
         _gated_vecs,
+        _literal_argmin_max_k,
         _lloyd_train,
+        _lloyd_train_literal,
         _nearest,
+        _nearest_literal,
+        _sql_d2,
     )
 
     vecs = _gated_vecs(df, id_col, vec_col)
-    seeds = vecs.where(F.col("_vid") < n_lists).select(
-        F.col("_vid").cast("int").alias("_cid"), F.col("_v").alias("_c")
-    )
-    # n_lists tiny rows referenced twice (corpus assignment + query
-    # probe): checkpoint so the coarse training runs once
-    coarse = _lloyd_train(vecs, seeds, iters).localCheckpoint(eager=True)
-    asg = _nearest(vecs, coarse).select(
-        "_vid", F.col("_cid").alias("_list")
-    )
-    d2 = F.aggregate(
-        F.zip_with("_v", "_c", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    wq = Window.partitionBy("_qid").orderBy("_d2", "_cid")
-    probe = (
-        vecs.where(F.col("_vid") < n_queries)
-        .select(F.col("_vid").alias("_qid"), "_v")
-        .crossJoin(F.broadcast(coarse))
-        .withColumn("_d2", d2)
-        .withColumn("_rn", F.row_number().over(wq))
-        .where(F.col("_rn") <= nprobe)
-        .select("_qid", F.col("_cid").alias("_list"))
-    )
+    if n_lists <= _literal_argmin_max_k(df.sparkSession):
+        # gate-bounded coarse quantizer (r15): literal Lloyd training +
+        # in-row assign, and the query probe becomes an in-row
+        # sort-and-slice over the literal centroid structs —
+        # array_sort's lexicographic (d2, cid) ascending order IS the
+        # row_number window's orderBy(_d2, _cid), so the nprobe cut is
+        # identical.  No localCheckpoint needed: the centroids are
+        # driver values, so the double reference costs nothing.
+        seed_rows = [
+            (int(r["_vid"]), [float(x) for x in r["_v"]])
+            for r in vecs.where(F.col("_vid") < n_lists).collect()
+        ]
+        coarse_rows = _lloyd_train_literal(vecs, seed_rows, iters)
+        asg = _nearest_literal(vecs, coarse_rows).select(
+            "_vid", F.col("_cid").alias("_list")
+        )
+        if not coarse_rows:  # empty/all-NULL corpus: no lists to probe
+            probe = vecs.select(
+                F.col("_vid").alias("_qid"),
+                F.lit(None).cast("int").alias("_list"),
+            ).where(F.lit(False))
+        else:
+            sorted_cents = F.expr(
+                "array_sort(array("
+                + ",".join(
+                    "named_struct('_d2', "
+                    + _sql_d2("_v", c)
+                    + ", '_cid', CAST("
+                    + str(int(cid))
+                    + " AS INT))"
+                    for cid, c in coarse_rows
+                )
+                + "))"
+            )
+            probe = (
+                vecs.where(F.col("_vid") < n_queries)
+                .select(
+                    F.col("_vid").alias("_qid"),
+                    F.explode(F.slice(sorted_cents, 1, nprobe)).alias("_e"),
+                )
+                .select("_qid", F.col("_e._cid").alias("_list"))
+            )
+    else:
+        seeds = vecs.where(F.col("_vid") < n_lists).select(
+            F.col("_vid").cast("int").alias("_cid"), F.col("_v").alias("_c")
+        )
+        # n_lists tiny rows referenced twice (corpus assignment + query
+        # probe): checkpoint so the coarse training runs once
+        coarse = _lloyd_train(vecs, seeds, iters).localCheckpoint(eager=True)
+        asg = _nearest(vecs, coarse).select(
+            "_vid", F.col("_cid").alias("_list")
+        )
+        d2 = F.aggregate(
+            F.zip_with("_v", "_c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        wq = Window.partitionBy("_qid").orderBy("_d2", "_cid")
+        probe = (
+            vecs.where(F.col("_vid") < n_queries)
+            .select(F.col("_vid").alias("_qid"), "_v")
+            .crossJoin(F.broadcast(coarse))
+            .withColumn("_d2", d2)
+            .withColumn("_rn", F.row_number().over(wq))
+            .where(F.col("_rn") <= nprobe)
+            .select("_qid", F.col("_cid").alias("_list"))
+        )
     codes, cents = pq_codes(df, id_col, vec_col, dim, m=m, k=k, iters=iters)
     sub = dim // m
     qraw = df.where(

@@ -215,11 +215,23 @@ def ivf_kmeans_assign(
     persist discipline is unnecessary here: each round's centroids are
     k rows, not an edge list)."""
     vecs = _gated_vecs(df, id_col, vec_col)
-    cents = vecs.where(F.col("_vid") < k).select(
-        F.col("_vid").cast("int").alias("_cid"), F.col("_v").alias("_c")
-    )
-    cents = _lloyd_train(vecs, cents, iters)
-    return _nearest(vecs, cents).select(
+    # k-gated driver-literal assign (r15): zero assign exchange at or
+    # under the gate; the distributed aggregate path above it (see
+    # _literal_argmin_max_k for the scale policy)
+    if k <= _literal_argmin_max_k(df.sparkSession):
+        seed_rows = [
+            (int(r["_vid"]), [float(x) for x in r["_v"]])
+            for r in vecs.where(F.col("_vid") < k).collect()
+        ]
+        cents_rows = _lloyd_train_literal(vecs, seed_rows, iters)
+        assigned = _nearest_literal(vecs, cents_rows)
+    else:
+        cents = vecs.where(F.col("_vid") < k).select(
+            F.col("_vid").cast("int").alias("_cid"), F.col("_v").alias("_c")
+        )
+        cents = _lloyd_train(vecs, cents, iters)
+        assigned = _nearest(vecs, cents)
+    return assigned.select(
         F.col("_vid").alias("vec_id"),
         F.col("_cid").alias("list_id"),
         F.round("_d2", 6).alias("dist2"),
@@ -240,6 +252,149 @@ def _gated_vecs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
         )
     )
+
+
+def _literal_argmin_max_k(spark) -> int:
+    """Gate for the driver-literal centroid argmin (r15, guide §2.4
+    "remove shuffles outright"): at or under this many centroids the
+    Lloyd assign is computed IN-ROW against driver-collected literal
+    centroids — zero assign exchange, zero broadcast build — and each
+    round's means are collected as k*dim tiny rows (the
+    kcenter_coreset / connected-components driver-scalar precedent).
+    Above the gate the r14 map-side-combinable aggregate path runs
+    unchanged: production k grows with the corpus (dedup_semantic's
+    adaptive ``max(8, n/256)``), so at 100 TB the distributed shape is
+    what executes — the gate is a size policy, not a local[32] tune."""
+    return int(
+        spark.conf.get("lsdp.similarity.argmin.driverLiteralMaxK", "64")
+    )
+
+
+def _sql_double(x: float) -> str:
+    """Exact SQL double literal: Python ``repr`` emits the shortest
+    string that round-trips to the same IEEE double, and the JVM's
+    correctly-rounded parse lands back on that exact double — so the
+    literal centroids are bit-identical to the collected values."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite centroid component: {v!r}")
+    return repr(v) + "D"
+
+
+def _sql_vec(vec: list) -> str:
+    return "array(" + ",".join(_sql_double(x) for x in vec) + ")"
+
+
+def _sql_d2(vcol: str, vec: list) -> str:
+    """The engine's sequential left-fold of (x-y)^2 as ONE SQL string —
+    identical Catalyst expressions (ZipWith/ArrayAggregate) to the
+    ``F.zip_with``/``F.aggregate`` distributed form, but built with a
+    single py4j round trip.  Building the same tree column-by-column
+    costs ~0.5 ms per ``F.lit``: with k centroids x 64 dims per assign
+    the literal path spent MORE time in py4j construction chatter than
+    the whole query's execution (measured 0.6-0.8 s per assign;
+    similarity_ivf_pq read 9.7 s vs the 6.0 s baseline before this)."""
+    return (
+        "aggregate(zip_with("
+        + vcol
+        + ", "
+        + _sql_vec(vec)
+        + ", (x, y) -> (x - y) * (x - y)), 0.0D, (a, x) -> a + x)"
+    )
+
+
+def _sql_argmin(vcol: str, cents_rows: list[tuple[int, list]]) -> str:
+    """``array_min`` over (d2, cid) structs — lexicographic struct
+    ordering, the same winner (tie-break included) as the distributed
+    ``min(struct(_d2, _cid, _v))`` aggregate (cid unique per vector)."""
+    return (
+        "array_min(array("
+        + ",".join(
+            "named_struct('_d2', "
+            + _sql_d2(vcol, c)
+            + ", '_cid', CAST("
+            + str(int(cid))
+            + " AS INT))"
+            for cid, c in cents_rows
+        )
+        + "))"
+    )
+
+
+def _d2_literal(vcol: str, vec: list) -> Column:
+    """Left-fold d2 against a driver-literal centroid (``vcol`` is a
+    column NAME — the expression is built as one SQL string, see
+    ``_sql_d2``)."""
+    return F.expr(_sql_d2(vcol, vec))
+
+
+def _empty_nearest(vecs: DataFrame) -> DataFrame:
+    return vecs.select(
+        "_vid",
+        "_v",
+        F.lit(None).cast("int").alias("_cid"),
+        F.lit(None).cast("double").alias("_d2"),
+    ).where(F.lit(False))
+
+
+def _nearest_literal(
+    vecs: DataFrame, cents_rows: list[tuple[int, list]]
+) -> DataFrame:
+    """In-row argmin against driver-literal centroids — the zero-assign
+    -shuffle twin of ``_nearest`` for gate-bounded k.  ``array_min``
+    over (d2, cid) structs is the same lexicographic struct ordering as
+    the aggregate's ``min(struct(_d2, _cid, _v))`` (cid unique per
+    vector), so the winner — tie-break included — is identical; d2 is
+    the identical left-fold, so the value is bit-exact."""
+    if not cents_rows:
+        return _empty_nearest(vecs)
+    m = F.expr(_sql_argmin("_v", cents_rows))
+    return vecs.select(
+        "_vid",
+        "_v",
+        m.getField("_cid").alias("_cid"),
+        m.getField("_d2").alias("_d2"),
+    )
+
+
+def _collect_means(assigned: DataFrame) -> list[tuple[int, list]]:
+    """The Lloyd mean recompute, collected: the SAME decimal-exact
+    aggregate as ``_lloyd_train`` (DECIMAL(30,8) sum, double divide),
+    brought back as k*dim tiny rows and reassembled by position —
+    exactly ``sort_array(collect_list(struct(_pos, _m)))`` evaluated on
+    the driver.  Doubles round-trip bit-exactly (IEEE double on both
+    sides), so the literal centroids are the distributed path's values."""
+    rows = (
+        assigned.select("_cid", F.posexplode("_v").alias("_pos", "_x"))
+        .groupBy("_cid", "_pos")
+        .agg(
+            (
+                F.sum(F.col("_x").cast("decimal(30,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_m")
+        )
+        .collect()
+    )
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cid.setdefault(int(r["_cid"]), {})[int(r["_pos"])] = r["_m"]
+    return sorted(
+        (cid, [vals[p] for p in sorted(vals)]) for cid, vals in by_cid.items()
+    )
+
+
+def _lloyd_train_literal(
+    vecs: DataFrame, seed_rows: list[tuple[int, list]], iters: int
+) -> list[tuple[int, list]]:
+    """Driver-literal Lloyd loop: each round is one in-row assign
+    projection + one small collected mean aggregate — no assign
+    exchange, no broadcast build, no per-round plan nesting."""
+    cents = seed_rows
+    for _ in range(iters):
+        if not cents:
+            break
+        cents = _collect_means(_nearest_literal(vecs, cents))
+    return cents
 
 
 def _nearest(vecs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -321,25 +476,38 @@ def ivf_incremental_assign(
 
     Returns (vec_id, list_id, dist2) for the shard only."""
     bvecs = _gated_vecs(base, id_col, vec_col)
-    # seed selection stays DISTRIBUTED: orderBy().limit(k) over the id
-    # column plans as TakeOrdered (per-partition top-k, driver merge of k
-    # ids), then a broadcast join pulls just those k vectors — the rank
-    # window below runs over k rows, never the corpus.  A bare
-    # no-partition row_number window here would global-sort every base
-    # vector (embeddings included) through ONE task (ADVICE r7).
-    seed_ids = bvecs.select("_vid").orderBy("_vid").limit(k)
-    wseed = Window.orderBy("_vid")
-    seeds = (
-        bvecs.join(F.broadcast(seed_ids), "_vid")
-        .withColumn("_srn", F.row_number().over(wseed))
-        .select(
-            (F.col("_srn") - 1).cast("int").alias("_cid"),
-            F.col("_v").alias("_c"),
-        )
-    )
-    cents = _lloyd_train(bvecs, seeds, iters)
     svecs = _gated_vecs(shard, id_col, vec_col)
-    return _nearest(svecs, cents).select(
+    if k <= _literal_argmin_max_k(base.sparkSession):
+        # k-gated driver-literal path (r15): orderBy().limit(k) plans as
+        # TakeOrdered and collect() returns the k rows SORTED by _vid,
+        # so enumerate() reproduces the rank window's _srn - 1 cid
+        seed_rows = [
+            (i, [float(x) for x in r["_v"]])
+            for i, r in enumerate(bvecs.orderBy("_vid").limit(k).collect())
+        ]
+        cents_rows = _lloyd_train_literal(bvecs, seed_rows, iters)
+        assigned = _nearest_literal(svecs, cents_rows)
+    else:
+        # seed selection stays DISTRIBUTED: orderBy().limit(k) over the
+        # id column plans as TakeOrdered (per-partition top-k, driver
+        # merge of k ids), then a broadcast join pulls just those k
+        # vectors — the rank window below runs over k rows, never the
+        # corpus.  A bare no-partition row_number window here would
+        # global-sort every base vector (embeddings included) through
+        # ONE task (ADVICE r7).
+        seed_ids = bvecs.select("_vid").orderBy("_vid").limit(k)
+        wseed = Window.orderBy("_vid")
+        seeds = (
+            bvecs.join(F.broadcast(seed_ids), "_vid")
+            .withColumn("_srn", F.row_number().over(wseed))
+            .select(
+                (F.col("_srn") - 1).cast("int").alias("_cid"),
+                F.col("_v").alias("_c"),
+            )
+        )
+        cents = _lloyd_train(bvecs, seeds, iters)
+        assigned = _nearest(svecs, cents)
+    return assigned.select(
         F.col("_vid").alias("vec_id"),
         F.col("_cid").alias("list_id"),
         F.round("_d2", 6).alias("dist2"),
@@ -387,12 +555,9 @@ def kcenter_coreset(
     vecs = _gated_vecs(df, id_col, vec_col).persist()
 
     def d2_to(center_vec: list) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in center_vec])
-        return F.aggregate(
-            F.zip_with("_v", arr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+        # one SQL-string expression per center (r15): the per-F.lit py4j
+        # construction cost compounds across the k-1 least() rounds
+        return _d2_literal("_v", center_vec)
 
     out_schema = (
         "vec_id bigint, center_id bigint, center_round int, dist2 double"
@@ -429,9 +594,14 @@ def kcenter_coreset(
         [(rnd, cvid, vec) for rnd, cvid, vec in centers],
         "_cid int, _cvid bigint, _c array<double>",
     )
-    out = _nearest(vecs, cents.select("_cid", "_c")).join(
-        F.broadcast(cents.select("_cid", "_cvid")), "_cid"
-    )
+    # centers are ALREADY driver literals — the final assignment uses
+    # the in-row literal argmin when gate-bounded (r15; identical values
+    # — see _nearest_literal), keeping the corpus scan exchange-free
+    if len(centers) <= _literal_argmin_max_k(spark):
+        near = _nearest_literal(vecs, [(rnd, vec) for rnd, _, vec in centers])
+    else:
+        near = _nearest(vecs, cents.select("_cid", "_c"))
+    out = near.join(F.broadcast(cents.select("_cid", "_cvid")), "_cid")
     return out.select(
         F.col("_vid").alias("vec_id"),
         F.col("_cvid").alias("center_id"),

@@ -3447,3 +3447,56 @@ def test_substring_staged_survives_heap_drift(spark, tmp_path, monkeypatch):
     assert (st0.st_ino, st0.st_mtime_ns) == (st1.st_ino, st1.st_mtime_ns), (
         "heap drift must not restage a committed run table"
     )
+
+
+def test_literal_argmin_matches_distributed_paths(spark):
+    """R15 (VERDICT r14 #1): the k-gated driver-literal centroid argmin
+    must be row-identical — d2 doubles included — to the distributed
+    aggregate path on every k-means consumer, and its assign must plan
+    with NO aggregate/join machinery (the exchange-free projection is
+    the whole point).  Both strategies stay pinned here the way the CC
+    driver union-find is pinned against the distributed loop."""
+    import random
+
+    from logistream_data_pipeline_aws_spark.operators import pq as PQ
+
+    rng = random.Random(1542)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)
+    ] + [(300, None)]  # NULL vector exercises the gate
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    shard = emb.where(F.col("vec_id") % 2 == 1)
+
+    cases = {
+        "kmeans": lambda: S.ivf_kmeans_assign(
+            emb, "vec_id", "embedding", k=6, iters=2
+        ),
+        "incremental": lambda: S.ivf_incremental_assign(
+            base, shard, "vec_id", "embedding", k=5, iters=2
+        ),
+        "kcenter": lambda: S.kcenter_coreset(emb, "vec_id", "embedding", k=7),
+        "pq_codes": lambda: PQ.pq_codes(
+            emb, "vec_id", "embedding", 16, m=4, k=6, iters=2
+        )[0],
+        "ivf_pq": lambda: PQ.ivf_pq_topk(
+            emb, "vec_id", "embedding", 16, n_lists=4, nprobe=2
+        ),
+    }
+    gate_key = "lsdp.similarity.argmin.driverLiteralMaxK"
+    try:
+        for name, fn in cases.items():
+            spark.conf.set(gate_key, "64")
+            lit = sorted(tuple(r) for r in fn().collect())
+            spark.conf.set(gate_key, "0")
+            dist = sorted(tuple(r) for r in fn().collect())
+            assert lit == dist and lit, name
+    finally:
+        spark.conf.unset(gate_key)
+    # plan shape: the literal kmeans assign is a pure projection — no
+    # aggregate, no join, no window anywhere in the physical plan
+    plan = (
+        cases["kmeans"]()._jdf.queryExecution().executedPlan().toString()
+    )
+    for node in ("HashAggregate", "Join", "Window", "Exchange hashpartitioning"):
+        assert node not in plan, (node, plan)

@@ -35,7 +35,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("OPT_MEASURE_ROUND", "r15"),
     )
     os.makedirs(plans_dir, exist_ok=True)
     out: dict[str, object] = {}
