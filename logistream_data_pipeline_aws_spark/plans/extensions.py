@@ -8096,43 +8096,55 @@ def graph_kcore(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"
         )
     edges, und = _copurchase_undirected(spark, sf_dir, max_order_items)
-    # persist the edge view ALREADY HASH-PARTITIONED on the h-index
-    # window's key (r14, guide §2.4 "remove shuffles outright"): every
-    # round's plan is join(und, c on u) -> Window(partitionBy v) -> agg
-    # -> join(c on v).  The c side is vertex-sized (AQE broadcasts it at
-    # bench scale), so with und cached on hashpartitioning(v) the
-    # window's ENSURE_REQUIREMENTS exchange of the FULL edge frame
-    # disappears from every round — 20 rounds x one 2.4M-row exchange at
-    # sf0.1 (plans/r14/graph_kcore_*.txt).  Cached-plan partitioning is
-    # stable under AQE (canChangeCachedPlanOutputPartitioning defaults
-    # false).  At scales where c outgrows the broadcast threshold the
-    # join re-shuffles und by u and the window re-shuffles by v — the
-    # same one edge-sized exchange per round the unpartitioned form
-    # pays, so the change is neutral there and strictly better below
-    # the threshold.  The degree aggregate reuses the same partitioning.
-    und = und.repartition(F.col("v")).persist()
     deg = (
         und.groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .localCheckpoint(eager=True)
     )
+    # persist the edge view ALREADY HASH-PARTITIONED on the h-index
+    # window's key (r14, guide §2.4 "remove shuffles outright"), WITH a
+    # self row per node appended (r15): the round update needs both the
+    # neighbor values (for H) and the node's own value (for the
+    # least(c, h) cap).  Joining c twice per round — once onto the edge
+    # view, once onto the aggregated h — made every round's plan
+    # reference the previous round's frame TWICE, so rounds between
+    # lineage truncations re-derived each other (the every-4 cadence
+    # A/B loss in r13) and each round paid a second vertex join.  With
+    # self rows carried in the cached frame, ONE broadcast join
+    # attaches c to both edge and self rows, the window ranks only
+    # non-self rows (self sorts last and is excluded from the h
+    # aggregate), and one aggregate emits least(c, h) directly — c is
+    # referenced ONCE per round, so plans between truncations grow
+    # linearly instead of doubling and the second join is gone.
+    # Cached-plan partitioning is stable under AQE
+    # (canChangeCachedPlanOutputPartitioning defaults false).  At
+    # scales where c outgrows the broadcast threshold the join
+    # re-shuffles und by u and the window re-shuffles by v — the same
+    # one edge-sized exchange per round the unpartitioned form pays.
+    und = (
+        und.select("v", "u", F.lit(0).alias("_self"))
+        .unionAll(
+            deg.select(
+                "v", F.col("v").alias("u"), F.lit(1).alias("_self")
+            )
+        )
+        .repartition(F.col("v"))
+        .persist()
+    )
     cur = deg.select("v", F.col("degree").alias("c"))
     prev_ids: set[int] = set()
-    w = Window.partitionBy("v").orderBy(F.desc("cu"))
-    # explicit broadcast of the vertex-sized frames (r14, guide §3.1):
-    # both per-round joins have a vertex-sized side (current corenesses
-    # onto the edge view; h back onto corenesses), but every round's
-    # c-frame is a localCheckpoint LogicalRDD with NO size statistics,
-    # so the static planner can't broadcast it and AQE only recovers
-    # the strategy after materializing each side as a shuffle stage —
-    # two extra stage barriers per round.  The hint makes the plan
-    # statically broadcast: one codegen span per round, zero
-    # non-broadcast exchanges (und is cached pre-partitioned on v).
-    # SIZE-GATED like every other broadcast insurance in this repo:
-    # above ``lsdp.graph.kcore.broadcastMaxNodes`` vertices (~32 B/row
-    # => the default 4M is a ~128 MB relation) the hint is withheld and
-    # the join planning is left to AQE exactly as before — the 1000x
-    # probe graph (18.75M nodes) takes that path.
+    # non-self rows rank exactly as before (self sorts LAST per node, so
+    # neighbor ranks are unchanged); tie order among equal cu cannot
+    # change an h-index (the r11 determinism argument)
+    w = Window.partitionBy("v").orderBy("_self", F.desc("cu"))
+    # explicit broadcast of the vertex-sized c frame (r14, guide §3.1):
+    # every round's c-frame is a localCheckpoint LogicalRDD with NO size
+    # statistics, so the static planner can't broadcast it and AQE only
+    # recovers the strategy after materializing both sides as shuffle
+    # stages.  SIZE-GATED: above ``lsdp.graph.kcore.broadcastMaxNodes``
+    # vertices (~32 B/row => the default 4M is a ~128 MB relation) the
+    # hint is withheld and planning is left to AQE exactly as before —
+    # the 1000x probe graph (18.75M nodes) takes that path.
     n_nodes = deg.count()
     bcast_max = int(
         spark.conf.get("lsdp.graph.kcore.broadcastMaxNodes", "4000000")
@@ -8147,17 +8159,25 @@ def graph_kcore(
                 c_frame.select(F.col("v").alias("u"), F.col("c").alias("cu"))
             ),
             "u",
-        ).select("v", "cu")
-        h = (
+        ).select("v", "_self", "cu")
+        return (
             nb.withColumn("rn", F.row_number().over(w))
             .groupBy("v")
             .agg(
-                F.max(F.least(F.col("rn").cast("long"), F.col("cu")))
-                .alias("h")
+                F.least(
+                    # h over neighbors only (self rows rank past the
+                    # degree and are excluded here)
+                    F.max(
+                        F.when(
+                            F.col("_self") == 0,
+                            F.least(F.col("rn").cast("long"), F.col("cu")),
+                        )
+                    ),
+                    # the node's own value, riding the self row — the
+                    # least(c, h) cap without a second join
+                    F.max(F.when(F.col("_self") == 1, F.col("cu"))),
+                ).alias("c")
             )
-        )
-        return c_frame.join(_vertex_hint(h), "v").select(
-            "v", F.least(F.col("c"), F.col("h")).alias("c")
         )
 
     try:
@@ -8180,8 +8200,11 @@ def graph_kcore(
         # per-round cost paid once)
         t0 = cur.agg(F.sum("c")).collect()[0][0]
         t1 = _step(cur).agg(F.sum("c")).collect()[0][0]
+        # the final degree join is vertex-sized on both sides (two
+        # stat-less LogicalRDDs — static planner would sort-merge):
+        # same size-gated hint as the per-round c frame
         return (
-            deg.join(cur, "v")
+            deg.join(_vertex_hint(cur), "v")
             .select(
                 F.col("v").alias("part"),
                 "degree",
@@ -8210,18 +8233,28 @@ def graph_kcore_converged(
     from pyspark.sql.window import Window
 
     edges, und = _copurchase_undirected(spark, sf_dir, max_order_items)
-    # hash-partition on the window key before caching — the same
-    # per-round exchange removal as graph_kcore (see the comment there)
-    und = und.repartition(F.col("v")).persist()
     deg = (
         und.groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .localCheckpoint(eager=True)
     )
+    # hash-partition on the window key + append per-node self rows
+    # before caching — the same one-join fused round as graph_kcore
+    # (see the comment there)
+    und = (
+        und.select("v", "u", F.lit(0).alias("_self"))
+        .unionAll(
+            deg.select(
+                "v", F.col("v").alias("u"), F.lit(1).alias("_self")
+            )
+        )
+        .repartition(F.col("v"))
+        .persist()
+    )
     cur = deg.select("v", F.col("degree").alias("c"))
     prev_ids: set[int] = set()
     total = cur.agg(F.sum("c")).collect()[0][0]
-    w = Window.partitionBy("v").orderBy(F.desc("cu"))
+    w = Window.partitionBy("v").orderBy("_self", F.desc("cu"))
     # size-gated vertex broadcast hints — same rationale and knob as
     # graph_kcore (the c-frames are stat-less LogicalRDDs every round)
     n_nodes = deg.count()
@@ -8239,18 +8272,23 @@ def graph_kcore_converged(
                     cur.select(F.col("v").alias("u"), F.col("c").alias("cu"))
                 ),
                 "u",
-            ).select("v", "cu")
-            h = (
+            ).select("v", "_self", "cu")
+            nxt = (
                 nb.withColumn("rn", F.row_number().over(w))
                 .groupBy("v")
                 .agg(
-                    F.max(F.least(F.col("rn").cast("long"), F.col("cu")))
-                    .alias("h")
+                    F.least(
+                        F.max(
+                            F.when(
+                                F.col("_self") == 0,
+                                F.least(
+                                    F.col("rn").cast("long"), F.col("cu")
+                                ),
+                            )
+                        ),
+                        F.max(F.when(F.col("_self") == 1, F.col("cu"))),
+                    ).alias("c")
                 )
-            )
-            nxt = (
-                cur.join(_vertex_hint(h), "v")
-                .select("v", F.least(F.col("c"), F.col("h")).alias("c"))
                 .localCheckpoint(eager=True)
             )
             ids = D._own_checkpoint_rdd_ids(nxt) & D._persistent_rdd_ids(spark)
@@ -8260,7 +8298,7 @@ def graph_kcore_converged(
             if n_total == total:
                 break
             total = n_total
-        return deg.join(cur, "v").select(
+        return deg.join(_vertex_hint(cur), "v").select(
             F.col("v").alias("part"),
             "degree",
             F.col("c").cast("long").alias("coreness"),
