@@ -469,6 +469,111 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_quality_filter_vectorized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Value-identical Arrow-batched twin of ``corpus_quality_filter``
+    (r15, guide §4.2 — the ``minhash_signatures_vectorized`` pattern).
+
+    The expression form is a zero-exchange whole-stage-codegen scan
+    whose cost is per-row interpreted higher-order evaluation: the
+    token array is re-split per consumer (n_tokens, quality's three
+    token passes, four stopword_hits — HOF lambdas get no codegen and
+    no common-subexpression elimination).  Here each document is
+    tokenized ONCE per Arrow batch and every signal (token count,
+    quality, per-language stopword hits, predicted language) derives
+    from that single pass in CPython with C-speed primitives
+    (``str.split``-equivalent regex, ``isalpha``/``isascii``,
+    frozenset membership).  Tokenization mirrors the JVM exactly:
+    trim = strip of 0x20 only, split on the ASCII ``\\s`` class
+    ``[ \\t\\n\\x0b\\f\\r]+`` with Java's keep-empty split semantics
+    (``re.split`` matches), empty text yielding ``[""]``.  Rounding
+    follows ``quality_score_pandas``'s pinned HALF_UP emulation.
+
+    Pinned row-identical to the expression form on the fixture corpora
+    by ``tests/test_corpus_ops.py``; benched as its own line (the prod
+    -twin convention — the declared ``corpus_quality_filter`` entry and
+    its DuckDB oracle are untouched)."""
+    from logistream_data_pipeline_aws_spark.operators.dedup_family import (
+        parallelize_cpu_stage,
+    )
+
+    docs = parallelize_cpu_stage(
+        load_table(spark, "documents", sf_dir).select(
+            "doc_id", "lang", "source", "text"
+        )
+    )
+    sws = {lg: frozenset(ws) for lg, ws in STOPWORDS.items()}
+    schema = (
+        "doc_id bigint, lang string, source string, "
+        "n_tokens bigint, quality double, predicted_lang string"
+    )
+
+    def run(batches):
+        import math
+        import re
+
+        import pandas as pd
+
+        # once per task (guide §4.5): compiled ASCII-\s splitter and the
+        # four stopword sets
+        tok_re = re.compile(r"[ \t\n\x0b\f\r]+")
+        en, de, es, fr = (sws[lg] for lg in ("en", "de", "es", "fr"))
+        for pdf in batches:
+            pdf = pdf[pdf["text"].notna()]
+            if not len(pdf):
+                continue
+            out_rows = []
+            for doc_id, lang, source, text in zip(
+                pdf["doc_id"], pdf["lang"], pdf["source"], pdf["text"]
+            ):
+                toks = tok_re.split(text.strip(" "))
+                n = len(toks)
+                if not (8 <= n <= 512):
+                    continue
+                alpha = 0
+                e = d = s_ = f_ = 0
+                for x in toks:
+                    if x.isalpha() and x.isascii():
+                        alpha += 1
+                    lx = x.lower()
+                    if lx in en:
+                        e += 1
+                    if lx in de:
+                        d += 1
+                    if lx in es:
+                        s_ += 1
+                    if lx in fr:
+                        f_ += 1
+                raw = min(n / 64.0, 1.0) * (
+                    0.5 + 0.3 * (alpha / n) + 0.2 * min(e / 4.0, 1.0)
+                )
+                quality = math.floor(raw * 1e6 + 0.5) / 1e6
+                if quality < 0.5:
+                    continue
+                if e >= d and e >= s_ and e >= f_:
+                    pred = "en"
+                elif d >= s_ and d >= f_:
+                    pred = "de"
+                elif s_ >= f_:
+                    pred = "es"
+                else:
+                    pred = "fr"
+                if pred != lang:
+                    continue
+                out_rows.append((doc_id, lang, source, n, quality, pred))
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=[
+                        "doc_id", "lang", "source",
+                        "n_tokens", "quality", "predicted_lang",
+                    ],
+                )
+
+    return docs.mapInPandas(run, schema)
+
+
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition scoring — the quality signal that catches boilerplate
     and degenerate generations: per document, the most frequent word

@@ -473,3 +473,56 @@ def test_bpe_encode_stats_matches_python_greedy(spark, tmp_path):
         assert r.chars_per_token == round(
             expected[r.doc_id][1] / expected[r.doc_id][2], 6
         )
+
+
+def test_quality_filter_vectorized_matches_expression_form(spark):
+    """R15 (VERDICT r14 #3): the Arrow-batched quality-filter twin must
+    be row-identical — quality doubles included — to the declared
+    expression form on the fixture corpora, the
+    minhash_signatures_vectorized parity discipline.  Also pins the
+    plan shape: Arrow batches (MapInPandas/ArrowEval), never
+    row-pickled BatchEvalPython."""
+    for sf in (SF_SMALL, "/root/testdata/sf0.01"):
+        exp = sorted(
+            tuple(r) for r in X.corpus_quality_filter(spark, sf).collect()
+        )
+        got_df = X.corpus_quality_filter_vectorized(spark, sf)
+        got = sorted(tuple(r) for r in got_df.collect())
+        assert got == exp and got, sf
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_quality_filter_vectorized_null_and_edge_text(spark, tmp_path):
+    """NULL text, whitespace-only text, and tab-led text (where JVM
+    trim-space-only + ASCII \\s split semantics bite) must round-trip
+    identically through both forms."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    import shutil
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in ("documents", "events"):
+        src = f"{SF_SMALL}/{t}.parquet"
+        dst = str(d / f"{t}.parquet")
+        shutil.copy(src, dst) if not __import__("os").path.isdir(src) else None
+    base = _pq.read_table(f"{SF_SMALL}/documents.parquet")
+    n = base.num_rows
+    texts = base.column("text").to_pylist()
+    texts[0] = None
+    texts[1] = "   "
+    texts[2] = "\tthe a of and to in is it you that " * 3
+    base = base.set_column(
+        base.schema.get_field_index("text"), "text", _pa.array(texts)
+    )
+    _pq.write_table(base, str(d / "documents.parquet"))
+    exp = sorted(
+        tuple(r) for r in X.corpus_quality_filter(spark, str(d)).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in X.corpus_quality_filter_vectorized(spark, str(d)).collect()
+    )
+    assert got == exp
