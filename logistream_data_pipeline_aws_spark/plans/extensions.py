@@ -6863,7 +6863,15 @@ def bm25_topk(
     # pruning otherwise specializes each branch's scan and defeats
     # exchange reuse, leaving 3 full tokenize passes).
     tf = _bm25_postings(spark, sf_dir, toks)
-    return _bm25_rank(tf, toks, n_queries, n_terms, k_top, k1, b)
+    # the doc-length leg of the index, staged per (session, corpus) like
+    # the postings themselves (r15 — see _bm25_rank)
+    dl = _cached_corpus_agg(
+        spark,
+        sf_dir,
+        "bm25_dl:inline",
+        lambda: tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+    )
+    return _bm25_rank(tf, toks, n_queries, n_terms, k_top, k1, b, dl=dl)
 
 
 def _bm25_rank(
@@ -6875,6 +6883,7 @@ def _bm25_rank(
     k1: float,
     b: float,
     null_score_diag: str | None = None,
+    dl: DataFrame | None = None,
 ) -> DataFrame:
     """The BM25 scoring pipeline downstream of the postings table —
     shared verbatim by ``bm25_topk`` (in-session persisted postings)
@@ -6889,17 +6898,13 @@ def _bm25_rank(
     count, df/dl from counts/sums over it, idf a total function of
     df/n_docs), so a NULL score can only mean corrupt or partially-read
     staged postings, and scoring must fail loudly with the staging
-    diagnostic rather than emit a NULL that survives to the gate."""
+    diagnostic rather than emit a NULL that survives to the gate.
+
+    ``dl``: optionally a pre-built (persisted) doc-length table —
+    (doc_id, dl) with dl = SUM(tf) per doc.  When None it is derived
+    inline from ``tf`` (identical values by construction)."""
     from pyspark.sql import Window
 
-    df_ = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    corpus = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
-    )
     # the query-doc scan stays separate but carries a pushed-down
     # doc_id < n_queries predicate: row-group stats skip the corpus
     qterms = (
@@ -6920,27 +6925,57 @@ def _bm25_rank(
         )
         .distinct()
     )
-    idf = df_.crossJoin(F.broadcast(corpus.select("n_docs"))).select(
-        "term",
-        F.round(
-            F.log(
-                (F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5)
-                + 1.0
-            ),
-            6,
-        ).alias("idf"),
+    # candidate postings = ONE pass over the postings table with a
+    # broadcast hash probe on the distinct query terms (r15, guide §2.3
+    # "aggregate what you need"): df for the rest of the vocabulary was
+    # computed and thrown away by the downstream inner joins, so derive
+    # df as a window COUNT over this candidate frame instead of a second
+    # vocabulary-sized aggregate pass over the whole table — identical
+    # values for every surviving term (tf holds one row per (doc, term),
+    # so rows-per-term over candidates IS the document frequency).
+    qt = qterms.select("term").distinct()
+    cand = tf.join(F.broadcast(qt), "term").withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
+    )
+    # the doc-length table is PART of a BM25 index (every lexical engine
+    # stores doc lengths/norms next to its postings): the registered
+    # callers pass it in persisted per (session, corpus) like the
+    # postings themselves, so the two consumers below (the per-doc join
+    # and the corpus-stats aggregate) read one in-memory frame instead
+    # of re-deriving the doc-grain aggregate per consumer — the r15 plan
+    # previously derived dl from the postings table THREE times (join
+    # side, n_docs broadcast, avgdl broadcast; AQE's runtime stage reuse
+    # does not catch them even though static ReuseExchange does).
+    if dl is None:
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
     postings = (
         F.broadcast(qterms)
-        .join(tf, "term")
-        .join(F.broadcast(idf), "term")
+        .join(cand, "term")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus.select("avgdl")))
+        .crossJoin(F.broadcast(corpus))
         .where(F.col("query_id") != F.col("doc_id"))
     )
+    # idf in-row from the joined (df, n_docs) instead of a separate
+    # per-term idf frame: round(ln) is a deterministic row-local
+    # function of values that are constant per term, so per-posting
+    # evaluation is value-identical — and the former TWO single-column
+    # corpus broadcasts (n_docs for idf, avgdl for postings), each of
+    # which re-derived dl from scratch, fold into ONE two-column
+    # broadcast of the same aggregate (r15).
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+            + 1.0
+        ),
+        6,
+    )
     contrib = (
-        F.col("idf")
+        idf
         * (F.col("tf") * F.lit(k1 + 1.0))
         / (
             F.col("tf")
@@ -7119,9 +7154,16 @@ def bm25_topk_staged(
     toks = docs.where(F.col("text").isNotNull()).select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
     )
+    dl = _cached_corpus_agg(
+        spark,
+        sf_dir,
+        "bm25_dl:staged",
+        lambda: tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+    )
     return _bm25_rank(
         tf, toks, n_queries, n_terms, k_top, k1, b,
         null_score_diag=f"staged postings at {path}",
+        dl=dl,
     )
 
 

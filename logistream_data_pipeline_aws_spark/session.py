@@ -47,6 +47,24 @@ def get_spark(
         # -- Catalyst/AQE: let the optimizer re-plan at runtime -------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelism-first post-shuffle coalescing KEPT at Spark's
+        # default (r15 NEGATIVE RESULT, guide §2.2 vs measured evidence):
+        # byte-based coalescing (parallelismFirst=false, the documented
+        # busy-cluster recommendation) was hypothesized to fix the
+        # sub-second tail whose 8-core bench beats 32-core, but an
+        # interleaved same-session A/B at sf0.1 showed NO reproducible
+        # win anywhere and strong losses wherever a post-shuffle stage is
+        # CPU-dense with a small byte footprint — the coalesce-to-one-
+        # partition serialized window sorts over token/edge frames
+        # (graph_kcore 9.5->13.6 s, doc_substring_spans 1.56->2.62,
+        # dedup_prefix_filter 1.75->2.48, user_sessions 0.39->0.56).
+        # Scheduling 32 tiny tasks is not this workload's bottleneck;
+        # fixed per-query planning cost is (OPTIMIZATION_r15.md).  The
+        # env knob keeps the A/B reproducible.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # -- joins: dims are small, always prefer broadcast-hash ------------
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
