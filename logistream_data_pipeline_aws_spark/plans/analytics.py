@@ -917,56 +917,99 @@ def lineitem_abc_pareto_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pareto_from_cuts(rev_d: DataFrame, cuts: DataFrame) -> DataFrame:
     """Shared decomposed-cumsum tail of the two Pareto forms: bin by the
-    broadcast 9-cutpoint frame (strict >, row-local), run the cumulative
-    decimal window inside each bin, offset each bin by the triangular
-    join over the 10-row bin-totals frame, then classify."""
+    9 cutpoints (strict >, row-local), run the cumulative decimal window
+    inside each bin, offset each bin by the running sum over the 10 bin
+    totals, then classify.
+
+    The cutpoints, bin totals and grand total are DRIVER LITERALS
+    (r15): every one of these frames is bounded by the fixed decile
+    count at ANY corpus scale (9 doubles, <= 10 decimals, 1 decimal),
+    yet each previously rode its own broadcast subtree whose
+    percentile/aggregate jobs re-executed per reference — the cuts
+    subtree alone ran 2-4x per call (no runtime exchange reuse), ~0.4 s
+    per execution at sf0.1 for a 9-double result.  Collecting them is
+    the k-gated argmin discipline applied to the Pareto tail: two
+    bounded collect jobs replace four broadcast subtrees and the
+    triangular offsets join.  Values are identical by construction —
+    doubles round-trip py4j bit-exactly, and the decimal totals are
+    re-embedded via their exact string repr at the original scale
+    (Python Decimal addition over the per-bin sums is the same exact
+    arithmetic the former SUM-over-join performed)."""
+    from decimal import Decimal
+
     from pyspark.sql import Window
 
+    crow = cuts.collect()[0]
+    cut_lits = [
+        F.lit(None).cast("double") if crow[i] is None else F.lit(float(crow[i]))
+        for i in range(9)
+    ]
     decile_expr = sum(
-        F.when(F.col("rev_dbl") > F.col(f"p{i}"), F.lit(1)).otherwise(F.lit(0))
-        for i in range(1, 10)
+        F.when(F.col("rev_dbl") > cut_lits[i], F.lit(1)).otherwise(F.lit(0))
+        for i in range(9)
     )
-    binned = rev_d.crossJoin(F.broadcast(cuts)).select(
+    binned = rev_d.select(
         "l_partkey", "rev", "rev_dbl", decile_expr.cast("int").alias("decile")
     )
-    totals = binned.groupBy("decile").agg(F.sum("rev").alias("dec_total"))
-    upper = totals.select(
-        F.col("decile").alias("d2"), F.col("dec_total").alias("t2")
-    )
-    offsets = (
-        totals.join(upper, F.col("d2") > F.col("decile"), "left")
-        .groupBy("decile")
-        .agg(F.sum("t2").alias("offset"))
+    totals = {
+        r["decile"]: r["dec_total"]
+        for r in binned.groupBy("decile")
+        .agg(F.sum("rev").alias("dec_total"))
+        .collect()
+    }
+    # offset per bin = exact Decimal sum of every HIGHER bin's total
+    # (revenue-ordered deciles descend: bin 9 holds the largest
+    # revenues and opens the running order); bins with no higher bin
+    # keep NULL, exactly like the former left triangular join
+    def _offset(d: int) -> Decimal | None:
+        higher = [t for d2, t in totals.items() if d2 > d and t is not None]
+        return sum(higher, Decimal(0)) if higher else None
+
+    offset_expr = F.lit(None).cast("decimal(38,4)")
+    for d in sorted(totals):
+        off = _offset(d)
+        offset_expr = F.when(
+            F.col("decile") == d,
+            F.lit(None).cast("decimal(38,4)")
+            if off is None
+            else F.lit(str(off)).cast("decimal(38,4)"),
+        ).otherwise(offset_expr)
+    # grand total = exact Decimal sum of the bin totals (decimal
+    # addition is associative — identical to the former SUM over rev)
+    tvals = [t for t in totals.values() if t is not None]
+    total_val = sum(tvals, Decimal(0)) if tvals else None
+    total_lit = (
+        F.lit(None).cast("decimal(38,4)")
+        if total_val is None
+        else F.lit(str(total_val)).cast("decimal(38,4)")
     )
     wc = (
         Window.partitionBy("decile")
         .orderBy(F.col("rev").desc(), F.col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = (
-        binned.join(F.broadcast(offsets.select("decile", "offset")), "decile")
-        .select(
-            "l_partkey",
-            "rev_dbl",
-            (
-                F.coalesce(F.col("offset"), F.lit(0).cast("decimal(30,4)"))
-                + F.sum("rev").over(wc)
-            ).alias("cum"),
-        )
+    cum = binned.select(
+        "l_partkey",
+        "rev_dbl",
+        "decile",
+        F.sum("rev").over(wc).alias("_run"),
+    ).select(
+        "l_partkey",
+        "rev_dbl",
+        (
+            F.coalesce(offset_expr, F.lit(0).cast("decimal(30,4)"))
+            + F.col("_run")
+        ).alias("cum"),
     )
-    total = rev_d.agg(F.sum("rev").alias("total"))
-    share = F.col("cum").cast("double") / F.col("total").cast("double")
-    return (
-        cum.crossJoin(F.broadcast(total))
-        .select(
-            "l_partkey",
-            F.col("rev_dbl").alias("revenue"),
-            share.alias("cum_share"),
-            F.when(share <= 0.80, F.lit("A"))
-            .when(share <= 0.95, F.lit("B"))
-            .otherwise(F.lit("C"))
-            .alias("abc_class"),
-        )
+    share = F.col("cum").cast("double") / total_lit.cast("double")
+    return cum.select(
+        "l_partkey",
+        F.col("rev_dbl").alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= 0.80, F.lit("A"))
+        .when(share <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
     )
 
 
