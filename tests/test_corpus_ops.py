@@ -494,6 +494,56 @@ def test_quality_filter_vectorized_matches_expression_form(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_gopher_rules_vectorized_matches_expression_form(spark):
+    """R15: the Arrow-batched Gopher-rule twin must be row-identical to
+    the declared expression form on the fixture corpora (the
+    corpus_quality_filter_vectorized parity discipline — every gate,
+    including the vacuous-pass arms for unknown langs and sub-n-gram
+    docs).  Also pins the plan shape: MapInPandas, zero exchanges,
+    never row-pickled BatchEvalPython; no aggregation shuffle (the only
+    exchange left is the CPU-stage round-robin repartition)."""
+    for sf in (SF_SMALL, "/root/testdata/sf0.01"):
+        exp = sorted(
+            tuple(r) for r in X.corpus_gopher_rules(spark, sf).collect()
+        )
+        got_df = X.corpus_gopher_rules_vectorized(spark, sf)
+        got = sorted(tuple(r) for r in got_df.collect())
+        assert got == exp and got, sf
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_gopher_rules_vectorized_null_and_edge_text(spark, tmp_path):
+    """NULL text, whitespace-only text, and tab-led repetitive text
+    (where trim-space-only + ASCII \\s split + the top-gram counters
+    bite) must round-trip identically through both forms."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    base = _pq.read_table(f"{SF_SMALL}/documents.parquet")
+    texts = base.column("text").to_pylist()
+    texts[0] = None
+    texts[1] = "   "
+    texts[2] = "\tthe a of and to in is it you that " * 10
+    texts[3] = "one two"  # 2 tokens: 3/4-gram gates pass vacuously
+    base = base.set_column(
+        base.schema.get_field_index("text"), "text", _pa.array(texts)
+    )
+    _pq.write_table(base, str(d / "documents.parquet"))
+    exp = sorted(
+        tuple(r) for r in X.corpus_gopher_rules(spark, str(d)).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in X.corpus_gopher_rules_vectorized(spark, str(d)).collect()
+    )
+    assert got == exp
+
+
 def test_quality_filter_vectorized_null_and_edge_text(spark, tmp_path):
     """NULL text, whitespace-only text, and tab-led text (where JVM
     trim-space-only + ASCII \\s split semantics bite) must round-trip
