@@ -122,6 +122,11 @@ BENCH_QUERIES = [
     # row-identical in tests/test_corpus_ops.py, benched as its own
     # line (the prod-twin convention; resolves via EXTRA_BENCH)
     "corpus_quality_filter_vectorized",
+    # r15 session 2: the same Arrow-twin treatment for the round's next
+    # tokenize-bound line (two interpreted CPU explodes + the gram
+    # shuffle -> one tokenize per doc per Arrow batch, zero exchanges);
+    # pinned row-identical in tests/test_corpus_ops.py
+    "corpus_gopher_rules_vectorized",
 ]
 
 # Measured scale shape for the registered + queued lines
@@ -615,11 +620,20 @@ def _bench_quality_filter_vectorized(spark, sf_dir: str):
     return corpus_quality_filter_vectorized(spark, sf_dir)
 
 
+def _bench_gopher_rules_vectorized(spark, sf_dir: str):
+    from logistream_data_pipeline_aws_spark.plans.extensions import (
+        corpus_gopher_rules_vectorized,
+    )
+
+    return corpus_gopher_rules_vectorized(spark, sf_dir)
+
+
 EXTRA_BENCH = {
     "reference_warehouse_fact": _reference_warehouse_fact,
     "events_stickiness_hll_prod": _bench_stickiness_prod,
     "customer_rfm_scores_approx_prod": _bench_rfm_prod,
     "corpus_quality_filter_vectorized": _bench_quality_filter_vectorized,
+    "corpus_gopher_rules_vectorized": _bench_gopher_rules_vectorized,
     # (the r12 queue registered at the r12 rotation — bm25_topk_staged
     # and the two staged-token consumers resolve from queries() now)
 }
@@ -658,6 +672,15 @@ VARIANCE_FLAG = 0.30  # max/min - 1 beyond this marks the line load-suspect
 VARIANCE_FLOOR_S = 0.3  # ...but only when the absolute spread is material
 # (sub-second queries swing 2x on first-run codegen alone; flagging them
 # would drown the real signal the sentinel exists for)
+# r15 (VERDICT r14 #5): the tiny-line noise floor — sub-second lines
+# sit below VARIANCE_FLOOR_S, so a load spike during their 3 runs was
+# invisible AND unrepaired, and the r14 PERF geomean (0.796, 39
+# "regressions") was effectively a load measurement over them.  Any
+# line whose best is sub-second and whose relative spread trips
+# VARIANCE_FLAG gets SUB_SECOND_RERUNS extra steady-state runs (all
+# runs recorded in provenance; best-of over the larger sample).
+# Purely additive: no run is discarded, no existing flag changes.
+SUB_SECOND_RERUNS = 2
 
 
 def _table_rows(sf_dir: str) -> dict[str, int]:
@@ -777,7 +800,12 @@ class _line_confs:
 # and RECORD what was skipped (the probes' no-silent-caps discipline),
 # so the artifact says "not isolated this round" instead of implying
 # clean (VERDICT r10 #8).
-MAX_ISOLATED = 5
+# r15: raised 5 -> 8 after the r15 baseline run showed five variance-
+# flagged lines displacing ALL THREE standing ALWAYS_ISOLATE lines from
+# the budget (dedup_semantic's in-suite 6.58 s vs 4.6-4.9 s quiet-box
+# went unadjudicated in that artifact).  Eight = the worst observed
+# flag count (5) + the standing list (3); additions only.
+MAX_ISOLATED = 8
 
 
 def _heap_pool_beans(spark):
@@ -855,6 +883,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     flagged: list[str] = []
+    sub_second_retimed: list[str] = []
+    line_loadavg: dict[str, float] = {}
     total = 0.0
     heap_pools = _heap_pool_beans(spark)
     heap_peaks: dict[str, int] = {}
@@ -881,6 +911,19 @@ def main() -> None:
                 t0 = time.time()
                 run_query(qs[name](spark, sf_dir))
                 per_run.append(round(time.time() - t0, 3))
+        # sub-second noise-floor repair (r15, VERDICT r14 #5): more
+        # samples for a tiny line whose runs disagree — see the
+        # SUB_SECOND_RERUNS note above
+        if (
+            min(per_run) < 1.0
+            and max(per_run) / max(min(per_run), 1e-9) - 1.0 > VARIANCE_FLAG
+        ):
+            with _line_confs(spark, name):
+                for _ in range(SUB_SECOND_RERUNS):
+                    t0 = time.time()
+                    run_query(qs[name](spark, sf_dir))
+                    per_run.append(round(time.time() - t0, 3))
+            sub_second_retimed.append(name)
         heap_peaks[name] = _heap_peak_mb(heap_pools)
         storage_mb[name] = _storage_mem_mb(spark)
         # mid-run load sentinel (VERDICT r9 #2): r9's artifact passed the
@@ -891,6 +934,11 @@ def main() -> None:
         # is the round-over-round delta at identical suite composition).
         load_samples.append(round(os.getloadavg()[0], 2))
         load_max_during = max(load_max_during, load_samples[-1])
+        # NAMED per-line load sample (r15, VERDICT r14 #5): the ordered
+        # loadavg_samples list could not be joined back to lines without
+        # re-deriving suite order, so PERF regressions on tiny lines
+        # could not be auto-attributed to load.  Additive.
+        line_loadavg[name] = load_samples[-1]
         runs[name] = per_run
         timings[name] = min(per_run)
         total += timings[name]
@@ -980,6 +1028,8 @@ def main() -> None:
         "load_gate_retries": load_retries,
         "load_contaminated": load_contaminated,
         "variance_flagged": flagged,
+        "sub_second_retimed": sub_second_retimed,
+        "line_loadavg": line_loadavg,
         "isolated_reruns": isolated,
         "skipped_isolated": skipped_isolated,
         # measured per-line JVM heap peaks (MiB) + the configured cap:
